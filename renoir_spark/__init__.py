@@ -1,0 +1,43 @@
+"""renoir_spark — a PySpark-native analytics engine with the query surface
+of deib-polimi/renoir (see SURVEY.md), re-expressed Spark-first.
+
+Quick start::
+
+    from renoir_spark import StreamContext
+    ctx = StreamContext(shuffle_partitions=32)
+    res = (ctx.stream_parquet("lineitem.parquet")
+              .filter("l_shipdate <= timestamp'1998-09-02'")
+              .group_by("l_returnflag", "l_linestatus")
+              .fold(sum_qty=F.sum("l_quantity"))
+              .collect_vec())
+"""
+
+from .context import StreamContext
+from .keyed import KeyedStream
+from .stream import Stream
+from .window import (
+    AllWindow,
+    CountWindow,
+    EventTimeWindow,
+    LastKWindow,
+    ProcessingTimeWindow,
+    SessionWindow,
+    TransactionWindow,
+    WindowedStream,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "StreamContext",
+    "Stream",
+    "KeyedStream",
+    "WindowedStream",
+    "CountWindow",
+    "EventTimeWindow",
+    "SessionWindow",
+    "LastKWindow",
+    "AllWindow",
+    "ProcessingTimeWindow",
+    "TransactionWindow",
+]

@@ -1,0 +1,185 @@
+"""StreamContext — the session/driver object.
+
+Reference parity: renoir's ``StreamContext`` (src/environment.rs:42-113) owns
+the config and scheduler and is the factory for every source
+(src/environment.rs:69-78). Here it wraps a ``SparkSession``: the "scheduler"
+is Spark's DAG scheduler, and ``execute()`` is implicit in DataFrame actions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .stream import Stream
+
+_DEFAULT_CONF = {
+    # Catalyst/AQE do the physical planning renoir leaves to the user
+    # (SURVEY.md §4): runtime re-plan, skew-join splitting, partial aggs.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # UTC so results compare bit-for-bit with the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for every pandas-UDF boundary (the only Python hot paths).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver-generated events table stores TIMESTAMP(NANOS) which the
+    # vectorized parquet reader rejects; read as long and convert (µs
+    # truncation matches DuckDB's nanos→micros read behavior).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+# Confs safe to set on an already-running session (all runtime SQLConfs).
+_DYNAMIC_CONF = (
+    "spark.sql.session.timeZone",
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.execution.arrow.pyspark.enabled",
+    "spark.sql.adaptive.enabled",
+)
+
+
+class StreamContext:
+    """Factory for :class:`Stream` s over a SparkSession.
+
+    renoir: ``StreamContext::new(config)`` (src/environment.rs:49-54);
+    sources are ``env.stream(source)`` / ``env.stream_file`` / etc.
+    """
+
+    def __init__(
+        self,
+        spark: Optional[SparkSession] = None,
+        *,
+        master: str = "local[*]",
+        shuffle_partitions: Optional[int] = None,
+        app_name: str = "renoir_spark",
+        **conf: str,
+    ) -> None:
+        if spark is None:
+            builder = SparkSession.builder.master(master).appName(app_name)
+            merged = dict(_DEFAULT_CONF)
+            if shuffle_partitions is not None:
+                merged["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+            merged.update(conf)
+            for k, v in merged.items():
+                builder = builder.config(k, v)
+            spark = builder.getOrCreate()
+        else:
+            # wrapping an externally-created session (e.g. the test/verify
+            # driver's): apply the runtime-settable correctness confs
+            for k in _DYNAMIC_CONF:
+                try:
+                    spark.conf.set(k, _DEFAULT_CONF[k])
+                except Exception:
+                    pass
+        self.spark = spark
+
+    # ------------------------------------------------------------------ #
+    # sources (SURVEY.md §2.1)
+    # ------------------------------------------------------------------ #
+
+    def from_df(self, df: DataFrame) -> Stream:
+        """Wrap an existing DataFrame (generic ``env.stream(source)``,
+        src/environment.rs:69-78)."""
+        return Stream(self, df)
+
+    def stream_iter(self, rows: Iterable, schema=None) -> Stream:
+        """In-memory rows, renoir ``stream_iter``
+        (src/operator/source/iterator.rs:116-124, single replica).
+        Spark-first: ``createDataFrame`` — small driver-side data only."""
+        return Stream(self, self.spark.createDataFrame(list(rows), schema=schema))
+
+    def stream_range(self, n: int, *, partitions: Optional[int] = None) -> Stream:
+        """Dense integer range — renoir ``stream_par_iter`` over
+        ``0..n`` (src/operator/source/parallel_iterator.rs:230-251).
+        ``spark.range`` generates distributed, per-partition, no driver data."""
+        df = self.spark.range(n, numPartitions=partitions) if partitions else self.spark.range(n)
+        return Stream(self, df)
+
+    # renoir name kept as an alias
+    stream_par_iter = stream_range
+
+    def stream_file(self, path: str) -> Stream:
+        """Text lines, parallel byte-range chunks — renoir ``stream_file``
+        (src/operator/source/file.rs:55-80). Column: ``value: string``."""
+        return Stream(self, self.spark.read.text(path))
+
+    def stream_csv(
+        self,
+        path: str,
+        schema=None,
+        *,
+        header: bool = True,
+        delimiter: str = ",",
+        quote: str = '"',
+        escape: str = "\\",
+        comment: str = "",
+        **options,
+    ) -> Stream:
+        """Distributed CSV scan — renoir ``CsvSource``
+        (src/operator/source/csv.rs:89-257) with its option surface
+        (delimiter/quote/escape/comment/headers). Spark's reader does the
+        same header-aware byte-range splitting (csv.rs:266-330) natively."""
+        reader = self.spark.read.options(
+            header=str(header).lower(),
+            sep=delimiter,
+            quote=quote,
+            escape=escape,
+            **({"comment": comment} if comment else {}),
+            **options,
+        )
+        if schema is not None:
+            reader = reader.schema(schema)
+        return Stream(self, reader.csv(path))
+
+    def stream_parquet(self, path: str, *paths: str) -> Stream:
+        """Parquet scan — renoir ``ParquetSource``
+        (src/operator/source/parquet.rs:21-93) is single-replica Arrow
+        batches; Spark's scan is distributed with pushdown/pruning."""
+        return Stream(self, self.spark.read.parquet(path, *paths))
+
+    def stream_avro(self, path: str) -> Stream:
+        """Avro scan — renoir ``AvroSource``
+        (src/operator/source/avro.rs:49-76). Needs spark-avro on the
+        classpath; raises a clear error when absent."""
+        try:
+            return Stream(self, self.spark.read.format("avro").load(path))
+        except Exception as exc:  # pragma: no cover - classpath dependent
+            raise RuntimeError(
+                "avro support requires the spark-avro package on the classpath"
+            ) from exc
+
+    def stream_kafka(
+        self,
+        brokers: str,
+        topic: str,
+        *,
+        starting_offsets: str = "earliest",
+        **options,
+    ) -> Stream:
+        """Unbounded Kafka source — renoir ``KafkaSource``
+        (src/operator/source/kafka.rs:51-120). Structured Streaming
+        ``readStream.format("kafka")``; needs the kafka connector jar."""
+        df = (
+            self.spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .options(**options)
+            .load()
+        )
+        return Stream(self, df)
+
+    def stream_parquet_unbounded(self, path: str, schema) -> Stream:
+        """File-based streaming source (test stand-in for Kafka): replays
+        parquet files through Structured Streaming."""
+        return Stream(self, self.spark.readStream.schema(schema).parquet(path))
+
+    def sql(self, query: str) -> Stream:
+        """Escape hatch renoir doesn't have: full Spark SQL."""
+        return Stream(self, self.spark.sql(query))
+
+    def execute(self) -> None:
+        """renoir ``execute_blocking`` (src/environment.rs:97-105) is a
+        no-op here: Spark actions (collect/write) trigger execution."""
+        return None

@@ -1,0 +1,189 @@
+"""KeyedStream — a stream with key columns; keyed operators.
+
+Reference parity: renoir's ``KeyedStream<Op>`` (src/stream.rs:59-67) is a
+hash-partitioned stream of (K, V). Here the key is a set of columns; the
+shuffle is not eager — Spark inserts (and reuses) the exchange exactly where
+a keyed operator needs co-location (EnsureRequirements, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .util import named_cols, to_col, to_cols
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .context import StreamContext
+    from .stream import Stream
+
+
+class KeyedStream:
+    def __init__(self, ctx: "StreamContext", df: DataFrame, keys: Sequence[str]) -> None:
+        self.ctx = ctx
+        self.df = df
+        self.keys = list(keys)
+
+    def _stream(self, df: DataFrame) -> "Stream":
+        from .stream import Stream
+
+        return Stream(self.ctx, df)
+
+    def _keyed(self, df: DataFrame) -> "KeyedStream":
+        return KeyedStream(self.ctx, df, self.keys)
+
+    def to_stream(self) -> "Stream":
+        """Drop keying — renoir ``unkey`` / ``drop_key``."""
+        return self._stream(self.df)
+
+    unkey = to_stream
+
+    # ------------------------------------------------------------------ #
+    # keyed element-wise: key is preserved, values transform
+    # ------------------------------------------------------------------ #
+
+    def map(self, *exprs, **named) -> "KeyedStream":
+        """Keyed map (renoir KeyedStream::map keeps the key)."""
+        cols = [F.col(k) for k in self.keys] + named_cols(exprs, named)
+        return self._keyed(self.df.select(*cols))
+
+    def filter(self, cond) -> "KeyedStream":
+        return self._keyed(self.df.filter(to_col(cond)))
+
+    def flat_map(self, expr, alias: str = "value") -> "KeyedStream":
+        cols = [F.col(k) for k in self.keys] + [F.explode(to_col(expr)).alias(alias)]
+        return self._keyed(self.df.select(*cols))
+
+    # ------------------------------------------------------------------ #
+    # keyed aggregation (SURVEY.md §2.5) — hash agg per key
+    # ------------------------------------------------------------------ #
+
+    def fold(self, *aggs, **named) -> "Stream":
+        """Per-key fold — renoir ``KeyedStream::fold``
+        (src/operator/mod.rs:2641-2647, keyed_fold.rs). Catalyst plans the
+        local-pre-agg → shuffle → final-agg pipeline renoir hand-writes in
+        ``group_by_fold`` (mod.rs:822-854)."""
+        return self._stream(self.df.groupBy(*self.keys).agg(*named_cols(aggs, named)))
+
+    reduce = fold
+
+    def fold_py(self, fn: Callable, schema) -> "Stream":
+        """Arbitrary-closure keyed fold via Arrow grouped-map
+        (``applyInPandas``): ``fn(key_tuple, pandas.DataFrame) -> pdf``.
+        The escape hatch for renoir fold closures no expression can state."""
+        return self._stream(self.df.groupBy(*self.keys).applyInPandas(fn, schema))
+
+    def sum(self, value, alias: str = "sum") -> "Stream":
+        """renoir ``group_by_sum`` (src/operator/mod.rs:1467-1498)."""
+        return self.fold(**{alias: F.sum(to_col(value))})
+
+    def count(self, alias: str = "count") -> "Stream":
+        """renoir ``group_by_count`` (src/operator/mod.rs:1594-1605)."""
+        return self.fold(**{alias: F.count(F.lit(1))})
+
+    def avg(self, value, alias: str = "avg") -> "Stream":
+        """renoir ``group_by_avg`` (src/operator/mod.rs:1531-1565)."""
+        return self.fold(**{alias: F.avg(to_col(value))})
+
+    def min(self, value, alias: str = "min") -> "Stream":
+        return self.fold(**{alias: F.min(to_col(value))})
+
+    def max(self, value, alias: str = "max") -> "Stream":
+        return self.fold(**{alias: F.max(to_col(value))})
+
+    def max_element(self, by) -> "Stream":
+        """renoir ``group_by_max_element`` (src/operator/mod.rs:1418-1434)."""
+        return self._arg_extreme(by, F.max_by)
+
+    def min_element(self, by) -> "Stream":
+        """renoir ``group_by_min_element`` (src/operator/mod.rs:1636-1652)."""
+        return self._arg_extreme(by, F.min_by)
+
+    def _arg_extreme(self, by, agg) -> "Stream":
+        others = [c for c in self.df.columns if c not in self.keys]
+        picked = agg(F.struct(*[F.col(c) for c in others]), to_col(by)).alias("__e")
+        out = self.df.groupBy(*self.keys).agg(picked)
+        return self._stream(
+            out.select(*self.keys, *[F.col(f"__e.{c}").alias(c) for c in others])
+        )
+
+    # ------------------------------------------------------------------ #
+    # keyed two-pass scans (SURVEY.md §2.5) → window functions
+    # ------------------------------------------------------------------ #
+
+    def fold_scan(self, agg_exprs: dict, map_fn: Callable[[dict], list]) -> "Stream":
+        """Per-key two-pass scan — renoir keyed ``fold_scan``
+        (src/operator/mod.rs:2954-3010): pass 1 per-key aggregate, pass 2
+        map each element with its key's aggregate. Spark-first: an
+        unbounded window aggregate — ONE shuffle, no self-join.
+        ``map_fn({name: Column}) -> [output Columns]`` sees the per-key
+        aggregates; row columns remain addressable via F.col."""
+        w = Window.partitionBy(*self.keys)
+        aggs = {n: to_col(e).over(w) for n, e in agg_exprs.items()}
+        return self._stream(self.df.select(*map_fn(aggs)))
+
+    reduce_scan = fold_scan
+
+    def rich_map(self, fn: Callable, schema, *, order: Optional[Sequence] = None) -> "Stream":
+        """Per-key stateful map — renoir keyed ``rich_map``
+        (src/operator/mod.rs:2740-2746, state per key). Arrow grouped-map:
+        ``fn(pdf) -> pdf`` sees one key's rows (sorted by ``order`` if
+        given) and may carry state across them."""
+
+        cols = [c for c in (order or [])]
+
+        def _apply(pdf):
+            if cols:
+                pdf = pdf.sort_values(cols)
+            return fn(pdf)
+
+        return self._stream(self.df.groupBy(*self.keys).applyInPandas(_apply, schema))
+
+    # ------------------------------------------------------------------ #
+    # keyed join (SURVEY.md §2.6) and windows (§2.8)
+    # ------------------------------------------------------------------ #
+
+    def join(self, other: "KeyedStream", *, how: str = "inner") -> "Stream":
+        """Co-partitioned keyed join — renoir ``KeyedStream::join``
+        (src/operator/join/keyed_join.rs:408-425). Joins on the key
+        columns; Spark reuses an existing partitioning when both sides are
+        already exchanged on the key (EnsureRequirements)."""
+        if [k for k in other.keys] != self.keys:
+            right = other.df
+            for a, b in zip(other.keys, self.keys):
+                if a != b:
+                    right = right.withColumnRenamed(a, b)
+        else:
+            right = other.df
+        overlap = (set(self.df.columns) & set(right.columns)) - set(self.keys)
+        for c in overlap:
+            right = right.withColumnRenamed(c, f"{c}_r")
+        return self._stream(self.df.join(right, self.keys, how))
+
+    def join_outer(self, other: "KeyedStream") -> "Stream":
+        """renoir ``KeyedStream::join_outer`` (keyed_join.rs:390-406)."""
+        return self.join(other, how="full")
+
+    def window(self, descr) -> "WindowedStream":
+        """Attach a window description — renoir ``KeyedStream::window``
+        (src/operator/window/mod.rs:311-321)."""
+        from .window import WindowedStream
+
+        return WindowedStream(self, descr)
+
+    def interval_join(self, other: "KeyedStream", *, left_ts, right_ts,
+                      lower: float, upper: float, how: str = "inner") -> "Stream":
+        """Keyed event-time band join — renoir keyed ``interval_join``
+        (src/operator/mod.rs:2875-2888). Delegates to the bucketed band
+        join (stream.py) with the key as equi-condition."""
+        return self.to_stream().interval_join(
+            other.to_stream(), left_ts=left_ts, right_ts=right_ts,
+            lower=lower, upper=upper, on=self.keys, how=how,
+        )
+
+    # sinks
+    def collect_vec(self) -> list:
+        return self.df.collect()

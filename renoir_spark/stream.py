@@ -1,0 +1,567 @@
+"""Stream — the unkeyed distributed stream, backed by a DataFrame.
+
+Reference parity: renoir's ``Stream<Op>`` (src/stream.rs:27-35) is a typed
+method-chained operator graph. Here every method declares a DataFrame
+transformation and Catalyst plans the physical execution (fusion, partial
+aggregation, join strategy, pushdown — SURVEY.md §4).
+
+Design rule: operators accept **Column expressions / SQL strings** as the
+fast JVM path; arbitrary Python callables are the explicit slow path and go
+through Arrow-vectorized pandas UDFs (`mapInPandas`), never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import TYPE_CHECKING, Callable, Iterable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .util import named_cols, to_col, to_cols, ts_micros
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .context import StreamContext
+
+
+class Stream:
+    """A distributed stream of rows (renoir ``Stream``, src/stream.rs:27-35)."""
+
+    def __init__(self, ctx: "StreamContext", df: DataFrame) -> None:
+        self.ctx = ctx
+        self.df = df
+
+    def _new(self, df: DataFrame) -> "Stream":
+        return Stream(self.ctx, df)
+
+    # ------------------------------------------------------------------ #
+    # element-wise (SURVEY.md §2.3)
+    # ------------------------------------------------------------------ #
+
+    def map(self, *exprs, **named) -> "Stream":
+        """1→1 transform — renoir ``map`` (src/operator/mod.rs:551-556).
+
+        Column/str expressions replace the element (``select``); keyword
+        args alias expressions. For opaque Python logic use
+        :meth:`map_batches` / :meth:`map_rows`.
+        """
+        return self._new(self.df.select(*named_cols(exprs, named)))
+
+    def with_column(self, name: str, expr) -> "Stream":
+        """Convenience: keep all columns, add/replace one."""
+        return self._new(self.df.withColumn(name, to_col(expr)))
+
+    def with_columns(self, **named) -> "Stream":
+        return self._new(
+            self.df.withColumns({n: to_col(e) for n, e in named.items()})
+        )
+
+    def map_batches(self, fn: Callable, schema) -> "Stream":
+        """Arrow-vectorized map: ``fn(pandas.DataFrame) -> pandas.DataFrame``
+        applied per batch via ``mapInPandas``. The slow path for logic no
+        Column expression can state (renoir closures, SURVEY.md §2.11)."""
+
+        def _iter(batches):
+            for pdf in batches:
+                yield fn(pdf)
+
+        return self._new(self.df.mapInPandas(_iter, schema))
+
+    def map_rows(self, fn: Callable, schema) -> "Stream":
+        """Per-row Python map (renoir ``map`` with an opaque closure).
+        Implemented on top of pandas batches; still Arrow-transferred."""
+
+        import pandas as pd
+
+        def _batch(pdf):
+            return pd.DataFrame([fn(row) for row in pdf.to_dict("records")])
+
+        return self.map_batches(_batch, schema)
+
+    def map_memo(self, fn: Callable, schema, *, capacity: int = 10_000) -> "Stream":
+        """Memoized map — renoir ``map_memo_by``
+        (src/operator/mod.rs:677-688, per-process cache). Per-executor
+        ``functools.lru_cache`` inside the batch fn."""
+
+        import pandas as pd
+
+        cached = functools.lru_cache(maxsize=capacity)(fn)
+
+        def _batch(pdf):
+            return pd.DataFrame(
+                [cached(tuple(row.values())) for row in pdf.to_dict("records")]
+            )
+
+        return self.map_batches(_batch, schema)
+
+    def filter(self, cond) -> "Stream":
+        """Predicate — renoir ``filter`` (src/operator/mod.rs:409-414)."""
+        return self._new(self.df.filter(to_col(cond)))
+
+    def filter_map(self, *exprs, **named) -> "Stream":
+        """map + drop nulls — renoir ``filter_map``
+        (src/operator/mod.rs:384-390): project, then drop rows where every
+        projected value is null (the ``None`` element)."""
+        out = self.df.select(*named_cols(exprs, named))
+        keep = None
+        for c in out.columns:
+            cond = F.col(c).isNotNull()
+            keep = cond if keep is None else (keep | cond)
+        return self._new(out.filter(keep) if keep is not None else out)
+
+    def flat_map(self, expr, *keep, alias: str = "value") -> "Stream":
+        """1→N — renoir ``flat_map`` (src/operator/mod.rs:1158-1166).
+        ``expr`` must evaluate to an array; each element becomes a row.
+        ``keep`` columns are carried alongside (renoir keeps nothing, but
+        carrying context columns is the common relational need)."""
+        cols = to_cols(keep) + [F.explode(to_col(expr)).alias(alias)]
+        return self._new(self.df.select(*cols))
+
+    def flatten(self, col: Optional[str] = None, alias: str = "value") -> "Stream":
+        """Flatten iterable elements — renoir ``flatten``
+        (src/operator/mod.rs:1210-1217). With one array column the column
+        name may be omitted."""
+        if col is None:
+            array_cols = [
+                f.name for f in self.df.schema.fields
+                if f.dataType.typeName() == "array"
+            ]
+            if len(array_cols) != 1:
+                raise ValueError("flatten() needs `col` unless exactly one array column")
+            col = array_cols[0]
+        return self._new(self.df.select(F.explode(F.col(col)).alias(alias)))
+
+    def inspect(self, fn: Callable) -> "Stream":
+        """Side-effect passthrough — renoir ``inspect``
+        (src/operator/mod.rs:1060-1065). Debug-only: runs on the driver
+        over a sample to avoid a distributed action mid-plan."""
+        for row in self.df.limit(20).collect():
+            fn(row)
+        return self
+
+    def rich_map_batches(self, make_state: Callable, fn: Callable, schema) -> "Stream":
+        """Stateful per-partition map — renoir ``rich_map`` (FnMut,
+        src/operator/mod.rs:524-532). ``make_state()`` builds fresh state
+        per partition; ``fn(state, pdf) -> pdf`` sees batches in partition
+        order. Semantics (matching renoir): state is per-replica
+        (= per-partition) and cross-partition order is unspecified."""
+
+        def _iter(batches):
+            state = make_state()
+            for pdf in batches:
+                yield fn(state, pdf)
+
+        return self._new(self.df.mapInPandas(_iter, schema))
+
+    # ------------------------------------------------------------------ #
+    # keying / partitioning (SURVEY.md §2.4)
+    # ------------------------------------------------------------------ #
+
+    def key_by(self, *keys, **named_keys) -> "KeyedStream":
+        """Attach key WITHOUT shuffle — renoir ``key_by``
+        (src/operator/mod.rs:1039-1045; explicitly does not repartition,
+        doc :1021-1023). Lazily identical in Spark: the shuffle happens
+        only if a downstream op needs co-location."""
+        from .keyed import KeyedStream
+
+        df = self.df
+        names = [k for k in keys if isinstance(k, str)]
+        for k in keys:
+            if not isinstance(k, str):
+                raise TypeError("key_by takes column names; use group_by for exprs")
+        for name, e in named_keys.items():
+            df = df.withColumn(name, to_col(e))
+            names.append(name)
+        return KeyedStream(self.ctx, df, names)
+
+    def group_by(self, *keys, **named_keys) -> "KeyedStream":
+        """Hash-shuffle by key — renoir ``group_by``
+        (src/operator/mod.rs:1377-1387). Spark-first: we do NOT eagerly
+        repartition; the downstream aggregation/join inserts the exchange
+        (and Catalyst reuses it across keyed ops)."""
+        return self.key_by(*keys, **named_keys)
+
+    def shuffle(self, partitions: Optional[int] = None) -> "Stream":
+        """Random redistribution — renoir ``shuffle``
+        (src/operator/mod.rs:1943-1945) → round-robin ``repartition``."""
+        return self._new(
+            self.df.repartition(partitions) if partitions else self.df.repartition()
+        )
+
+    def broadcast(self) -> "Stream":
+        """Broadcast hint — renoir ``broadcast``
+        (src/operator/mod.rs:1351-1353). Applies to the next join."""
+        return self._new(F.broadcast(self.df))
+
+    def replication(self, n: int) -> "Stream":
+        """Cap parallelism — renoir ``replication``
+        (src/operator/mod.rs:1761-1766) → ``coalesce`` (no shuffle)."""
+        return self._new(self.df.coalesce(n))
+
+    def repartition_by(self, n: Optional[int], *cols) -> "Stream":
+        """Custom partitioner — renoir ``repartition_by``
+        (src/operator/mod.rs:1786-1794)."""
+        c = to_cols(cols)
+        if n is None:
+            return self._new(self.df.repartition(*c))
+        return self._new(self.df.repartition(n, *c))
+
+    def split(self, n: int, *, persist: bool = True) -> list["Stream"]:
+        """Duplicate into n branches — renoir ``split``
+        (src/operator/mod.rs:1965-1978). Persist so branches don't
+        recompute the upstream plan."""
+        df = self.df.persist() if persist else self.df
+        return [self._new(df) for _ in range(n)]
+
+    def route(self) -> "RouteBuilder":
+        """Content-based routing — renoir ``route()``
+        (src/operator/route.rs:33-56): element goes to the FIRST matching
+        branch, else dropped."""
+        return RouteBuilder(self)
+
+    def merge(self, other: "Stream") -> "Stream":
+        """Unordered union — renoir ``merge`` (src/operator/merge.rs:41-57)."""
+        return self._new(self.df.unionByName(other.df))
+
+    def zip(self, other: "Stream", *, order: Sequence, other_order: Sequence) -> "Stream":
+        """Pairwise positional zip — renoir ``zip``
+        (src/operator/mod.rs:2003-2017): truncates to the shorter side and
+        forces parallelism 1 in renoir. Spark-first: deterministic order
+        columns on both sides + row_number alignment join (stays
+        distributed; renoir's arrival order is nondeterministic anyway)."""
+        w1 = Window.orderBy(*to_cols(order))
+        w2 = Window.orderBy(*to_cols(other_order))
+        left = self.df.withColumn("__zip_idx", F.row_number().over(w1))
+        right = other.df.withColumn("__zip_idx", F.row_number().over(w2))
+        overlap = set(left.columns) & set(right.columns) - {"__zip_idx"}
+        for c in overlap:
+            right = right.withColumnRenamed(c, f"{c}_r")
+        out = left.join(right, "__zip_idx", "inner").drop("__zip_idx")
+        return self._new(out)
+
+    # ------------------------------------------------------------------ #
+    # global aggregations (SURVEY.md §2.5) — terminal folds
+    # ------------------------------------------------------------------ #
+
+    def fold(self, *aggs, **named) -> "Stream":
+        """Global fold — renoir ``fold``/``fold_assoc``
+        (src/operator/mod.rs:725-780). Expression aggregates get Spark's
+        partial+final HashAggregate automatically (the two-phase assoc
+        fold renoir makes the user write by hand)."""
+        return self._new(self.df.agg(*named_cols(aggs, named)))
+
+    # renoir distinguishes fold/fold_assoc/reduce/reduce_assoc only by
+    # closure shape; declaratively they are all .agg(...)
+    fold_assoc = fold
+    reduce = fold
+    reduce_assoc = fold
+
+    def fold_py(self, init, local_fn: Callable, global_fn: Callable):
+        """Arbitrary-closure two-phase fold — renoir ``fold_assoc``
+        (src/operator/mod.rs:771-780): ``local_fn(acc, row)`` per
+        partition, ``global_fn(acc, acc)`` on the driver. Distributed
+        partials via RDD aggregate (the rare justified RDD use)."""
+        return self.df.rdd.aggregate(init, local_fn, global_fn)
+
+    def unique_assoc(self) -> "Stream":
+        """Distinct — renoir ``unique_assoc``
+        (src/operator/mod.rs:951-979): local set → shuffle → global set,
+        which is exactly Spark's partial-distinct plan."""
+        return self._new(self.df.distinct())
+
+    def unique_assoc_by_key(self, *key_cols, order: Optional[Sequence] = None) -> "Stream":
+        """Distinct by derived key — renoir ``unique_assoc_by_key``
+        (src/operator/mod.rs:986-1017) keeps an ARBITRARY element per key;
+        pass ``order`` to keep the minimum by that order instead
+        (deterministic, oracle-friendly)."""
+        if order is None:
+            return self._new(self.df.dropDuplicates(list(key_cols)))
+        others = [c for c in self.df.columns if c not in key_cols]
+        aggs = [
+            F.min_by(F.col(c), F.struct(*to_cols(order))).alias(c) for c in others
+        ]
+        return self._new(self.df.groupBy(*key_cols).agg(*aggs))
+
+    def fold_scan(self, agg_exprs: dict, map_fn: Callable[[dict], list]) -> "Stream":
+        """Two-pass scan — renoir ``fold_scan``
+        (src/operator/mod.rs:856-907): pass 1 computes a global aggregate,
+        pass 2 maps every element with it. Spark-first: agg → broadcast
+        cross-join (a 1-row build side) → select. ``map_fn`` receives a
+        dict of {name: Column-of-the-aggregate} and returns output exprs."""
+        agg_df = self.df.agg(
+            *[to_col(e).alias(n) for n, e in agg_exprs.items()]
+        )
+        joined = self.df.crossJoin(F.broadcast(agg_df))
+        cols = map_fn({n: F.col(n) for n in agg_exprs})
+        return self._new(joined.select(*cols))
+
+    reduce_scan = fold_scan
+
+    # ------------------------------------------------------------------ #
+    # grouped convenience aggregations (renoir group_by_* family)
+    # ------------------------------------------------------------------ #
+
+    def group_by_count(self, *keys) -> "Stream":
+        """renoir ``group_by_count`` (src/operator/mod.rs:1594-1605)."""
+        return self._new(self.df.groupBy(*to_cols(keys)).agg(F.count("*").alias("count")))
+
+    def group_by_sum(self, keys, value) -> "Stream":
+        """renoir ``group_by_sum`` (src/operator/mod.rs:1467-1498)."""
+        keys = [keys] if isinstance(keys, (str, Column)) else list(keys)
+        return self._new(
+            self.df.groupBy(*to_cols(keys)).agg(F.sum(to_col(value)).alias("sum"))
+        )
+
+    def group_by_avg(self, keys, value) -> "Stream":
+        """renoir ``group_by_avg`` (src/operator/mod.rs:1531-1565)."""
+        keys = [keys] if isinstance(keys, (str, Column)) else list(keys)
+        return self._new(
+            self.df.groupBy(*to_cols(keys)).agg(F.avg(to_col(value)).alias("avg"))
+        )
+
+    def group_by_max_element(self, keys, by) -> "Stream":
+        """Arg-max whole element — renoir ``group_by_max_element``
+        (src/operator/mod.rs:1418-1434) → ``max_by(struct(*), by)``."""
+        return self._arg_extreme(keys, by, F.max_by)
+
+    def group_by_min_element(self, keys, by) -> "Stream":
+        """renoir ``group_by_min_element`` (src/operator/mod.rs:1636-1652)."""
+        return self._arg_extreme(keys, by, F.min_by)
+
+    def _arg_extreme(self, keys, by, agg) -> "Stream":
+        keys = [keys] if isinstance(keys, (str, Column)) else list(keys)
+        key_names = [k if isinstance(k, str) else None for k in keys]
+        others = [c for c in self.df.columns if c not in key_names]
+        picked = agg(F.struct(*[F.col(c) for c in others]), to_col(by)).alias("__e")
+        out = self.df.groupBy(*to_cols(keys)).agg(picked)
+        return self._new(out.select(*[F.col(k) for k in key_names if k],
+                                    *[F.col(f"__e.{c}").alias(c) for c in others]))
+
+    def group_by_fold(self, keys, *aggs, **named) -> "Stream":
+        """renoir ``group_by_fold`` (src/operator/mod.rs:822-854): local
+        pre-agg → shuffle partials → final — Catalyst's partial/final
+        HashAggregate, stated declaratively."""
+        keys = [keys] if isinstance(keys, (str, Column)) else list(keys)
+        return self._new(self.df.groupBy(*to_cols(keys)).agg(*named_cols(aggs, named)))
+
+    group_by_reduce = group_by_fold
+
+    # ------------------------------------------------------------------ #
+    # joins (SURVEY.md §2.6) — see joins.py for the builder
+    # ------------------------------------------------------------------ #
+
+    def join(self, other: "Stream", on, *, how: str = "inner") -> "Stream":
+        """Inner equi-join — renoir ``join``
+        (src/operator/join/mod.rs:115-131). ``on`` is a column name, list
+        of names, or a join Column condition."""
+        return self._new(self.df.join(other.df, on, how))
+
+    def left_join(self, other: "Stream", on) -> "Stream":
+        """renoir ``left_join`` (src/operator/join/mod.rs:163-179)."""
+        return self.join(other, on, how="left")
+
+    def outer_join(self, other: "Stream", on) -> "Stream":
+        """renoir ``outer_join`` (src/operator/join/mod.rs:212-228)."""
+        return self.join(other, on, how="full")
+
+    def join_with(self, other: "Stream", left_on, right_on) -> "JoinBuilder":
+        """Strategy builder — renoir ``join_with(...)``
+        (src/operator/join/mod.rs:230-246): ship {hash, broadcast_right} ×
+        local {hash, sort_merge} × variant {inner, left, outer} map to
+        Spark join hints."""
+        from .joins import JoinBuilder
+
+        return JoinBuilder(self, other, left_on, right_on)
+
+    def interval_join(
+        self,
+        other: "Stream",
+        *,
+        left_ts,
+        right_ts,
+        lower: float,
+        upper: float,
+        on: Optional[Sequence[str]] = None,
+        how: str = "inner",
+    ) -> "Stream":
+        """Event-time band join — renoir ``interval_join``
+        (src/operator/mod.rs:1738-1755, impl interval_join.rs:12-42):
+        left ts T matches right ts Q with ``T - lower <= Q <= T + upper``.
+
+        Scale design: a naive theta-join is a cartesian blow-up. We
+        equi-join on (keys, time-bucket) with bucket width = band width,
+        exploding the LEFT side to the ≤2 buckets its band can touch, so
+        Spark executes a plain shuffled equi-join + residual filter.
+        renoir instead forces parallelism 1 (mod.rs:1749) — this version
+        stays fully parallel.
+        """
+        lower = int(round(lower * 1_000_000))
+        upper = int(round(upper * 1_000_000))
+        width = int(lower + upper) or 1
+        lts = ts_micros(left_ts).alias("__lts")
+        rts = ts_micros(right_ts).alias("__rts")
+
+        left = self.df.withColumn("__lts", lts)
+        right = other.df.withColumn("__rts", rts)
+        overlap = set(left.columns) & set(right.columns)
+        for c in overlap:
+            right = right.withColumnRenamed(c, f"{c}_r")
+        on = list(on or [])
+
+        left = left.withColumn(
+            "__bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor((F.col("__lts") - F.lit(lower)) / F.lit(width)),
+                        F.floor((F.col("__lts") + F.lit(upper)) / F.lit(width)),
+                    )
+                )
+            ),
+        )
+        right = right.withColumn("__bucket", F.floor(F.col("__rts") / F.lit(width)))
+
+        conds = [left["__bucket"] == right["__bucket"]]
+        for k in on:
+            rk = f"{k}_r" if f"{k}_r" in right.columns else k
+            conds.append(left[k] == right[rk])
+        band = (F.col("__rts") >= F.col("__lts") - F.lit(lower)) & (
+            F.col("__rts") <= F.col("__lts") + F.lit(upper)
+        )
+        cond = functools.reduce(lambda a, b: a & b, conds)
+        out = left.join(right, cond & band, how)
+        drop = ["__lts", "__rts", "__bucket"] + [f"{k}_r" for k in on if f"{k}_r" in right.columns]
+        for c in drop:
+            out = out.drop(c)
+        return self._new(out)
+
+    # ------------------------------------------------------------------ #
+    # sort / limit / top-k (SURVEY.md §2.7)
+    # ------------------------------------------------------------------ #
+
+    def sorted_by(self, *cols) -> "Stream":
+        """Global sort — renoir ``sorted_by``
+        (src/operator/mod.rs:1243-1248). Spark range-partitions + sorts
+        (distributed; renoir buffers on one replica)."""
+        return self._new(self.df.orderBy(*to_cols(cols)))
+
+    def limit(self, n: int, offset: int = 0) -> "Stream":
+        """renoir ``limit(n, offset)`` (src/operator/mod.rs:1276-1286) —
+        order unspecified unless sorted upstream."""
+        df = self.df.offset(offset) if offset else self.df
+        return self._new(df.limit(n))
+
+    def sorted_limit_by(self, cols, n: int, offset: int = 0) -> "Stream":
+        """Top-k — renoir ``sorted_limit_by``
+        (src/operator/mod.rs:1317-1327) → TakeOrderedAndProject."""
+        cols = [cols] if isinstance(cols, (str, Column)) else list(cols)
+        return self.sorted_by(*cols).limit(n, offset)
+
+    # ------------------------------------------------------------------ #
+    # event time (SURVEY.md §2.8) and streaming handoff
+    # ------------------------------------------------------------------ #
+
+    def add_timestamps(self, ts_expr, *, watermark: Optional[str] = None) -> "Stream":
+        """Tag event time — renoir ``add_timestamps``
+        (src/operator/mod.rs:329-339). Adds/declares the event-time column
+        ``__ts``; on streaming DataFrames also registers the watermark
+        (renoir's watermark generator closure → a max-delay contract)."""
+        df = self.df.withColumn("__ts", to_col(ts_expr).cast("timestamp"))
+        if watermark is not None and df.isStreaming:
+            df = df.withWatermark("__ts", watermark)
+        return self._new(df)
+
+    def drop_timestamps(self) -> "Stream":
+        """renoir ``drop_timestamps`` (src/operator/mod.rs:342-344)."""
+        return self._new(self.df.drop("__ts"))
+
+    def batch_mode(self, *_args, **_kwargs) -> "Stream":
+        """renoir ``batch_mode`` (src/block/batcher.rs:19-38) is a network
+        batching knob; Spark batches internally → documented no-op."""
+        return self
+
+    def reorder(self, *cols) -> "Stream":
+        """renoir ``reorder`` (src/operator/mod.rs:420-422) buffers to
+        timestamp order; in batch this is a sort."""
+        return self.sorted_by(*(cols or ["__ts"]))
+
+    # ------------------------------------------------------------------ #
+    # sinks (SURVEY.md §2.2)
+    # ------------------------------------------------------------------ #
+
+    def collect_vec(self) -> list:
+        """Gather to driver — renoir ``collect_vec``
+        (src/operator/mod.rs:2135)."""
+        return self.df.collect()
+
+    def collect_count(self) -> int:
+        """renoir ``collect_count`` (src/operator/mod.rs:2104)."""
+        return self.df.count()
+
+    def collect_channel(self):
+        """Iterator of rows — renoir ``collect_channel``
+        (src/operator/mod.rs:2044) → ``toLocalIterator`` (bounded driver
+        memory)."""
+        return self.df.toLocalIterator()
+
+    def for_each(self, fn: Callable) -> None:
+        """Side-effect sink — renoir ``for_each``
+        (src/operator/mod.rs:1181-1187)."""
+        self.df.foreach(fn)
+
+    def write_csv(self, path: str, *, single_file: bool = False, **options) -> None:
+        """renoir ``write_csv`` / ``write_csv_one``
+        (src/operator/sink/csv.rs:102-148): per-replica files or one file
+        (``coalesce(1)``)."""
+        df = self.df.coalesce(1) if single_file else self.df
+        df.write.mode("overwrite").options(header="true", **options).csv(path)
+
+    def write_parquet(self, path: str, *, single_file: bool = False, **options) -> None:
+        """renoir ``write_parquet_seq/_one``
+        (src/operator/sink/parquet.rs:95-131)."""
+        df = self.df.coalesce(1) if single_file else self.df
+        df.write.mode("overwrite").options(**options).parquet(path)
+
+    def write_kafka(self, brokers: str, topic: str, checkpoint: str):
+        """renoir ``write_kafka`` (src/operator/sink/kafka.rs:98-105)."""
+        payload = self.df.select(F.to_json(F.struct(*self.df.columns)).alias("value"))
+        return (
+            payload.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("topic", topic)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
+    def cache(self) -> "Stream":
+        """Materialize for replay — renoir ``cache``/``collect_cache``
+        (src/operator/cache/mod.rs:20-130) → ``persist``."""
+        return self._new(self.df.persist())
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)
+
+
+class RouteBuilder:
+    """First-match content routing — renoir ``RouterBuilder``
+    (src/operator/route.rs:33-56). Branch i receives rows matching
+    predicate i and NONE of the earlier predicates; unmatched rows drop."""
+
+    def __init__(self, stream: Stream) -> None:
+        self._stream = stream
+        self._preds: list[Column] = []
+
+    def add_route(self, pred) -> "RouteBuilder":
+        self._preds.append(to_col(pred))
+        return self
+
+    def build(self, *, persist: bool = True) -> list[Stream]:
+        base = self._stream.df.persist() if persist else self._stream.df
+        out: list[Stream] = []
+        for i, p in enumerate(self._preds):
+            cond = p
+            for earlier in self._preds[:i]:
+                cond = cond & ~earlier
+            out.append(Stream(self._stream.ctx, base.filter(cond)))
+        return out

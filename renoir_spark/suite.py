@@ -1,0 +1,744 @@
+"""Correctness/benchmark query suite.
+
+Every entry exercises one operator family from SURVEY.md §2 through the
+renoir_spark fluent API and has a DuckDB-equivalent oracle SQL string.
+Contract (driver): per query, row-count + schema + order-insensitive
+value-hash must match at sf0.01.
+
+Float discipline: every float the query COMPUTES (sum/avg/ratio) is rounded
+identically on both sides, so engine-order-of-summation noise in the last
+ulp cannot flip the hash. Time arithmetic is done in exact epoch integers
+or in epoch doubles derived the same way on both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .context import StreamContext
+from .window import (
+    CountWindow,
+    EventTimeWindow,
+    LastKWindow,
+    SessionWindow,
+)
+
+
+def _ctx(spark: SparkSession) -> StreamContext:
+    return StreamContext(spark)
+
+
+def _t(ctx: StreamContext, sf_dir: str, name: str):
+    s = ctx.stream_parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # stored as TIMESTAMP(NANOS) → read as long ns; truncate to µs
+        # exactly like DuckDB's nanos→micros parquet read.
+        for f in s.df.schema.fields:
+            if f.name == "ts" and f.dataType.typeName() in ("long", "bigint"):
+                s = s.with_column("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return s
+
+
+# --------------------------------------------------------------------- #
+# relational core (M0-M2)
+# --------------------------------------------------------------------- #
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q1 shape): filter → group_by → multi-agg fold.
+    Operators: stream_parquet, filter, group_by, fold (SURVEY §2.1/2.3/2.5)."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "lineitem")
+        .filter("l_shipdate <= timestamp'1998-09-02 00:00:00'")
+        .group_by("l_returnflag", "l_linestatus")
+        .fold(
+            sum_qty=F.round(F.sum("l_quantity"), 2),
+            sum_base_price=F.round(F.sum("l_extendedprice"), 2),
+            sum_disc_price=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2),
+            sum_charge=F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ),
+            avg_qty=F.round(F.avg("l_quantity"), 6),
+            avg_price=F.round(F.avg("l_extendedprice"), 6),
+            avg_disc=F.round(F.avg("l_discount"), 6),
+            count_order=F.count(F.lit(1)),
+        )
+        .df
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_group_by_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_by_sum convenience (src/operator/mod.rs:1467-1498)."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "orders")
+        .group_by("o_orderpriority")
+        .sum(F.col("o_totalprice"), alias="total")
+        .map("o_orderpriority", total=F.round(F.col("total"), 2))
+        .df
+    )
+
+
+ORACLE_Q02 = """
+SELECT o_orderpriority, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + group + top-k (TPC-H Q3 shape). Operators: join,
+    group_by+fold, sorted_limit_by (§2.6/2.7)."""
+    ctx = _ctx(spark)
+    cust = _t(ctx, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    orders = _t(ctx, sf_dir, "orders").filter(
+        "o_orderdate < timestamp'1998-03-15 00:00:00'"
+    )
+    li = _t(ctx, sf_dir, "lineitem").filter(
+        "l_shipdate > timestamp'1996-03-15 00:00:00'"
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .group_by("o_orderkey")
+        .fold(revenue=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2))
+        .sorted_limit_by([F.col("revenue").desc(), F.col("o_orderkey")], 10)
+        .df
+    )
+
+
+ORACLE_Q03 = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q04_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (src/operator/join/mod.rs:163-179): customers with
+    their order count, zero included."""
+    ctx = _ctx(spark)
+    cust = _t(ctx, sf_dir, "customer")
+    orders = _t(ctx, sf_dir, "orders")
+    return (
+        cust.left_join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .group_by("c_custkey")
+        .fold(n_orders=F.count("o_orderkey"))
+        .df
+    )
+
+
+ORACLE_Q04 = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q05_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join chain through dimensions — renoir
+    ``ship_broadcast_right`` (src/operator/join/mod.rs:320-324): the fact
+    table never shuffles; every dim ships to it."""
+    ctx = _ctx(spark)
+    li = _t(ctx, sf_dir, "lineitem")
+    sup = _t(ctx, sf_dir, "supplier")
+    nat = _t(ctx, sf_dir, "nation")
+    reg = _t(ctx, sf_dir, "region")
+    return (
+        li.join_with(sup, "l_suppkey", "s_suppkey").ship_broadcast_right().inner()
+        .join_with(nat, "s_nationkey", "n_nationkey").ship_broadcast_right().inner()
+        .join_with(reg, "n_regionkey", "r_regionkey").ship_broadcast_right().inner()
+        .group_by("r_name", "n_name")
+        .fold(revenue=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2))
+        .df
+    )
+
+
+ORACLE_Q05 = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, supplier, nation, region
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q06_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global terminal fold (TPC-H Q6 shape) — renoir ``fold_assoc``
+    (src/operator/mod.rs:771-780): pushdown-friendly filters + single-row agg."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "lineitem")
+        .filter(
+            "l_shipdate >= timestamp'1996-01-01 00:00:00' AND "
+            "l_shipdate < timestamp'1997-01-01 00:00:00' AND "
+            "l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        )
+        .fold(revenue=F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2))
+        .df
+    )
+
+
+ORACLE_Q06 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q07_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique_assoc (src/operator/mod.rs:951-979) → partial-distinct plan."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "lineitem")
+        .map("l_returnflag", "l_linestatus")
+        .unique_assoc()
+        .df
+    )
+
+
+ORACLE_Q07 = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q08_argmax_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_by_max_element (src/operator/mod.rs:1418-1434) →
+    ``max_by(struct, key)`` with a deterministic composite tie-break."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "customer")
+        .map("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+        .group_by("c_nationkey")
+        .max_element(F.struct("c_acctbal", "c_custkey"))
+        .map("c_nationkey", "c_custkey", "c_name", bal=F.round(F.col("c_acctbal"), 2))
+        .df
+    )
+
+
+ORACLE_Q08 = """
+SELECT c_nationkey, c_custkey, c_name, round(c_acctbal, 2) AS bal
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+  FROM customer
+) WHERE rn = 1
+"""
+
+
+def q09_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flat_map tokenization + group_by_count — the renoir README wordcount
+    (src/lib.rs:22-56; flat_map src/operator/mod.rs:1158-1166)."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .flat_map(F.split(F.lower(F.col("text")), " "), alias="word")
+        .filter("word <> ''")
+        .group_by("word")
+        .count(alias="cnt")
+        .df
+    )
+
+
+ORACLE_Q09 = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+"""
+
+
+def q10_line_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed fold_scan (src/operator/mod.rs:2954-3010) = per-key two-pass
+    scan → ONE window aggregate, no self-join: each line's share of its
+    order's revenue."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "lineitem")
+        .group_by("l_orderkey")
+        .fold_scan(
+            {"order_rev": F.sum("l_extendedprice")},
+            lambda agg: [
+                F.col("l_orderkey"),
+                F.col("l_linenumber"),
+                F.round(F.col("l_extendedprice") / agg["order_rev"], 9).alias("share"),
+            ],
+        )
+        .df
+    )
+
+
+ORACLE_Q10 = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice / sum(l_extendedprice) OVER (PARTITION BY l_orderkey), 9) AS share
+FROM lineitem
+"""
+
+
+def q11_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time band join — renoir ``interval_join``
+    (src/operator/mod.rs:1738-1755). Bucketed equi-join on
+    (user_id, time-bucket) + residual band filter; exact µs arithmetic."""
+    ctx = _ctx(spark)
+    ev = _t(ctx, sf_dir, "events").map("event_id", "ts", "user_id", "event_type")
+    other = _t(ctx, sf_dir, "events").map("event_id", "ts", "user_id")
+    joined = ev.key_by("user_id").interval_join(
+        other.key_by("user_id"), left_ts="ts", right_ts="ts",
+        lower=3600.0, upper=3600.0,
+    )
+    return (
+        joined.filter("event_id <> event_id_r")
+        .group_by("event_type")
+        .count(alias="n_pairs")
+        .df
+    )
+
+
+ORACLE_Q11 = """
+SELECT a.event_type, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR
+ AND a.event_id <> b.event_id
+GROUP BY a.event_type
+"""
+
+
+def q12_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional zip (src/operator/mod.rs:2003-2017): rank-aligned pairing
+    of top customers with suppliers; truncates to the shorter side."""
+    ctx = _ctx(spark)
+    cust = (
+        _t(ctx, sf_dir, "customer")
+        .sorted_limit_by([F.col("c_acctbal").desc(), F.col("c_custkey")], 10)
+        .map("c_name", "c_acctbal", "c_custkey")
+    )
+    sup = _t(ctx, sf_dir, "supplier").map("s_name", "s_acctbal", "s_suppkey")
+    return (
+        cust.zip(
+            sup,
+            order=[F.col("c_acctbal").desc(), F.col("c_custkey")],
+            other_order=[F.col("s_acctbal").desc(), F.col("s_suppkey")],
+        )
+        .map("c_name", "s_name")
+        .df
+    )
+
+
+ORACLE_Q12 = """
+WITH c AS (
+  SELECT c_name, row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM (SELECT * FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
+), s AS (
+  SELECT s_name, row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rn
+  FROM supplier
+)
+SELECT c_name, s_name FROM c JOIN s USING (rn)
+"""
+
+
+def q13_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (src/operator/window/descr/session.rs:67-76): per
+    user, 30-minute-gap sessions with event count and duration."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "events")
+        .key_by("user_id")
+        .window(SessionWindow("ts", gap=1800.0))
+        .fold(
+            n_events=F.count(F.lit(1)),
+            dur_s=F.round(F.max("__sts") - F.min("__sts"), 6),
+        )
+        .df
+    )
+
+
+ORACLE_Q13 = """
+WITH flagged AS (
+  SELECT user_id, epoch(ts) AS s,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts))
+), labelled AS (
+  SELECT user_id, s,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY s
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(max(s) - min(s), 6) AS dur_s
+FROM labelled GROUP BY user_id, session_id
+"""
+
+
+def q14_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based tumbling windows (src/operator/window/descr/count.rs:
+    99-131): per user, windows of exactly 5 events by event_id order."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "events")
+        .key_by("user_id")
+        .window(CountWindow.tumbling("event_id", size=5, exact=True))
+        .fold(avg_value=F.round(F.avg("value"), 6))
+        .df
+    )
+
+
+ORACLE_Q14 = """
+WITH pos AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS p
+  FROM events
+)
+SELECT user_id, p // 5 AS window_id, round(avg(value), 6) AS avg_value
+FROM pos GROUP BY user_id, p // 5 HAVING count(*) = 5
+"""
+
+
+def q15_last_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LastK trailing window (src/operator/window/descr/last_k.rs:90-105)
+    = sliding row frame: 5-event moving average per user."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "events")
+        .key_by("user_id")
+        .window(LastKWindow("event_id", 5))
+        .fold(mavg=F.avg("value"))
+        .map("event_id", "user_id", mavg=F.round(F.col("mavg"), 6))
+        .df
+    )
+
+
+ORACLE_Q15 = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mavg
+FROM events
+"""
+
+
+def q16_event_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (src/operator/window/descr/event_time.rs:
+    112-129): daily per-type counts + volume."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "events")
+        .key_by("event_type")
+        .window(EventTimeWindow.tumbling("ts", 86400.0))
+        .fold(n=F.count(F.lit(1)), vol=F.round(F.sum("value"), 2))
+        .map(
+            "event_type",
+            win_s=F.col("win_start").cast("long"),
+            n=F.col("n"),
+            vol=F.col("vol"),
+        )
+        .df
+    )
+
+
+ORACLE_Q16 = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS win_s,
+       count(*) AS n, round(sum(value), 2) AS vol
+FROM events GROUP BY event_type, win_s
+"""
+
+
+def q17_event_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (2-day size, 1-day slide): multi-assignment
+    via the built-in ``F.window``."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "events")
+        .key_by("event_type")
+        .window(EventTimeWindow.sliding("ts", 172800.0, 86400.0))
+        .fold(n=F.count(F.lit(1)))
+        .map("event_type", win_s=F.col("win_start").cast("long"), n=F.col("n"))
+        .df
+    )
+
+
+ORACLE_Q17 = """
+SELECT event_type,
+       CAST(w * 86400 AS BIGINT) AS win_s,
+       count(*) AS n
+FROM (
+  SELECT event_type,
+         unnest([floor(epoch(ts)/86400) - 1, floor(epoch(ts)/86400)]) AS w
+  FROM events
+)
+GROUP BY event_type, w
+"""
+
+
+def q18_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sorted_by + limit(n, offset) (src/operator/mod.rs:1276-1286)."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "orders")
+        .map("o_orderkey", "o_totalprice")
+        .sorted_by("o_orderkey")
+        .limit(100, offset=50)
+        .map("o_orderkey", price=F.round(F.col("o_totalprice"), 2))
+        .df
+    )
+
+
+ORACLE_Q18 = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 50
+"""
+
+
+def q19_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match routing (src/operator/route.rs:33-56): branch 2 =
+    not-urgent AND high-value; grouped count proves the exclusion."""
+    ctx = _ctx(spark)
+    branches = (
+        _t(ctx, sf_dir, "orders")
+        .route()
+        .add_route(F.col("o_orderpriority") == "1-URGENT")
+        .add_route(F.col("o_totalprice") > 200000.0)
+        .add_route(F.lit(True))
+        .build(persist=False)
+    )
+    return branches[1].group_by("o_orderstatus").count(alias="n").df
+
+
+ORACLE_Q19 = """
+SELECT o_orderstatus, count(*) AS n
+FROM orders
+WHERE NOT (o_orderpriority = '1-URGENT') AND o_totalprice > 200000.0
+GROUP BY o_orderstatus
+"""
+
+
+def q20_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge/union (src/operator/merge.rs:41-57), duplicates preserved."""
+    ctx = _ctx(spark)
+    a = _t(ctx, sf_dir, "lineitem").filter("l_returnflag = 'R'").map(
+        "l_returnflag", "l_linestatus"
+    )
+    b = _t(ctx, sf_dir, "lineitem").filter("l_linestatus = 'F'").map(
+        "l_returnflag", "l_linestatus"
+    )
+    return (
+        a.merge(b)
+        .group_by("l_returnflag", "l_linestatus")
+        .count(alias="n")
+        .df
+    )
+
+
+ORACLE_Q20 = """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM (
+  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_linestatus = 'F'
+)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q21_sort_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_with(...).local_sort_merge() (src/operator/join/ship.rs:99-110)
+    → merge-join hint; results identical, strategy forced."""
+    ctx = _ctx(spark)
+    orders = _t(ctx, sf_dir, "orders")
+    li = _t(ctx, sf_dir, "lineitem")
+    return (
+        orders.join_with(li, "o_orderkey", "l_orderkey")
+        .ship_hash()
+        .local_sort_merge()
+        .inner()
+        .group_by("o_orderpriority")
+        .fold(n_lines=F.count(F.lit(1)), qty=F.round(F.sum("l_quantity"), 2))
+        .df
+    )
+
+
+ORACLE_Q21 = """
+SELECT o_orderpriority, count(*) AS n_lines, round(sum(l_quantity), 2) AS qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q22_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (src/operator/join/mod.rs:212-228): order counts per
+    customer from both sides, nulls where unmatched."""
+    ctx = _ctx(spark)
+    big_cust = (
+        _t(ctx, sf_dir, "orders")
+        .group_by("o_custkey")
+        .fold(n_orders=F.count(F.lit(1)))
+        .filter("n_orders >= 12")
+    )
+    rich_cust = (
+        _t(ctx, sf_dir, "customer").filter("c_acctbal > 9000").map("c_custkey", "c_name")
+    )
+    return (
+        big_cust.join_with(rich_cust, "o_custkey", "c_custkey")
+        .ship_hash()
+        .outer()
+        .map(
+            key=F.coalesce(F.col("o_custkey"), F.col("c_custkey")),
+            n_orders=F.col("n_orders"),
+            c_name=F.col("c_name"),
+        )
+        .df
+    )
+
+
+ORACLE_Q22 = """
+WITH big AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders
+  GROUP BY o_custkey HAVING count(*) >= 12
+), rich AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+)
+SELECT coalesce(o_custkey, c_custkey) AS key, n_orders, c_name
+FROM big FULL OUTER JOIN rich ON o_custkey = c_custkey
+"""
+
+
+def q23_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window_join (src/operator/window/aggr/join.rs:79): purchases joined
+    with errors of the same user in the same daily window."""
+    ctx = _ctx(spark)
+    ev = _t(ctx, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").map(
+        "user_id", "ts", pid=F.col("event_id")
+    ).key_by("user_id")
+    errors = ev.filter("event_type = 'error'").map(
+        "user_id", "ts", eid=F.col("event_id")
+    ).key_by("user_id")
+    return (
+        purchases.window(EventTimeWindow.tumbling("ts", 86400.0))
+        .window_join(errors)
+        .map(
+            "user_id",
+            win_s=F.col("win_start").cast("long"),
+            pid=F.col("pid"),
+            eid=F.col("eid"),
+        )
+        .df
+    )
+
+
+ORACLE_Q23 = """
+SELECT a.user_id,
+       CAST(floor(epoch(a.ts)/86400)*86400 AS BIGINT) AS win_s,
+       a.event_id AS pid, b.event_id AS eid
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND floor(epoch(a.ts)/86400) = floor(epoch(b.ts)/86400)
+WHERE a.event_type = 'purchase' AND b.event_type = 'error'
+"""
+
+
+def q24_global_fold_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global fold_scan (src/operator/mod.rs:856-907): normalize every
+    order's price by the global mean — agg → broadcast → map, 2 passes."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "orders")
+        .fold_scan(
+            {"mean_price": F.avg("o_totalprice")},
+            lambda agg: [
+                F.col("o_orderkey"),
+                F.round(F.col("o_totalprice") / agg["mean_price"], 9).alias("rel_price"),
+            ],
+        )
+        .df
+    )
+
+
+ORACLE_Q24 = """
+SELECT o_orderkey,
+       round(o_totalprice / avg(o_totalprice) OVER (), 9) AS rel_price
+FROM orders
+"""
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_group_by_sum": q02_group_by_sum,
+    "q03_shipping_priority": q03_shipping_priority,
+    "q04_left_join_counts": q04_left_join_counts,
+    "q05_broadcast_chain": q05_broadcast_chain,
+    "q06_revenue_filter": q06_revenue_filter,
+    "q07_distinct": q07_distinct,
+    "q08_argmax_per_nation": q08_argmax_per_nation,
+    "q09_wordcount": q09_wordcount,
+    "q10_line_share": q10_line_share,
+    "q11_interval_join": q11_interval_join,
+    "q12_zip": q12_zip,
+    "q13_sessions": q13_sessions,
+    "q14_count_window": q14_count_window,
+    "q15_last_k": q15_last_k,
+    "q16_event_time_tumbling": q16_event_time_tumbling,
+    "q17_event_time_sliding": q17_event_time_sliding,
+    "q18_limit_offset": q18_limit_offset,
+    "q19_route": q19_route,
+    "q20_merge": q20_merge,
+    "q21_sort_merge_join": q21_sort_merge_join,
+    "q22_outer_join": q22_outer_join,
+    "q23_window_join": q23_window_join,
+    "q24_global_fold_scan": q24_global_fold_scan,
+}
+
+ORACLE: Dict[str, str] = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_group_by_sum": ORACLE_Q02,
+    "q03_shipping_priority": ORACLE_Q03,
+    "q04_left_join_counts": ORACLE_Q04,
+    "q05_broadcast_chain": ORACLE_Q05,
+    "q06_revenue_filter": ORACLE_Q06,
+    "q07_distinct": ORACLE_Q07,
+    "q08_argmax_per_nation": ORACLE_Q08,
+    "q09_wordcount": ORACLE_Q09,
+    "q10_line_share": ORACLE_Q10,
+    "q11_interval_join": ORACLE_Q11,
+    "q12_zip": ORACLE_Q12,
+    "q13_sessions": ORACLE_Q13,
+    "q14_count_window": ORACLE_Q14,
+    "q15_last_k": ORACLE_Q15,
+    "q16_event_time_tumbling": ORACLE_Q16,
+    "q17_event_time_sliding": ORACLE_Q17,
+    "q18_limit_offset": ORACLE_Q18,
+    "q19_route": ORACLE_Q19,
+    "q20_merge": ORACLE_Q20,
+    "q21_sort_merge_join": ORACLE_Q21,
+    "q22_outer_join": ORACLE_Q22,
+    "q23_window_join": ORACLE_Q23,
+    "q24_global_fold_scan": ORACLE_Q24,
+}
