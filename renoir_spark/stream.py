@@ -25,6 +25,32 @@ if TYPE_CHECKING:  # pragma: no cover
     from .context import StreamContext
 
 
+def _global_index(df: DataFrame, order_cols: list, idx: str = "__zip_idx") -> DataFrame:
+    """Distributed 1-based global row index in ``order_cols`` order.
+
+    Scale design: a bare ``row_number() OVER (ORDER BY ...)`` funnels every
+    row through ONE task. Instead: range-partition on the order (so
+    partition ids follow global order), number rows WITHIN each partition,
+    then add broadcast per-partition offsets — the classic zipWithIndex,
+    stated as DataFrame ops. The only single-task step is the offset
+    cumsum over ~num_partitions rows.
+    """
+    d = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    d = d.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    d = d.withColumn("__rn", F.row_number().over(w))
+    counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(woff), F.lit(0))
+    ).drop("__cnt")
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(idx, F.col("__off") + F.col("__rn"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
 class Stream:
     """A distributed stream of rows (renoir ``Stream``, src/stream.rs:27-35)."""
 
@@ -134,11 +160,18 @@ class Stream:
 
     def inspect(self, fn: Callable) -> "Stream":
         """Side-effect passthrough — renoir ``inspect``
-        (src/operator/mod.rs:1060-1065). Debug-only: runs on the driver
-        over a sample to avoid a distributed action mid-plan."""
-        for row in self.df.limit(20).collect():
-            fn(row)
-        return self
+        (src/operator/mod.rs:1060-1065). LAZY: ``fn(row_dict)`` runs on the
+        executors per element when the plan executes (exactly renoir's
+        contract), never at plan-build time. Output columns are unchanged."""
+        schema = self.df.schema
+
+        def _iter(batches):
+            for pdf in batches:
+                for row in pdf.to_dict("records"):
+                    fn(row)
+                yield pdf
+
+        return self._new(self.df.mapInPandas(_iter, schema))
 
     def rich_map_batches(self, make_state: Callable, fn: Callable, schema) -> "Stream":
         """Stateful per-partition map — renoir ``rich_map`` (FnMut,
@@ -184,10 +217,13 @@ class Stream:
 
     def shuffle(self, partitions: Optional[int] = None) -> "Stream":
         """Random redistribution — renoir ``shuffle``
-        (src/operator/mod.rs:1943-1945) → round-robin ``repartition``."""
-        return self._new(
-            self.df.repartition(partitions) if partitions else self.df.repartition()
-        )
+        (src/operator/mod.rs:1943-1945) → round-robin ``repartition``.
+        Default partition count = ``spark.sql.shuffle.partitions``."""
+        if partitions is None:
+            partitions = int(
+                self.df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        return self._new(self.df.repartition(partitions))
 
     def broadcast(self) -> "Stream":
         """Broadcast hint — renoir ``broadcast``
@@ -226,14 +262,14 @@ class Stream:
 
     def zip(self, other: "Stream", *, order: Sequence, other_order: Sequence) -> "Stream":
         """Pairwise positional zip — renoir ``zip``
-        (src/operator/mod.rs:2003-2017): truncates to the shorter side and
-        forces parallelism 1 in renoir. Spark-first: deterministic order
-        columns on both sides + row_number alignment join (stays
-        distributed; renoir's arrival order is nondeterministic anyway)."""
-        w1 = Window.orderBy(*to_cols(order))
-        w2 = Window.orderBy(*to_cols(other_order))
-        left = self.df.withColumn("__zip_idx", F.row_number().over(w1))
-        right = other.df.withColumn("__zip_idx", F.row_number().over(w2))
+        (src/operator/mod.rs:2003-2017): truncates to the shorter side
+        (renoir forces parallelism 1, mod.rs:1749). Spark-first:
+        deterministic order columns + DISTRIBUTED global index (range
+        partition → per-partition row_number + broadcast partition
+        offsets), then an equi-join on the index. No single-task stage at
+        any size — a 100 TB side still indexes in parallel."""
+        left = _global_index(self.df, to_cols(order))
+        right = _global_index(other.df, to_cols(other_order))
         overlap = set(left.columns) & set(right.columns) - {"__zip_idx"}
         for c in overlap:
             right = right.withColumnRenamed(c, f"{c}_r")
@@ -331,11 +367,17 @@ class Stream:
 
     def _arg_extreme(self, keys, by, agg) -> "Stream":
         keys = [keys] if isinstance(keys, (str, Column)) else list(keys)
-        key_names = [k if isinstance(k, str) else None for k in keys]
-        others = [c for c in self.df.columns if c not in key_names]
+        for k in keys:
+            if not isinstance(k, str):
+                raise TypeError(
+                    "group_by_max/min_element take column NAMES as keys "
+                    "(Column exprs would be dropped from the output schema); "
+                    "use key_by(name=expr).max_element(...) for expressions"
+                )
+        others = [c for c in self.df.columns if c not in keys]
         picked = agg(F.struct(*[F.col(c) for c in others]), to_col(by)).alias("__e")
-        out = self.df.groupBy(*to_cols(keys)).agg(picked)
-        return self._new(out.select(*[F.col(k) for k in key_names if k],
+        out = self.df.groupBy(*keys).agg(picked)
+        return self._new(out.select(*[F.col(k) for k in keys],
                                     *[F.col(f"__e.{c}").alias(c) for c in others]))
 
     def group_by_fold(self, keys, *aggs, **named) -> "Stream":
@@ -395,21 +437,32 @@ class Stream:
         Spark executes a plain shuffled equi-join + residual filter.
         renoir instead forces parallelism 1 (mod.rs:1749) — this version
         stays fully parallel.
+
+        Non-inner variants: the bucket explosion would make a bare outer
+        join unsound (a left row matching in only one of its two bucket
+        copies would still emit a spurious null row for the other), so
+        ``left``/``full`` run the bucketed INNER join and re-unite
+        unmatched originals via anti-joins on a pre-explode row id.
         """
+        if how not in ("inner", "left", "full"):
+            raise ValueError(f"interval_join supports inner/left/full, got {how!r}")
         lower = int(round(lower * 1_000_000))
         upper = int(round(upper * 1_000_000))
         width = int(lower + upper) or 1
         lts = ts_micros(left_ts).alias("__lts")
         rts = ts_micros(right_ts).alias("__rts")
 
-        left = self.df.withColumn("__lts", lts)
-        right = other.df.withColumn("__rts", rts)
-        overlap = set(left.columns) & set(right.columns)
+        left0 = self.df.withColumn("__lts", lts)
+        right0 = other.df.withColumn("__rts", rts)
+        overlap = set(left0.columns) & set(right0.columns)
         for c in overlap:
-            right = right.withColumnRenamed(c, f"{c}_r")
+            right0 = right0.withColumnRenamed(c, f"{c}_r")
         on = list(on or [])
+        if how != "inner":
+            left0 = left0.withColumn("__lid", F.monotonically_increasing_id())
+            right0 = right0.withColumn("__rid", F.monotonically_increasing_id())
 
-        left = left.withColumn(
+        left = left0.withColumn(
             "__bucket",
             F.explode(
                 F.array_distinct(
@@ -420,7 +473,7 @@ class Stream:
                 )
             ),
         )
-        right = right.withColumn("__bucket", F.floor(F.col("__rts") / F.lit(width)))
+        right = right0.withColumn("__bucket", F.floor(F.col("__rts") / F.lit(width)))
 
         conds = [left["__bucket"] == right["__bucket"]]
         for k in on:
@@ -430,8 +483,34 @@ class Stream:
             F.col("__rts") <= F.col("__lts") + F.lit(upper)
         )
         cond = functools.reduce(lambda a, b: a & b, conds)
-        out = left.join(right, cond & band, how)
-        drop = ["__lts", "__rts", "__bucket"] + [f"{k}_r" for k in on if f"{k}_r" in right.columns]
+        inner = left.join(right, cond & band, "inner").drop("__bucket")
+
+        if how == "inner":
+            out = inner
+        else:
+            rcols = [c for c in right0.columns if c != "__rid"]
+            lcols = [c for c in left0.columns if c != "__lid"]
+            # left complement: originals whose id matched nothing
+            lmiss = left0.join(
+                inner.select("__lid").distinct(), "__lid", "left_anti"
+            )
+            for c in rcols:
+                lmiss = lmiss.withColumn(c, F.lit(None))
+            out = inner.select("__lid", "__rid", *lcols, *rcols).unionByName(
+                lmiss.select("__lid", F.lit(None).alias("__rid"), *lcols, *rcols)
+            )
+            if how == "full":
+                rmiss = right0.join(
+                    inner.select("__rid").distinct(), "__rid", "left_anti"
+                )
+                for c in lcols:
+                    rmiss = rmiss.withColumn(c, F.lit(None))
+                out = out.unionByName(
+                    rmiss.select(F.lit(None).alias("__lid"), "__rid", *lcols, *rcols)
+                )
+        drop = ["__lts", "__rts", "__bucket", "__lid", "__rid"] + [
+            f"{k}_r" for k in on if f"{k}_r" in right0.columns
+        ]
         for c in drop:
             out = out.drop(c)
         return self._new(out)
@@ -538,6 +617,14 @@ class Stream:
         """Materialize for replay — renoir ``cache``/``collect_cache``
         (src/operator/cache/mod.rs:20-130) → ``persist``."""
         return self._new(self.df.persist())
+
+    def unpersist(self, blocking: bool = False) -> "Stream":
+        """Release cached blocks from :meth:`cache` / :meth:`split` /
+        ``route().build()`` (renoir drops its cache with the
+        ``CacheHandle``; long-lived Spark sessions must unpersist or the
+        block manager accumulates partitions)."""
+        self.df.unpersist(blocking)
+        return self
 
     def explain(self, mode: str = "formatted") -> None:
         self.df.explain(mode)

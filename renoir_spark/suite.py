@@ -258,6 +258,11 @@ def q09_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = _ctx(spark)
     return (
         _t(ctx, sf_dir, "documents")
+        # documents.parquet is one small-but-dense file → 1 input split;
+        # redistribute BEFORE tokenization so explode+agg use the full
+        # cluster instead of one task (the 100 TB version of this scan
+        # has many splits, but never rely on it).
+        .shuffle()
         .flat_map(F.split(F.lower(F.col("text")), " "), alias="word")
         .filter("word <> ''")
         .group_by("word")
@@ -365,7 +370,11 @@ SELECT c_name, s_name FROM c JOIN s USING (rn)
 
 def q13_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (src/operator/window/descr/session.rs:67-76): per
-    user, 30-minute-gap sessions with event count and duration."""
+    user, 30-minute-gap sessions with event count and duration.
+
+    Time arithmetic is EXACT integer epoch-µs on both engines (``__sts``
+    is a LONG; DuckDB side uses epoch_us) — no float representation in
+    the hashed output, so the driver hash is bit-stable."""
     ctx = _ctx(spark)
     return (
         _t(ctx, sf_dir, "events")
@@ -373,7 +382,7 @@ def q13_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .window(SessionWindow("ts", gap=1800.0))
         .fold(
             n_events=F.count(F.lit(1)),
-            dur_s=F.round(F.max("__sts") - F.min("__sts"), 6),
+            dur_us=F.max("__sts") - F.min("__sts"),
         )
         .df
     )
@@ -381,19 +390,19 @@ def q13_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q13 = """
 WITH flagged AS (
-  SELECT user_id, epoch(ts) AS s,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts))
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
 ), labelled AS (
-  SELECT user_id, s,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY s
+  SELECT user_id, us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       round(max(s) - min(s), 6) AS dur_s
+       max(us) - min(us) AS dur_us
 FROM labelled GROUP BY user_id, session_id
 """
 

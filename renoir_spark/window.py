@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .util import named_cols, to_col, ts_seconds
+from .util import named_cols, to_col, ts_micros
 
 
 def _dur(seconds: float) -> str:
@@ -82,17 +82,22 @@ class SessionWindow(WindowDescription):
     """Session windows by inactivity gap — renoir ``SessionWindow``
     (src/operator/window/descr/session.rs:67-76; renoir gap is wall-clock,
     ours is event-time which is the deterministic superset). Batch:
-    lag + cumulative-sum island labelling — one shuffle, no UDF."""
+    lag + cumulative-sum island labelling — one shuffle, no UDF.
+
+    All time arithmetic is EXACT integer epoch-microseconds (``__sts`` is
+    a LONG): gap comparison and durations are bit-exact, never subject to
+    double rounding. Aggregate durations from ``__sts`` as integers and
+    divide only at the final projection."""
 
     def __init__(self, ts, gap: float) -> None:
         self.ts = ts
-        self.gap = gap
+        self.gap_us = int(round(float(gap) * 1_000_000))
 
     def assign(self, keyed) -> _Assigned:
         w = Window.partitionBy(*keyed.keys).orderBy("__sts")
-        df = keyed.df.withColumn("__sts", ts_seconds(self.ts))
+        df = keyed.df.withColumn("__sts", ts_micros(self.ts))
         new_sess = (
-            (F.col("__sts") - F.lag("__sts").over(w) > F.lit(float(self.gap)))
+            (F.col("__sts") - F.lag("__sts").over(w) > F.lit(self.gap_us))
             .cast("int")
         )
         df = df.withColumn("__sess", F.coalesce(new_sess, F.lit(0)))
@@ -135,7 +140,14 @@ class CountWindow(WindowDescription):
             F.floor((F.col("__pos") - F.lit(self.size - self.slide)) / F.lit(self.slide)),
         )
         hi = F.floor(F.col("__pos") / F.lit(self.slide))
-        df = df.withColumn("__wid", F.explode(F.sequence(lo, hi)))
+        # slide > size is legal (count.rs:112-124 asserts only slide > 0):
+        # gap positions belong to NO window (lo > hi) — emit an empty
+        # array so explode drops them instead of producing a descending
+        # sequence that pollutes neighboring windows.
+        wids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+        df = df.withColumn("__wid", F.explode(wids))
         return _Assigned(
             df,
             ["__wid"],
@@ -337,12 +349,24 @@ class WindowedStream:
         grouped = a.df.groupBy(*gcols)
         return Stream(self.keyed.ctx, grouped.applyInPandas(fn, schema))
 
-    def window_join(self, other):
+    def window_join(self, other, *, allow_ordinal: bool = False):
         """Join same-key same-window elements — renoir ``window_join``
         (src/operator/window/aggr/join.rs:79). Both sides get the same
-        descriptor assignment; equi-join on (key, window)."""
+        descriptor assignment; equi-join on (key, window).
+
+        Only TIME-ALIGNED descriptors (EventTimeWindow) give the
+        reference's same-window semantics: ordinal descriptors (count /
+        session / transaction) number windows independently per side, so
+        window #N left has no temporal relation to #N right. Pass
+        ``allow_ordinal=True`` to accept that divergence explicitly."""
         from .stream import Stream
 
+        if not isinstance(self.descr, EventTimeWindow) and not allow_ordinal:
+            raise ValueError(
+                "window_join needs a time-aligned descriptor (EventTimeWindow); "
+                "ordinal descriptors number windows independently per side — "
+                "pass allow_ordinal=True to accept the divergence"
+            )
         a = self.descr.assign(self.keyed)
         if isinstance(self.descr, EventTimeWindow):
             descr_r = EventTimeWindow(self.descr.ts, self.descr.size, self.descr.slide)
