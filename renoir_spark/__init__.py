@@ -13,6 +13,7 @@ Quick start::
 """
 
 from .context import StreamContext
+from .iteration import IterationStateHandle
 from .keyed import KeyedStream
 from .stream import Stream
 from .window import (
@@ -30,6 +31,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "StreamContext",
+    "IterationStateHandle",
     "Stream",
     "KeyedStream",
     "WindowedStream",

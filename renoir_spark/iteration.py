@@ -1,0 +1,200 @@
+"""Iteration — driver-side loops over DataFrames (SURVEY.md §2.9).
+
+Reference parity: renoir's iteration subsystem
+(src/operator/iteration/{iterate.rs,replay.rs,iterate_delta.rs,mod.rs}) wires
+a feedback edge into the dataflow graph with a leader block coordinating a
+shared read-only state. Spark has no feedback edges, so the idiomatic mapping
+is a DRIVER loop over DataFrames — which is exactly what renoir's
+IterationLeader does too (collect state updates, decide, broadcast), just
+expressed in the host language.
+
+Scale discipline (the part renoir gets for free from its runtime):
+
+- every iteration's output is ``persist()``-ed and the previous one released,
+  so the feedback never recomputes the whole history;
+- lineage is cut with ``localCheckpoint(eager=True)`` every
+  ``checkpoint_every`` iterations — without this the logical plan doubles
+  per round and Catalyst analysis time explodes long before the data does;
+- the per-iteration driver synchronization is ONE small action (the state
+  fold / delta count), mirroring renoir's leader barrier
+  (src/operator/iteration/leader.rs:26-100).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class IterationStateHandle:
+    """Read-only view of the loop state inside the body — renoir
+    ``IterationStateHandle`` (src/operator/iteration/mod.rs:88-118). The
+    body must only read (renoir enforces this at runtime; here the value
+    is a plain Python object handed to driver code, so the contract is
+    documented, not policed)."""
+
+    def __init__(self, value) -> None:
+        self._value = value
+
+    def get(self):
+        return self._value
+
+
+def _materialize(df: DataFrame, it: int, checkpoint_every: int) -> DataFrame:
+    """Persist an iteration result; cut lineage periodically."""
+    if checkpoint_every and (it + 1) % checkpoint_every == 0:
+        # localCheckpoint truncates the logical plan (eager) — the driver
+        # loop's plan would otherwise grow linearly and analysis cost
+        # super-linearly with the iteration count.
+        return df.localCheckpoint(eager=True)
+    return df.persist()
+
+
+def iterate(
+    stream,
+    num_iterations: int,
+    initial_state,
+    body: Callable,
+    state_update: Callable[[object, DataFrame], object],
+    loop_condition: Optional[Callable[[object], bool]] = None,
+    *,
+    checkpoint_every: int = 4,
+):
+    """Feedback loop — renoir ``iterate``
+    (src/operator/iteration/iterate.rs:306-439): the body's output is fed
+    back as the next iteration's input; a shared state is folded from the
+    body output each round and consulted by ``loop_condition``.
+
+    Spark-first restatement of renoir's (local_fold, global_fold) pair:
+    ``state_update(state, df) -> new_state`` receives the iteration's
+    output DataFrame and may run any aggregation on it — Catalyst plans
+    the local/global two phases renoir makes the user write by hand.
+
+    Returns ``(final_state, last_iteration_stream)`` — the same two
+    results as the reference (state stream + elements of the last
+    iteration).
+    """
+    df = stream.df
+    state = initial_state
+    prev_cached: Optional[DataFrame] = None
+    for it in range(num_iterations):
+        out = body(stream._new(df), IterationStateHandle(state)).df
+        out = _materialize(out, it, checkpoint_every)
+        state = state_update(state, out)
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = out
+        df = out
+        if loop_condition is not None and not loop_condition(state):
+            break
+    return state, stream._new(df)
+
+
+def replay(
+    stream,
+    num_iterations: int,
+    initial_state,
+    body: Callable,
+    state_update: Callable[[object, DataFrame], object],
+    loop_condition: Optional[Callable[[object], bool]] = None,
+    *,
+    checkpoint_every: int = 4,
+):
+    """Replay loop — renoir ``replay``
+    (src/operator/iteration/replay.rs:256-300): the SAME input is re-fed
+    to the body every iteration; only the state evolves. Returns the final
+    state (the reference returns a one-element state stream).
+
+    The input is cached once (renoir replays from the source block's
+    buffer — ``persist`` is the analog; side-input caching is
+    src/stream.rs:213-228)."""
+    cached_in = stream.df.persist()
+    replay_stream = stream._new(cached_in)
+    state = initial_state
+    prev: Optional[DataFrame] = None
+    for it in range(num_iterations):
+        out = body(replay_stream, IterationStateHandle(state)).df
+        out = _materialize(out, it, checkpoint_every)
+        state = state_update(state, out)
+        if prev is not None:
+            prev.unpersist()
+        prev = out
+        if loop_condition is not None and not loop_condition(state):
+            break
+    if prev is not None:
+        prev.unpersist()
+    cached_in.unpersist()
+    return state
+
+
+def delta_iterate(
+    keyed,
+    num_iterations: int,
+    body: Callable,
+    merge: Optional[Callable] = None,
+    *,
+    checkpoint_every: int = 4,
+):
+    """Keyed incremental iteration — renoir ``delta_iterate``
+    (src/operator/iteration/iterate_delta.rs:104-140): per-key state,
+    the body turns the current state into a stream of per-key DELTAS,
+    deltas are merged into the state, and the loop ends when an iteration
+    produces no deltas (renoir's ``condition``/``something_changed``
+    machinery) or after ``num_iterations``.
+
+    Spark-first (Pregel shape, cf. GraphX): the per-key state is a
+    DataFrame keyed by ``keyed.keys``;
+
+    - ``body(state: KeyedStream, iteration: int) -> Stream`` emits delta
+      rows with the same key columns (only keys that CHANGE — emptiness
+      is the termination test, exactly the reference's contract);
+    - ``merge(state: KeyedStream, delta: KeyedStream) -> Stream`` folds
+      deltas into the state; the default keeps the state row unless a
+      delta for its key exists (delta overrides — renoir's
+      ``process_delta`` for simple replacement semantics).
+
+    Each round costs one shuffle for the body's aggregation plus one
+    key-partitioned merge join; both sides hash-partition on the same key
+    so Spark reuses the exchange (EnsureRequirements).
+    """
+    from .keyed import KeyedStream
+
+    keys = list(keyed.keys)
+    if merge is None:
+        def merge(state: "KeyedStream", delta: "KeyedStream"):
+            value_cols = [c for c in state.df.columns if c not in keys]
+            d = delta.df
+            for c in value_cols:
+                d = d.withColumnRenamed(c, f"__d_{c}")
+            joined = state.df.join(d, keys, "left")
+            out = joined.select(
+                *keys,
+                *[
+                    F.coalesce(F.col(f"__d_{c}"), F.col(c)).alias(c)
+                    for c in value_cols
+                ],
+            )
+            return state._stream(out)
+
+    state_df = keyed.df
+    prev: Optional[DataFrame] = None
+    for it in range(num_iterations):
+        state_ks = KeyedStream(keyed.ctx, state_df, keys)
+        delta_df = body(state_ks, it).df.persist()
+        n_delta = delta_df.count()  # leader barrier (leader.rs:26-100)
+        if n_delta == 0:
+            delta_df.unpersist()
+            break
+        new_state = merge(
+            KeyedStream(keyed.ctx, state_df, keys),
+            KeyedStream(keyed.ctx, delta_df, keys),
+        ).df
+        new_state = _materialize(new_state, it, checkpoint_every)
+        if prev is not None:
+            prev.unpersist()
+        delta_df.unpersist()
+        prev = new_state
+        state_df = new_state
+    return KeyedStream(keyed.ctx, state_df, keys)

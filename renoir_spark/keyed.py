@@ -142,6 +142,17 @@ class KeyedStream:
 
         return self._stream(self.df.groupBy(*self.keys).applyInPandas(_apply, schema))
 
+    def delta_iterate(self, num_iterations: int, body: Callable,
+                      merge: Optional[Callable] = None,
+                      *, checkpoint_every: int = 4) -> "KeyedStream":
+        """Keyed incremental iteration — renoir ``delta_iterate``
+        (src/operator/iteration/iterate_delta.rs:104-140). Pregel-style
+        driver loop; see iteration.py for the full contract."""
+        from .iteration import delta_iterate as _delta
+
+        return _delta(self, num_iterations, body, merge,
+                      checkpoint_every=checkpoint_every)
+
     # ------------------------------------------------------------------ #
     # keyed join (SURVEY.md §2.6) and windows (§2.8)
     # ------------------------------------------------------------------ #

@@ -516,6 +516,34 @@ class Stream:
         return self._new(out)
 
     # ------------------------------------------------------------------ #
+    # iteration (SURVEY.md §2.9) — driver loops, see iteration.py
+    # ------------------------------------------------------------------ #
+
+    def iterate(self, num_iterations: int, initial_state, body: Callable,
+                state_update: Callable, loop_condition: Optional[Callable] = None,
+                *, checkpoint_every: int = 4):
+        """Feedback loop — renoir ``iterate``
+        (src/operator/iteration/iterate.rs:306-439). Returns
+        ``(final_state, last_iteration_stream)``; see iteration.py."""
+        from .iteration import iterate as _iterate
+
+        return _iterate(self, num_iterations, initial_state, body,
+                        state_update, loop_condition,
+                        checkpoint_every=checkpoint_every)
+
+    def replay(self, num_iterations: int, initial_state, body: Callable,
+               state_update: Callable, loop_condition: Optional[Callable] = None,
+               *, checkpoint_every: int = 4):
+        """Replay loop — renoir ``replay``
+        (src/operator/iteration/replay.rs:256-300). Returns the final
+        state; the input is cached and re-fed every iteration."""
+        from .iteration import replay as _replay
+
+        return _replay(self, num_iterations, initial_state, body,
+                       state_update, loop_condition,
+                       checkpoint_every=checkpoint_every)
+
+    # ------------------------------------------------------------------ #
     # sort / limit / top-k (SURVEY.md §2.7)
     # ------------------------------------------------------------------ #
 

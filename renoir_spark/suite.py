@@ -698,6 +698,174 @@ FROM orders
 """
 
 
+# --------------------------------------------------------------------- #
+# iteration (SURVEY §2.9, M5)
+# --------------------------------------------------------------------- #
+
+def _graph(ctx: StreamContext, sf_dir: str):
+    """Undirected test graph from the TPC-H-ish tables: vertex ids are
+    nations (n), regions (100+r), customers (1000+c); edges nation—region
+    and customer—nation. Five components (one per region), min label
+    reachable in 3 hops — deep enough to exercise real propagation."""
+    nation = _t(ctx, sf_dir, "nation").df
+    region = _t(ctx, sf_dir, "region").df
+    customer = _t(ctx, sf_dir, "customer").df
+    verts = (
+        nation.select(F.col("n_nationkey").cast("long").alias("v"))
+        .unionAll(region.select((F.col("r_regionkey") + 100).cast("long").alias("v")))
+        .unionAll(customer.select((F.col("c_custkey") + 1000).cast("long").alias("v")))
+    )
+    e0 = nation.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey") + 100).cast("long").alias("dst"),
+    ).unionAll(
+        customer.select(
+            (F.col("c_custkey") + 1000).cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return verts, edges
+
+
+def q25_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components — renoir ``delta_iterate``
+    (src/operator/iteration/iterate_delta.rs:104-140; example
+    examples/connected_components.rs): per-vertex min-label propagation,
+    emitting only CHANGED labels as deltas; loop ends when no deltas.
+
+    Scale: each round is one shuffle (groupBy dst, min) + one
+    key-partitioned merge join — the Pregel plan; the invariant edge set
+    is cached once (side-input caching, src/stream.rs:213-228)."""
+    ctx = _ctx(spark)
+    verts, edges = _graph(ctx, sf_dir)
+    edges = edges.persist()
+
+    init = ctx.from_df(verts.withColumn("comp", F.col("v"))).key_by("v")
+
+    def body(state, _it):
+        cand = (
+            state.df.join(edges, state.df["v"] == edges["src"])
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("comp").alias("new_comp"))
+        )
+        delta = (
+            cand.join(state.df, "v")
+            .filter(F.col("new_comp") < F.col("comp"))
+            .select("v", F.col("new_comp").alias("comp"))
+        )
+        return ctx.from_df(delta)
+
+    final = init.delta_iterate(20, body)
+    out = final.df.select("v", "comp")
+    edges.unpersist()
+    return out
+
+
+ORACLE_Q25 = """
+WITH rmin AS (
+  SELECT n_regionkey AS rk, min(n_nationkey) AS comp
+  FROM nation GROUP BY n_regionkey
+)
+SELECT CAST(v AS BIGINT) AS v, CAST(comp AS BIGINT) AS comp FROM (
+  SELECT n_nationkey AS v, rmin.comp AS comp
+  FROM nation JOIN rmin ON n_regionkey = rmin.rk
+  UNION ALL
+  SELECT 100 + r_regionkey AS v, rmin.comp
+  FROM region JOIN rmin ON r_regionkey = rmin.rk
+  UNION ALL
+  SELECT 1000 + c_custkey AS v, rmin.comp
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                JOIN rmin ON n_regionkey = rmin.rk
+)
+"""
+
+
+def q26_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) — renoir ``iterate``
+    (src/operator/iteration/iterate.rs:306-439; example
+    examples/pagerank.rs:42-70): ranks fed back each round; the oracle
+    unrolls the same three iterations in SQL.
+
+    The graph is bidirectional so no vertex dangles; contributions are
+    one groupBy-sum per round over edges pre-joined with out-degrees
+    (cached invariant side)."""
+    ctx = _ctx(spark)
+    verts, edges = _graph(ctx, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ew = edges.join(deg, "src").persist()
+    verts = verts.persist()
+    n = verts.count()
+
+    init = ctx.from_df(verts.withColumn("r", F.lit(1.0 / n)))
+
+    def body(s, _handle):
+        contrib = (
+            s.df.join(ew, s.df["v"] == ew["src"])
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("c"))
+        )
+        new = verts.join(contrib, "v", "left").select(
+            "v",
+            (F.lit(0.15 / n) + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))).alias("r"),
+        )
+        return ctx.from_df(new)
+
+    _state, ranks = init.iterate(3, 0, body, lambda st, _df: st + 1)
+    out = ranks.df.select("v", F.round("r", 9).alias("rank"))
+    ew.unpersist()
+    verts.unpersist()
+    return out
+
+
+ORACLE_Q26 = """
+WITH v AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation
+  UNION ALL SELECT CAST(100 + r_regionkey AS BIGINT) FROM region
+  UNION ALL SELECT CAST(1000 + c_custkey AS BIGINT) FROM customer
+), e0 AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS src,
+         CAST(100 + n_regionkey AS BIGINT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(1000 + c_custkey AS BIGINT), CAST(c_nationkey AS BIGINT)
+  FROM customer
+), e AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+n AS (SELECT count(*) AS cnt FROM v),
+r0 AS (SELECT id, 1.0 / (SELECT cnt FROM n) AS r FROM v),
+r1 AS (
+  SELECT v.id,
+         (SELECT 0.15 / cnt FROM n)
+         + 0.85 * coalesce(c.s, 0) AS r
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, sum(r0.r / deg.d) AS s
+    FROM e JOIN r0 ON e.src = r0.id JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+), r2 AS (
+  SELECT v.id,
+         (SELECT 0.15 / cnt FROM n)
+         + 0.85 * coalesce(c.s, 0) AS r
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, sum(r1.r / deg.d) AS s
+    FROM e JOIN r1 ON e.src = r1.id JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+), r3 AS (
+  SELECT v.id,
+         (SELECT 0.15 / cnt FROM n)
+         + 0.85 * coalesce(c.s, 0) AS r
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, sum(r2.r / deg.d) AS s
+    FROM e JOIN r2 ON e.src = r2.id JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+)
+SELECT id AS v, round(r, 9) AS rank FROM r3
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -723,6 +891,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_outer_join": q22_outer_join,
     "q23_window_join": q23_window_join,
     "q24_global_fold_scan": q24_global_fold_scan,
+    "q25_connected_components": q25_connected_components,
+    "q26_pagerank": q26_pagerank,
 }
 
 ORACLE: Dict[str, str] = {
@@ -750,4 +920,6 @@ ORACLE: Dict[str, str] = {
     "q22_outer_join": ORACLE_Q22,
     "q23_window_join": ORACLE_Q23,
     "q24_global_fold_scan": ORACLE_Q24,
+    "q25_connected_components": ORACLE_Q25,
+    "q26_pagerank": ORACLE_Q26,
 }
