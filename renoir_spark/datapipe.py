@@ -1,0 +1,610 @@
+"""LLM-training-data pipeline operators (the north star beyond renoir).
+
+Exact dedup, MinHash-LSH near-dup dedup, cosine similarity search (brute
+baseline + LSH-bucketed scale path), text statistics, language id and
+document fingerprinting — the operators a 100 TB training-data pipeline
+needs, designed bucketed-never-all-pairs.
+
+Determinism contract: every operator that the correctness suite checks has a
+*mirrored DuckDB SQL generator* in this module computing the SAME math. The
+shared primitive is a 31-bit hash both engines can compute identically:
+``('0x' || substr(md5(s), 1, 8))::bigint`` ≡ ``conv(substring(md5(s),1,8),
+16, 10)``. All pseudo-randomness (minhash coefficients, LSH hyperplanes) is
+derived from fixed integer formulas in Python and inlined into BOTH plans.
+
+Scale design notes are on each operator; the common rules:
+- near-dup candidates come from BAND-BUCKET equi-joins (shuffle on the band
+  hash), never an all-pairs comparison;
+- verification (exact Jaccard / cosine) runs only within buckets;
+- everything is Column expressions (JVM/codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .util import to_col
+
+# --------------------------------------------------------------------- #
+# shared deterministic hashing / text normalization
+# --------------------------------------------------------------------- #
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _mh_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed (a, b) coefficients for minhash_i(h) = (a*h + b) mod P.
+    h < 2^31 and a < 2^31 keep a*h < 2^62 — no int64 overflow in either
+    engine."""
+    return [(2 * i + 3, (104_729 * i + 12_345) % MINHASH_P) for i in range(num_hashes)]
+
+
+def md5_int31(col) -> Column:
+    """31-bit integer hash identical across Spark and DuckDB."""
+    return (
+        F.conv(F.substring(F.md5(to_col(col)), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
+    )
+
+
+def sql_md5_int31(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT % {MINHASH_P})"
+
+
+def norm_text(col) -> Column:
+    """Whitespace-collapsed, trimmed, lowercased text."""
+    return F.lower(F.trim(F.regexp_replace(to_col(col), r"\s+", " ")))
+
+
+def sql_norm_text(expr: str) -> str:
+    # DuckDB replaces only the first match unless the 'g' flag is given
+    # (Spark's regexp_replace is global by default).
+    return f"lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g')))"
+
+
+def tokens(col) -> Column:
+    return F.split(norm_text(col), " ")
+
+
+def sql_tokens(expr: str) -> str:
+    return f"string_split({sql_norm_text(expr)}, ' ')"
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; a document shorter than n words
+    contributes its whole normalized text as the single shingle."""
+    toks = tokens(col)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, joined).otherwise(F.array(norm_text(col)))
+    )
+
+
+def sql_word_shingles(expr: str, n: int = 3) -> str:
+    toks = sql_tokens(expr)
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} THEN "
+        f"[array_to_string(({toks})[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({toks}) - {n - 2})] "
+        f"ELSE [{sql_norm_text(expr)}] END)"
+    )
+
+
+# --------------------------------------------------------------------- #
+# exact dedup
+# --------------------------------------------------------------------- #
+
+def dedup_exact(stream, text_col: str, *, order: Sequence) -> "object":
+    """Exact content dedup: normalize → sha2-256 content key → keep the
+    minimum-``order`` row per key.
+
+    Scale: ONE shuffle keyed by a 64-char hash (uniform — no skew unless
+    true duplicates are massive, which AQE skew-join absorbs); the full
+    text never shuffles twice thanks to min_by carrying the row struct.
+    """
+    df = stream.df.withColumn("__ck", F.sha2(norm_text(text_col), 256))
+    out = stream._new(df).unique_assoc_by_key("__ck", order=order)
+    return stream._new(out.df.drop("__ck"))
+
+
+def sql_dedup_exact(table_expr: str, text: str, order: str, cols: str) -> str:
+    return f"""
+SELECT {cols} FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY {sql_norm_text(text)} ORDER BY {order}) AS __rn
+  FROM {table_expr}
+) WHERE __rn = 1
+"""
+
+
+# --------------------------------------------------------------------- #
+# MinHash-LSH near-duplicate dedup
+# --------------------------------------------------------------------- #
+
+def minhash_signature(col, num_hashes: int = 12, shingle_n: int = 3) -> Column:
+    """Array of ``num_hashes`` minhash values over word shingles — pure
+    Column expressions (md5 → 31-bit int → a*h+b mod P → array_min)."""
+    hs = F.transform(word_shingles(col, shingle_n), lambda s: md5_int31(s))
+    return F.array(
+        *[
+            F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)))
+            for a, b in _mh_params(num_hashes)
+        ]
+    )
+
+
+def dedup_minhash(
+    stream,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+):
+    """MinHash-LSH near-duplicate dedup — banded, bucket-join, NEVER
+    all-pairs:
+
+    1. per doc: distinct word shingles → ``num_hashes`` minhashes;
+    2. signature split into ``bands`` bands; each band hashed to a bucket;
+    3. candidate pairs = docs sharing (band_index, band_hash) — an
+       EQUI-join (one shuffle on the band hash);
+    4. exact shingle-Jaccard verification within candidates only;
+    5. greedy keep: drop a doc iff some candidate with a SMALLER id has
+       Jaccard ≥ threshold (deterministic, clustering-free).
+
+    Scale: the only joins are bucket equi-joins and a final left_anti on
+    ids. Identical-content floods make hot buckets → AQE skew join splits
+    them; band count trades recall for bucket size as usual for LSH.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+
+    sig = stream.df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, shingle_n).alias("__sh"),
+        minhash_signature(text_col, num_hashes, shingle_n).alias("__mh"),
+    )
+    band_hash = [
+        md5_int31(
+            F.concat_ws("-", *[
+                F.element_at(F.col("__mh"), b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ])
+        ).alias(f"__b{b}")
+        for b in range(bands)
+    ]
+    sig = sig.select("__id", "__sh", F.array(
+        *[F.struct(F.lit(b).alias("bidx"), band_hash[b].alias("bhash")) for b in range(bands)]
+    ).alias("__bands")).persist()
+
+    buckets = sig.select(
+        "__id", "__sh", F.explode("__bands").alias("__b")
+    ).select("__id", "__sh", F.col("__b.bidx").alias("bidx"), F.col("__b.bhash").alias("bhash"))
+
+    a = buckets.select(
+        F.col("bidx"), F.col("bhash"),
+        F.col("__id").alias("ida"), F.col("__sh").alias("sha"),
+    )
+    b = buckets.select(
+        F.col("bidx"), F.col("bhash"),
+        F.col("__id").alias("idb"), F.col("__sh").alias("shb"),
+    )
+    cand = (
+        a.join(b, ["bidx", "bhash"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", "sha", "shb")
+        .dropDuplicates(["ida", "idb"])
+    )
+    jac = F.size(F.array_intersect("sha", "shb")) / F.size(F.array_union("sha", "shb"))
+    dup_ids = (
+        cand.withColumn("__j", jac)
+        .filter(F.col("__j") >= F.lit(threshold))
+        .select(F.col("idb").alias(id_col))
+        .distinct()
+    )
+    out = stream.df.join(dup_ids, id_col, "left_anti")
+    sig.unpersist()
+    return stream._new(out)
+
+
+def sql_dedup_minhash(
+    table_expr: str,
+    text: str,
+    id_col: str,
+    cols: str,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> str:
+    """DuckDB mirror of :func:`dedup_minhash` (same constants, same hash)."""
+    rows_per_band = num_hashes // bands
+    mh_exprs = ", ".join(
+        f"list_min([({a}*h + {b}) % {MINHASH_P} for h in hs]) AS mh{i}"
+        for i, (a, b) in enumerate(_mh_params(num_hashes))
+    )
+    band_exprs = ", ".join(
+        sql_md5_int31(
+            "("
+            + " || '-' || ".join(
+                f"mh{bb * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            )
+            + ")"
+        )
+        + f" AS b{bb}"
+        for bb in range(bands)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, sh, {bb} AS bidx, b{bb} AS bhash FROM bandsig"
+        for bb in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {sql_word_shingles(text, shingle_n)} AS sh
+  FROM {table_expr}
+), hashed AS (
+  SELECT id, sh, [{sql_md5_int31('s')} for s in sh] AS hs FROM base
+), sig AS (
+  SELECT id, sh, {mh_exprs} FROM hashed
+), bandsig AS (
+  SELECT id, sh, {band_exprs} FROM sig
+), buckets AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.id AS ida, b.id AS idb, a.sh AS sha, b.sh AS shb
+  FROM buckets a JOIN buckets b
+    ON a.bidx = b.bidx AND a.bhash = b.bhash AND a.id < b.id
+), dups AS (
+  SELECT DISTINCT idb FROM cand
+  WHERE len(list_intersect(sha, shb))::DOUBLE
+        / len(list_distinct(list_concat(sha, shb))) >= {threshold}
+)
+SELECT {cols} FROM {table_expr}
+WHERE {id_col} NOT IN (SELECT idb FROM dups)
+"""
+
+
+# --------------------------------------------------------------------- #
+# text statistics / quality / language id / fingerprint
+# --------------------------------------------------------------------- #
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "von", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un"],
+    "zh": ["de", "le", "shi", "zai", "he", "you", "wo"],
+}
+
+
+def text_stats(stream, text_col: str):
+    """Per-document statistics as pure expressions: char count, token
+    count, average token length, stopword ratio (en), punctuation ratio
+    and a clipped quality score — plus a winnowing-style fingerprint
+    (min 5-char-gram hash). One projection, zero shuffles."""
+    orig = stream.df.columns
+    df = stream.df.withColumns(
+        {"__n": norm_text(text_col), "__t": tokens(text_col)}
+    )
+    n_tok = F.size(F.col("__t"))
+    n_chars = F.length(F.col("__n"))
+    stop = F.lit(STOPWORDS["en"])
+    n_stop = F.size(F.filter(F.col("__t"), lambda t: F.array_contains(stop, t)))
+    avg_len = F.aggregate(
+        F.col("__t"), F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / n_tok
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("__n"), r"[.,!?;:]", ""))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_chars - 4, F.lit(1))),
+        lambda i: md5_int31(F.substring(F.col("__n"), i, F.lit(5))),
+    )
+    fingerprint = F.array_min(grams)
+    quality = F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (1 - n_stop / n_tok), 6
+    )
+    return stream._new(
+        df.select(
+            *orig,
+            n_chars.alias("stat_chars"),
+            n_tok.alias("stat_tokens"),
+            F.round(avg_len, 6).alias("stat_avg_token_len"),
+            F.round(n_stop / n_tok, 6).alias("stat_stopword_ratio"),
+            F.round(n_punct / n_chars, 6).alias("stat_punct_ratio"),
+            fingerprint.alias("stat_fingerprint"),
+            quality.alias("stat_quality"),
+        )
+    )
+
+
+def sql_text_stats(table_expr: str, text: str, keep_cols: str) -> str:
+    norm = sql_norm_text(text)
+    toks = sql_tokens(text)
+    stop = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return f"""
+WITH t AS (
+  SELECT {keep_cols}, {norm} AS __n, {toks} AS __t FROM {table_expr}
+)
+SELECT {keep_cols},
+  len(__n) AS stat_chars,
+  len(__t) AS stat_tokens,
+  round(list_reduce(list_transform(__t, x -> len(x)::DOUBLE), (a, b) -> a + b)
+        / len(__t), 6) AS stat_avg_token_len,
+  round(len(list_filter(__t, x -> list_contains({stop}, x)))::DOUBLE
+        / len(__t), 6) AS stat_stopword_ratio,
+  round((len(__n) - len(regexp_replace(__n, '[.,!?;:]', '', 'g')))::DOUBLE
+        / len(__n), 6) AS stat_punct_ratio,
+  list_min([{sql_md5_int31("__n[i:i+4]")}
+            for i in range(1, greatest(len(__n) - 4, 1) + 1)]) AS stat_fingerprint,
+  round(least(1.0, len(__t) / 100.0)
+        * (1 - len(list_filter(__t, x -> list_contains({stop}, x)))::DOUBLE
+               / len(__t)), 6) AS stat_quality
+FROM t
+"""
+
+
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+
+def lang_id(stream, text_col: str, alias: str = "pred_lang"):
+    """Heuristic language id: stopword-hit counts per language, first
+    maximum in a FIXED precedence order (deterministic, mirrorable);
+    'und' when nothing matches. Expression-only."""
+    import functools as _ft
+
+    toks = tokens(text_col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: F.array_contains(F.lit(words), t)))
+        for lang, words in STOPWORDS.items()
+    }
+    # nested CASE, first-match in LANG_ORDER (mirrors the SQL CASE chain)
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        is_best = _ft.reduce(
+            lambda x, y: x & y,
+            [scores[lang] >= scores[o] for o in LANG_ORDER if o != lang],
+        )
+        pred = F.when(is_best & (scores[lang] > 0), F.lit(lang)).otherwise(pred)
+    return stream._new(stream.df.select("*", pred.alias(alias)))
+
+
+def sql_lang_id(table_expr: str, text: str, keep_cols: str, alias: str = "pred_lang") -> str:
+    toks = sql_tokens(text)
+    score_exprs = ", ".join(
+        f"len(list_filter(__t, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"], x))) AS s_{lang}"
+        for lang in LANG_ORDER
+    )
+    whens = " ".join(
+        "WHEN "
+        + " AND ".join(
+            [f"s_{lang} >= s_{o}" for o in LANG_ORDER if o != lang] + [f"s_{lang} > 0"]
+        )
+        + f" THEN '{lang}'"
+        for lang in LANG_ORDER
+    )
+    return f"""
+WITH t AS (SELECT {keep_cols}, {toks} AS __t FROM {table_expr}),
+s AS (SELECT {keep_cols}, {score_exprs} FROM t)
+SELECT {keep_cols}, CASE {whens} ELSE 'und' END AS {alias} FROM s
+"""
+
+
+# --------------------------------------------------------------------- #
+# cosine similarity search over embeddings
+# --------------------------------------------------------------------- #
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (same order as the SQL mirror)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)"
+)
+SQL_NORM = (
+    "sqrt(list_reduce(list_transform({a}, x -> x::DOUBLE * x::DOUBLE),"
+    " (x, y) -> x + y))"
+)
+
+
+def ann_cosine_brute(
+    stream,
+    queries,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+):
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the corpus, compute cosine JVM-side, rank per query.
+
+    Scale: the corpus NEVER shuffles — queries broadcast to it; the only
+    shuffle is the per-query top-k (tiny: k rows per partition after
+    partial ranking). This is the exact baseline the LSH variant trades
+    recall against."""
+    q = queries.df.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    c = stream.df.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias("cvec")
+    )
+    cos = F.round(
+        _dot(F.col("qvec"), F.col("cvec"))
+        / (_norm2(F.col("qvec")) * _norm2(F.col("cvec"))),
+        6,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col, cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return stream._new(
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sql_ann_cosine_brute(
+    table_expr: str,
+    query_pred: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+) -> str:
+    dot = SQL_DOT.format(a="q.qvec", b=f"c.{vec_col}")
+    nq = SQL_NORM.format(a="q.qvec")
+    nc = SQL_NORM.format(a=f"c.{vec_col}")
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS qid, {vec_col} AS qvec FROM {table_expr} WHERE {query_pred}
+), scored AS (
+  SELECT q.qid, c.{id_col},
+         round({dot} / ({nq} * {nc}), 6) AS cos
+  FROM {table_expr} c, q
+  WHERE c.{id_col} <> q.qid
+)
+SELECT qid, {id_col}, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, {id_col}) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def lsh_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from a fixed integer recurrence (no
+    RNG — reproducible in SQL as inlined literals)."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        x = 1_234_567 + 999_983 * j
+        for d in range(dim):
+            x = (1_103_515_245 * x + 12_345) % 2_147_483_648
+            row.append(1.0 if x % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    bits = []
+    for j, p in enumerate(planes):
+        dot_j = _dot(vec, F.array(*[F.lit(v) for v in p]))
+        bits.append(F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_cosine_lsh(
+    stream,
+    queries,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    n_planes: int = 6,
+    dim: int = 64,
+):
+    """LSH-bucketed cosine top-k — the scale path: random-hyperplane
+    signatures put similar vectors in the same bucket; candidates come
+    from a bucket EQUI-join; cosine + top-k run within buckets only.
+
+    Scale: corpus shuffles ONCE on the bucket id; queries broadcast.
+    Recall is the usual sign-LSH tradeoff (more planes → smaller buckets,
+    lower recall per bucket; probe multiple buckets to recover it)."""
+    planes = lsh_planes(dim, n_planes)
+    q = queries.df.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        _bucket_expr(F.col(vec_col), planes).alias("__bkt"),
+    )
+    c = stream.df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("cvec"),
+        _bucket_expr(F.col(vec_col), planes).alias("__bkt"),
+    )
+    cos = F.round(
+        _dot(F.col("qvec"), F.col("cvec"))
+        / (_norm2(F.col("qvec")) * _norm2(F.col("cvec"))),
+        6,
+    )
+    scored = (
+        c.join(F.broadcast(q), "__bkt")
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col, cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return stream._new(
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sql_ann_cosine_lsh(
+    table_expr: str,
+    query_pred: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> str:
+    planes = lsh_planes(dim, n_planes)
+
+    def bucket_sql(vec: str) -> str:
+        terms = []
+        for j, p in enumerate(planes):
+            lit = "[" + ", ".join(str(v) for v in p) + "]"
+            dot_j = SQL_DOT.format(a=vec, b=lit)
+            terms.append(f"(CASE WHEN {dot_j} >= 0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(terms)
+
+    dot = SQL_DOT.format(a="q.qvec", b="c.cvec")
+    nq = SQL_NORM.format(a="q.qvec")
+    nc = SQL_NORM.format(a="c.cvec")
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS qid, {vec_col} AS qvec,
+         {bucket_sql(vec_col)} AS bkt
+  FROM {table_expr} WHERE {query_pred}
+), c AS (
+  SELECT {id_col}, {vec_col} AS cvec, {bucket_sql(vec_col)} AS bkt
+  FROM {table_expr}
+), scored AS (
+  SELECT q.qid, c.{id_col},
+         round({dot} / ({nq} * {nc}), 6) AS cos
+  FROM c JOIN q ON c.bkt = q.bkt
+  WHERE c.{id_col} <> q.qid
+)
+SELECT qid, {id_col}, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, {id_col}) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -566,6 +566,49 @@ class Stream:
         return self.sorted_by(*cols).limit(n, offset)
 
     # ------------------------------------------------------------------ #
+    # LLM-data-pipeline operators (north star; datapipe.py)
+    # ------------------------------------------------------------------ #
+
+    def dedup_exact(self, text_col: str, *, order: Sequence) -> "Stream":
+        """Exact content dedup (normalize → sha2 key → keep min-order row).
+        See datapipe.dedup_exact for the scale notes."""
+        from .datapipe import dedup_exact as _dd
+
+        return _dd(self, text_col, order=order)
+
+    def dedup_minhash(self, text_col: str, id_col: str, **kw) -> "Stream":
+        """MinHash-LSH near-duplicate dedup — banded bucket-join, never
+        all-pairs. See datapipe.dedup_minhash."""
+        from .datapipe import dedup_minhash as _dm
+
+        return _dm(self, text_col, id_col, **kw)
+
+    def text_stats(self, text_col: str) -> "Stream":
+        """Token/char counts, ratios, fingerprint, quality score — pure
+        expressions. See datapipe.text_stats."""
+        from .datapipe import text_stats as _ts
+
+        return _ts(self, text_col)
+
+    def lang_id(self, text_col: str, alias: str = "pred_lang") -> "Stream":
+        """Heuristic stopword-scoring language id. See datapipe.lang_id."""
+        from .datapipe import lang_id as _li
+
+        return _li(self, text_col, alias)
+
+    def ann_cosine(self, queries: "Stream", *, method: str = "brute", **kw) -> "Stream":
+        """Cosine top-k similarity search over an embedding column:
+        ``method='brute'`` (broadcast baseline) or ``'lsh'`` (bucketed
+        scale path). See datapipe.ann_cosine_*."""
+        from .datapipe import ann_cosine_brute, ann_cosine_lsh
+
+        if method == "brute":
+            return ann_cosine_brute(self, queries, **kw)
+        if method == "lsh":
+            return ann_cosine_lsh(self, queries, **kw)
+        raise ValueError(f"unknown ann method {method!r}")
+
+    # ------------------------------------------------------------------ #
     # event time (SURVEY.md §2.8) and streaming handoff
     # ------------------------------------------------------------------ #
 

@@ -866,6 +866,142 @@ SELECT id AS v, round(r, 9) AS rank FROM r3
 """
 
 
+# --------------------------------------------------------------------- #
+# LLM-data-pipeline operators (north star, datapipe.py)
+# --------------------------------------------------------------------- #
+
+def q27_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over documents ∪ whitespace-perturbed copies
+    (the crawl-duplicate shape): normalization must collapse the copies,
+    keep = min doc_id. Operators: merge, dedup_exact (datapipe.py)."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text", "n_chars")
+    dups = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id") + 100000,
+        text=F.concat(F.lit("  "), F.col("text"), F.lit("   ")),
+        n_chars=F.col("n_chars"),
+    )
+    return (
+        docs.merge(dups)
+        .dedup_exact("text", order=["doc_id"])
+        .map("doc_id", "n_chars")
+        .df
+    )
+
+
+from .datapipe import (  # noqa: E402  (oracle generators share constants)
+    sql_ann_cosine_brute,
+    sql_ann_cosine_lsh,
+    sql_dedup_exact,
+    sql_dedup_minhash,
+    sql_lang_id,
+    sql_text_stats,
+)
+
+_Q27_INPUT = """(
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, '  ' || text || '   ', n_chars FROM documents
+)"""
+
+ORACLE_Q27 = sql_dedup_exact(_Q27_INPUT, "text", "doc_id", "doc_id, n_chars")
+
+
+def q28_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup dedup over documents ∪ one-token-appended
+    copies (Jaccard ≈ 0.9): banded signatures → bucket equi-join →
+    exact-Jaccard verify → greedy keep-min-id. The oracle mirrors the
+    identical minhash math (shared md5-based hash + constants), so the
+    LSH recall behavior itself is verified, not just the end filter."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    dups = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id") + 100000,
+        text=F.concat_ws(" ", F.col("text"), F.lit("zzz")),
+    )
+    return (
+        docs.merge(dups)
+        .dedup_minhash("text", "doc_id", threshold=0.6)
+        .map("doc_id")
+        .df
+    )
+
+
+_Q28_INPUT = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzz' FROM documents
+)"""
+
+ORACLE_Q28 = sql_dedup_minhash(_Q28_INPUT, "text", "doc_id", "doc_id", threshold=0.6)
+
+
+def q29_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics (counts, ratios, min-5-gram
+    fingerprint, quality score) — all Column expressions, no shuffle."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .map("doc_id", "text")
+        .text_stats("text")
+        .map(
+            "doc_id", "stat_chars", "stat_tokens", "stat_avg_token_len",
+            "stat_stopword_ratio", "stat_punct_ratio", "stat_fingerprint",
+            "stat_quality",
+        )
+        .df
+    )
+
+
+ORACLE_Q29 = sql_text_stats("documents", "text", "doc_id")
+
+
+def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language id (stopword scoring, fixed precedence) grouped
+    against the stored lang label."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .map("doc_id", "lang", "text")
+        .lang_id("text")
+        .group_by("lang", "pred_lang")
+        .count(alias="n")
+        .df
+    )
+
+
+ORACLE_Q30 = f"""
+SELECT lang, pred_lang, count(*) AS n
+FROM ({sql_lang_id('documents', 'text', 'doc_id, lang')})
+GROUP BY lang, pred_lang
+"""
+
+
+def q31_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for 8 query vectors: broadcast
+    queries × corpus, JVM-side fold dot products, per-query ranking."""
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings")
+    queries = _t(ctx, sf_dir, "embeddings").filter("vec_id < 8")
+    return emb.ann_cosine(queries, method="brute", k=3).df
+
+
+ORACLE_Q31 = sql_ann_cosine_brute("embeddings", "vec_id < 8", k=3)
+
+
+def q32_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine top-3 (sign-hyperplane signatures, bucket
+    equi-join): the 100 TB path — corpus shuffles once on the bucket id.
+    The oracle mirrors the same deterministic hyperplanes."""
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings")
+    queries = _t(ctx, sf_dir, "embeddings").filter("vec_id < 8")
+    return emb.ann_cosine(queries, method="lsh", k=3, n_planes=6).df
+
+
+ORACLE_Q32 = sql_ann_cosine_lsh("embeddings", "vec_id < 8", k=3, n_planes=6)
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -893,6 +1029,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_global_fold_scan": q24_global_fold_scan,
     "q25_connected_components": q25_connected_components,
     "q26_pagerank": q26_pagerank,
+    "q27_dedup_exact": q27_dedup_exact,
+    "q28_dedup_minhash": q28_dedup_minhash,
+    "q29_text_stats": q29_text_stats,
+    "q30_lang_id": q30_lang_id,
+    "q31_ann_brute": q31_ann_brute,
+    "q32_ann_lsh": q32_ann_lsh,
 }
 
 ORACLE: Dict[str, str] = {
@@ -922,4 +1064,10 @@ ORACLE: Dict[str, str] = {
     "q24_global_fold_scan": ORACLE_Q24,
     "q25_connected_components": ORACLE_Q25,
     "q26_pagerank": ORACLE_Q26,
+    "q27_dedup_exact": ORACLE_Q27,
+    "q28_dedup_minhash": ORACLE_Q28,
+    "q29_text_stats": ORACLE_Q29,
+    "q30_lang_id": ORACLE_Q30,
+    "q31_ann_brute": ORACLE_Q31,
+    "q32_ann_lsh": ORACLE_Q32,
 }

@@ -1,0 +1,96 @@
+"""LLM-data-pipeline operator tests (datapipe.py) — hand-computed golden
+values on tiny inputs; the oracle suite (q27-q32) covers engine-vs-DuckDB
+parity on the driver tables."""
+
+from pyspark.sql import functions as F
+
+
+def test_dedup_exact_collapses_whitespace(ctx):
+    rows = [
+        (1, "hello  world"),
+        (2, "Hello world"),      # same after normalize+lower
+        (3, "different text"),
+    ]
+    s = ctx.stream_iter(rows, "id long, text string")
+    got = sorted(r.id for r in s.dedup_exact("text", order=["id"]).collect_vec())
+    assert got == [1, 3]
+
+
+def test_dedup_minhash_drops_near_duplicate(ctx):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # jaccard >> 0.6 → near-dup of 1
+        (3, "completely unrelated words about spark catalyst optimizer plans"),
+    ]
+    s = ctx.stream_iter(rows, "id long, text string")
+    got = sorted(
+        r.id for r in s.dedup_minhash("text", "id", threshold=0.6).collect_vec()
+    )
+    assert got == [1, 3]
+
+
+def test_dedup_minhash_keeps_distinct_docs(ctx):
+    rows = [(i, f"document number {i} speaks only about topic {i} entirely") for i in range(5)]
+    s = ctx.stream_iter(rows, "id long, text string")
+    got = sorted(r.id for r in s.dedup_minhash("text", "id", threshold=0.9).collect_vec())
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_text_stats_golden(ctx):
+    s = ctx.stream_iter([(1, "The cat of a hat.")], "id long, text string")
+    row = s.text_stats("text").collect_vec()[0]
+    # normalized: "the cat of a hat."
+    assert row.stat_chars == 17
+    assert row.stat_tokens == 5
+    assert abs(row.stat_avg_token_len - (3 + 3 + 2 + 1 + 4) / 5) < 1e-9
+    assert abs(row.stat_stopword_ratio - 3 / 5) < 1e-9  # the, of, a
+    assert abs(row.stat_punct_ratio - 1 / 17) < 1e-6
+    assert abs(row.stat_quality - round(min(1.0, 5 / 100) * (1 - 3 / 5), 6)) < 1e-9
+
+
+def test_lang_id_heuristic(ctx):
+    rows = [
+        (1, "the house of the cat is red"),
+        (2, "el perro que vive en la casa"),
+        (3, "xyzzy plugh qwertz"),
+    ]
+    got = {
+        r.id: r.pred_lang
+        for r in ctx.stream_iter(rows, "id long, text string")
+        .lang_id("text")
+        .collect_vec()
+    }
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "und"
+
+
+def test_ann_brute_topk(ctx):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),   # closest to 0
+        (2, [0.0, 1.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0]),  # opposite
+    ]
+    s = ctx.stream_iter(vecs, "vec_id long, embedding array<float>")
+    q = ctx.stream_iter(vecs[:1], "vec_id long, embedding array<float>")
+    got = s.ann_cosine(q, method="brute", k=2).collect_vec()
+    ranked = sorted(((r.rank, r.vec_id) for r in got))
+    assert ranked == [(1, 1), (2, 2)]
+
+
+def test_ann_lsh_finds_identical_vector(ctx):
+    # i*0.01 offset keeps every base vector distinct (the %5 pattern alone
+    # repeats with period 5)
+    vecs = [
+        (i, [i * 0.01 + float((i * 7 + d) % 5 - 2) for d in range(64)])
+        for i in range(20)
+    ]
+    vecs.append((100, vecs[0][1]))  # exact copy of vec 0 → same bucket, cos=1
+    s = ctx.stream_iter(vecs, "vec_id long, embedding array<float>")
+    q = ctx.stream_iter(vecs[:1], "vec_id long, embedding array<float>")
+    got = s.ann_cosine(q, method="lsh", k=1, n_planes=6).collect_vec()
+    assert len(got) == 1
+    assert got[0].vec_id == 100
+    assert abs(got[0].cos - 1.0) < 1e-6
