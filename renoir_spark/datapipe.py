@@ -74,10 +74,13 @@ def sql_tokens(expr: str) -> str:
     return f"string_split({sql_norm_text(expr)}, ' ')"
 
 
-def word_shingles(col, n: int = 3) -> Column:
-    """Distinct word n-gram shingles; a document shorter than n words
-    contributes its whole normalized text as the single shingle."""
-    toks = tokens(col)
+def shingles_from(toks: Column, norm: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from ALREADY-MATERIALIZED token and
+    normalized-text columns. Pass attribute references, not expression
+    trees: a lambda body re-evaluates embedded subexpressions PER ARRAY
+    ELEMENT (no common-subexpression elimination across a `transform`),
+    so inlining `split(...)` here turns O(len) into O(len²) — measured
+    50× slower on the minhash path."""
     joined = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
@@ -85,8 +88,17 @@ def word_shingles(col, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(
-        F.when(F.size(toks) >= n, joined).otherwise(F.array(norm_text(col)))
+        F.when(F.size(toks) >= n, joined).otherwise(F.array(norm))
     )
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; a document shorter than n words
+    contributes its whole normalized text as the single shingle.
+
+    Convenience single-expression form for small inputs/tests; hot paths
+    must stage tokens as a column first and use :func:`shingles_from`."""
+    return shingles_from(tokens(col), norm_text(col), n)
 
 
 def sql_word_shingles(expr: str, n: int = 3) -> str:
@@ -170,11 +182,29 @@ def dedup_minhash(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
 
-    sig = stream.df.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(text_col, shingle_n).alias("__sh"),
-        minhash_signature(text_col, num_hashes, shingle_n).alias("__mh"),
+    # Stage every expensive intermediate as a REAL column: a transform
+    # lambda re-evaluates any embedded expression per element, so the
+    # tokenize → shingle → md5 → minhash chain must move through
+    # attribute references (each step computed once per row).
+    staged = (
+        stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__norm", norm_text("__text"))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+        .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), shingle_n))
+        .withColumn("__hs", F.transform(F.col("__sh"), lambda s: md5_int31(s)))
     )
+    mh = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__hs"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
+                )
+            )
+            for a, b in _mh_params(num_hashes)
+        ]
+    )
+    sig = staged.select("__id", "__sh", mh.alias("__mh"))
     band_hash = [
         md5_int31(
             F.concat_ws("-", *[
@@ -214,7 +244,12 @@ def dedup_minhash(
         .distinct()
     )
     out = stream.df.join(dup_ids, id_col, "left_anti")
-    sig.unpersist()
+    # NOTE: `sig` stays persisted — it feeds BOTH sides of the bucket
+    # self-join, so the signature chain must materialize once, at action
+    # time (an unpersist here, at plan-BUILD time, would silently force
+    # full recomputation per join side — measured 10× slower). Spark's
+    # ContextCleaner releases the blocks once the plan is unreachable;
+    # call .unpersist() on the result's lineage for deterministic release.
     return stream._new(out)
 
 

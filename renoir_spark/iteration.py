@@ -22,10 +22,32 @@ Scale discipline (the part renoir gets for free from its runtime):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Callable, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _adaptive_conf(spark, value: Optional[bool]):
+    """Temporarily pin spark.sql.adaptive.enabled for the loop body.
+
+    AQE re-optimizes EVERY shuffle stage; for an iteration of many small
+    rounds that planning latency dominates (measured 4-6× on the CC
+    query at sf0.1). Default for loops is therefore ``False``; pass
+    ``True`` when each round shuffles enough data for skew/coalesce
+    re-planning to pay for itself (the 100 TB regime), or ``None`` to
+    leave the session setting untouched."""
+    if value is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", str(value).lower())
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
 class IterationStateHandle:
@@ -61,6 +83,7 @@ def iterate(
     loop_condition: Optional[Callable[[object], bool]] = None,
     *,
     checkpoint_every: int = 4,
+    adaptive: Optional[bool] = False,
 ):
     """Feedback loop — renoir ``iterate``
     (src/operator/iteration/iterate.rs:306-439): the body's output is fed
@@ -79,16 +102,21 @@ def iterate(
     df = stream.df
     state = initial_state
     prev_cached: Optional[DataFrame] = None
-    for it in range(num_iterations):
-        out = body(stream._new(df), IterationStateHandle(state)).df
-        out = _materialize(out, it, checkpoint_every)
-        state = state_update(state, out)
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = out
-        df = out
-        if loop_condition is not None and not loop_condition(state):
-            break
+    with _adaptive_conf(df.sparkSession, adaptive):
+        for it in range(num_iterations):
+            out = body(stream._new(df), IterationStateHandle(state)).df
+            out = _materialize(out, it, checkpoint_every)
+            state = state_update(state, out)
+            # materialize BEFORE releasing the previous round (renoir's
+            # leader barrier, leader.rs:26-100): unpersisting a parent of
+            # a lazy cache would silently rebuild the whole chain later
+            out.count()
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = out
+            df = out
+            if loop_condition is not None and not loop_condition(state):
+                break
     return state, stream._new(df)
 
 
@@ -101,6 +129,7 @@ def replay(
     loop_condition: Optional[Callable[[object], bool]] = None,
     *,
     checkpoint_every: int = 4,
+    adaptive: Optional[bool] = False,
 ):
     """Replay loop — renoir ``replay``
     (src/operator/iteration/replay.rs:256-300): the SAME input is re-fed
@@ -114,15 +143,17 @@ def replay(
     replay_stream = stream._new(cached_in)
     state = initial_state
     prev: Optional[DataFrame] = None
-    for it in range(num_iterations):
-        out = body(replay_stream, IterationStateHandle(state)).df
-        out = _materialize(out, it, checkpoint_every)
-        state = state_update(state, out)
-        if prev is not None:
-            prev.unpersist()
-        prev = out
-        if loop_condition is not None and not loop_condition(state):
-            break
+    with _adaptive_conf(cached_in.sparkSession, adaptive):
+        for it in range(num_iterations):
+            out = body(replay_stream, IterationStateHandle(state)).df
+            out = _materialize(out, it, checkpoint_every)
+            state = state_update(state, out)
+            out.count()  # round barrier — see iterate()
+            if prev is not None:
+                prev.unpersist()
+            prev = out
+            if loop_condition is not None and not loop_condition(state):
+                break
     if prev is not None:
         prev.unpersist()
     cached_in.unpersist()
@@ -136,6 +167,7 @@ def delta_iterate(
     merge: Optional[Callable] = None,
     *,
     checkpoint_every: int = 4,
+    adaptive: Optional[bool] = False,
 ):
     """Keyed incremental iteration — renoir ``delta_iterate``
     (src/operator/iteration/iterate_delta.rs:104-140): per-key state,
@@ -180,21 +212,26 @@ def delta_iterate(
 
     state_df = keyed.df
     prev: Optional[DataFrame] = None
-    for it in range(num_iterations):
-        state_ks = KeyedStream(keyed.ctx, state_df, keys)
-        delta_df = body(state_ks, it).df.persist()
-        n_delta = delta_df.count()  # leader barrier (leader.rs:26-100)
-        if n_delta == 0:
+    with _adaptive_conf(state_df.sparkSession, adaptive):
+        for it in range(num_iterations):
+            state_ks = KeyedStream(keyed.ctx, state_df, keys)
+            delta_df = body(state_ks, it).df.persist()
+            n_delta = delta_df.count()  # leader barrier (leader.rs:26-100)
+            if n_delta == 0:
+                delta_df.unpersist()
+                break
+            new_state = merge(
+                KeyedStream(keyed.ctx, state_df, keys),
+                KeyedStream(keyed.ctx, delta_df, keys),
+            ).df
+            # materialize THIS round's state before the old one is
+            # released — with lazy persist the next round's first action
+            # would otherwise rebuild it from an unpersisted parent
+            new_state = _materialize(new_state, it, checkpoint_every)
+            new_state.count()
+            if prev is not None:
+                prev.unpersist()
             delta_df.unpersist()
-            break
-        new_state = merge(
-            KeyedStream(keyed.ctx, state_df, keys),
-            KeyedStream(keyed.ctx, delta_df, keys),
-        ).df
-        new_state = _materialize(new_state, it, checkpoint_every)
-        if prev is not None:
-            prev.unpersist()
-        delta_df.unpersist()
-        prev = new_state
-        state_df = new_state
+            prev = new_state
+            state_df = new_state
     return KeyedStream(keyed.ctx, state_df, keys)

@@ -744,8 +744,10 @@ def q25_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = ctx.from_df(verts.withColumn("comp", F.col("v"))).key_by("v")
 
     def body(state, _it):
+        # the (small, invariant) edge side broadcasts: the per-round state
+        # never shuffles for this join — only the groupBy(dst) exchanges
         cand = (
-            state.df.join(edges, state.df["v"] == edges["src"])
+            state.df.join(F.broadcast(edges), state.df["v"] == edges["src"])
             .groupBy(F.col("dst").alias("v"))
             .agg(F.min("comp").alias("new_comp"))
         )
@@ -756,10 +758,11 @@ def q25_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return ctx.from_df(delta)
 
-    final = init.delta_iterate(20, body)
-    out = final.df.select("v", "comp")
-    edges.unpersist()
-    return out
+    # shallow convergence (graph diameter 3) → no mid-loop checkpoint.
+    # edges stays persisted until the plan is dropped (unpersisting here,
+    # before the caller's action, would force per-round recomputation).
+    final = init.delta_iterate(20, body, checkpoint_every=8)
+    return final.df.select("v", "comp")
 
 
 ORACLE_Q25 = """
@@ -812,10 +815,8 @@ def q26_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ctx.from_df(new)
 
     _state, ranks = init.iterate(3, 0, body, lambda st, _df: st + 1)
-    out = ranks.df.select("v", F.round("r", 9).alias("rank"))
-    ew.unpersist()
-    verts.unpersist()
-    return out
+    # ew/verts stay persisted until the plan is dropped (see q25 note)
+    return ranks.df.select("v", F.round("r", 9).alias("rank"))
 
 
 ORACLE_Q26 = """
@@ -921,6 +922,9 @@ def q28_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.merge(dups)
+        # single-file scan → spread the minhash computation across the
+        # cluster before the expression-heavy signature stage
+        .shuffle()
         .dedup_minhash("text", "doc_id", threshold=0.6)
         .map("doc_id")
         .df
