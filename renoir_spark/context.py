@@ -170,6 +170,16 @@ class StreamContext:
         )
         return Stream(self, df)
 
+    def stream_binary(self, path: str, *, glob: Optional[str] = None) -> Stream:
+        """Opaque media files as binary rows (path, modificationTime,
+        length, content) — the multimodal ingestion source (north star;
+        see multimodal.py). For millions of small files, pack to parquet
+        via multimodal.pack_binary and re-scan with normal splits."""
+        reader = self.spark.read.format("binaryFile")
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        return Stream(self, reader.load(path))
+
     def stream_parquet_unbounded(self, path: str, schema) -> Stream:
         """File-based streaming source (test stand-in for Kafka): replays
         parquet files through Structured Streaming."""

@@ -312,6 +312,287 @@ WHERE {id_col} NOT IN (SELECT idb FROM dups)
 
 
 # --------------------------------------------------------------------- #
+# SimHash near-duplicate dedup
+# --------------------------------------------------------------------- #
+
+def dedup_simhash(
+    stream,
+    text_col: str,
+    id_col: str,
+    *,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+):
+    """SimHash near-duplicate dedup: each document gets a ``bits``-wide
+    signature (bit j = sign of Σ_tokens ±1 by bit j of the token hash);
+    near-dups have small Hamming distance.
+
+    Scale: candidates come from BAND equality (a Hamming-≤k pair must
+    agree on ≥1 of k+1 bands — here ``bands`` byte-slices of the
+    signature), an equi-join on the band value; exact ``bit_count(xor)``
+    verifies within candidates. Greedy keep-min-id like dedup_minhash.
+    """
+    assert bits % bands == 0, "bands must divide bits"
+    band_width = bits // bands
+
+    staged = (
+        stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__toks", F.array_distinct(F.split(norm_text("__text"), " ")))
+        .withColumn("__hs", F.transform(F.col("__toks"), lambda t: md5_int31(t)))
+    )
+    bit_sums = [
+        F.aggregate(
+            F.col("__hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(((h.bitwiseAND(F.lit(1 << j))) != 0), F.lit(1)).otherwise(F.lit(-1)),
+        )
+        for j in range(bits)
+    ]
+    simhash = None
+    for j, s in enumerate(bit_sums):
+        term = F.when(s >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        simhash = term if simhash is None else simhash + term
+    sig = staged.select("__id", simhash.alias("__sim")).persist()
+
+    mask = (1 << band_width) - 1
+    bands_df = sig.select(
+        "__id", "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bidx"),
+                        F.shiftright(F.col("__sim"), b * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__sim", F.col("__b.bidx").alias("bidx"), F.col("__b.bval").alias("bval"))
+
+    a = bands_df.select("bidx", "bval", F.col("__id").alias("ida"), F.col("__sim").alias("sima"))
+    b = bands_df.select("bidx", "bval", F.col("__id").alias("idb"), F.col("__sim").alias("simb"))
+    dup_ids = (
+        a.join(b, ["bidx", "bval"])
+        .filter(F.col("ida") < F.col("idb"))
+        .dropDuplicates(["ida", "idb"])
+        .filter(F.bit_count(F.col("sima").bitwiseXOR(F.col("simb"))) <= max_hamming)
+        .select(F.col("idb").alias(id_col))
+        .distinct()
+    )
+    # sig stays persisted until the plan drops (both join sides read it)
+    return stream._new(stream.df.join(dup_ids, id_col, "left_anti"))
+
+
+def sql_dedup_simhash(
+    table_expr: str,
+    text: str,
+    id_col: str,
+    cols: str,
+    *,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> str:
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(hs, h -> "
+        f"CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END), (x, y) -> x + y)"
+        f" >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, sim, {b} AS bidx, (sim >> {b * band_width}) & {mask} AS bval FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         [{sql_md5_int31('t')} for t in
+          list_distinct(string_split({sql_norm_text(text)}, ' '))] AS hs
+  FROM {table_expr}
+), sig AS (
+  SELECT id, ({bit_terms})::BIGINT AS sim FROM base
+), bands AS (
+  {band_rows}
+), dups AS (
+  SELECT DISTINCT b.id AS idb
+  FROM bands a JOIN bands b
+    ON a.bidx = b.bidx AND a.bval = b.bval AND a.id < b.id
+  WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+)
+SELECT {cols} FROM {table_expr}
+WHERE {id_col} NOT IN (SELECT idb FROM dups)
+"""
+
+
+# --------------------------------------------------------------------- #
+# n-gram Jaccard similarity join (inverted-index shape)
+# --------------------------------------------------------------------- #
+
+def similar_pairs_ngram(
+    stream,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 100,
+):
+    """All pairs with shingle-Jaccard ≥ threshold via an INVERTED INDEX:
+    explode distinct shingles → self-join on the shingle → count shared
+    shingles per pair → |A∩B| / (|A| + |B| − |A∩B|).
+
+    Scale: the join key is the shingle itself (no signatures needed);
+    frequent "stop shingles" would quadratically blow up their posting
+    lists, so shingles occurring in more than ``max_df`` documents are
+    dropped from the index first (standard prefix/df filtering — the
+    oracle mirrors the same cutoff, making the approximation part of the
+    operator's contract). Output: (ida, idb, jaccard), ida < idb.
+    """
+    staged = (
+        stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__norm", norm_text("__text"))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+        .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), shingle_n))
+        .select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s"))
+    ).persist()
+
+    df_ok = (
+        staged.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("__s")
+    )
+    index = staged.join(df_ok, "__s")
+    a = index.select(F.col("__s"), F.col("__id").alias("ida"), F.col("__n").alias("na"))
+    b = index.select(F.col("__s"), F.col("__id").alias("idb"), F.col("__n").alias("nb"))
+    pairs = (
+        a.join(b, "__s")
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__shared")
+                / (F.col("na") + F.col("nb") - F.col("__shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("ida", "idb", "jaccard")
+    )
+    return stream._new(pairs)
+
+
+def sql_similar_pairs_ngram(
+    table_expr: str,
+    text: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> str:
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, {sql_word_shingles(text, shingle_n)} AS s
+  FROM {table_expr}
+), posting AS (
+  SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh
+), df_ok AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING count(*) <= {max_df}
+), idx AS (
+  SELECT p.* FROM posting p JOIN df_ok USING (shingle)
+)
+SELECT ida, idb, jaccard FROM (
+  SELECT a.id AS ida, b.id AS idb,
+         round(count(*)::DOUBLE / (a.n + b.n - count(*)), 6) AS jaccard
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id, a.n, b.n
+) WHERE jaccard >= {threshold}
+"""
+
+
+# --------------------------------------------------------------------- #
+# embedding-cosine near-duplicate dedup
+# --------------------------------------------------------------------- #
+
+def dedup_embedding(
+    stream,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+):
+    """Embedding-cosine near-dup dedup: sign-LSH buckets → cosine within
+    bucket → drop the larger id of any pair with cosine ≥ threshold.
+    Same bucketing as :func:`ann_cosine_lsh` (one shuffle on the bucket
+    id; recall bounded by the LSH sign agreement, mirrored by the
+    oracle)."""
+    planes = lsh_planes(dim, n_planes)
+    sig = stream.df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        _bucket_expr(F.col(vec_col), planes).alias("__bkt"),
+    ).persist()
+    a = sig.select("__bkt", F.col("__id").alias("ida"), F.col("__v").alias("va"))
+    b = sig.select("__bkt", F.col("__id").alias("idb"), F.col("__v").alias("vb"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm2(F.col("va")) * _norm2(F.col("vb"))), 6
+    )
+    dup_ids = (
+        a.join(b, "__bkt")
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("idb").alias(id_col))
+        .distinct()
+    )
+    return stream._new(stream.df.join(dup_ids, id_col, "left_anti"))
+
+
+def sql_dedup_embedding(
+    table_expr: str,
+    cols: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> str:
+    planes = lsh_planes(dim, n_planes)
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(str(v) for v in p) + "]"
+        dot_j = SQL_DOT.format(a=vec_col, b=lit)
+        terms.append(f"(CASE WHEN {dot_j} >= 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    dot = SQL_DOT.format(a="a.v", b="b.v")
+    na = SQL_NORM.format(a="a.v")
+    nb = SQL_NORM.format(a="b.v")
+    return f"""
+WITH sig AS (
+  SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bkt FROM {table_expr}
+), dups AS (
+  SELECT DISTINCT b.id AS idb
+  FROM sig a JOIN sig b ON a.bkt = b.bkt AND a.id < b.id
+  WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
+)
+SELECT {cols} FROM {table_expr}
+WHERE {id_col} NOT IN (SELECT idb FROM dups)
+"""
+
+
+# --------------------------------------------------------------------- #
 # text statistics / quality / language id / fingerprint
 # --------------------------------------------------------------------- #
 

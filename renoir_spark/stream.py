@@ -583,6 +583,27 @@ class Stream:
 
         return _dm(self, text_col, id_col, **kw)
 
+    def dedup_simhash(self, text_col: str, id_col: str, **kw) -> "Stream":
+        """SimHash near-dup dedup — byte-band buckets + Hamming verify.
+        See datapipe.dedup_simhash."""
+        from .datapipe import dedup_simhash as _ds
+
+        return _ds(self, text_col, id_col, **kw)
+
+    def similar_pairs_ngram(self, text_col: str, id_col: str, **kw) -> "Stream":
+        """n-gram Jaccard similarity join via inverted index with a
+        document-frequency cutoff. See datapipe.similar_pairs_ngram."""
+        from .datapipe import similar_pairs_ngram as _sp
+
+        return _sp(self, text_col, id_col, **kw)
+
+    def dedup_embedding(self, **kw) -> "Stream":
+        """Embedding-cosine near-dup dedup via sign-LSH buckets.
+        See datapipe.dedup_embedding."""
+        from .datapipe import dedup_embedding as _de
+
+        return _de(self, **kw)
+
     def text_stats(self, text_col: str) -> "Stream":
         """Token/char counts, ratios, fingerprint, quality score — pure
         expressions. See datapipe.text_stats."""
@@ -595,6 +616,31 @@ class Stream:
         from .datapipe import lang_id as _li
 
         return _li(self, text_col, alias)
+
+    def decode_image(self, content_col: str = "content", out_col: str = "image") -> "Stream":
+        """Image decode plumbing (stubbed codec) — multimodal.decode_image."""
+        from .multimodal import decode_image as _di
+
+        return _di(self, content_col, out_col)
+
+    def decode_audio(self, content_col: str = "content", out_col: str = "audio") -> "Stream":
+        """Audio decode plumbing (stubbed codec) — multimodal.decode_audio."""
+        from .multimodal import decode_audio as _da
+
+        return _da(self, content_col, out_col)
+
+    def resize_image(self, *, width: int, height: int, prefix: str = "image") -> "Stream":
+        """Resize metadata rewrite — multimodal.resize_image."""
+        from .multimodal import resize_image as _ri
+
+        return _ri(self, width=width, height=height, prefix=prefix)
+
+    def sample_frames(self, content_col: str = "content", *, num_frames: int = 4,
+                      out_col: str = "frame") -> "Stream":
+        """Video frame sampling plumbing — multimodal.sample_frames."""
+        from .multimodal import sample_frames as _sf
+
+        return _sf(self, content_col, num_frames=num_frames, out_col=out_col)
 
     def ann_cosine(self, queries: "Stream", *, method: str = "brute", **kw) -> "Stream":
         """Cosine top-k similarity search over an embedding column:

@@ -893,9 +893,12 @@ def q27_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .datapipe import (  # noqa: E402  (oracle generators share constants)
     sql_ann_cosine_brute,
     sql_ann_cosine_lsh,
+    sql_dedup_embedding,
     sql_dedup_exact,
     sql_dedup_minhash,
+    sql_dedup_simhash,
     sql_lang_id,
+    sql_similar_pairs_ngram,
     sql_text_stats,
 )
 
@@ -981,6 +984,82 @@ GROUP BY lang, pred_lang
 """
 
 
+def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup dedup over documents ∪ one-token-appended copies:
+    32-bit signatures, 4 byte-bands for candidates, Hamming ≤ 3 verify,
+    keep-min-id. Oracle mirrors the identical bit math."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    dups = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id") + 100000,
+        text=F.concat_ws(" ", F.col("text"), F.lit("zzz")),
+    )
+    return (
+        docs.merge(dups)
+        .shuffle()
+        .dedup_simhash("text", "doc_id", bits=32, bands=4, max_hamming=3)
+        .map("doc_id")
+        .df
+    )
+
+
+ORACLE_Q33 = sql_dedup_simhash(
+    _Q28_INPUT, "text", "doc_id", "doc_id", bits=32, bands=4, max_hamming=3
+)
+
+
+def q34_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity JOIN (inverted index, df-cutoff): all
+    pairs with shingle-Jaccard ≥ 0.5 among documents ∪ perturbed copies.
+    No signatures — the shingle itself is the join key."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    dups = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id") + 100000,
+        text=F.concat_ws(" ", F.col("text"), F.lit("zzz")),
+    )
+    return (
+        docs.merge(dups)
+        .shuffle()
+        .similar_pairs_ngram("text", "doc_id", threshold=0.5, max_df=50)
+        .df
+    )
+
+
+ORACLE_Q34 = sql_similar_pairs_ngram(
+    _Q28_INPUT, "text", "doc_id", threshold=0.5, max_df=50
+)
+
+
+def q35_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup over embeddings ∪ positively
+    scaled copies (cosine exactly 1 with their originals, same LSH bucket
+    by sign-invariance): drop the larger id of any bucket pair with
+    cosine ≥ 0.95."""
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings").map("vec_id", "embedding")
+    scaled = _t(ctx, sf_dir, "embeddings").map(
+        vec_id=F.col("vec_id") + 100000,
+        embedding=F.transform("embedding", lambda x: x * F.lit(1.5)),
+    )
+    return (
+        emb.merge(scaled)
+        .dedup_embedding(threshold=0.95, n_planes=6)
+        .map("vec_id")
+        .df
+    )
+
+
+_Q35_INPUT = """(
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> x * 1.5)
+  FROM embeddings
+)"""
+
+ORACLE_Q35 = sql_dedup_embedding(_Q35_INPUT, "vec_id", threshold=0.95, n_planes=6)
+
+
 def q31_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for 8 query vectors: broadcast
     queries × corpus, JVM-side fold dot products, per-query ranking."""
@@ -1039,6 +1118,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_lang_id": q30_lang_id,
     "q31_ann_brute": q31_ann_brute,
     "q32_ann_lsh": q32_ann_lsh,
+    "q33_dedup_simhash": q33_dedup_simhash,
+    "q34_ngram_jaccard": q34_ngram_jaccard,
+    "q35_dedup_embedding": q35_dedup_embedding,
 }
 
 ORACLE: Dict[str, str] = {
@@ -1074,4 +1156,7 @@ ORACLE: Dict[str, str] = {
     "q30_lang_id": ORACLE_Q30,
     "q31_ann_brute": ORACLE_Q31,
     "q32_ann_lsh": ORACLE_Q32,
+    "q33_dedup_simhash": ORACLE_Q33,
+    "q34_ngram_jaccard": ORACLE_Q34,
+    "q35_dedup_embedding": ORACLE_Q35,
 }
