@@ -1,0 +1,118 @@
+"""Streaming slice tests (SURVEY §2.8 watermarks / M4): the same
+declarative window plans run over a file-backed unbounded source
+(availableNow drain) and over the bounded read of the SAME files; results
+must agree. A multi-micro-batch case exercises watermark advancement and
+late-row dropping (renoir's WatermarkFrontier contract: late data ≤ a seen
+watermark must not appear, src/operator/mod.rs:142-144)."""
+
+import os
+import time
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from renoir_spark.streaming import event_time_agg, foreach_batch, run_to_completion
+
+
+def _ts(s):
+    return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory, ctx):
+    """Four parquet files with increasing event times (file mtimes force
+    source processing order). The LAST file carries a row older than the
+    watermark will be by then — and, crucially, older than a window that
+    will already have been emitted and evicted (Spark only drops late
+    rows whose window state is gone; a late row landing in the same
+    micro-batch that evicts its window still merges)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    batches = [
+        [(1, _ts(10), 1.0), (1, _ts(70), 2.0), (2, _ts(40), 3.0)],
+        [(1, _ts(200), 4.0), (2, _ts(260), 5.0)],
+        [(2, _ts(330), 6.0)],
+        [(1, _ts(15), 7.0)],  # LATE: window [0,60) already evicted
+    ]
+    for i, rows in enumerate(batches):
+        df = ctx.spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        path = str(d / f"batch_{i}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        t = time.time() - 400 + i * 60
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    return str(d)
+
+
+def _schema():
+    return "user_id long, ts timestamp, value double"
+
+
+def test_streaming_tumbling_equals_batch(ctx, stream_dir):
+    unbounded = ctx.stream_parquet_unbounded(f"{stream_dir}/*", _schema())
+    sdf = event_time_agg(
+        unbounded, "ts", size=60.0, keys=["user_id"],
+        watermark="30 seconds", n=F.count(F.lit(1)), vol=F.sum("value"),
+    ).df
+    got = run_to_completion(sdf, output_mode="complete")
+
+    bounded = ctx.stream_parquet(f"{stream_dir}/*")
+    exp = event_time_agg(
+        bounded, "ts", size=60.0, keys=["user_id"],
+        n=F.count(F.lit(1)), vol=F.sum("value"),
+    ).collect_vec()
+
+    norm = lambda rows: sorted(
+        (r.user_id, r.win_start, r.n, round(r.vol, 6)) for r in rows
+    )
+    assert norm(got) == norm(exp)
+    assert len(got) > 0
+
+
+def test_streaming_session_equals_batch(ctx, stream_dir):
+    from renoir_spark.streaming import session_agg
+
+    unbounded = ctx.stream_parquet_unbounded(f"{stream_dir}/*", _schema())
+    sdf = session_agg(
+        unbounded, "ts", gap=100.0, keys=["user_id"],
+        watermark="30 seconds", n=F.count(F.lit(1)),
+    ).df
+    got = run_to_completion(sdf, output_mode="complete")
+
+    bounded = ctx.stream_parquet(f"{stream_dir}/*")
+    exp = session_agg(
+        bounded, "ts", gap=100.0, keys=["user_id"], n=F.count(F.lit(1))
+    ).collect_vec()
+
+    norm = lambda rows: sorted((r.user_id, r.win_start, r.n) for r in rows)
+    assert norm(got) == norm(exp)
+    assert len(got) > 0
+
+
+def test_watermark_drops_late_rows_across_microbatches(ctx, stream_dir):
+    # one file per micro-batch: after batch 1 the watermark is 230s, so
+    # window [0,60) is emitted+evicted at the end of batch 2; the late
+    # row (user 1, t=15) arrives in batch 3, AFTER eviction, and must be
+    # dropped (its window would otherwise re-emit with n=2 or duplicate).
+    unbounded = ctx.from_df(
+        ctx.spark.readStream.schema(_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")
+    )
+    sdf = event_time_agg(
+        unbounded, "ts", size=60.0, keys=["user_id"],
+        watermark="30 seconds", n=F.count(F.lit(1)),
+    ).df
+    got = run_to_completion(sdf, output_mode="append")
+    # append mode emits only watermark-closed windows; the late row would
+    # have landed in window [0, 60) for user 1 INCREASING its count to 2.
+    w0 = [r for r in got if r.user_id == 1 and r.win_start == _ts(0)]
+    assert len(w0) == 1 and w0[0].n == 1  # late row dropped, emitted once
+
+
+def test_foreach_batch_harness(ctx, stream_dir):
+    unbounded = ctx.stream_parquet_unbounded(f"{stream_dir}/*", _schema())
+    seen = []
+    foreach_batch(unbounded.df, lambda bdf, bid: seen.append((bid, bdf.count())))
+    assert sum(n for _b, n in seen) == 7  # all rows delivered exactly once
