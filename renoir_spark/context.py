@@ -96,8 +96,21 @@ class StreamContext:
         df = self.spark.range(n, numPartitions=partitions) if partitions else self.spark.range(n)
         return Stream(self, df)
 
-    # renoir name kept as an alias
-    stream_par_iter = stream_range
+    def stream_par_iter(self, gen, *, partitions: Optional[int] = None,
+                        schema=None) -> Stream:
+        """Parallel generator source — renoir ``stream_par_iter`` with an
+        arbitrary ``gen(replica_id, num_replicas) -> iterator`` function
+        (src/operator/source/parallel_iterator.rs:230-251): each of
+        ``partitions`` replicas generates its slice executor-side (no
+        driver data). An int argument falls back to the dense range."""
+        if isinstance(gen, int):
+            return self.stream_range(gen, partitions=partitions)
+        n_part = partitions or self.spark.sparkContext.defaultParallelism
+        rdd = self.spark.sparkContext.parallelize(range(n_part), n_part)
+        rows = rdd.mapPartitionsWithIndex(
+            lambda pid, _it, _g=gen, _n=n_part: _g(pid, _n)
+        )
+        return Stream(self, self.spark.createDataFrame(rows, schema=schema))
 
     def stream_file(self, path: str) -> Stream:
         """Text lines, parallel byte-range chunks — renoir ``stream_file``

@@ -112,9 +112,13 @@ class Stream:
 
         import pandas as pd
 
-        cached = functools.lru_cache(maxsize=capacity)(fn)
-
-        def _batch(pdf):
+        def _batch(pdf, _holder=[]):
+            # the lru_cache wrapper is a C object cloudpickle can't ship;
+            # build it lazily EXECUTOR-side around the (picklable) fn —
+            # which also gives the per-process cache renoir specifies
+            if not _holder:
+                _holder.append(functools.lru_cache(maxsize=capacity)(fn))
+            cached = _holder[0]
             return pd.DataFrame(
                 [cached(tuple(row.values())) for row in pdf.to_dict("records")]
             )
@@ -186,6 +190,102 @@ class Stream:
                 yield fn(state, pdf)
 
         return self._new(self.df.mapInPandas(_iter, schema))
+
+    def rich_filter_map(self, make_state: Callable, fn: Callable, schema) -> "Stream":
+        """Stateful filter-map — renoir ``rich_filter_map``
+        (src/operator/mod.rs:461-467): ``fn(state, row_dict)`` returns an
+        output dict or ``None`` to drop; state is per-partition."""
+
+        import pandas as pd
+
+        def _batch(state, pdf):
+            rows = [r for r in (fn(state, row) for row in pdf.to_dict("records"))
+                    if r is not None]
+            return pd.DataFrame(rows)
+
+        return self.rich_map_batches(make_state, _batch, schema)
+
+    def rich_flat_map(self, make_state: Callable, fn: Callable, schema) -> "Stream":
+        """Stateful 1→N map — renoir ``rich_flat_map``
+        (src/operator/mod.rs:1104-1112): ``fn(state, row_dict)`` returns a
+        list of output dicts; state is per-partition."""
+
+        import pandas as pd
+
+        def _batch(state, pdf):
+            rows = [o for row in pdf.to_dict("records") for o in fn(state, row)]
+            return pd.DataFrame(rows)
+
+        return self.rich_map_batches(make_state, _batch, schema)
+
+    def rich_map_custom(self, fn: Callable, schema) -> "Stream":
+        """Raw per-partition operator hook — renoir ``rich_map_custom``
+        (src/operator/mod.rs:1132-1138) sees the raw ``StreamElement``
+        feed incl. watermarks; the batch analog is the raw Arrow batch
+        iterator: ``fn(iterator_of_pandas) -> iterator_of_pandas``.
+        End-of-iterator is the FlushAndRestart/Terminate signal.
+        (Streaming watermark hooks need ``transformWithState`` — see
+        streaming.py; documented divergence.)"""
+        return self._new(self.df.mapInPandas(fn, schema))
+
+    def map_async(self, fn: Callable, schema, *, concurrency: int = 4) -> "Stream":
+        """Async enrichment map — renoir ``map_async``
+        (src/operator/mod.rs:648-654, fixed 4-way concurrency): ``fn`` is
+        an ``async def (row_dict) -> dict``; within each Arrow batch up to
+        ``concurrency`` calls run concurrently on the executor (the shape
+        for model/API calls in a data pipeline)."""
+
+        import pandas as pd
+
+        def _batch(pdf):
+            import asyncio
+
+            async def _run():
+                sem = asyncio.Semaphore(concurrency)
+
+                async def one(row):
+                    async with sem:
+                        return await fn(row)
+
+                return await asyncio.gather(
+                    *[one(r) for r in pdf.to_dict("records")]
+                )
+
+            return pd.DataFrame(asyncio.run(_run()))
+
+        return self.map_batches(_batch, schema)
+
+    def map_async_memo_by(self, fn: Callable, key_fn: Callable, schema, *,
+                          concurrency: int = 4, capacity: int = 10_000) -> "Stream":
+        """Memoized async map — renoir ``map_async_memo_by``
+        (src/operator/mod.rs:585-627): results cached per executor by
+        ``key_fn(row_dict)`` so repeated keys fire one call."""
+
+        import pandas as pd
+
+        cache: dict = {}
+
+        def _batch(pdf):
+            import asyncio
+
+            async def _run(rows):
+                sem = asyncio.Semaphore(concurrency)
+
+                async def one(row):
+                    k = key_fn(row)
+                    if k in cache:
+                        return cache[k]
+                    async with sem:
+                        out = await fn(row)
+                    if len(cache) < capacity:
+                        cache[k] = out
+                    return out
+
+                return await asyncio.gather(*[one(r) for r in rows])
+
+            return pd.DataFrame(asyncio.run(_run(pdf.to_dict("records"))))
+
+        return self.map_batches(_batch, schema)
 
     # ------------------------------------------------------------------ #
     # keying / partitioning (SURVEY.md §2.4)
@@ -695,6 +795,16 @@ class Stream:
         """renoir ``collect_count`` (src/operator/mod.rs:2104)."""
         return self.df.count()
 
+    def collect_vec_all(self) -> list:
+        """renoir ``collect_vec_all`` (src/operator/mod.rs:2165) gathers
+        the full result on EVERY host (Replication::Host + All). The
+        driver-program analog is a plain collect — every consumer of the
+        returned list sees the complete result; re-broadcast to executors
+        happens implicitly when the list is used in a closure/literal."""
+        return self.df.collect()
+
+    collect_all = collect_vec_all
+
     def collect_channel(self):
         """Iterator of rows — renoir ``collect_channel``
         (src/operator/mod.rs:2044) → ``toLocalIterator`` (bounded driver
@@ -719,6 +829,18 @@ class Stream:
         df = self.df.coalesce(1) if single_file else self.df
         df.write.mode("overwrite").options(**options).parquet(path)
 
+    def write_avro(self, path: str, *, single_file: bool = False, **options) -> None:
+        """renoir ``write_avro`` (src/operator/sink/avro.rs:93-131).
+        Needs spark-avro on the classpath; raises a clear error when
+        absent (mirrors stream_avro)."""
+        df = self.df.coalesce(1) if single_file else self.df
+        try:
+            df.write.mode("overwrite").options(**options).format("avro").save(path)
+        except Exception as exc:  # pragma: no cover - classpath dependent
+            raise RuntimeError(
+                "avro support requires the spark-avro package on the classpath"
+            ) from exc
+
     def write_kafka(self, brokers: str, topic: str, checkpoint: str):
         """renoir ``write_kafka`` (src/operator/sink/kafka.rs:98-105)."""
         payload = self.df.select(F.to_json(F.struct(*self.df.columns)).alias("value"))
@@ -735,6 +857,13 @@ class Stream:
         (src/operator/cache/mod.rs:20-130) → ``persist``."""
         return self._new(self.df.persist())
 
+    def collect_cache(self) -> "CachedStream":
+        """Materialize for replay in a LATER context — renoir
+        ``collect_cache`` (src/operator/mod.rs:2264-2342,
+        cache/stream_cache.rs:13-85): returns a handle whose
+        ``stream_in(ctx)`` re-sources the materialized result."""
+        return CachedStream(self.df)
+
     def unpersist(self, blocking: bool = False) -> "Stream":
         """Release cached blocks from :meth:`cache` / :meth:`split` /
         ``route().build()`` (renoir drops its cache with the
@@ -745,6 +874,22 @@ class Stream:
 
     def explain(self, mode: str = "formatted") -> None:
         self.df.explain(mode)
+
+
+class CachedStream:
+    """Replayable materialized stream — renoir ``CachedStream``
+    (src/operator/cache/stream_cache.rs:13-85): ``stream_in`` re-sources
+    the cached result into a (new) context without recomputation."""
+
+    def __init__(self, df: DataFrame) -> None:
+        self.df = df.persist()
+        self.df.count()  # eager: renoir materializes at execute() time
+
+    def stream_in(self, ctx: "StreamContext") -> "Stream":
+        return Stream(ctx, self.df)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self.df.unpersist(blocking)
 
 
 class RouteBuilder:

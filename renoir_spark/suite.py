@@ -20,10 +20,13 @@ from pyspark.sql import functions as F
 
 from .context import StreamContext
 from .window import (
+    AllWindow,
     CountWindow,
     EventTimeWindow,
     LastKWindow,
+    ProcessingTimeWindow,
     SessionWindow,
+    TransactionWindow,
 )
 
 
@@ -1085,6 +1088,270 @@ def q32_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q32 = sql_ann_cosine_lsh("embeddings", "vec_id < 8", k=3, n_planes=6)
 
 
+# --------------------------------------------------------------------- #
+# coverage queries for previously-untested operators (VERDICT r1 item 5)
+# --------------------------------------------------------------------- #
+
+def q36_transaction_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransactionWindow (src/operator/window/descr/transaction.rs:99-122):
+    user logic commits a window whenever value > 0.9. The logic chosen is
+    deliberately SQL-expressible (exclusive running count of commit rows)
+    so the Arrow-grouped-map machinery gets a full value oracle."""
+    ctx = _ctx(spark)
+
+    def logic(row, _state):
+        return "commit" if row["value"] > 0.9 else "continue"
+
+    return (
+        _t(ctx, sf_dir, "events")
+        .map("user_id", "event_id", "value")
+        .key_by("user_id")
+        .window(TransactionWindow("event_id", logic))
+        .fold(n=F.count(F.lit(1)), vol=F.round(F.sum("value"), 6))
+        .df
+    )
+
+
+ORACLE_Q36 = """
+WITH w AS (
+  SELECT user_id, value,
+         coalesce(sum(CASE WHEN value > 0.9 THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS window_id
+  FROM events
+)
+SELECT user_id, window_id, count(*) AS n, round(sum(value), 6) AS vol
+FROM w GROUP BY user_id, window_id
+"""
+
+
+def q37_all_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllWindow (src/operator/window/descr/all.rs:51-58): everything
+    until stream end — a plain per-key fold."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "events")
+        .key_by("event_type")
+        .window(AllWindow())
+        .fold(n=F.count(F.lit(1)), vol=F.round(F.sum("value"), 6))
+        .df
+    )
+
+
+ORACLE_Q37 = """
+SELECT event_type, count(*) AS n, round(sum(value), 6) AS vol
+FROM events GROUP BY event_type
+"""
+
+
+def q38_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window first/last aggregators (aggr/first.rs:32, last.rs:30) over
+    deterministic CountWindows (event_id order — unique, tie-free)."""
+    ctx = _ctx(spark)
+    win = _t(ctx, sf_dir, "events").map("user_id", "event_id", "value").key_by(
+        "user_id"
+    ).window(CountWindow.tumbling("event_id", size=7, exact=True))
+    first = win.first(F.col("value"), alias="first_v")
+    last = win.last(F.col("value"), alias="last_v")
+    return (
+        first.join(
+            last.map("user_id", "window_id", "last_v"),
+            ["user_id", "window_id"],
+        )
+        .map(
+            "user_id", "window_id",
+            first_v=F.round("first_v", 6), last_v=F.round("last_v", 6),
+        )
+        .df
+    )
+
+
+ORACLE_Q38 = """
+WITH pos AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS p
+  FROM events
+)
+SELECT user_id, p // 7 AS window_id,
+       round(min_by(value, p), 6) AS first_v,
+       round(max_by(value, p), 6) AS last_v
+FROM pos GROUP BY user_id, p // 7 HAVING count(*) = 7
+"""
+
+
+def q39_window_to_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window to_vec (aggr/collect_vec.rs:44-56): window contents as an
+    ordered array."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "events")
+        .map("user_id", "event_id", "value")
+        .key_by("user_id")
+        .window(CountWindow.tumbling("event_id", size=5, exact=True))
+        .to_vec(F.round("value", 6), alias="vals")
+        .df
+    )
+
+
+ORACLE_Q39 = """
+WITH pos AS (
+  SELECT user_id, round(value, 6) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS p
+  FROM events
+)
+SELECT user_id, p // 5 AS window_id, list(value ORDER BY p) AS vals
+FROM pos GROUP BY user_id, p // 5 HAVING count(*) = 5
+"""
+
+
+def q40_window_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window map/to_arrow (aggr/collect.rs:47, to_arrow.rs:60-70): the
+    window contents arrive as ONE pandas batch — per-user median."""
+    ctx = _ctx(spark)
+
+    def median(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            [{"user_id": pdf["user_id"].iloc[0],
+              "med": round(float(pdf["value"].median()), 6)}]
+        )
+
+    return (
+        _t(ctx, sf_dir, "events")
+        .map("user_id", "value")
+        .key_by("user_id")
+        .window(AllWindow())
+        .map(median, "user_id long, med double")
+        .df
+    )
+
+
+ORACLE_Q40 = """
+SELECT user_id, round(median(value), 6) AS med FROM events GROUP BY user_id
+"""
+
+
+def q41_map_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_memo (src/operator/mod.rs:677-688): executor-side LRU over a
+    pure function of the row."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .map("n_chars")
+        .map_memo(
+            lambda t: {"n_chars": t[0], "bucket": t[0] // 100},
+            "n_chars long, bucket long",
+        )
+        .group_by("bucket")
+        .count(alias="n")
+        .df
+    )
+
+
+ORACLE_Q41 = """
+SELECT n_chars // 100 AS bucket, count(*) AS n FROM documents GROUP BY bucket
+"""
+
+
+def q42_keyed_rich_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed rich_map (src/operator/mod.rs:2740-2746, per-key state):
+    running total per user in event_id order via Arrow grouped-map."""
+    ctx = _ctx(spark)
+
+    def running(pdf):
+        pdf = pdf.sort_values("event_id")
+        pdf["cum"] = pdf["value"].cumsum().round(6)
+        return pdf[["user_id", "event_id", "cum"]]
+
+    return (
+        _t(ctx, sf_dir, "events")
+        .map("user_id", "event_id", "value")
+        .key_by("user_id")
+        .rich_map(running, "user_id long, event_id long, cum double")
+        .df
+    )
+
+
+ORACLE_Q42 = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS cum
+FROM events
+"""
+
+
+def q43_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replication(n) (src/operator/mod.rs:1761-1766) → coalesce; results
+    invariant under parallelism change."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "lineitem")
+        .replication(4)
+        .group_by("l_returnflag")
+        .fold(n=F.count(F.lit(1)), qty=F.round(F.sum("l_quantity"), 2))
+        .df
+    )
+
+
+ORACLE_Q43 = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q44_repartition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repartition_by (src/operator/mod.rs:1786-1794): custom partitioner;
+    invariant results, exercised exchange."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "orders")
+        .repartition_by(8, "o_orderpriority")
+        .group_by("o_orderpriority")
+        .fold(n=F.count(F.lit(1)))
+        .df
+    )
+
+
+ORACLE_Q44 = "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority"
+
+
+def q45_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reorder (src/operator/mod.rs:420-422): buffer to timestamp order —
+    batch sort; deterministic via (ts, event_id) compound order."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "events")
+        .map("event_id", "ts")
+        .reorder("ts", "event_id")
+        .limit(20)
+        .map("event_id")
+        .df
+    )
+
+
+ORACLE_Q45 = "SELECT event_id FROM events ORDER BY ts, event_id LIMIT 20"
+
+
+def q46_processing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProcessingTimeWindow (processing_time.rs:92-107) — documented
+    divergence: bounded input is stamped at evaluation time, so all rows
+    land in ONE wall-clock window; only the window CONTENTS are
+    deterministic (bounds projected away)."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "events")
+        .key_by("event_type")
+        .window(ProcessingTimeWindow(3600.0))
+        .fold(n=F.count(F.lit(1)))
+        .map("event_type", "n")
+        .df
+    )
+
+
+ORACLE_Q46 = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -1121,6 +1388,17 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_dedup_simhash": q33_dedup_simhash,
     "q34_ngram_jaccard": q34_ngram_jaccard,
     "q35_dedup_embedding": q35_dedup_embedding,
+    "q36_transaction_window": q36_transaction_window,
+    "q37_all_window": q37_all_window,
+    "q38_window_first_last": q38_window_first_last,
+    "q39_window_to_vec": q39_window_to_vec,
+    "q40_window_map_pandas": q40_window_map_pandas,
+    "q41_map_memo": q41_map_memo,
+    "q42_keyed_rich_map": q42_keyed_rich_map,
+    "q43_replication": q43_replication,
+    "q44_repartition_by": q44_repartition_by,
+    "q45_reorder": q45_reorder,
+    "q46_processing_time_window": q46_processing_time_window,
 }
 
 ORACLE: Dict[str, str] = {
@@ -1159,4 +1437,15 @@ ORACLE: Dict[str, str] = {
     "q33_dedup_simhash": ORACLE_Q33,
     "q34_ngram_jaccard": ORACLE_Q34,
     "q35_dedup_embedding": ORACLE_Q35,
+    "q36_transaction_window": ORACLE_Q36,
+    "q37_all_window": ORACLE_Q37,
+    "q38_window_first_last": ORACLE_Q38,
+    "q39_window_to_vec": ORACLE_Q39,
+    "q40_window_map_pandas": ORACLE_Q40,
+    "q41_map_memo": ORACLE_Q41,
+    "q42_keyed_rich_map": ORACLE_Q42,
+    "q43_replication": ORACLE_Q43,
+    "q44_repartition_by": ORACLE_Q44,
+    "q45_reorder": ORACLE_Q45,
+    "q46_processing_time_window": ORACLE_Q46,
 }
