@@ -1,0 +1,109 @@
+"""Parallelism sweep — the reference runs every test under a local AND a
+simulated-remote runtime (tests/utils.rs:189-211) to catch partitioning/
+serialization bugs. Analog here: a representative query subset must give
+oracle-identical results under shuffle.partitions ∈ {1, 8} in-session, and
+under a separate local[1] session (subprocess — master is fixed per JVM)."""
+
+import math
+import subprocess
+import sys
+
+import pytest
+
+from renoir_spark import suite
+from tests.conftest import SF_DIR
+
+# queries whose plans cover the shuffle-sensitive operator families:
+# aggregation, join, window frames, count windows, zip, scans
+SWEEP = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q08_argmax_per_nation",
+    "q12_zip",
+    "q14_count_window",
+    "q22_outer_join",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 9)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _spark_rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        (tuple(_norm(r.asDict(recursive=True)[c]) for c in cols) for r in df.collect()),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def _duck_rows(con, sql):
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_norm(r[i]) for i in idx) for r in res.fetchall()),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+@pytest.mark.parametrize("partitions", ["1", "8"])
+@pytest.mark.parametrize("name", SWEEP)
+def test_shuffle_partition_sweep(name, partitions, spark, duck, sf_dir):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    try:
+        got = _spark_rows(suite.QUERIES[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    exp = _duck_rows(duck, suite.ORACLE[name])
+    assert got == exp, f"{name} diverges at shuffle.partitions={partitions}"
+
+
+_LOCAL1_SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[1]")
+         .config("spark.sql.shuffle.partitions", "1")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import duckdb, math
+from renoir_spark import suite
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('%(sf)s/{t}.parquet')")
+def norm(v):
+    if isinstance(v, float): return "nan" if math.isnan(v) else round(v, 9)
+    if isinstance(v, list): return tuple(norm(x) for x in v)
+    return v
+for name in %(queries)s:
+    df = suite.QUERIES[name](spark, "%(sf)s")
+    cols = sorted(df.columns)
+    got = sorted((tuple(norm(r.asDict(recursive=True)[c]) for c in cols)
+                  for r in df.collect()), key=lambda t: tuple(str(x) for x in t))
+    res = con.execute(suite.ORACLE[name])
+    dc = [d[0] for d in res.description]
+    idx = sorted(range(len(dc)), key=lambda i: dc[i])
+    exp = sorted((tuple(norm(r[i]) for i in idx) for r in res.fetchall()),
+                 key=lambda t: tuple(str(x) for x in t))
+    assert got == exp, name
+    print(name, "OK")
+"""
+
+
+def test_local1_runtime_subprocess():
+    """A separate single-core runtime (master is fixed per JVM): the
+    operator semantics must not depend on parallelism at all."""
+    script = _LOCAL1_SCRIPT % {"sf": SF_DIR, "queries": SWEEP[:3]}
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.stdout.count("OK") == 3
