@@ -28,6 +28,16 @@ _DEFAULT_CONF = {
     # vectorized parquet reader rejects; read as long and convert (µs
     # truncation matches DuckDB's nanos→micros read behavior).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate infers `size(x) > 0 AND isnotnull(x)` from
+    # every explode; the predicate looks cheap on the generator's input
+    # ATTRIBUTE, but predicate pushdown then substitutes it through the
+    # staging projections and below exchanges, inlining the whole
+    # tokenize→shingle chain into the (often 1-2 task) scan stage — and
+    # un-staging it back into per-array-element re-evaluation. Measured:
+    # 18 s → 1 s on the shingle-explode stage at sf0.1. Partition-prune
+    # wins from the rule don't apply to our explode shapes.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 # Confs safe to set on an already-running session (all runtime SQLConfs).
@@ -36,6 +46,7 @@ _DYNAMIC_CONF = (
     "spark.sql.legacy.parquet.nanosAsLong",
     "spark.sql.execution.arrow.pyspark.enabled",
     "spark.sql.adaptive.enabled",
+    "spark.sql.optimizer.excludedRules",
 )
 
 

@@ -55,6 +55,19 @@ def sql_md5_int31(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT % {MINHASH_P})"
 
 
+def md5_int60(col) -> Column:
+    """60-bit integer hash (15 hex chars of md5 — fits a signed 64-bit
+    integer in both engines). SimHash needs one feature-hash bit per
+    signature bit: the 31-bit variant silently zeroes signature bits
+    ≥ 31, making high bands CONSTANT and the band self-join quadratic
+    (measured: 50M candidate pairs → every doc pair a candidate)."""
+    return F.conv(F.substring(F.md5(to_col(col)), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5_int60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
 def norm_text(col) -> Column:
     """Whitespace-collapsed, trimmed, lowercased text."""
     return F.lower(F.trim(F.regexp_replace(to_col(col), r"\s+", " ")))
@@ -320,40 +333,63 @@ def dedup_simhash(
     text_col: str,
     id_col: str,
     *,
-    bits: int = 32,
+    bits: int = 48,
     bands: int = 4,
     max_hamming: int = 3,
+    shingle_n: int = 3,
 ):
     """SimHash near-duplicate dedup: each document gets a ``bits``-wide
-    signature (bit j = sign of Σ_tokens ±1 by bit j of the token hash);
-    near-dups have small Hamming distance.
+    signature (bit j = sign of Σ_features ±1 by bit j of the feature
+    hash); near-dups have small Hamming distance. Features are distinct
+    word ``shingle_n``-grams — NOT unigrams: on a small vocabulary every
+    document contains nearly every word, so unigram feature sets (and
+    hence signatures) collapse, turning the band self-join quadratic and
+    marking everything a duplicate (measured: 63 s and 10000→627 rows at
+    sf0.1 with unigrams vs shingles).
 
     Scale: candidates come from BAND equality (a Hamming-≤k pair must
-    agree on ≥1 of k+1 bands — here ``bands`` byte-slices of the
-    signature), an equi-join on the band value; exact ``bit_count(xor)``
-    verifies within candidates. Greedy keep-min-id like dedup_minhash.
+    agree on ≥1 of k+1 bands — here ``bands`` slices of the signature),
+    an equi-join on the band value; exact ``bit_count(xor)`` verifies
+    within candidates. Greedy keep-min-id like dedup_minhash. The bit
+    sums are ONE pass over the feature array with an array accumulator
+    (``aggregate`` + ``zip_with``), not ``bits`` separate aggregates.
     """
     assert bits % bands == 0, "bands must divide bits"
+    assert bits <= 62, "signature must fit a signed 64-bit integer"
     band_width = bits // bands
 
+    pows = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
     staged = (
         stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
-        .withColumn("__toks", F.array_distinct(F.split(norm_text("__text"), " ")))
-        .withColumn("__hs", F.transform(F.col("__toks"), lambda t: md5_int31(t)))
-    )
-    bit_sums = [
-        F.aggregate(
-            F.col("__hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(((h.bitwiseAND(F.lit(1 << j))) != 0), F.lit(1)).otherwise(F.lit(-1)),
+        .withColumn("__norm", norm_text("__text"))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+        .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), shingle_n))
+        .withColumn("__hs", F.transform(F.col("__sh"), lambda s: md5_int60(s)))
+        .withColumn("__nf", F.size("__hs"))
+        .withColumn(
+            "__cnt",
+            F.aggregate(
+                F.col("__hs"),
+                F.array_repeat(F.lit(0), bits),
+                lambda acc, h: F.zip_with(
+                    acc,
+                    pows,
+                    lambda a, p: a
+                    + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(0)),
+                ),
+            ),
         )
-        for j in range(bits)
-    ]
-    simhash = None
-    for j, s in enumerate(bit_sums):
-        term = F.when(s >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-        simhash = term if simhash is None else simhash + term
+    )
+    # bit j set ⟺ Σ±1 ≥ 0 ⟺ 2·ones_j ≥ n_features
+    nf = F.col("__nf")
+    simhash = F.aggregate(
+        F.zip_with(
+            F.col("__cnt"), pows,
+            lambda c, p: F.when(c * 2 >= nf, p).otherwise(F.lit(0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     sig = staged.select("__id", simhash.alias("__sim")).persist()
 
     mask = (1 << band_width) - 1
@@ -394,16 +430,17 @@ def sql_dedup_simhash(
     id_col: str,
     cols: str,
     *,
-    bits: int = 32,
+    bits: int = 48,
     bands: int = 4,
     max_hamming: int = 3,
+    shingle_n: int = 3,
 ) -> str:
     band_width = bits // bands
     mask = (1 << band_width) - 1
+    # bit j set ⟺ 2·ones_j ≥ n (≡ sign of Σ±1), mirroring the Spark side
     bit_terms = " + ".join(
-        f"(CASE WHEN list_reduce(list_transform(hs, h -> "
-        f"CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END), (x, y) -> x + y)"
-        f" >= 0 THEN {1 << j} ELSE 0 END)"
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << j}) != 0))"
+        f" >= len(hs) THEN {1 << j} ELSE 0 END)"
         for j in range(bits)
     )
     band_rows = " UNION ALL ".join(
@@ -413,8 +450,8 @@ def sql_dedup_simhash(
     return f"""
 WITH base AS (
   SELECT {id_col} AS id,
-         [{sql_md5_int31('t')} for t in
-          list_distinct(string_split({sql_norm_text(text)}, ' '))] AS hs
+         [{sql_md5_int60('s')} for s in
+          {sql_word_shingles(text, shingle_n)}] AS hs
   FROM {table_expr}
 ), sig AS (
   SELECT id, ({bit_terms})::BIGINT AS sim FROM base
@@ -529,25 +566,39 @@ def dedup_embedding(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int = 8,
     dim: int = 64,
 ):
     """Embedding-cosine near-dup dedup: sign-LSH buckets → cosine within
     bucket → drop the larger id of any pair with cosine ≥ threshold.
     Same bucketing as :func:`ann_cosine_lsh` (one shuffle on the bucket
     id; recall bounded by the LSH sign agreement, mirrored by the
-    oracle)."""
+    oracle).
+
+    Each vector's L2 norm is computed ONCE, at signature time, into the
+    persisted sig relation (the persist is also a CollapseProject
+    barrier), so the per-candidate-pair work is a single dot-product
+    fold plus one divide — recomputing both norms per pair tripled the
+    fold count and was the dominant cost (measured 78 s → ~2 s at sf0.1
+    together with 8 planes = 256 buckets). Do NOT normalize the array
+    elements inside a ``transform`` lambda: the embedded norm aggregate
+    would re-evaluate per element."""
     planes = lsh_planes(dim, n_planes)
     sig = stream.df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
+        _norm2(F.col(vec_col)).alias("__nrm"),
         _bucket_expr(F.col(vec_col), planes).alias("__bkt"),
     ).persist()
-    a = sig.select("__bkt", F.col("__id").alias("ida"), F.col("__v").alias("va"))
-    b = sig.select("__bkt", F.col("__id").alias("idb"), F.col("__v").alias("vb"))
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (_norm2(F.col("va")) * _norm2(F.col("vb"))), 6
+    a = sig.select(
+        "__bkt", F.col("__id").alias("ida"),
+        F.col("__v").alias("va"), F.col("__nrm").alias("na"),
     )
+    b = sig.select(
+        "__bkt", F.col("__id").alias("idb"),
+        F.col("__v").alias("vb"), F.col("__nrm").alias("nb"),
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     dup_ids = (
         a.join(b, "__bkt")
         .filter(F.col("ida") < F.col("idb"))
@@ -566,7 +617,7 @@ def sql_dedup_embedding(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int = 8,
     dim: int = 64,
 ) -> str:
     planes = lsh_planes(dim, n_planes)
@@ -577,15 +628,15 @@ def sql_dedup_embedding(
         terms.append(f"(CASE WHEN {dot_j} >= 0 THEN {1 << j} ELSE 0 END)")
     bucket = " + ".join(terms)
     dot = SQL_DOT.format(a="a.v", b="b.v")
-    na = SQL_NORM.format(a="a.v")
-    nb = SQL_NORM.format(a="b.v")
+    nrm = SQL_NORM.format(a=vec_col)
     return f"""
 WITH sig AS (
-  SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bkt FROM {table_expr}
+  SELECT {id_col} AS id, {vec_col} AS v, {nrm} AS nrm, {bucket} AS bkt
+  FROM {table_expr}
 ), dups AS (
   SELECT DISTINCT b.id AS idb
   FROM sig a JOIN sig b ON a.bkt = b.bkt AND a.id < b.id
-  WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
+  WHERE round({dot} / (a.nrm * b.nrm), 6) >= {threshold}
 )
 SELECT {cols} FROM {table_expr}
 WHERE {id_col} NOT IN (SELECT idb FROM dups)
@@ -676,14 +727,26 @@ LANG_ORDER = ["en", "de", "es", "fr", "zh"]
 def lang_id(stream, text_col: str, alias: str = "pred_lang"):
     """Heuristic language id: stopword-hit counts per language, first
     maximum in a FIXED precedence order (deterministic, mirrorable);
-    'und' when nothing matches. Expression-only."""
+    'und' when nothing matches. Expression-only.
+
+    The token array and the five score columns are staged as REAL
+    columns before the CASE chain: each score is referenced ~8 times by
+    the precedence comparisons, and an inlined score re-tokenizes the
+    text per reference (measured 16.5 s → sub-second at sf0.1).
+    Catalyst's CollapseProject keeps non-cheap multi-referenced aliases
+    staged, so the tokenize → score chain runs once per row."""
     import functools as _ft
 
-    toks = tokens(text_col)
-    scores = {
-        lang: F.size(F.filter(toks, lambda t: F.array_contains(F.lit(words), t)))
-        for lang, words in STOPWORDS.items()
-    }
+    orig = stream.df.columns
+    staged = stream.df.withColumn("__t", tokens(text_col)).withColumns(
+        {
+            f"__s_{lang}": F.size(
+                F.filter(F.col("__t"), lambda t: F.array_contains(F.lit(words), t))
+            )
+            for lang, words in STOPWORDS.items()
+        }
+    )
+    scores = {lang: F.col(f"__s_{lang}") for lang in LANG_ORDER}
     # nested CASE, first-match in LANG_ORDER (mirrors the SQL CASE chain)
     pred = F.lit("und")
     for lang in reversed(LANG_ORDER):
@@ -692,7 +755,7 @@ def lang_id(stream, text_col: str, alias: str = "pred_lang"):
             [scores[lang] >= scores[o] for o in LANG_ORDER if o != lang],
         )
         pred = F.when(is_best & (scores[lang] > 0), F.lit(lang)).otherwise(pred)
-    return stream._new(stream.df.select("*", pred.alias(alias)))
+    return stream._new(staged.select(*orig, pred.alias(alias)))
 
 
 def sql_lang_id(table_expr: str, text: str, keep_cols: str, alias: str = "pred_lang") -> str:
@@ -813,14 +876,20 @@ SELECT qid, {id_col}, cos, rank FROM (
 
 def lsh_planes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic ±1 hyperplanes from a fixed integer recurrence (no
-    RNG — reproducible in SQL as inlined literals)."""
+    RNG — reproducible in SQL as inlined literals).
+
+    The sign comes from bit 16 of the LCG state, NOT the low bit: for an
+    LCG mod 2^k with odd multiplier and increment the low bit strictly
+    alternates, which made every plane the same ±(+1,−1,+1,…) pattern —
+    all vectors collapsed into 2 of 2^n_planes buckets (measured: a
+    quadratic in-bucket join, 78 s at sf0.1)."""
     planes = []
     for j in range(n_planes):
         row = []
         x = 1_234_567 + 999_983 * j
         for d in range(dim):
             x = (1_103_515_245 * x + 12_345) % 2_147_483_648
-            row.append(1.0 if x % 2 == 0 else -1.0)
+            row.append(1.0 if (x >> 16) % 2 == 0 else -1.0)
         planes.append(row)
     return planes
 

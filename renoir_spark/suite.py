@@ -989,8 +989,9 @@ GROUP BY lang, pred_lang
 
 def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup dedup over documents ∪ one-token-appended copies:
-    32-bit signatures, 4 byte-bands for candidates, Hamming ≤ 3 verify,
-    keep-min-id. Oracle mirrors the identical bit math."""
+    48-bit signatures over 3-gram shingle features, 4 bands for
+    candidates, Hamming ≤ 3 verify, keep-min-id. Oracle mirrors the
+    identical bit math."""
     ctx = _ctx(spark)
     docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
     dups = _t(ctx, sf_dir, "documents").map(
@@ -1000,14 +1001,14 @@ def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.merge(dups)
         .shuffle()
-        .dedup_simhash("text", "doc_id", bits=32, bands=4, max_hamming=3)
+        .dedup_simhash("text", "doc_id", bits=48, bands=4, max_hamming=3)
         .map("doc_id")
         .df
     )
 
 
 ORACLE_Q33 = sql_dedup_simhash(
-    _Q28_INPUT, "text", "doc_id", "doc_id", bits=32, bands=4, max_hamming=3
+    _Q28_INPUT, "text", "doc_id", "doc_id", bits=48, bands=4, max_hamming=3
 )
 
 
@@ -1024,13 +1025,13 @@ def q34_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.merge(dups)
         .shuffle()
-        .similar_pairs_ngram("text", "doc_id", threshold=0.5, max_df=50)
+        .similar_pairs_ngram("text", "doc_id", shingle_n=5, threshold=0.5, max_df=20)
         .df
     )
 
 
 ORACLE_Q34 = sql_similar_pairs_ngram(
-    _Q28_INPUT, "text", "doc_id", threshold=0.5, max_df=50
+    _Q28_INPUT, "text", "doc_id", shingle_n=5, threshold=0.5, max_df=20
 )
 
 
@@ -1047,7 +1048,7 @@ def q35_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         emb.merge(scaled)
-        .dedup_embedding(threshold=0.95, n_planes=6)
+        .dedup_embedding(threshold=0.95, n_planes=8)
         .map("vec_id")
         .df
     )
@@ -1060,7 +1061,7 @@ _Q35_INPUT = """(
   FROM embeddings
 )"""
 
-ORACLE_Q35 = sql_dedup_embedding(_Q35_INPUT, "vec_id", threshold=0.95, n_planes=6)
+ORACLE_Q35 = sql_dedup_embedding(_Q35_INPUT, "vec_id", threshold=0.95, n_planes=8)
 
 
 def q31_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
