@@ -56,6 +56,10 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # queries are independent workloads: drop caches they persisted
+        # (dedup signature relations etc.) so later queries aren't timed
+        # against another query's leftover blocks and GC pressure
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

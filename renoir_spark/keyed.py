@@ -129,9 +129,11 @@ class KeyedStream:
 
     def rich_map(self, fn: Callable, schema, *, order: Optional[Sequence] = None) -> "Stream":
         """Per-key stateful map — renoir keyed ``rich_map``
-        (src/operator/mod.rs:2740-2746, state per key). Arrow grouped-map:
-        ``fn(pdf) -> pdf`` sees one key's rows (sorted by ``order`` if
-        given) and may carry state across them."""
+        (src/operator/mod.rs:2740-2746, state per key). ``fn(pdf) -> pdf``
+        sees one key's rows (sorted by ``order`` if given) and may carry
+        state across them. Executed as ONE sorted-partition Python pass
+        (util.grouped_apply_sorted), not a per-key Arrow round trip."""
+        from .util import grouped_apply_sorted
 
         cols = [c for c in (order or [])]
 
@@ -140,7 +142,9 @@ class KeyedStream:
                 pdf = pdf.sort_values(cols)
             return fn(pdf)
 
-        return self._stream(self.df.groupBy(*self.keys).applyInPandas(_apply, schema))
+        return self._stream(
+            grouped_apply_sorted(self.df, self.keys, cols, _apply, schema)
+        )
 
     def delta_iterate(self, num_iterations: int, body: Callable,
                       merge: Optional[Callable] = None,

@@ -242,7 +242,14 @@ class TransactionWindow(WindowDescription):
                 pdf = pdf[~bad]
             return pdf
 
-        df = keyed.df.groupBy(*keyed.keys).applyInPandas(_assign, schema)
+        # one sorted-partition Python pass, not a per-key Arrow round trip
+        # (1 500 user groups cost more in per-group overhead than the rows)
+        from .util import grouped_apply_sorted
+
+        df = grouped_apply_sorted(
+            keyed.df, keyed.keys, [order] if isinstance(order, str) else list(order),
+            _assign, schema,
+        )
         return _Assigned(df, ["__txn"], [F.col("__txn").alias("window_id")], None)
 
 
