@@ -30,24 +30,40 @@ from pyspark.sql import functions as F
 
 
 @contextmanager
-def _adaptive_conf(spark, value: Optional[bool]):
-    """Temporarily pin spark.sql.adaptive.enabled for the loop body.
+def _loop_confs(spark, adaptive: Optional[bool], shuffle_partitions: Optional[int]):
+    """Temporarily pin loop-relevant session confs for the iteration body.
 
-    AQE re-optimizes EVERY shuffle stage; for an iteration of many small
-    rounds that planning latency dominates (measured 4-6× on the CC
-    query at sf0.1). Default for loops is therefore ``False``; pass
-    ``True`` when each round shuffles enough data for skew/coalesce
+    ``adaptive``: AQE re-optimizes EVERY shuffle stage; for an iteration
+    of many small rounds that planning latency dominates (measured 4-6×
+    on the CC query at sf0.1). Default for loops is therefore ``False``;
+    pass ``True`` when each round shuffles enough data for skew/coalesce
     re-planning to pay for itself (the 100 TB regime), or ``None`` to
-    leave the session setting untouched."""
-    if value is None:
+    leave the session setting untouched.
+
+    ``shuffle_partitions``: per-round shuffles should be sized to the
+    STATE volume, not the session default — an iteration over a 15k-row
+    state with 32 (or 200) shuffle partitions pays round-count ×
+    partition-count task-scheduling latency for near-empty partitions.
+    Size it as state_bytes / target_partition_size; ``None`` leaves the
+    session setting untouched."""
+    pins = {}
+    if adaptive is not None:
+        pins["spark.sql.adaptive.enabled"] = str(adaptive).lower()
+    if shuffle_partitions is not None:
+        pins["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if not pins:
         yield
         return
-    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", str(value).lower())
+    defaults = {"spark.sql.adaptive.enabled": "true",
+                "spark.sql.shuffle.partitions": "200"}
+    old = {k: spark.conf.get(k, defaults[k]) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", old)
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 class IterationStateHandle:
@@ -84,6 +100,7 @@ def iterate(
     *,
     checkpoint_every: int = 4,
     adaptive: Optional[bool] = False,
+    shuffle_partitions: Optional[int] = None,
 ):
     """Feedback loop — renoir ``iterate``
     (src/operator/iteration/iterate.rs:306-439): the body's output is fed
@@ -102,7 +119,7 @@ def iterate(
     df = stream.df
     state = initial_state
     prev_cached: Optional[DataFrame] = None
-    with _adaptive_conf(df.sparkSession, adaptive):
+    with _loop_confs(df.sparkSession, adaptive, shuffle_partitions):
         for it in range(num_iterations):
             out = body(stream._new(df), IterationStateHandle(state)).df
             out = _materialize(out, it, checkpoint_every)
@@ -130,6 +147,7 @@ def replay(
     *,
     checkpoint_every: int = 4,
     adaptive: Optional[bool] = False,
+    shuffle_partitions: Optional[int] = None,
 ):
     """Replay loop — renoir ``replay``
     (src/operator/iteration/replay.rs:256-300): the SAME input is re-fed
@@ -143,7 +161,7 @@ def replay(
     replay_stream = stream._new(cached_in)
     state = initial_state
     prev: Optional[DataFrame] = None
-    with _adaptive_conf(cached_in.sparkSession, adaptive):
+    with _loop_confs(cached_in.sparkSession, adaptive, shuffle_partitions):
         for it in range(num_iterations):
             out = body(replay_stream, IterationStateHandle(state)).df
             out = _materialize(out, it, checkpoint_every)
@@ -168,6 +186,7 @@ def delta_iterate(
     *,
     checkpoint_every: int = 4,
     adaptive: Optional[bool] = False,
+    shuffle_partitions: Optional[int] = None,
 ):
     """Keyed incremental iteration — renoir ``delta_iterate``
     (src/operator/iteration/iterate_delta.rs:104-140): per-key state,
@@ -212,7 +231,7 @@ def delta_iterate(
 
     state_df = keyed.df
     prev: Optional[DataFrame] = None
-    with _adaptive_conf(state_df.sparkSession, adaptive):
+    with _loop_confs(state_df.sparkSession, adaptive, shuffle_partitions):
         for it in range(num_iterations):
             state_ks = KeyedStream(keyed.ctx, state_df, keys)
             delta_df = body(state_ks, it).df.persist()

@@ -621,19 +621,20 @@ class Stream:
 
     def iterate(self, num_iterations: int, initial_state, body: Callable,
                 state_update: Callable, loop_condition: Optional[Callable] = None,
-                *, checkpoint_every: int = 4):
+                *, checkpoint_every: int = 4, **loop_confs):
         """Feedback loop — renoir ``iterate``
         (src/operator/iteration/iterate.rs:306-439). Returns
-        ``(final_state, last_iteration_stream)``; see iteration.py."""
+        ``(final_state, last_iteration_stream)``; see iteration.py
+        (``adaptive`` / ``shuffle_partitions`` loop tuning included)."""
         from .iteration import iterate as _iterate
 
         return _iterate(self, num_iterations, initial_state, body,
                         state_update, loop_condition,
-                        checkpoint_every=checkpoint_every)
+                        checkpoint_every=checkpoint_every, **loop_confs)
 
     def replay(self, num_iterations: int, initial_state, body: Callable,
                state_update: Callable, loop_condition: Optional[Callable] = None,
-               *, checkpoint_every: int = 4):
+               *, checkpoint_every: int = 4, **loop_confs):
         """Replay loop — renoir ``replay``
         (src/operator/iteration/replay.rs:256-300). Returns the final
         state; the input is cached and re-fed every iteration."""
@@ -641,7 +642,7 @@ class Stream:
 
         return _replay(self, num_iterations, initial_state, body,
                        state_update, loop_condition,
-                       checkpoint_every=checkpoint_every)
+                       checkpoint_every=checkpoint_every, **loop_confs)
 
     # ------------------------------------------------------------------ #
     # sort / limit / top-k (SURVEY.md §2.7)

@@ -764,7 +764,10 @@ def q25_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shallow convergence (graph diameter 3) → no mid-loop checkpoint.
     # edges stays persisted until the plan is dropped (unpersisting here,
     # before the caller's action, would force per-round recomputation).
-    final = init.delta_iterate(20, body, checkpoint_every=8)
+    # loop shuffles sized to the ~15k-row state, not the session default
+    # (at larger SF pass state_bytes / target_partition_size instead)
+    final = init.delta_iterate(20, body, checkpoint_every=8,
+                               shuffle_partitions=8)
     return final.df.select("v", "comp")
 
 
@@ -817,7 +820,8 @@ def q26_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return ctx.from_df(new)
 
-    _state, ranks = init.iterate(3, 0, body, lambda st, _df: st + 1)
+    _state, ranks = init.iterate(3, 0, body, lambda st, _df: st + 1,
+                                 shuffle_partitions=8)
     # ew/verts stay persisted until the plan is dropped (see q25 note)
     return ranks.df.select("v", F.round("r", 9).alias("rank"))
 
