@@ -725,6 +725,117 @@ FROM t
 """
 
 
+# GPT-2-style pre-tokenizer shape, restricted to character classes both
+# Java regex (Spark) and RE2 (DuckDB) treat identically: a token is a
+# letter run, a digit run, or a punctuation run, each optionally taking
+# one leading space (the BPE convention of gluing the space to the word).
+BPE_TOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def token_count(stream, text_col: str):
+    """Token counting two ways — whitespace tokens and a BPE-ish regex
+    pre-tokenization (letter/digit/punct runs with the leading-space
+    convention) — the budget-accounting step of a training-data pipeline.
+    Pure expressions: one projection, no shuffle, codegen-friendly."""
+    orig = stream.df.columns
+    norm = norm_text(text_col)
+    lowered = F.lower(to_col(text_col))
+    return stream._new(
+        stream.df.select(
+            *orig,
+            F.size(F.split(norm, " ")).alias("tok_ws"),
+            F.size(F.regexp_extract_all(lowered, F.lit(BPE_TOKEN_RE), F.lit(0))).alias(
+                "tok_bpe"
+            ),
+        )
+    )
+
+
+def sql_token_count(table_expr: str, text: str, keep_cols: str) -> str:
+    return f"""
+SELECT {keep_cols},
+  len(string_split({sql_norm_text(text)}, ' ')) AS tok_ws,
+  len(regexp_extract_all(lower({text}), '{BPE_TOKEN_RE}')) AS tok_bpe
+FROM {table_expr}
+"""
+
+
+def fingerprint_winnow(
+    stream,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    w: int = 4,
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every ``k``-char-gram of the normalized text, then
+    keep the MINIMUM hash of each sliding window of ``w`` consecutive
+    gram hashes; the distinct minima are the document's fingerprint set.
+    Guarantees: any shared substring of length ≥ k + w - 1 yields at
+    least one shared fingerprint — the standard plagiarism/provenance
+    primitive.
+
+    Output: exploded ``(id_col, fp)`` pairs — the shape an inverted
+    fingerprint index wants (groupBy fp → posting lists; self-join on fp
+    → candidate pairs, exactly like :func:`similar_pairs_ngram`).
+
+    Scale: fingerprinting is a per-row projection (no shuffle); the
+    explode multiplies rows by the per-doc fingerprint count (bounded by
+    ~len/w), and any downstream index build shuffles only (fp, id)
+    pairs. Window minima are computed per offset with ``slice`` +
+    ``array_min`` — O(len·w) expression work, no Python."""
+    orig_id = F.col(id_col)
+    norm = norm_text(text_col)
+    staged = stream.df.select(orig_id.alias("__id"), norm.alias("__n"))
+    n = F.length(F.col("__n"))
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: md5_int31(F.substring(F.col("__n"), i, F.lit(k))),
+        ),
+    ).otherwise(F.array(md5_int31(F.col("__n"))))
+    staged = staged.select("__id", grams.alias("__g"))
+    g = F.col("__g")
+    wins = F.when(
+        F.size(g) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(g) - (w - 1)),
+            lambda i: F.array_min(F.slice(g, i, w)),
+        ),
+    ).otherwise(F.array(F.array_min(g)))
+    out = staged.select(
+        F.col("__id").alias(id_col),
+        F.explode(F.array_distinct(wins)).alias("fp"),
+    )
+    return stream._new(out)
+
+
+def sql_fingerprint_winnow(
+    table_expr: str, text: str, id_col: str, *, k: int = 5, w: int = 4
+) -> str:
+    norm = sql_norm_text(text)
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {norm} AS __n FROM {table_expr}
+), g AS (
+  SELECT {id_col},
+    CASE WHEN len(__n) >= {k} THEN
+      [{sql_md5_int31(f"__n[i:i+{k - 1}]")} for i in range(1, len(__n) - {k - 2})]
+    ELSE [{sql_md5_int31("__n")}] END AS __g
+  FROM t
+), wmin AS (
+  SELECT {id_col},
+    CASE WHEN len(__g) >= {w} THEN
+      [list_min(__g[i:i+{w - 1}]) for i in range(1, len(__g) - {w - 2})]
+    ELSE [list_min(__g)] END AS __w
+  FROM g
+)
+SELECT {id_col}, unnest(list_distinct(__w)) AS fp FROM wmin
+"""
+
+
 LANG_ORDER = ["en", "de", "es", "fr", "zh"]
 
 

@@ -718,6 +718,20 @@ class Stream:
 
         return _li(self, text_col, alias)
 
+    def token_count(self, text_col: str) -> "Stream":
+        """Whitespace + BPE-ish-regex token counts per row — pure
+        expressions. See datapipe.token_count."""
+        from .datapipe import token_count as _tc
+
+        return _tc(self, text_col)
+
+    def fingerprint_winnow(self, text_col: str, id_col: str, **kw) -> "Stream":
+        """Winnowing rolling-hash fingerprints, exploded (id, fp) pairs.
+        See datapipe.fingerprint_winnow."""
+        from .datapipe import fingerprint_winnow as _fw
+
+        return _fw(self, text_col, id_col, **kw)
+
     def decode_image(self, content_col: str = "content", out_col: str = "image") -> "Stream":
         """Image decode plumbing (stubbed codec) — multimodal.decode_image."""
         from .multimodal import decode_image as _di

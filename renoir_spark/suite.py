@@ -907,6 +907,8 @@ from .datapipe import (  # noqa: E402  (oracle generators share constants)
     sql_lang_id,
     sql_similar_pairs_ngram,
     sql_text_stats,
+    sql_token_count,
+    sql_fingerprint_winnow,
 )
 
 _Q27_INPUT = """(
@@ -1357,6 +1359,41 @@ def q46_processing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q46 = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
 
 
+def q47_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north star: budget accounting) — whitespace
+    tokens and a BPE-ish regex pre-tokenization, pure expressions over
+    the documents table."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .map("doc_id", "text")
+        .token_count("text")
+        .map("doc_id", "tok_ws", "tok_bpe")
+        .df
+    )
+
+
+ORACLE_Q47 = sql_token_count("documents", "text", "doc_id")
+
+
+def q48_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash document fingerprints (SIGMOD'03), exploded
+    to (doc_id, fp) — the inverted-index shape. The full fingerprint SET
+    is value-checked by the oracle, not just a summary."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .map("doc_id", "text")
+        # single-file scan → spread the gram hashing across the cluster
+        .shuffle()
+        .fingerprint_winnow("text", "doc_id")
+        .df
+    )
+
+
+ORACLE_Q48 = sql_fingerprint_winnow("documents", "text", "doc_id")
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -1404,6 +1441,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_repartition_by": q44_repartition_by,
     "q45_reorder": q45_reorder,
     "q46_processing_time_window": q46_processing_time_window,
+    "q47_token_count": q47_token_count,
+    "q48_fingerprint_winnow": q48_fingerprint_winnow,
 }
 
 ORACLE: Dict[str, str] = {
@@ -1453,4 +1492,6 @@ ORACLE: Dict[str, str] = {
     "q44_repartition_by": ORACLE_Q44,
     "q45_reorder": ORACLE_Q45,
     "q46_processing_time_window": ORACLE_Q46,
+    "q47_token_count": ORACLE_Q47,
+    "q48_fingerprint_winnow": ORACLE_Q48,
 }

@@ -94,3 +94,37 @@ def test_ann_lsh_finds_identical_vector(ctx):
     assert len(got) == 1
     assert got[0].vec_id == 100
     assert abs(got[0].cos - 1.0) < 1e-6
+
+
+def test_token_count_whitespace_vs_bpe(ctx):
+    rows = [(0, "hello world"), (1, "a,b c!"), (2, "x 42 y")]
+    s = ctx.stream_iter(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.tok_ws, r.tok_bpe) for r in s.token_count("text").collect_vec()}
+    # "hello world" → 2 ws tokens, 2 bpe tokens
+    assert got[0] == (2, 2)
+    # "a,b c!" → ws: ["a,b","c!"]; bpe: ["a", ",", "b", " c", "!"]
+    assert got[1] == (2, 5)
+    # "x 42 y" → digits split into their own run
+    assert got[2] == (3, 3)
+
+
+def test_fingerprint_winnow_shared_substring(ctx):
+    # winnowing guarantee: a shared substring of length >= k + w - 1
+    # (5 + 4 - 1 = 8 chars) yields at least one shared fingerprint
+    common = "the quick brown fox jumps"
+    rows = [(0, common + " over the lazy dog"), (1, "prefix " + common), (2, "zzz completely different yyy")]
+    s = ctx.stream_iter(rows, "doc_id long, text string")
+    fps = s.fingerprint_winnow("text", "doc_id").collect_vec()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "docs sharing a long substring must share a fingerprint"
+    # fingerprint sets are distinct hashes (no duplicates after explode)
+    assert len([r for r in fps if r.doc_id == 0]) == len(by_doc[0])
+
+
+def test_fingerprint_winnow_short_doc(ctx):
+    # shorter than k chars → single whole-text hash
+    s = ctx.stream_iter([(0, "ab")], "doc_id long, text string")
+    fps = s.fingerprint_winnow("text", "doc_id").collect_vec()
+    assert len(fps) == 1
