@@ -12,7 +12,7 @@ Quick start::
               .collect_vec())
 """
 
-from .context import StreamContext
+from .context import ChannelSource, StreamContext
 from .iteration import IterationStateHandle
 from .keyed import KeyedStream
 from .stream import Stream
@@ -31,6 +31,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "StreamContext",
+    "ChannelSource",
     "IterationStateHandle",
     "Stream",
     "KeyedStream",

@@ -209,6 +209,37 @@ class StreamContext:
         parquet files through Structured Streaming."""
         return Stream(self, self.spark.readStream.schema(schema).parquet(path))
 
+    def stream_channel(self, schema, *, directory: Optional[str] = None) -> "ChannelSource":
+        """Push-based feed — renoir ``ChannelSource``
+        (src/operator/source/channel.rs:18-67): the producer holds a
+        handle and pushes batches; the stream consumes them unbounded.
+
+        Spark-first mapping: a spool DIRECTORY consumed by the file
+        streaming source. ``push(rows)`` appends one parquet file; each
+        pushed file is a unit the next micro-batch picks up (pair with
+        ``maxFilesPerTrigger=1`` to replay push-by-push). The same
+        pattern scales to production: producers drop files on shared
+        storage, executors pick them up — no driver channel bottleneck.
+        """
+        return ChannelSource(self, schema, directory)
+
+    def stream_rate(self, rows_per_second: int = 10,
+                    *, num_partitions: Optional[int] = None) -> Stream:
+        """Continuous generator source — renoir ``AsyncStreamSource``
+        (src/operator/source/async_stream.rs:16-60) produces elements as
+        an async stream yields them; Spark's ``rate`` source is the
+        built-in equivalent: unbounded ``(timestamp, value)`` rows at a
+        controlled rate, generated executor-side (``num_partitions``
+        spreads generation). Compose with map/filter/window like any
+        unbounded stream."""
+        reader = (
+            self.spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+        )
+        if num_partitions is not None:
+            reader = reader.option("numPartitions", num_partitions)
+        return Stream(self, reader.load())
+
     def sql(self, query: str) -> Stream:
         """Escape hatch renoir doesn't have: full Spark SQL."""
         return Stream(self, self.spark.sql(query))
@@ -217,3 +248,40 @@ class StreamContext:
         """renoir ``execute_blocking`` (src/environment.rs:97-105) is a
         no-op here: Spark actions (collect/write) trigger execution."""
         return None
+
+
+class ChannelSource:
+    """Producer handle + unbounded stream — renoir ``ChannelSource``
+    (src/operator/source/channel.rs:18-67, test feed in tests/utils.rs).
+
+    ``push(rows)`` appends one parquet file to a spool directory;
+    ``stream()`` returns the unbounded Stream reading it. Files pushed
+    after a streaming query starts are picked up by later micro-batches,
+    which is exactly the reference's push-then-consume contract."""
+
+    def __init__(self, ctx: StreamContext, schema, directory: Optional[str] = None) -> None:
+        import tempfile
+
+        self._ctx = ctx
+        self._schema = schema
+        self.directory = directory or tempfile.mkdtemp(prefix="renoir_channel_")
+        self._pushes = 0
+
+    def push(self, rows: Iterable) -> None:
+        """Append one batch (one parquet file = one replayable unit)."""
+        df = self._ctx.spark.createDataFrame(list(rows), self._schema)
+        df.coalesce(1).write.mode("append").parquet(self.directory)
+        self._pushes += 1
+
+    def stream(self, *, max_files_per_trigger: Optional[int] = None) -> Stream:
+        """The consuming unbounded Stream. ``max_files_per_trigger=1``
+        replays push-by-push (one micro-batch per pushed file)."""
+        reader = self._ctx.spark.readStream.schema(self._schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return Stream(self._ctx, reader.parquet(self.directory))
+
+    def stream_batch(self) -> Stream:
+        """Bounded view over everything pushed so far (batch replays of
+        the channel contents — handy for oracle comparison)."""
+        return Stream(self._ctx, self._ctx.spark.read.schema(self._schema).parquet(self.directory))
