@@ -130,3 +130,93 @@ def foreach_batch(df: DataFrame, fn, *, timeout_s: int = 120):
         if q.isActive:  # pragma: no cover
             q.stop()
     return q
+
+
+def keyed_map_with_state(
+    stream,
+    keys: Sequence[str],
+    fn,
+    *,
+    state_schema: str,
+    out_schema: str,
+    output_mode: str = "append",
+):
+    """Custom per-key stateful operator on an UNBOUNDED stream — the
+    streaming form of renoir's keyed ``rich_map`` / ``rich_map_custom``
+    (src/operator/mod.rs:2740-2746, 1132-1138): user logic owns mutable
+    per-key state that survives across micro-batches.
+
+    Spark-first: ``applyInPandasWithState``. ``fn(key_tuple, pdf,
+    state_tuple_or_None) -> (out_pdf, new_state_tuple)`` is called once
+    per key per micro-batch with that batch's rows; the returned state
+    tuple (matching ``state_schema``) is persisted in the state store —
+    partitioned by the same key hash as any other exchange, so state
+    scales horizontally with the key space.
+
+    Scale: per-(key, batch) work is Arrow-batched; state volume is
+    bounded by what the user keeps per key (sized like any keyed agg
+    state); the state store shuffles once on the grouping key.
+    """
+
+    def _wrap(key, pdf_iter, state):
+        import pandas as pd
+
+        cur = state.get if state.exists else None
+        pdfs = [p for p in pdf_iter]
+        pdf = pd.concat(pdfs, ignore_index=True) if pdfs else pd.DataFrame()
+        out, new_state = fn(key, pdf, cur)
+        if new_state is not None:
+            state.update(tuple(new_state))
+        if out is not None and len(out):
+            yield out
+
+    grouped = stream.df.groupBy(*[F.col(k) for k in keys])
+    return stream._new(
+        grouped.applyInPandasWithState(
+            _wrap, out_schema, state_schema, output_mode, "NoTimeout"
+        )
+    )
+
+
+def count_window_fold_stream(
+    stream,
+    keys: Sequence[str],
+    value_col: str,
+    size: int,
+):
+    """EXACT tumbling count windows on an unbounded stream — renoir
+    ``CountWindow`` semantics (src/operator/window/descr/count.rs:
+    112-124) that Spark has no native streaming equivalent for. Built on
+    :func:`keyed_map_with_state`: the per-key state is (next window id,
+    buffered tail values); every ``size`` buffered values emit one
+    ``(key, window_id, n, sum_v)`` row, in arrival order, across
+    micro-batch boundaries. Incomplete trailing windows stay in state
+    (exactly the reference's exact-window contract)."""
+
+    def _fold(key, pdf, cur):
+        import pandas as pd
+
+        wid, buf = (cur[0], list(cur[1])) if cur is not None else (0, [])
+        buf.extend(float(v) for v in pdf[value_col])
+        rows = []
+        while len(buf) >= size:
+            window, buf = buf[:size], buf[size:]
+            rows.append(key + (wid, size, sum(window)))
+            wid += 1
+        out = pd.DataFrame(
+            rows, columns=[*keys, "window_id", "n", "sum_v"]
+        ) if rows else None
+        return out, (wid, buf)
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream.df.schema.fields
+        if f.name in set(keys)
+    )
+    return keyed_map_with_state(
+        stream,
+        keys,
+        _fold,
+        state_schema="wid long, buf array<double>",
+        out_schema=f"{key_fields}, window_id long, n long, sum_v double",
+    )

@@ -166,3 +166,26 @@ def test_rate_source_generates_rows(ctx):
     vals = sorted(r.value for r in rows)
     assert len(vals) >= 10
     assert vals[:3] == [0, 1, 2]  # dense prefix, no gaps at the start
+
+
+def test_streaming_exact_count_window_state_across_batches(ctx):
+    """Exact streaming CountWindow (count.rs:112-124) via per-key state
+    (applyInPandasWithState): windows must close across micro-batch
+    boundaries — key B's window spans three pushes — and incomplete
+    windows must NOT emit."""
+    from renoir_spark.streaming import count_window_fold_stream
+
+    ch = ctx.stream_channel("k string, v double")
+    ch.push([("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 10.0)])
+    ch.push([("A", 4.0), ("A", 5.0), ("A", 6.0), ("B", 20.0)])
+    ch.push([("B", 30.0), ("A", 99.0)])  # A:99 stays buffered (incomplete)
+
+    s = ch.stream(max_files_per_trigger=1)  # one micro-batch per push
+    out = count_window_fold_stream(s, ["k"], "v", size=3)
+    got = run_to_completion(out.df, output_mode="append")
+    rows = {(r.k, r.window_id, r.n, r.sum_v) for r in got}
+    assert rows == {
+        ("A", 0, 3, 6.0),
+        ("A", 1, 3, 15.0),
+        ("B", 0, 3, 60.0),  # closed across three micro-batches
+    }
