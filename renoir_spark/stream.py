@@ -36,18 +36,21 @@ def _global_index(df: DataFrame, order_cols: list, idx: str = "__zip_idx") -> Da
     cumsum over ~num_partitions rows.
     """
     d = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    # monotonically_increasing_id AFTER the sort = (partition id << 33) +
+    # row position in sorted order — the per-partition row number without
+    # the extra hash exchange + sort a row_number() window would add.
+    d = d.withColumn("__mid", F.monotonically_increasing_id())
     d = d.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    d = d.withColumn("__rn", F.row_number().over(w))
     counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__cnt").over(woff), F.lit(0))
     ).drop("__cnt")
+    pos_in_part = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
     return (
         d.join(F.broadcast(offsets), "__pid")
-        .withColumn(idx, F.col("__off") + F.col("__rn"))
-        .drop("__pid", "__rn", "__off")
+        .withColumn(idx, F.col("__off") + pos_in_part + 1)
+        .drop("__pid", "__mid", "__off")
     )
 
 

@@ -351,10 +351,18 @@ class WindowedStream:
 
         if self.descr.mode == "frame":
             raise ValueError("map over frame windows: use LastK via fold exprs")
+        from .util import grouped_apply_sorted
+
         a = self.descr.assign(self.keyed)
         gcols = [*self.keyed.keys, *a.group_cols]
-        grouped = a.df.groupBy(*gcols)
-        return Stream(self.keyed.ctx, grouped.applyInPandas(fn, schema))
+        order = [a.order_col] if a.order_col is not None else []
+        # one sorted-partition Python pass (not per-group Arrow round
+        # trips — dominant with many small windows); pdf arrives in
+        # window order when the descriptor defines one
+        return Stream(
+            self.keyed.ctx,
+            grouped_apply_sorted(a.df, gcols, order, fn, schema),
+        )
 
     def window_join(self, other, *, allow_ordinal: bool = False):
         """Join same-key same-window elements — renoir ``window_join``
