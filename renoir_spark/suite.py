@@ -1394,6 +1394,129 @@ def q48_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q48 = sql_fingerprint_winnow("documents", "text", "doc_id")
 
 
+_KMEANS_K = 4
+_KMEANS_ROUNDS = 3
+
+
+def q49_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means via ``replay`` (src/operator/iteration/replay.rs:256-300;
+    example examples/kmeans.rs): the SAME point set is re-fed every
+    round; the centroid list is the replayed state (renoir's
+    IterationStateHandle). Deterministic contract mirrored by the oracle:
+    init = the k smallest-id points; assignment = first minimum in
+    centroid-id order; centroids rounded to 9 decimals each round so
+    engine summation order cannot drift assignments.
+
+    Scale: assignment is a PROJECTION (CASE chain over k inlined
+    centroid literals — the k-row state broadcasts via the closure, no
+    join); each round shuffles once for the per-cluster mean."""
+    ctx = _ctx(spark)
+    pts = _t(ctx, sf_dir, "events").map(
+        pid=F.col("event_id"),
+        x=F.col("value"),
+        y=(F.col("event_id") % 97).cast("double") / F.lit(9.7),
+    )
+
+    init = [
+        (i, round(r.x, 9), round(r.y, 9))
+        for i, r in enumerate(
+            pts.df.orderBy("pid").limit(_KMEANS_K).collect()
+        )
+    ]
+
+    def assign_expr(centroids):
+        dists = [
+            (F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
+            + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy))
+            for _cid, cx, cy in centroids
+        ]
+        expr = F.lit(len(centroids) - 1)
+        for i in range(len(centroids) - 2, -1, -1):
+            cond = None
+            for j in range(i + 1, len(centroids)):
+                c = dists[i] <= dists[j]
+                cond = c if cond is None else (cond & c)
+            expr = F.when(cond, F.lit(i)).otherwise(expr)
+        return expr
+
+    def body(s, handle):
+        return s.map("pid", "x", "y", cluster=assign_expr(handle.get()))
+
+    def update(state, df):
+        means = {
+            r.cluster: (round(r.cx, 9), round(r.cy, 9))
+            for r in df.groupBy("cluster")
+            .agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
+            .collect()
+        }
+        # a cluster that lost every point keeps its previous centroid
+        return [
+            (cid, *means.get(cid, (cx, cy))) for cid, cx, cy in state
+        ]
+
+    final = pts.replay(_KMEANS_ROUNDS, init, body, update)
+    out = (
+        pts.map("pid", "x", "y", cluster=assign_expr(final))
+        .group_by("cluster")
+        .fold(
+            n=F.count(F.lit(1)),
+            cx=F.round(F.avg("x"), 6),
+            cy=F.round(F.avg("y"), 6),
+        )
+    )
+    return out.df
+
+
+def _kmeans_oracle() -> str:
+    k, rounds = _KMEANS_K, _KMEANS_ROUNDS
+    parts = [
+        f"""
+WITH p AS (
+  SELECT event_id AS pid, value AS x, (event_id % 97)::DOUBLE / 9.7 AS y
+  FROM events
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY pid) - 1 AS cid,
+         round(x, 9) AS cx, round(y, 9) AS cy
+  FROM p ORDER BY pid LIMIT {k}
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", a{r} AS (
+  SELECT pid, x, y, cid FROM (
+    SELECT p.pid, p.x, p.y, c.cid,
+           row_number() OVER (
+             PARTITION BY p.pid
+             ORDER BY (p.x - c.cx) * (p.x - c.cx)
+                    + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+    FROM p CROSS JOIN c{r - 1} c
+  ) WHERE rn = 1
+), c{r} AS (
+  SELECT cid, round(avg(x), 9) AS cx, round(avg(y), 9) AS cy
+  FROM a{r} GROUP BY cid
+)"""
+        )
+    parts.append(
+        f""", afinal AS (
+  SELECT pid, x, y, cid FROM (
+    SELECT p.pid, p.x, p.y, c.cid,
+           row_number() OVER (
+             PARTITION BY p.pid
+             ORDER BY (p.x - c.cx) * (p.x - c.cx)
+                    + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+    FROM p CROSS JOIN c{rounds} c
+  ) WHERE rn = 1
+)
+SELECT cid AS cluster, count(*) AS n,
+       round(avg(x), 6) AS cx, round(avg(y), 6) AS cy
+FROM afinal GROUP BY cid"""
+    )
+    return "".join(parts)
+
+
+ORACLE_Q49 = _kmeans_oracle()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -1443,6 +1566,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_processing_time_window": q46_processing_time_window,
     "q47_token_count": q47_token_count,
     "q48_fingerprint_winnow": q48_fingerprint_winnow,
+    "q49_kmeans": q49_kmeans,
 }
 
 ORACLE: Dict[str, str] = {
@@ -1494,4 +1618,5 @@ ORACLE: Dict[str, str] = {
     "q46_processing_time_window": ORACLE_Q46,
     "q47_token_count": ORACLE_Q47,
     "q48_fingerprint_winnow": ORACLE_Q48,
+    "q49_kmeans": ORACLE_Q49,
 }
