@@ -979,6 +979,8 @@ def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(ctx, sf_dir, "documents")
         .map("doc_id", "lang", "text")
+        # single-file scan → parallelize the tokenize/score projection
+        .shuffle()
         .lang_id("text")
         .group_by("lang", "pred_lang")
         .count(alias="n")
@@ -1054,6 +1056,8 @@ def q35_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         emb.merge(scaled)
+        # single-file scans → spread the norm/bucket signature stage
+        .shuffle()
         .dedup_embedding(threshold=0.95, n_planes=8)
         .map("vec_id")
         .df
