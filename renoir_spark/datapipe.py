@@ -416,10 +416,12 @@ def dedup_simhash(
 
     a = bands_df.select("bidx", "bval", F.col("__id").alias("ida"), F.col("__sim").alias("sima"))
     b = bands_df.select("bidx", "bval", F.col("__id").alias("idb"), F.col("__sim").alias("simb"))
+    # no per-pair dedup shuffle: the Hamming verdict is deterministic per
+    # pair, so a pair seen in several bands collapses in the final
+    # distinct() over idb — one shuffle instead of two
     dup_ids = (
         a.join(b, ["bidx", "bval"])
         .filter(F.col("ida") < F.col("idb"))
-        .dropDuplicates(["ida", "idb"])
         .filter(F.bit_count(F.col("sima").bitwiseXOR(F.col("simb"))) <= max_hamming)
         .select(F.col("idb").alias(id_col))
         .distinct()
@@ -486,35 +488,66 @@ def similar_pairs_ngram(
     max_df: int = 100,
 ):
     """All pairs with shingle-Jaccard ≥ threshold via an INVERTED INDEX:
-    explode distinct shingles → self-join on the shingle → count shared
-    shingles per pair → |A∩B| / (|A| + |B| − |A∩B|).
+    explode distinct shingles (hashed to 60-bit ints so every shuffle key
+    is 8 bytes, not a 40-char string) → posting list per shingle → emit
+    the ordered pairs of each list → count shared shingles per pair →
+    |A∩B| / (|A| + |B| − |A∩B|).
 
-    Scale: the join key is the shingle itself (no signatures needed);
-    frequent "stop shingles" would quadratically blow up their posting
-    lists, so shingles occurring in more than ``max_df`` documents are
-    dropped from the index first (standard prefix/df filtering — the
-    oracle mirrors the same cutoff, making the approximation part of the
-    operator's contract). Output: (ida, idb, jaccard), ida < idb.
+    Scale (3 shuffles total): frequent "stop shingles" would
+    quadratically blow up their posting lists, so shingles occurring in
+    more than ``max_df`` documents are dropped first (standard prefix/df
+    filtering — the oracle mirrors the same cutoff, making the
+    approximation part of the operator's contract). The stop set is
+    found with a map-side-combined count (skew-safe) and removed with a
+    BROADCAST anti-join — stop shingles are by definition few. Surviving
+    posting lists are bounded by ``max_df``, so pair generation is a
+    JVM-side array expansion of ≤ max_df·(max_df−1)/2 structs per
+    shingle — never a self-join of unbounded posting lists, and no
+    partition sees unbounded state. Output: (ida, idb, jaccard),
+    ida < idb. Hash collisions are mirrored by the oracle (both engines
+    hash with the identical md5-prefix map), so results stay bit-equal.
     """
     staged = (
         stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .withColumn("__norm", norm_text("__text"))
         .withColumn("__toks", F.split(F.col("__norm"), " "))
         .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), shingle_n))
-        .select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s"))
+        .select(
+            "__id",
+            F.size("__sh").alias("__n"),
+            F.explode(F.transform("__sh", lambda s: md5_int60(s))).alias("__h"),
+        )
     ).persist()
 
-    df_ok = (
-        staged.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_df)
-        .select("__s")
+    stop = (
+        staged.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("__h")
     )
-    index = staged.join(df_ok, "__s")
-    a = index.select(F.col("__s"), F.col("__id").alias("ida"), F.col("__n").alias("na"))
-    b = index.select(F.col("__s"), F.col("__id").alias("idb"), F.col("__n").alias("nb"))
+    kept = staged.join(F.broadcast(stop), "__h", "left_anti")
+    post = (
+        kept.groupBy("__h")
+        .agg(F.collect_list(F.struct("__id", "__n")).alias("__lst"))
+        .filter(F.size("__lst") >= 2)
+    )
+    lst = F.col("__lst")
+    pair_structs = F.flatten(
+        F.transform(
+            lst,
+            lambda x, i: F.transform(
+                F.slice(lst, i + 2, F.size(lst)),
+                lambda y: F.struct(
+                    F.least(x["__id"], y["__id"]).alias("ida"),
+                    F.greatest(x["__id"], y["__id"]).alias("idb"),
+                    F.when(x["__id"] < y["__id"], x["__n"]).otherwise(y["__n"]).alias("na"),
+                    F.when(x["__id"] < y["__id"], y["__n"]).otherwise(x["__n"]).alias("nb"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "__s")
-        .filter(F.col("ida") < F.col("idb"))
+        post.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.*")
         .groupBy("ida", "idb", "na", "nb")
         .agg(F.count(F.lit(1)).alias("__shared"))
         .withColumn(
@@ -540,21 +573,25 @@ def sql_similar_pairs_ngram(
     threshold: float = 0.5,
     max_df: int = 100,
 ) -> str:
+    # mirrors the Spark side's hashed shingles (identical md5-prefix map
+    # on both engines, so even collisions agree)
     return f"""
 WITH sh AS (
   SELECT {id_col} AS id, {sql_word_shingles(text, shingle_n)} AS s
   FROM {table_expr}
-), posting AS (
+), shingled AS (
   SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh
+), posting AS (
+  SELECT id, n, {sql_md5_int60('shingle')} AS h FROM shingled
 ), df_ok AS (
-  SELECT shingle FROM posting GROUP BY shingle HAVING count(*) <= {max_df}
+  SELECT h FROM posting GROUP BY h HAVING count(*) <= {max_df}
 ), idx AS (
-  SELECT p.* FROM posting p JOIN df_ok USING (shingle)
+  SELECT p.* FROM posting p JOIN df_ok USING (h)
 )
 SELECT ida, idb, jaccard FROM (
   SELECT a.id AS ida, b.id AS idb,
          round(count(*)::DOUBLE / (a.n + b.n - count(*)), 6) AS jaccard
-  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
+  FROM idx a JOIN idx b ON a.h = b.h AND a.id < b.id
   GROUP BY a.id, b.id, a.n, b.n
 ) WHERE jaccard >= {threshold}
 """
