@@ -132,6 +132,59 @@ def foreach_batch(df: DataFrame, fn, *, timeout_s: int = 120):
     return q
 
 
+def interval_join_stream(
+    left,
+    right,
+    *,
+    left_ts,
+    right_ts,
+    lower: float,
+    upper: float,
+    on: Sequence[str] = (),
+    watermark: str = "0 seconds",
+    how: str = "inner",
+):
+    """STREAM-STREAM event-time band join — the unbounded form of
+    ``Stream.interval_join`` (renoir ``interval_join``,
+    src/operator/mod.rs:1738-1755): left ts T matches right ts Q with
+    ``T - lower <= Q <= T + upper``, both sides unbounded.
+
+    Spark-first: no bucket trick here — Structured Streaming's
+    stream-stream join accepts the time-range predicate directly and uses
+    it together with both watermarks to BOUND the join state (rows older
+    than watermark + band width are evicted), renoir's watermark-frontier
+    logic (src/operator/start/watermark_frontier.rs:7-60) expressed as
+    state-store retention. Equi-keys in ``on`` keep the exchange a plain
+    hash partition on the key; the band is a residual predicate.
+
+    ``how``: inner/left/full (outer emits the null-extended row only once
+    the watermark proves no match can arrive — same late-data contract as
+    the reference). Works on bounded DataFrames too (parity harness).
+    """
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"interval_join_stream supports inner/left/full, got {how!r}")
+    df_l = left.df.withColumn("__lts", to_col(left_ts).cast("timestamp"))
+    # resolve the right timestamp BEFORE renaming (a self-join renames
+    # every right column, including the ts column itself)
+    df_r = right.df.withColumn("__rts", to_col(right_ts).cast("timestamp"))
+    overlap = set(df_l.columns) & set(df_r.columns) - {"__rts"}
+    for c in overlap:
+        df_r = df_r.withColumnRenamed(c, f"{c}_r")
+    if df_l.isStreaming:
+        df_l = df_l.withWatermark("__lts", watermark)
+    if df_r.isStreaming:
+        df_r = df_r.withWatermark("__rts", watermark)
+    band = (
+        F.col("__rts") >= F.col("__lts") - F.expr(f"INTERVAL {float(lower)} SECONDS")
+    ) & (F.col("__rts") <= F.col("__lts") + F.expr(f"INTERVAL {float(upper)} SECONDS"))
+    cond = band
+    for k in on:
+        rk = f"{k}_r" if f"{k}_r" in df_r.columns else k
+        cond = cond & (df_l[k] == df_r[rk])
+    join_type = {"inner": "inner", "left": "leftOuter", "full": "fullOuter"}[how]
+    return left._new(df_l.join(df_r, cond, join_type).drop("__lts", "__rts"))
+
+
 def keyed_map_with_state(
     stream,
     keys: Sequence[str],

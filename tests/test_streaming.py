@@ -189,3 +189,34 @@ def test_streaming_exact_count_window_state_across_batches(ctx):
         ("A", 1, 3, 15.0),
         ("B", 0, 3, 60.0),  # closed across three micro-batches
     }
+
+
+def test_stream_stream_interval_join_equals_batch(ctx, stream_dir):
+    """Stream-stream band join (renoir interval_join on unbounded input,
+    src/operator/mod.rs:1738-1755): two unbounded sources joined on
+    (user_id, |ts_l - ts_r| within band) must produce exactly the rows of
+    the batch interval_join over the same files. Spark bounds the join
+    state from the band + watermarks; append-mode drain."""
+    from renoir_spark.streaming import interval_join_stream
+
+    sl = ctx.stream_parquet_unbounded(f"{stream_dir}/*", _schema())
+    sr = ctx.stream_parquet_unbounded(f"{stream_dir}/*", _schema())
+    out = interval_join_stream(
+        sl, sr, left_ts="ts", right_ts="ts",
+        lower=30.0, upper=30.0, on=["user_id"], watermark="0 seconds",
+    )
+    got = {
+        (r.user_id, r.ts, r.value, r.ts_r, r.value_r)
+        for r in run_to_completion(out.df, output_mode="append")
+    }
+
+    bl = ctx.stream_parquet(f"{stream_dir}/*")
+    br = ctx.stream_parquet(f"{stream_dir}/*")
+    batch = bl.interval_join(
+        br, left_ts="ts", right_ts="ts", lower=30.0, upper=30.0, on=["user_id"]
+    )
+    want = {
+        (r.user_id, r.ts, r.value, r.ts_r, r.value_r)
+        for r in batch.df.collect()
+    }
+    assert got == want and len(got) > 0
