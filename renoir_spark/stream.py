@@ -762,14 +762,17 @@ class Stream:
 
     def ann_cosine(self, queries: "Stream", *, method: str = "brute", **kw) -> "Stream":
         """Cosine top-k similarity search over an embedding column:
-        ``method='brute'`` (broadcast baseline) or ``'lsh'`` (bucketed
-        scale path). See datapipe.ann_cosine_*."""
-        from .datapipe import ann_cosine_brute, ann_cosine_lsh
+        ``method='brute'`` (broadcast baseline), ``'lsh'`` (sign-plane
+        buckets) or ``'ivf'`` (Voronoi cells + nprobe). See
+        datapipe.ann_cosine_*."""
+        from .datapipe import ann_cosine_brute, ann_cosine_ivf, ann_cosine_lsh
 
         if method == "brute":
             return ann_cosine_brute(self, queries, **kw)
         if method == "lsh":
             return ann_cosine_lsh(self, queries, **kw)
+        if method == "ivf":
+            return ann_cosine_ivf(self, queries, **kw)
         raise ValueError(f"unknown ann method {method!r}")
 
     # ------------------------------------------------------------------ #

@@ -899,6 +899,7 @@ def q27_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .datapipe import (  # noqa: E402  (oracle generators share constants)
     sql_ann_cosine_brute,
+    sql_ann_cosine_ivf,
     sql_ann_cosine_lsh,
     sql_dedup_embedding,
     sql_dedup_exact,
@@ -1521,6 +1522,21 @@ FROM afinal GROUP BY cid"""
 ORACLE_Q49 = _kmeans_oracle()
 
 
+def q50_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cosine top-3 for 8 query vectors: Voronoi cells around seeded
+    unit centroids (assignment = a projection, no shuffle), search only
+    the nprobe nearest cells per query — the inverted-file ANN scale path
+    beside LSH (q32). Oracle recomputes the identical seeded centroids in
+    SQL."""
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings")
+    queries = _t(ctx, sf_dir, "embeddings").filter("vec_id < 8")
+    return emb.ann_cosine(queries, method="ivf", k=3, n_cells=16, nprobe=4).df
+
+
+ORACLE_Q50 = sql_ann_cosine_ivf("embeddings", "vec_id < 8", k=3, n_cells=16, nprobe=4)
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -1571,6 +1587,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_token_count": q47_token_count,
     "q48_fingerprint_winnow": q48_fingerprint_winnow,
     "q49_kmeans": q49_kmeans,
+    "q50_ann_ivf": q50_ann_ivf,
 }
 
 ORACLE: Dict[str, str] = {
@@ -1623,4 +1640,5 @@ ORACLE: Dict[str, str] = {
     "q47_token_count": ORACLE_Q47,
     "q48_fingerprint_winnow": ORACLE_Q48,
     "q49_kmeans": ORACLE_Q49,
+    "q50_ann_ivf": ORACLE_Q50,
 }

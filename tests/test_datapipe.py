@@ -128,3 +128,16 @@ def test_fingerprint_winnow_short_doc(ctx):
     s = ctx.stream_iter([(0, "ab")], "doc_id long, text string")
     fps = s.fingerprint_winnow("text", "doc_id").collect_vec()
     assert len(fps) == 1
+
+
+def test_ann_ivf_matches_brute_on_probed_cells(ctx, sf_dir):
+    """IVF with nprobe == n_cells degenerates to exhaustive search: every
+    query probes every cell, so the top-k must equal the brute-force
+    baseline exactly (same rounding, same tie-break)."""
+    emb = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet")
+    qs = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id < 4")
+    ivf = emb.ann_cosine(qs, method="ivf", k=3, n_cells=8, nprobe=8)
+    brute = emb.ann_cosine(qs, method="brute", k=3)
+    got = {(r.qid, r.vec_id, r.cos, r.rank) for r in ivf.collect_vec()}
+    want = {(r.qid, r.vec_id, r.cos, r.rank) for r in brute.collect_vec()}
+    assert got == want and len(got) == 12
