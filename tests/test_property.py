@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) — randomized inputs against brute
+Python references, the reference crate's proptest-style strategy
+(SURVEY.md §5). Each property runs a handful of examples (Spark jobs are
+~0.5 s each); shrinking still localizes failures to minimal inputs."""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SLOW = settings(max_examples=8, deadline=None, derandomize=True)
+
+
+short_floats = st.lists(
+    st.integers(min_value=0, max_value=500), min_size=1, max_size=25
+)
+
+
+@SLOW
+@given(
+    left=short_floats,
+    right=short_floats,
+    lower=st.integers(min_value=0, max_value=20),
+    upper=st.integers(min_value=0, max_value=20),
+)
+def test_interval_join_inner_equals_bruteforce(ctx, left, right, lower, upper):
+    """Bucketed interval_join == brute-force band filter: every (l, r)
+    pair with r in [l - lower, l + upper] appears exactly once."""
+    l_rows = [(i, float(t)) for i, t in enumerate(left)]
+    r_rows = [(j, float(t)) for j, t in enumerate(right)]
+    sl = ctx.stream_iter(l_rows, "lid long, lts double")
+    sr = ctx.stream_iter(r_rows, "rid long, rts double")
+    out = sl.interval_join(
+        sr, left_ts=F.timestamp_seconds("lts"), right_ts=F.timestamp_seconds("rts"),
+        lower=float(lower), upper=float(upper),
+    )
+    got = sorted((r.lid, r.rid) for r in out.df.select("lid", "rid").collect())
+    want = sorted(
+        (i, j)
+        for i, lt in enumerate(left)
+        for j, rt in enumerate(right)
+        if lt - lower <= rt <= lt + upper
+    )
+    assert got == want
+
+
+@SLOW
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    size=st.integers(min_value=1, max_value=6),
+    slide=st.integers(min_value=1, max_value=8),
+)
+def test_count_window_matches_python_reference(ctx, n, size, slide):
+    """CountWindow sliding (any size/slide combination, INCLUDING
+    slide > size gaps — count.rs:112-124 allows it): per-window sums
+    must equal the positional Python reference; gap elements belong to
+    no window."""
+    from renoir_spark.window import CountWindow
+
+    rows = [(0, i, float(i * 7 % 13)) for i in range(n)]
+    s = ctx.stream_iter(rows, "k long, pos long, v double")
+    out = (
+        s.key_by("k")
+        .window(CountWindow.sliding("pos", size=size, slide=slide, exact=True))
+        .fold(total=F.sum("v"))
+        .df.collect()
+    )
+    got = {(r.window_id, r.total) for r in out}
+
+    vals = [float(i * 7 % 13) for i in range(n)]
+    want = set()
+    w = 0
+    while w * slide + size <= n:  # exact=True drops partial tails
+        want.add((w, sum(vals[w * slide : w * slide + size])))
+        w += 1
+    assert got == want
+
+
+@SLOW
+@given(xs=st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=30))
+def test_zip_matches_python_zip(ctx, xs):
+    """Distributed zip (global index join) == Python zip of the two
+    order-sorted sequences, truncated to the shorter side."""
+    a_rows = [(i, x) for i, x in enumerate(xs)]
+    b_rows = [(i, x * 2) for i, x in enumerate(xs[: max(1, len(xs) // 2)])]
+    sa = ctx.stream_iter(a_rows, "ia long, va long")
+    sb = ctx.stream_iter(b_rows, "ib long, vb long")
+    z = sa.zip(sb, order=["ia"], other_order=["ib"])
+    got = sorted((r.va, r.vb) for r in z.df.select("va", "vb").collect())
+    want = sorted(
+        (x, y) for x, y in zip(xs, [x * 2 for x in xs[: max(1, len(xs) // 2)]])
+    )
+    assert got == want
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab \t", min_size=0, max_size=12), min_size=1, max_size=15
+    )
+)
+def test_dedup_exact_properties(ctx, texts):
+    """dedup_exact: output ids are a subset keeping the SMALLEST id per
+    normalized text, and the operator is idempotent."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    s = ctx.stream_iter(rows, "doc_id long, text string")
+    out = s.dedup_exact("text", order=["doc_id"])
+    got = sorted(r.doc_id for r in out.df.select("doc_id").collect())
+
+    def norm(t):
+        return " ".join(t.split()).lower()
+
+    first = {}
+    for i, t in enumerate(texts):
+        first.setdefault(norm(t), i)
+    assert got == sorted(first.values())
+    again = sorted(
+        r.doc_id
+        for r in out.dedup_exact("text", order=["doc_id"]).df.select("doc_id").collect()
+    )
+    assert again == got
