@@ -176,20 +176,21 @@ def sample_frames(stream, content_col: str = "content", *, num_frames: int = 4,
     ) + f", {out_col}_idx int, {out_col}_features array<float>"
 
     def _batches(batches: Iterator) -> Iterator:
-        import pandas as pd
+        import numpy as np
 
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                data = bytes(row[content_col])
-                for i in range(num_frames):
-                    r = row.to_dict()
-                    r[f"{out_col}_idx"] = i
-                    r[f"{out_col}_features"] = _md5_floats(
-                        data, _N_FEATURES, b"frm%d" % i
-                    )
-                    rows.append(r)
-            yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            # row-block repeat, not per-row dict building (iterrows paid
+            # ~python-object cost per cell; repeat is one vectorized copy)
+            rep = pdf.loc[pdf.index.repeat(num_frames)].reset_index(drop=True)
+            idxs = np.tile(np.arange(num_frames), len(pdf))
+            rep[f"{out_col}_idx"] = idxs.astype("int32")
+            rep[f"{out_col}_features"] = [
+                _md5_floats(bytes(b), _N_FEATURES, b"frm%d" % int(i))
+                for b, i in zip(rep[content_col], idxs)
+            ]
+            yield rep
 
     return stream._new(stream.df.mapInPandas(_batches, schema))
 

@@ -1537,6 +1537,51 @@ def q50_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q50 = sql_ann_cosine_ivf("embeddings", "vec_id < 8", k=3, n_cells=16, nprobe=4)
 
 
+def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (SURVEY §2.13): text bytes stand in
+    for media blobs; decode_image / decode_audio / sample_frames run
+    their Arrow-batched stages with the DETERMINISTIC fake codecs
+    (md5-derived metadata — multimodal.py:52-107), which the oracle
+    recomputes from the hex md5 in SQL. Exercises schema evolution,
+    bounded frame explosion and the no-shuffle decode path."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .map(doc_id=F.col("doc_id"), content=F.encode(F.col("text"), "UTF-8"))
+        # single-file scan → parallel decode
+        .shuffle()
+        .decode_image()
+        .decode_audio()
+        .sample_frames(num_frames=2)
+        .map(
+            "doc_id", "image_width", "image_height",
+            "audio_sample_rate", "audio_n_samples", "frame_idx",
+            dur_s=F.round(F.col("audio_duration_s").cast("double"), 6),
+        )
+        .df
+    )
+
+
+ORACLE_Q51 = """
+WITH m AS (
+  -- the media blob is exactly the UTF-8 encoding of text, so md5 over
+  -- the VARCHAR hashes the same bytes the fake codec sees
+  SELECT doc_id, md5(text) AS h FROM documents
+), d AS (
+  SELECT doc_id,
+    16 + ('0x' || substr(h, 1, 2))::INT % 64 AS image_width,
+    16 + ('0x' || substr(h, 3, 2))::INT % 64 AS image_height,
+    8000 * (1 + ('0x' || substr(h, 5, 2))::INT % 6) AS audio_sample_rate,
+    1000 + ('0x' || substr(h, 7, 6))::BIGINT % 100000 AS audio_n_samples
+  FROM m
+)
+SELECT doc_id, image_width, image_height, audio_sample_rate,
+       audio_n_samples, f.i AS frame_idx,
+       round(((audio_n_samples::DOUBLE / audio_sample_rate)::FLOAT)::DOUBLE, 6) AS dur_s
+FROM d, (SELECT unnest([0, 1]) AS i) f
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -1588,6 +1633,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_fingerprint_winnow": q48_fingerprint_winnow,
     "q49_kmeans": q49_kmeans,
     "q50_ann_ivf": q50_ann_ivf,
+    "q51_multimodal_decode": q51_multimodal_decode,
 }
 
 ORACLE: Dict[str, str] = {
@@ -1641,4 +1687,5 @@ ORACLE: Dict[str, str] = {
     "q48_fingerprint_winnow": ORACLE_Q48,
     "q49_kmeans": ORACLE_Q49,
     "q50_ann_ivf": ORACLE_Q50,
+    "q51_multimodal_decode": ORACLE_Q51,
 }
