@@ -1,0 +1,72 @@
+"""Physical-plan regression tests — the 100 TB design properties the
+suite queries rely on, asserted against the EXECUTED plan string so a
+refactor that silently reintroduces a cartesian product, loses a
+broadcast, or stops pushing filters into the parquet scan fails CI, not
+the cluster. (SURVEY.md §4: pushdown/pruning/broadcast are the plan
+features Catalyst gives a declarative graph for free.)"""
+
+import pytest
+
+from renoir_spark import suite
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(ctx, name: str) -> str:
+    df = suite.QUERIES[name](ctx.spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_and_pruning_reach_the_scan(ctx):
+    plan = _plan(ctx, "q01_pricing_summary")
+    scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l
+    )
+    # shipdate predicate pushed into the scan, unused wide columns pruned
+    assert "l_shipdate" in scan
+    assert "l_comment" not in scan and "l_orderkey" not in scan
+
+
+def test_q05_broadcast_chain_never_shuffles_the_fact_table(ctx):
+    plan = _plan(ctx, "q05_broadcast_chain")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q11_interval_join",
+        "q28_dedup_minhash",
+        "q33_dedup_simhash",
+        "q34_ngram_jaccard",
+        "q35_dedup_embedding",
+        "q32_ann_lsh",
+        "q50_ann_ivf",
+    ],
+)
+def test_no_cartesian_or_nested_loop_in_bucketed_operators(ctx, name):
+    """Every dedup/similarity/band operator promises candidate
+    generation via equi-joins on bucket keys — a cartesian product or
+    nested-loop join in the plan means the bucketing silently stopped
+    working."""
+    plan = _plan(ctx, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q09_wordcount_parallelizes_the_single_file_scan(ctx):
+    """The documents table is one small parquet file (one input split);
+    tokenization must run AFTER a repartition or one task does all the
+    work at any scale (round-1 verdict: 7.8 s -> 84 s tail)."""
+    plan = _plan(ctx, "q09_wordcount")
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_interval_join_band_is_residual_on_equi_join(ctx):
+    """The band predicate must ride an equi-join (bucket + key), never a
+    join-free theta filter."""
+    plan = _plan(ctx, "q11_interval_join")
+    assert "__bucket" in plan
+    assert "CartesianProduct" not in plan
