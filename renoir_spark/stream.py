@@ -502,6 +502,37 @@ class Stream:
         of names, or a join Column condition."""
         return self._new(self.df.join(other.df, on, how))
 
+    def join_salted(self, other: "Stream", on, *, salt: int = 8,
+                    how: str = "inner") -> "Stream":
+        """Skew-proof equi-join — same RESULT as :meth:`join`, different
+        execution: the left (large, skewed) side gains a uniform salt in
+        ``[0, salt)``, the right side is replicated ``salt`` times via an
+        exploded sequence, and the join runs on ``(keys…, salt)`` — so a
+        single hot key's rows spread over ``salt`` tasks instead of one
+        straggler. Use when a specific key's frequency beats what AQE's
+        skew-join splitting handles (renoir shards keys by hash and has
+        the same hot-key problem, src/network/topology.rs routing).
+
+        ``salt`` multiplies the RIGHT side's shuffle volume — size it to
+        the skew, not to the cluster. inner/left only: a replicated right
+        row would report ``salt − 1`` false "unmatched" copies under
+        right/full semantics.
+        """
+        if how not in ("inner", "left"):
+            raise ValueError(f"join_salted supports inner/left, got {how!r}")
+        keys = [on] if isinstance(on, str) else list(on)
+        left = self.df.withColumn(
+            "__salt", F.floor(F.rand(42) * salt).cast("int")
+        )
+        right = other.df.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0).cast("int"), F.lit(salt - 1).cast("int"))
+            ).alias("__salt"),
+        )
+        out = left.join(right, keys + ["__salt"], how).drop("__salt")
+        return self._new(out)
+
     def left_join(self, other: "Stream", on) -> "Stream":
         """renoir ``left_join`` (src/operator/join/mod.rs:163-179)."""
         return self.join(other, on, how="left")

@@ -1562,6 +1562,37 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew-proof join: identical RESULT to a plain equi-join
+    (the oracle is the plain join), different execution — hot customer
+    keys spread over 8 salt buckets instead of one straggler task. The
+    correctness gate proves salting is pure execution strategy."""
+    ctx = _ctx(spark)
+    orders = _t(ctx, sf_dir, "orders").map(
+        custkey=F.col("o_custkey"), price=F.col("o_totalprice")
+    )
+    cust = _t(ctx, sf_dir, "customer").map(
+        custkey=F.col("c_custkey"), segment=F.col("c_mktsegment")
+    )
+    return (
+        orders.join_salted(cust, "custkey", salt=8)
+        .group_by("segment")
+        .fold(
+            n=F.count(F.lit(1)),
+            avg_price=F.round(F.avg("price"), 6),
+        )
+        .df
+    )
+
+
+ORACLE_Q52 = """
+SELECT c.c_mktsegment AS segment, count(*) AS n,
+       round(avg(o.o_totalprice), 6) AS avg_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 ORACLE_Q51 = """
 WITH m AS (
   -- the media blob is exactly the UTF-8 encoding of text, so md5 over
@@ -1634,6 +1665,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_kmeans": q49_kmeans,
     "q50_ann_ivf": q50_ann_ivf,
     "q51_multimodal_decode": q51_multimodal_decode,
+    "q52_salted_join": q52_salted_join,
 }
 
 ORACLE: Dict[str, str] = {
@@ -1688,4 +1720,5 @@ ORACLE: Dict[str, str] = {
     "q49_kmeans": ORACLE_Q49,
     "q50_ann_ivf": ORACLE_Q50,
     "q51_multimodal_decode": ORACLE_Q51,
+    "q52_salted_join": ORACLE_Q52,
 }

@@ -217,3 +217,26 @@ def test_rich_map_batches_partition_state(ctx):
     assert len(got) == 100
     # each partition numbers from 0 upward; max seq < 100
     assert all(0 <= r.seq < 100 for r in got)
+
+
+def test_join_salted_equals_plain_join(ctx):
+    """Salting is pure execution strategy: inner and left salted joins
+    must equal the plain joins row-for-row, including unmatched-left
+    null extension."""
+    left = ctx.stream_iter(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "z")], "k long, lv string"
+    )
+    right = ctx.stream_iter([(1, 10.0), (2, 20.0)], "k long, rv double")
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.lv, r.rv)
+            for r in left.join_salted(right, "k", salt=4, how=how).df.collect()
+        )
+        want = sorted(
+            (r.k, r.lv, r.rv) for r in left.join(right, "k", how=how).df.collect()
+        )
+        assert got == want, how
+    import pytest
+
+    with pytest.raises(ValueError):
+        left.join_salted(right, "k", how="full")
