@@ -1562,6 +1562,57 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure — renoir ``iterate`` to a FIXPOINT
+    (src/operator/iteration/iterate.rs:306-439; example
+    examples/transitive_closure.rs): closure ∘ edges ∪ closure each
+    round, stop when the pair count stops growing. Chain DAG from
+    nation (n → n+5), depth 4, so the loop exercises real multi-round
+    growth. Oracle: DuckDB recursive CTE (UNION dedup = same fixpoint).
+
+    Scale: each round is one equi-join against the (broadcast, cached)
+    edge set + a distinct; the loop condition is the one driver-side
+    action per round (renoir's leader barrier)."""
+    ctx = _ctx(spark)
+    edges = (
+        _t(ctx, sf_dir, "nation")
+        .filter("n_nationkey < 20")
+        .map(src=F.col("n_nationkey"), dst=F.col("n_nationkey") + 5)
+        .cache()
+    )
+
+    def body(s, _handle):
+        grown = (
+            s.df.alias("c")
+            .join(F.broadcast(edges.df.alias("e")), F.col("c.dst") == F.col("e.src"))
+            .select(F.col("c.src").alias("src"), F.col("e.dst").alias("dst"))
+        )
+        return ctx.from_df(s.df.union(grown).distinct())
+
+    def update(state, df):
+        return (state[1], df.count())
+
+    (_prev, _n), closure = edges.iterate(
+        10, (-1, 0), body, update,
+        loop_condition=lambda s: s[0] != s[1],
+        shuffle_partitions=8,
+    )
+    return closure.df.select("src", "dst")
+
+
+ORACLE_Q53 = """
+WITH RECURSIVE e AS (
+  SELECT n_nationkey AS src, n_nationkey + 5 AS dst
+  FROM nation WHERE n_nationkey < 20
+), r(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src
+)
+SELECT src, dst FROM r
+"""
+
+
 def q52_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew-proof join: identical RESULT to a plain equi-join
     (the oracle is the plain join), different execution — hot customer
@@ -1666,6 +1717,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_ann_ivf": q50_ann_ivf,
     "q51_multimodal_decode": q51_multimodal_decode,
     "q52_salted_join": q52_salted_join,
+    "q53_transitive_closure": q53_transitive_closure,
 }
 
 ORACLE: Dict[str, str] = {
@@ -1721,4 +1773,5 @@ ORACLE: Dict[str, str] = {
     "q50_ann_ivf": ORACLE_Q50,
     "q51_multimodal_decode": ORACLE_Q51,
     "q52_salted_join": ORACLE_Q52,
+    "q53_transitive_closure": ORACLE_Q53,
 }
