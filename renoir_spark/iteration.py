@@ -230,12 +230,24 @@ def delta_iterate(
             return state._stream(out)
 
     state_df = keyed.df
-    prev: Optional[DataFrame] = None
+    # ONE action per round (the delta count — renoir's leader barrier,
+    # leader.rs:26-100): counting round r's delta executes the persisted
+    # state_{r-1} plan and thereby populates its cache, so generation
+    # r-2 (state and delta) can be released AFTER that barrier instead
+    # of paying a second materializing count per round.
+    prev_state: Optional[DataFrame] = None
+    prev_delta: Optional[DataFrame] = None
     with _loop_confs(state_df.sparkSession, adaptive, shuffle_partitions):
         for it in range(num_iterations):
             state_ks = KeyedStream(keyed.ctx, state_df, keys)
             delta_df = body(state_ks, it).df.persist()
-            n_delta = delta_df.count()  # leader barrier (leader.rs:26-100)
+            n_delta = delta_df.count()  # leader barrier
+            if prev_state is not None:
+                prev_state.unpersist()
+                prev_state = None
+            if prev_delta is not None:
+                prev_delta.unpersist()
+                prev_delta = None
             if n_delta == 0:
                 delta_df.unpersist()
                 break
@@ -243,14 +255,9 @@ def delta_iterate(
                 KeyedStream(keyed.ctx, state_df, keys),
                 KeyedStream(keyed.ctx, delta_df, keys),
             ).df
-            # materialize THIS round's state before the old one is
-            # released — with lazy persist the next round's first action
-            # would otherwise rebuild it from an unpersisted parent
             new_state = _materialize(new_state, it, checkpoint_every)
-            new_state.count()
-            if prev is not None:
-                prev.unpersist()
-            delta_df.unpersist()
-            prev = new_state
+            if it > 0:
+                prev_state = state_df
+            prev_delta = delta_df
             state_df = new_state
     return KeyedStream(keyed.ctx, state_df, keys)
