@@ -935,6 +935,75 @@ SELECT {keep_cols}, CASE {whens} ELSE 'und' END AS {alias} FROM s
 
 
 # --------------------------------------------------------------------- #
+# KMV distinct-count sketch
+# --------------------------------------------------------------------- #
+
+def approx_distinct_kmv(stream, col, *, k: int = 256, alias: str = "approx_distinct"):
+    """Approximate distinct count via a K-MINIMUM-VALUES sketch: hash
+    every value to [0, 1), keep the k smallest hashes, estimate
+    |distinct| ≈ (k−1) / h_(k) (the k-th minimum). Deterministic — the
+    hash is the shared md5 map, so the DuckDB oracle computes the
+    IDENTICAL estimate (unlike HLL, whose register layout is
+    engine-specific).
+
+    Scale: each partition folds its rows into a local k-distinct-minima
+    sketch (one Arrow-vectorized pass — sort/unique per batch over a
+    bounded k-state); only partitions × k hashes leave the executors,
+    then one tiny merge (distinct + top-k) finishes the combine. A
+    ``distinct().orderBy().limit(k)`` formulation would shuffle EVERY
+    distinct hash — the very cost the sketch exists to avoid. The
+    sketch is order statistics, so per-partition minima then merge IS
+    the associative combine, and the result is partitioning-independent
+    (the oracle computes the identical k minima globally). Falls back
+    to the exact count when fewer than k distinct hashes exist.
+    """
+    two60 = float(1 << 60)
+
+    def _local_kmv(batches):
+        import numpy as np
+        import pandas as pd
+
+        state = np.empty(0, dtype=np.float64)
+        for pdf in batches:
+            state = np.sort(
+                np.unique(np.concatenate([state, pdf["__h"].values]))
+            )[:k]
+        yield pd.DataFrame({"__h": state})
+
+    hashes = (
+        stream.df.select((md5_int60(to_col(col)) / F.lit(two60)).alias("__h"))
+        .mapInPandas(_local_kmv, "__h double")
+        .distinct()
+        .orderBy("__h")
+        .limit(k)
+    )
+    est = hashes.agg(
+        F.when(
+            F.count(F.lit(1)) < k,
+            F.count(F.lit(1)).cast("double"),
+        )
+        .otherwise(F.round(F.lit(float(k - 1)) / F.max("__h"), 3))
+        .alias(alias)
+    )
+    return stream._new(est)
+
+
+def sql_approx_distinct_kmv(table_expr: str, col: str, *, k: int = 256,
+                            alias: str = "approx_distinct") -> str:
+    two60 = float(1 << 60)
+    return f"""
+WITH h AS (
+  SELECT DISTINCT {sql_md5_int60(col)} / {two60} AS hv FROM {table_expr}
+), topk AS (
+  SELECT hv FROM h ORDER BY hv LIMIT {k}
+)
+SELECT CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+       ELSE round({float(k - 1)} / max(hv), 3) END AS {alias}
+FROM topk
+"""
+
+
+# --------------------------------------------------------------------- #
 # cosine similarity search over embeddings
 # --------------------------------------------------------------------- #
 

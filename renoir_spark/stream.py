@@ -759,6 +759,13 @@ class Stream:
 
         return _tc(self, text_col)
 
+    def approx_distinct_kmv(self, col, *, k: int = 256,
+                            alias: str = "approx_distinct") -> "Stream":
+        """KMV distinct-count sketch — datapipe.approx_distinct_kmv."""
+        from .datapipe import approx_distinct_kmv as _kmv
+
+        return _kmv(self, col, k=k, alias=alias)
+
     def fingerprint_winnow(self, text_col: str, id_col: str, **kw) -> "Stream":
         """Winnowing rolling-hash fingerprints, exploded (id, fp) pairs.
         See datapipe.fingerprint_winnow."""

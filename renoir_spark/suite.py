@@ -901,6 +901,7 @@ from .datapipe import (  # noqa: E402  (oracle generators share constants)
     sql_ann_cosine_brute,
     sql_ann_cosine_ivf,
     sql_ann_cosine_lsh,
+    sql_approx_distinct_kmv,
     sql_dedup_embedding,
     sql_dedup_exact,
     sql_dedup_minhash,
@@ -1562,6 +1563,25 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over lineitem order keys: partition-
+    local k-minima fold → tiny merge → (k−1)/h_(k) estimate. The hash is
+    the shared md5 map, so the oracle computes the IDENTICAL estimate —
+    the sketch itself is verified, not just its error bound."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "lineitem")
+        .map(key=F.col("l_orderkey").cast("string"))
+        .approx_distinct_kmv("key", k=256)
+        .df
+    )
+
+
+ORACLE_Q54 = sql_approx_distinct_kmv(
+    "(SELECT l_orderkey::VARCHAR AS key FROM lineitem)", "key", k=256
+)
+
+
 def q53_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure — renoir ``iterate`` to a FIXPOINT
     (src/operator/iteration/iterate.rs:306-439; example
@@ -1718,6 +1738,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_multimodal_decode": q51_multimodal_decode,
     "q52_salted_join": q52_salted_join,
     "q53_transitive_closure": q53_transitive_closure,
+    "q54_kmv_distinct": q54_kmv_distinct,
 }
 
 ORACLE: Dict[str, str] = {
@@ -1774,4 +1795,5 @@ ORACLE: Dict[str, str] = {
     "q51_multimodal_decode": ORACLE_Q51,
     "q52_salted_join": ORACLE_Q52,
     "q53_transitive_closure": ORACLE_Q53,
+    "q54_kmv_distinct": ORACLE_Q54,
 }

@@ -141,3 +141,24 @@ def test_ann_ivf_matches_brute_on_probed_cells(ctx, sf_dir):
     got = {(r.qid, r.vec_id, r.cos, r.rank) for r in ivf.collect_vec()}
     want = {(r.qid, r.vec_id, r.cos, r.rank) for r in brute.collect_vec()}
     assert got == want and len(got) == 12
+
+
+def test_kmv_distinct_partitioning_independent(ctx):
+    """The KMV sketch is order statistics: the estimate must be identical
+    regardless of partitioning, exact below k, and within ~3/sqrt(k) of
+    the truth above k."""
+    rows = [(i % 500,) for i in range(5000)]
+    for parts in (1, 7):
+        s = ctx.from_df(
+            ctx.spark.createDataFrame(rows, "v long").repartition(parts)
+        )
+        [r] = s.approx_distinct_kmv(F.col("v").cast("string"), k=64).collect_vec()
+        est = r.approx_distinct
+        assert abs(est - 500) / 500 < 3 / 8, est
+        if parts == 1:
+            first = est
+    assert est == first  # partitioning-independent
+    # below k → exact
+    small = ctx.stream_iter([(i,) for i in range(10)], "v long")
+    [r] = small.approx_distinct_kmv(F.col("v").cast("string"), k=64).collect_vec()
+    assert r.approx_distinct == 10.0
