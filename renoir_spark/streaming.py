@@ -132,6 +132,26 @@ def foreach_batch(df: DataFrame, fn, *, timeout_s: int = 120):
     return q
 
 
+def dedup_exact_stream(stream, text_col: str, *, ts_col: str, delay: str = "10 minutes"):
+    """Streaming exact content dedup — the unbounded form of
+    ``Stream.dedup_exact``: normalize → sha2 content key →
+    ``dropDuplicatesWithinWatermark``. The dedup state is BOUNDED by the
+    watermark delay (a key older than watermark − delay is evicted), so
+    state stays O(arrival rate × delay) instead of O(all history) — the
+    practical contract for a training-data ingest stream where true
+    duplicates arrive close together. Keeps each content key's FIRST
+    arrival. Runs on bounded frames too (plain dropDuplicates) for
+    parity testing."""
+    from .datapipe import norm_text
+
+    df = stream.df.withColumn("__ck", F.sha2(norm_text(text_col), 256))
+    if df.isStreaming:
+        out = df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["__ck"])
+    else:
+        out = df.dropDuplicates(["__ck"])
+    return stream._new(out.drop("__ck"))
+
+
 def interval_join_stream(
     left,
     right,

@@ -220,3 +220,28 @@ def test_stream_stream_interval_join_equals_batch(ctx, stream_dir):
         for r in batch.df.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_exact_bounded_state(ctx):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): duplicate
+    content arriving across micro-batches within the watermark delay
+    must emit ONCE; distinct contents all pass. State is bounded by the
+    delay, not by history."""
+    from renoir_spark.streaming import dedup_exact_stream
+
+    ch = ctx.stream_channel("doc_id long, ts timestamp, text string")
+    t0 = _ts(1000)
+    ch.push([(0, t0, "alpha beta"), (1, t0, "gamma")])
+    ch.push([(2, t0, "Alpha   beta"), (3, t0, "delta")])  # dup of 0 after norm
+
+    s = ch.stream(max_files_per_trigger=1)
+    out = dedup_exact_stream(s, "text", ts_col="ts", delay="1 hour")
+    got = run_to_completion(out.df, output_mode="append")
+    texts = sorted(" ".join(r.text.lower().split()) for r in got)
+    assert texts == ["alpha beta", "delta", "gamma"]
+    # first arrival wins
+    assert {r.doc_id for r in got} == {0, 1, 3}
+
+    # batch path: same plan, plain dropDuplicates
+    batch = dedup_exact_stream(ch.stream_batch(), "text", ts_col="ts")
+    assert batch.df.count() == 3
