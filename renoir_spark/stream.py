@@ -694,10 +694,25 @@ class Stream:
         df = self.df.offset(offset) if offset else self.df
         return self._new(df.limit(n))
 
-    def sorted_limit_by(self, cols, n: int, offset: int = 0) -> "Stream":
+    def sorted_limit_by(self, cols, n: int, offset: int = 0,
+                        *, per=None) -> "Stream":
         """Top-k — renoir ``sorted_limit_by``
-        (src/operator/mod.rs:1317-1327) → TakeOrderedAndProject."""
+        (src/operator/mod.rs:1317-1327) → TakeOrderedAndProject.
+        ``per``: group column(s) for per-GROUP top-k (rolling-top-words
+        shape, examples/rolling_top_words.rs) — one partitioned
+        row_number, partial-ranked per partition before the shuffle."""
         cols = [cols] if isinstance(cols, (str, Column)) else list(cols)
+        if per is not None:
+            per = [per] if isinstance(per, (str, Column)) else list(per)
+            if offset:
+                raise ValueError("offset is not supported with per-group top-k")
+            w = Window.partitionBy(*to_cols(per)).orderBy(*to_cols(cols))
+            out = (
+                self.df.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= n)
+                .drop("__rk")
+            )
+            return self._new(out)
         return self.sorted_by(*cols).limit(n, offset)
 
     # ------------------------------------------------------------------ #

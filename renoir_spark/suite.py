@@ -1563,6 +1563,95 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q55_rolling_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling top-k — restates the reference's rolling_top_words example
+    (examples/rolling_top_words.rs): per sliding event-time window, the
+    3 most frequent tokens (event types as the token stream), ranked by
+    (count desc, token). Counts come from the windowed fold; the rank is
+    one partitioned row_number over the (small) per-window count set."""
+    ctx = _ctx(spark)
+    counts = (
+        _t(ctx, sf_dir, "events")
+        .key_by("event_type")
+        .window(EventTimeWindow.sliding("ts", 172800.0, 86400.0))
+        .fold(n=F.count(F.lit(1)))
+        .map("event_type", win_s=F.col("win_start").cast("long"), n=F.col("n"))
+        .sorted_limit_by(
+            [F.col("n").desc(), F.col("event_type")], 3, per="win_s"
+        )
+    )
+    return counts.df
+
+
+ORACLE_Q55 = """
+WITH counts AS (
+  SELECT event_type, CAST(w * 86400 AS BIGINT) AS win_s, count(*) AS n
+  FROM (
+    SELECT event_type,
+           unnest([floor(epoch(ts)/86400) - 1, floor(epoch(ts)/86400)]) AS w
+    FROM events
+  )
+  GROUP BY event_type, w
+)
+SELECT event_type, win_s, n FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY win_s ORDER BY n DESC, event_type) AS rk
+  FROM counts
+) WHERE rk <= 3
+"""
+
+
+def q56_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting — restates the reference's triangles examples
+    (examples/triangles_fold.rs): nations sharing a region form a
+    complete subgraph; count triangles per region via the canonical
+    ordered 3-way self-join (u < v < w counts each triangle once).
+
+    Scale: edges shuffle on the join vertex; the ordering predicate
+    keeps the join tree linear (no cartesian — every hop is an
+    equi-join on a vertex id)."""
+    ctx = _ctx(spark)
+    nation = _t(ctx, sf_dir, "nation").df
+    e = (
+        nation.alias("a")
+        .join(
+            nation.alias("b"),
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_nationkey").alias("u"),
+            F.col("b.n_nationkey").alias("v"),
+            F.col("a.n_regionkey").alias("r"),
+        )
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e1.v") == F.col("e2.u")) & (F.col("e1.r") == F.col("e2.r")))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .groupBy(F.col("e1.r").alias("region"))
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return tri
+
+
+ORACLE_Q56 = """
+WITH e AS (
+  SELECT a.n_nationkey AS u, b.n_nationkey AS v, a.n_regionkey AS r
+  FROM nation a JOIN nation b
+    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+)
+SELECT e1.r AS region, count(*) AS triangles
+FROM e e1
+JOIN e e2 ON e1.v = e2.u AND e1.r = e2.r
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+GROUP BY e1.r
+"""
+
+
 def q54_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch over lineitem order keys: partition-
     local k-minima fold → tiny merge → (k−1)/h_(k) estimate. The hash is
@@ -1739,6 +1828,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_salted_join": q52_salted_join,
     "q53_transitive_closure": q53_transitive_closure,
     "q54_kmv_distinct": q54_kmv_distinct,
+    "q55_rolling_top_words": q55_rolling_top_words,
+    "q56_triangles": q56_triangles,
 }
 
 ORACLE: Dict[str, str] = {
@@ -1796,4 +1887,6 @@ ORACLE: Dict[str, str] = {
     "q52_salted_join": ORACLE_Q52,
     "q53_transitive_closure": ORACLE_Q53,
     "q54_kmv_distinct": ORACLE_Q54,
+    "q55_rolling_top_words": ORACLE_Q55,
+    "q56_triangles": ORACLE_Q56,
 }
