@@ -1652,6 +1652,107 @@ GROUP BY e1.r
 """
 
 
+_LR_ROUNDS = 3
+_LR_RATE = 0.1
+
+
+def q57_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression — restates the reference's
+    examples/logistic_regression.rs on ``replay``: the point set is
+    re-fed every round, the weight vector is the replayed state, each
+    round is ONE aggregation (three gradient sums + count — Catalyst's
+    partial/final agg is the two-phase fold renoir writes by hand).
+
+    Determinism contract (same trick as q49): gradient SUMS round to 6
+    decimals and weights to 9 each round, so engine-specific float
+    association (and libm exp ulp noise) cannot drift the trajectory; the
+    oracle unrolls the identical rounds in SQL. The final accuracy test
+    uses the sign of z only — no exp — so it is exactly mirrorable."""
+    ctx = _ctx(spark)
+    pts = _t(ctx, sf_dir, "events").map(
+        x1=F.col("value"),
+        x2=(F.col("event_id") % 97).cast("double") / F.lit(9.7),
+        y=(F.col("value") > 0.5).cast("double"),
+    )
+
+    def body(s, handle):
+        w1, w2, b = handle.get()
+        z = F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2") + F.lit(b)
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        return s.map(
+            "x1", "x2", "y",
+            g1=(sig - F.col("y")) * F.col("x1"),
+            g2=(sig - F.col("y")) * F.col("x2"),
+            g0=sig - F.col("y"),
+        )
+
+    def update(state, df):
+        w1, w2, b = state
+        r = df.agg(
+            F.round(F.sum("g1"), 6).alias("s1"),
+            F.round(F.sum("g2"), 6).alias("s2"),
+            F.round(F.sum("g0"), 6).alias("s0"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (
+            round(w1 - _LR_RATE * r.s1 / r.n, 9),
+            round(w2 - _LR_RATE * r.s2 / r.n, 9),
+            round(b - _LR_RATE * r.s0 / r.n, 9),
+        )
+
+    w1, w2, b = pts.replay(_LR_ROUNDS, (0.0, 0.0, 0.0), body, update)
+    z = F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2") + F.lit(b)
+    pred = F.when(z > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        pts.fold(
+            n_correct=F.sum(F.when(pred == F.col("y"), 1).otherwise(0)),
+        )
+        .map(
+            w1=F.lit(w1), w2=F.lit(w2), b=F.lit(b),
+            n_correct=F.col("n_correct"),
+        )
+        .df
+    )
+
+
+def _logreg_oracle() -> str:
+    parts = [
+        """
+WITH p AS (
+  SELECT value AS x1, (event_id % 97)::DOUBLE / 9.7 AS x2,
+         (value > 0.5)::DOUBLE AS y
+  FROM events
+), w0 AS (SELECT 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2, 0.0::DOUBLE AS b)"""
+    ]
+    for r in range(1, _LR_ROUNDS + 1):
+        parts.append(
+            f""", g{r} AS (
+  SELECT round(sum((1.0/(1.0+exp(-(w.w1*x1 + w.w2*x2 + w.b))) - y) * x1), 6) AS s1,
+         round(sum((1.0/(1.0+exp(-(w.w1*x1 + w.w2*x2 + w.b))) - y) * x2), 6) AS s2,
+         round(sum(1.0/(1.0+exp(-(w.w1*x1 + w.w2*x2 + w.b))) - y), 6) AS s0,
+         count(*) AS n
+  FROM p, w{r - 1} w
+), w{r} AS (
+  SELECT round(w.w1 - {_LR_RATE} * g.s1 / g.n, 9) AS w1,
+         round(w.w2 - {_LR_RATE} * g.s2 / g.n, 9) AS w2,
+         round(w.b  - {_LR_RATE} * g.s0 / g.n, 9) AS b
+  FROM w{r - 1} w, g{r} g
+)"""
+        )
+    parts.append(
+        f"""
+SELECT w.w1, w.w2, w.b,
+       sum(CASE WHEN (CASE WHEN w.w1*x1 + w.w2*x2 + w.b > 0
+                      THEN 1.0 ELSE 0.0 END) = y THEN 1 ELSE 0 END) AS n_correct
+FROM p, w{_LR_ROUNDS} w
+GROUP BY w.w1, w.w2, w.b"""
+    )
+    return "".join(parts)
+
+
+ORACLE_Q57 = _logreg_oracle()
+
+
 def q54_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch over lineitem order keys: partition-
     local k-minima fold → tiny merge → (k−1)/h_(k) estimate. The hash is
@@ -1830,6 +1931,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_kmv_distinct": q54_kmv_distinct,
     "q55_rolling_top_words": q55_rolling_top_words,
     "q56_triangles": q56_triangles,
+    "q57_logistic_regression": q57_logistic_regression,
 }
 
 ORACLE: Dict[str, str] = {
@@ -1889,4 +1991,5 @@ ORACLE: Dict[str, str] = {
     "q54_kmv_distinct": ORACLE_Q54,
     "q55_rolling_top_words": ORACLE_Q55,
     "q56_triangles": ORACLE_Q56,
+    "q57_logistic_regression": ORACLE_Q57,
 }
