@@ -22,6 +22,15 @@ SWEEP = [
     "q12_zip",
     "q14_count_window",
     "q22_outer_join",
+    # round-2 partition-sensitive machinery: bucketed dedup/similarity
+    # (persist + band joins), the sorted-partition Arrow pass with its
+    # cross-batch key carry, IVF's mapInPandas assignment, and the
+    # partition-local KMV sketch fold
+    "q28_dedup_minhash",
+    "q34_ngram_jaccard",
+    "q36_transaction_window",
+    "q50_ann_ivf",
+    "q54_kmv_distinct",
 ]
 
 
