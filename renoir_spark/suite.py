@@ -1652,6 +1652,35 @@ GROUP BY e1.r
 """
 
 
+def q58_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access (§2.10 scalar surface): parse the events
+    table's JSON ``props`` column with an expression (get_json_object —
+    JVM-side, no UDF), aggregate the extracted field per event type."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "events")
+        .map(
+            "event_type",
+            k=F.get_json_object(F.col("props"), "$.k").cast("long"),
+        )
+        .group_by("event_type")
+        .fold(
+            n=F.count(F.lit(1)),
+            sum_k=F.sum("k"),
+            max_k=F.max("k"),
+        )
+        .df
+    )
+
+
+ORACLE_Q58 = """
+SELECT event_type, count(*) AS n,
+       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 _LR_ROUNDS = 3
 _LR_RATE = 0.1
 
@@ -1932,6 +1961,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_rolling_top_words": q55_rolling_top_words,
     "q56_triangles": q56_triangles,
     "q57_logistic_regression": q57_logistic_regression,
+    "q58_json_props": q58_json_props,
 }
 
 ORACLE: Dict[str, str] = {
@@ -1992,4 +2022,5 @@ ORACLE: Dict[str, str] = {
     "q55_rolling_top_words": ORACLE_Q55,
     "q56_triangles": ORACLE_Q56,
     "q57_logistic_regression": ORACLE_Q57,
+    "q58_json_props": ORACLE_Q58,
 }
