@@ -1652,6 +1652,41 @@ GROUP BY e1.r
 """
 
 
+def q59_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): fact-side filter pushed to
+    the lineitem scan, part dimension broadcast, conditional aggregation
+    — the last driver table (part) exercised. One broadcast join, one
+    single-row aggregate, zero fact shuffles."""
+    ctx = _ctx(spark)
+    li = (
+        _t(ctx, sf_dir, "lineitem")
+        .filter("l_shipdate >= timestamp'1995-09-01' AND l_shipdate < timestamp'1995-10-01'")
+        .map("l_partkey", rev=F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    )
+    part = _t(ctx, sf_dir, "part").map("p_partkey", "p_type")
+    joined = li.join_with(part, "l_partkey", "p_partkey").ship_broadcast_right().inner()
+    promo = F.when(F.col("p_type") == "ECONOMY", F.col("rev")).otherwise(F.lit(0.0))
+    return (
+        joined.fold(
+            promo_share=F.round(F.lit(100.0) * F.sum(promo) / F.sum("rev"), 6),
+            n=F.count(F.lit(1)),
+        )
+        .df
+    )
+
+
+ORACLE_Q59 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
 def q58_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access (§2.10 scalar surface): parse the events
     table's JSON ``props`` column with an expression (get_json_object —
@@ -1962,6 +1997,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_triangles": q56_triangles,
     "q57_logistic_regression": q57_logistic_regression,
     "q58_json_props": q58_json_props,
+    "q59_promo_revenue": q59_promo_revenue,
 }
 
 ORACLE: Dict[str, str] = {
@@ -2023,4 +2059,5 @@ ORACLE: Dict[str, str] = {
     "q56_triangles": ORACLE_Q56,
     "q57_logistic_regression": ORACLE_Q57,
     "q58_json_props": ORACLE_Q58,
+    "q59_promo_revenue": ORACLE_Q59,
 }
