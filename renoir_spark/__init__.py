@@ -16,6 +16,15 @@ from .context import ChannelSource, StreamContext
 from .iteration import IterationStateHandle
 from .keyed import KeyedStream
 from .stream import Stream
+from .streaming import (
+    dedup_exact_stream,
+    event_time_agg,
+    foreach_batch,
+    interval_join_stream,
+    keyed_map_with_state,
+    run_to_completion,
+    session_agg,
+)
 from .window import (
     AllWindow,
     CountWindow,
@@ -43,4 +52,11 @@ __all__ = [
     "AllWindow",
     "ProcessingTimeWindow",
     "TransactionWindow",
+    "event_time_agg",
+    "session_agg",
+    "interval_join_stream",
+    "dedup_exact_stream",
+    "keyed_map_with_state",
+    "run_to_completion",
+    "foreach_batch",
 ]
