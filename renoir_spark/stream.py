@@ -800,6 +800,13 @@ class Stream:
 
         return _da(self, content_col, out_col)
 
+    def decode_media(self, content_col: str = "content", *, image: bool = True,
+                     audio: bool = True) -> "Stream":
+        """Fused image+audio decode (one Arrow pass) — multimodal.decode_media."""
+        from .multimodal import decode_media as _dm
+
+        return _dm(self, content_col, image=image, audio=audio)
+
     def resize_image(self, *, width: int, height: int, prefix: str = "image") -> "Stream":
         """Resize metadata rewrite — multimodal.resize_image."""
         from .multimodal import resize_image as _ri

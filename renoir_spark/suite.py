@@ -1549,10 +1549,10 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(ctx, sf_dir, "documents")
         .map(doc_id=F.col("doc_id"), content=F.encode(F.col("text"), "UTF-8"))
-        # single-file scan → parallel decode
+        # single-file scan → parallel decode; fused image+audio decode =
+        # one Arrow pass over the heavy binary column instead of two
         .shuffle()
-        .decode_image()
-        .decode_audio()
+        .decode_media()
         .sample_frames(num_frames=2)
         .map(
             "doc_id", "image_width", "image_height",

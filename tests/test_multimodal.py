@@ -73,3 +73,19 @@ def test_pack_binary_projection(ctx, media_dir):
     s = pack_binary(ctx.stream_binary(media_dir, glob="*.bin"))
     assert s.df.columns == ["path", "content", "length"]
     assert s.collect_count() == 6
+
+
+def test_decode_media_fused_equals_chained(ctx):
+    """decode_media (one Arrow pass) must produce exactly the columns and
+    values of decode_image().decode_audio() chained."""
+    rows = [(1, b"abc"), (2, b"defgh")]
+    s = ctx.stream_iter(rows, "id long, content binary")
+    fused = s.decode_media().df
+    chained = s.decode_image().decode_audio().df
+    assert fused.columns == chained.columns
+    f = sorted(tuple(r) for r in fused.drop("content", "image_features", "audio_features").collect())
+    c = sorted(tuple(r) for r in chained.drop("content", "image_features", "audio_features").collect())
+    assert f == c
+    ff = {r.id: (r.image_features, r.audio_features) for r in fused.collect()}
+    cc = {r.id: (r.image_features, r.audio_features) for r in chained.collect()}
+    assert ff == cc
