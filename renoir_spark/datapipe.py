@@ -196,6 +196,13 @@ def dedup_minhash(
     join splits them; band count trades recall for bucket size as usual
     for LSH. (Measured 2× faster than shipping shingles through the
     bucket join at sf0.1.)
+
+    The pre-verify ``distinct`` on candidate pairs is DELIBERATE: locally
+    it costs a shuffle that removing would save (~0.7 s at sf0.1), but a
+    pair matching in several bands would otherwise ride the shingle
+    re-attach joins up to ``bands`` times — at scale the redundant
+    shipping of KB-sized shingle arrays dwarfs a 16-byte-row pair
+    dedup shuffle.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
