@@ -1,8 +1,12 @@
 """Every suite query vs its DuckDB oracle, mirroring the driver protocol:
-row count + column set + order-insensitive values (floats rounded by the
-queries themselves, so exact compare here)."""
+row count + column set + order-insensitive values. Floats compare
+BIT-EXACT (IEEE bytes): the queries control rounding on both engines, so
+any representation drift — sum association, libm ulp noise, rounding-mode
+divergence — is a real regression the driver's value hash would also
+catch."""
 
 import math
+import struct
 
 import pytest
 
@@ -13,8 +17,7 @@ def _normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # queries round explicitly; collapse -0.0 and float repr noise
-        return round(v, 9)
+        return struct.pack(">d", v).hex()
     return v
 
 
