@@ -162,6 +162,15 @@ class StreamContext:
         batches; Spark's scan is distributed with pushdown/pruning."""
         return Stream(self, self.spark.read.parquet(path, *paths))
 
+    def stream_json(self, path: str, schema=None, **options) -> Stream:
+        """JSON-lines scan (beyond-reference — renoir has no JSON source;
+        Spark's distributed reader comes free). Pass ``schema`` to skip
+        the inference pass — at scale inference reads the data twice."""
+        reader = self.spark.read.options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return Stream(self, reader.json(path))
+
     def stream_avro(self, path: str) -> Stream:
         """Avro scan — renoir ``AvroSource``
         (src/operator/source/avro.rs:49-76). Needs spark-avro on the

@@ -910,6 +910,12 @@ class Stream:
         df = self.df.coalesce(1) if single_file else self.df
         df.write.mode("overwrite").options(**options).parquet(path)
 
+    def write_json(self, path: str, *, single_file: bool = False, **options) -> None:
+        """JSON-lines sink (beyond-reference; pairs with
+        ``StreamContext.stream_json``)."""
+        df = self.df.coalesce(1) if single_file else self.df
+        df.write.mode("overwrite").options(**options).json(path)
+
     def write_avro(self, path: str, *, single_file: bool = False, **options) -> None:
         """renoir ``write_avro`` (src/operator/sink/avro.rs:93-131).
         Needs spark-avro on the classpath; raises a clear error when

@@ -159,3 +159,12 @@ def test_split_branches_and_unpersist(ctx):
     assert a.collect_count() == 40
     assert b.filter("id < 10").collect_count() == 10
     a.unpersist(blocking=True)
+
+
+def test_write_read_json_roundtrip(ctx, tmp_path):
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    s = ctx.stream_iter(rows, "k long, v string")
+    path = str(tmp_path / "out_json")
+    s.write_json(path)
+    back = ctx.stream_json(path, "k long, v string")
+    assert sorted((r.k, r.v) for r in back.collect_vec()) == sorted(rows)
