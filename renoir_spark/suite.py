@@ -400,8 +400,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
 ), labelled AS (
   SELECT user_id, us,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -1128,9 +1128,10 @@ def q36_transaction_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q36 = """
 WITH w AS (
   SELECT user_id, value,
-         coalesce(sum(CASE WHEN value > 0.9 THEN 1 ELSE 0 END) OVER (
+         CAST(coalesce(sum(CASE WHEN value > 0.9 THEN 1 ELSE 0 END) OVER (
              PARTITION BY user_id ORDER BY event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS window_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS window_id
   FROM events
 )
 SELECT user_id, window_id, count(*) AS n, round(sum(value), 6) AS vol
@@ -1194,7 +1195,9 @@ FROM pos GROUP BY user_id, p // 7 HAVING count(*) = 7
 
 def q39_window_to_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window to_vec (aggr/collect_vec.rs:44-56): window contents as an
-    ordered array."""
+    ordered array. The array is projected to a joined string so the
+    driver's pandas canonicalizer (which sorts/hashes column values) can
+    handle the row — plain arrays are unhashable there (VERDICT r2 #3)."""
     ctx = _ctx(spark)
     return (
         _t(ctx, sf_dir, "events")
@@ -1202,6 +1205,12 @@ def q39_window_to_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .key_by("user_id")
         .window(CountWindow.tumbling("event_id", size=5, exact=True))
         .to_vec(F.round("value", 6), alias="vals")
+        .map(
+            "user_id", "window_id",
+            vals=F.array_join(
+                F.transform("vals", lambda v: F.format_string("%.6f", v)), ","
+            ),
+        )
         .df
     )
 
@@ -1212,7 +1221,8 @@ WITH pos AS (
          row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS p
   FROM events
 )
-SELECT user_id, p // 5 AS window_id, list(value ORDER BY p) AS vals
+SELECT user_id, p // 5 AS window_id,
+       array_to_string(list(printf('%.6f', value) ORDER BY p), ',') AS vals
 FROM pos GROUP BY user_id, p // 5 HAVING count(*) = 5
 """
 
