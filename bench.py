@@ -79,6 +79,14 @@ def main() -> None:
             # (dedup signature relations etc.) so later queries aren't timed
             # against another query's leftover blocks and GC pressure
             spark.catalog.clearCache()
+        n, took = _streaming_hot_items(spark, sf_dir)
+        timings["s01_nexmark_hot_items_stream"] = min(
+            timings.get("s01_nexmark_hot_items_stream", float("inf")), took
+        )
+        print(
+            f"# run{r} s01_nexmark_hot_items_stream: {took:.3f}s ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -92,6 +100,60 @@ def main() -> None:
             }
         )
     )
+
+
+def _streaming_hot_items(spark, sf_dir: str) -> tuple[int, float]:
+    """Structured-Streaming leg of the bench: NEXMark q5 (hot items,
+    chained stateful aggs) over the events table as an UNBOUNDED source
+    — the micro-batch engine, state store, watermark advancement, and
+    append-mode finalization are all on the measured path (the
+    reference's headline bench is streaming NEXMark,
+    benches/nexmark.rs:358-400).
+
+    Prep (untimed): spool events into time-range-partitioned files with
+    ascending mtimes, so the file source replays them as an in-order
+    multi-micro-batch stream — one big file would collapse to a single
+    batch and never exercise watermark-driven emission. Timed: the
+    availableNow drain."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from renoir_spark import StreamContext
+    from renoir_spark.nexmark import hot_items
+    from renoir_spark.streaming import run_to_completion
+
+    ctx = StreamContext(spark)
+    spool = tempfile.mkdtemp(prefix="nex_stream_")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+            # TIMESTAMP(NANOS) read as long under nanosAsLong
+            ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        ev.repartitionByRange(16, "ts").write.mode("overwrite").parquet(spool)
+        parts = sorted(glob.glob(f"{spool}/part-*"))
+        base = time.time() - len(parts) - 1
+        for i, p in enumerate(parts):
+            os.utime(p, (base + i, base + i))
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        s = ctx.from_df(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(spool)
+        )
+        out = hot_items(s, size=172800.0, slide=86400.0, watermark="1 hour")
+        t0 = time.perf_counter()
+        n = len(run_to_completion(out.df, output_mode="append"))
+        return n, round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
 
 
 if __name__ == "__main__":

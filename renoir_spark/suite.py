@@ -1948,6 +1948,112 @@ FROM d, (SELECT unnest([0, 1]) AS i) f
 """
 
 
+# --------------------------------------------------------------------- #
+# NEXMark slice (benches/nexmark.rs:358-400, examples/nexmark.rs:92-396)
+# --------------------------------------------------------------------- #
+
+def q60_nexmark_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark q1 Currency Conversion (examples/nexmark.rs:92-110): the
+    bid sub-stream (purchases) with dollar→euro price, stateless map.
+    Same builder runs unbounded (test_nexmark.py streaming parity)."""
+    from .nexmark import currency_conversion
+
+    ctx = _ctx(spark)
+    return currency_conversion(_t(ctx, sf_dir, "events")).df
+
+
+ORACLE_Q60 = """
+SELECT event_id,
+       json_extract(props, '$.k')::BIGINT AS auction,
+       user_id AS bidder,
+       round(value * 0.908, 6) AS price_eur,
+       epoch_us(ts) AS ts_us
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q61_nexmark_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark q5 Hot Items (examples/nexmark.rs:302-330): per 2-day
+    sliding window (1-day slide), the auction with the most bids —
+    chained windowed count + per-window argmax (streaming form: Spark's
+    multiple-stateful-operators path; parity test in test_nexmark.py)."""
+    from .nexmark import hot_items
+
+    ctx = _ctx(spark)
+    return hot_items(
+        _t(ctx, sf_dir, "events"), size=172800.0, slide=86400.0
+    ).df
+
+
+ORACLE_Q61 = """
+WITH b AS (
+  SELECT json_extract(props, '$.k')::BIGINT AS auction, ts
+  FROM events WHERE event_type = 'purchase'
+), wins AS (
+  SELECT auction,
+         unnest([floor(epoch(ts)/86400) - 1, floor(epoch(ts)/86400)]) AS w
+  FROM b
+), counts AS (
+  SELECT CAST(w * 86400 AS BIGINT) AS win_s, auction, count(*) AS num
+  FROM wins GROUP BY 1, 2
+)
+SELECT win_s, auction, num FROM counts
+QUALIFY row_number() OVER (PARTITION BY win_s
+                           ORDER BY num DESC, auction DESC) = 1
+"""
+
+
+def q62_nexmark_highest_bid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark q7 Highest Bid (examples/nexmark.rs:361-380): per tumbling
+    day, the single highest-priced bid. Catalyst's partial/final max_by
+    is the reference's hand-written two-level max."""
+    from .nexmark import highest_bid
+
+    ctx = _ctx(spark)
+    return highest_bid(_t(ctx, sf_dir, "events"), size=86400.0).df
+
+
+ORACLE_Q62 = """
+WITH b AS (
+  SELECT event_id, user_id AS bidder, value AS price,
+         json_extract(props, '$.k')::BIGINT AS auction, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(floor(epoch(ts)/86400) * 86400 AS BIGINT) AS win_s,
+       auction, price, bidder
+FROM b
+QUALIFY row_number() OVER (PARTITION BY floor(epoch(ts)/86400)
+                           ORDER BY price DESC, event_id DESC) = 1
+"""
+
+
+def q63_nexmark_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark q8 Monitor New Users (examples/nexmark.rs:382-396): people
+    who signed up AND opened an auction (click) in the same tumbling day
+    — renoir's window_join restated as a (user_id, window) hash
+    equi-join; the window struct carries event time, so the identical
+    plan is a state-bounded stream-stream join on unbounded input."""
+    from .nexmark import monitor_new_users
+
+    ctx = _ctx(spark)
+    return monitor_new_users(_t(ctx, sf_dir, "events"), size=86400.0).df
+
+
+ORACLE_Q63 = """
+WITH p AS (
+  SELECT user_id, event_id AS signup_id, floor(epoch(ts)/86400) AS w
+  FROM events WHERE event_type = 'signup'
+), a AS (
+  SELECT user_id AS seller, event_id AS auction_id, value AS reserve,
+         floor(epoch(ts)/86400) AS w
+  FROM events WHERE event_type = 'click'
+)
+SELECT CAST(p.w * 86400 AS BIGINT) AS win_s, p.user_id,
+       p.signup_id, a.auction_id, a.reserve
+FROM p JOIN a ON p.user_id = a.seller AND p.w = a.w
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -2008,6 +2114,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_logistic_regression": q57_logistic_regression,
     "q58_json_props": q58_json_props,
     "q59_promo_revenue": q59_promo_revenue,
+    "q60_nexmark_currency": q60_nexmark_currency,
+    "q61_nexmark_hot_items": q61_nexmark_hot_items,
+    "q62_nexmark_highest_bid": q62_nexmark_highest_bid,
+    "q63_nexmark_new_users": q63_nexmark_new_users,
 }
 
 ORACLE: Dict[str, str] = {
@@ -2070,4 +2180,8 @@ ORACLE: Dict[str, str] = {
     "q57_logistic_regression": ORACLE_Q57,
     "q58_json_props": ORACLE_Q58,
     "q59_promo_revenue": ORACLE_Q59,
+    "q60_nexmark_currency": ORACLE_Q60,
+    "q61_nexmark_hot_items": ORACLE_Q61,
+    "q62_nexmark_highest_bid": ORACLE_Q62,
+    "q63_nexmark_new_users": ORACLE_Q63,
 }
