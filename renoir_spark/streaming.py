@@ -251,6 +251,130 @@ def keyed_map_with_state(
     )
 
 
+def transaction_window_stream(
+    stream,
+    keys: Sequence[str],
+    order,
+    logic,
+    *,
+    agg,
+    out_extra_schema: str,
+    ts_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+):
+    """STREAMING TransactionWindow — the unbounded form of the batch
+    :class:`~renoir_spark.window.TransactionWindow`, porting renoir's
+    full contract (src/operator/window/descr/transaction.rs:52-122):
+
+    * one active window per key, implicitly opened by the first element;
+    * ``logic(row, user_state) -> 'continue' | 'commit' | 'discard' |
+      ('commit_after', close_epoch_us)`` is called per element (the
+      element is included in the window before the action applies);
+    * ``commit`` emits ``agg``'s result for the buffered window rows
+      (the committing element included — transaction.rs:104-105);
+    * ``discard`` drops the accumulator without output (:106-108);
+    * ``commit_after(t)`` registers the window to close once a WATERMARK
+      past ``t`` arrives — overwritable by a later ``commit_after``,
+      cancellable by ``discard`` (:109-111, CommitAfter at :99-122).
+
+    Spark-first: ``applyInPandasWithState`` with ``EventTimeTimeout`` —
+    per-key window state (buffered rows + user state, JSON in the state
+    store) survives micro-batches; ``commit_after`` maps to
+    ``state.setTimeoutTimestamp(t)``, so the close fires on watermark
+    advancement even when no further row for that key ever arrives
+    (exactly the reference's ``StreamElement::Watermark`` arm). Rows are
+    processed in ``order`` within each micro-batch; cross-batch order is
+    arrival order (renoir's single-replica-per-key contract).
+
+    ``agg(rows: list[dict]) -> tuple`` must match ``out_extra_schema``.
+    Buffered values are JSON-roundtripped between batches (timestamps
+    stored as epoch-µs ints). State per key is ONE window's rows —
+    bounded by window length, hash-partitioned like any keyed agg.
+    """
+    import json as _json
+
+    import pandas as pd
+
+    order_cols = [order] if isinstance(order, str) else list(order)
+    df = stream.df
+    if ts_col is not None and watermark is not None and df.isStreaming:
+        df = df.withColumn("__wts", to_col(ts_col).cast("timestamp"))
+        df = df.withWatermark("__wts", watermark)
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream.df.schema.fields
+        if f.name in set(keys)
+    )
+    out_schema = f"{key_fields}, window_id long, {out_extra_schema}"
+
+    def _jsonable(v):
+        if isinstance(v, pd.Timestamp):
+            return int(v.value // 1000)  # epoch µs
+        if hasattr(v, "item"):
+            return v.item()
+        return v
+
+    def _fn(key, pdf_iter, state):
+        st = (
+            _json.loads(state.get[0])
+            if state.exists
+            else {"wid": 0, "buf": [], "ustate": {}, "close": None}
+        )
+        out_rows = []
+
+        def _commit():
+            out_rows.append(key + (st["wid"],) + tuple(agg(st["buf"])))
+            st["wid"] += 1
+            st["buf"], st["ustate"], st["close"] = [], {}, None
+
+        if state.hasTimedOut:
+            # watermark passed the registered close — CommitAfter fires
+            if st["close"] is not None and st["buf"]:
+                _commit()
+        else:
+            pdfs = [p for p in pdf_iter]
+            pdf = pd.concat(pdfs, ignore_index=True) if pdfs else None
+            if pdf is not None and len(pdf):
+                pdf = pdf.sort_values(order_cols)
+                for rec in pdf.to_dict("records"):
+                    row = {k: _jsonable(v) for k, v in rec.items()}
+                    action = logic(row, st["ustate"])
+                    st["buf"].append(row)
+                    if action == "commit":
+                        _commit()
+                    elif action == "discard":
+                        st["wid"] += 1
+                        st["buf"], st["ustate"], st["close"] = [], {}, None
+                    elif isinstance(action, tuple) and action[0] == "commit_after":
+                        st["close"] = int(action[1])  # epoch µs, overwritable
+
+        if st["close"] is not None and st["buf"]:
+            # if the frontier is ALREADY past the registered close,
+            # commit now (the reference would commit on the next
+            # watermark element — same observable output)
+            if st["close"] // 1000 + 1 <= state.getCurrentWatermarkMs():
+                _commit()
+        state.update((_json.dumps(st),))  # update BEFORE setting timeout
+        if st["close"] is not None:
+            # fire when the event-time watermark passes close (ms)
+            state.setTimeoutTimestamp(st["close"] // 1000 + 1)
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_schema_cols)
+
+    out_schema_cols = [*keys, "window_id"] + [
+        c.strip().split()[0] for c in out_extra_schema.split(",")
+    ]
+
+    grouped = df.groupBy(*[F.col(k) for k in keys])
+    return stream._new(
+        grouped.applyInPandasWithState(
+            _fn, out_schema, "s string", "append",
+            "EventTimeTimeout" if (ts_col and watermark) else "NoTimeout",
+        )
+    )
+
+
 def count_window_fold_stream(
     stream,
     keys: Sequence[str],

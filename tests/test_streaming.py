@@ -245,3 +245,144 @@ def test_streaming_dedup_exact_bounded_state(ctx):
     # batch path: same plan, plain dropDuplicates
     batch = dedup_exact_stream(ch.stream_batch(), "text", ts_col="ts")
     assert batch.df.count() == 3
+
+
+def test_streaming_transaction_window_commit_across_batches(ctx):
+    """Streaming TransactionWindow (transaction.rs:52-122): commit rows
+    (v > 0.9) close the window INCLUDING the committing element; key A's
+    second window spans two pushes; an uncommitted tail stays in state."""
+    from renoir_spark.streaming import transaction_window_stream
+
+    ch = ctx.stream_channel("k string, seq long, v double")
+    ch.push([("A", 0, 0.1), ("A", 1, 0.95), ("A", 2, 0.2), ("B", 0, 0.3)])
+    ch.push([("A", 3, 0.99), ("B", 1, 0.91), ("B", 2, 0.5)])
+
+    def logic(row, _state):
+        return "commit" if row["v"] > 0.9 else "continue"
+
+    def agg(rows):
+        return (len(rows), round(sum(r["v"] for r in rows), 6))
+
+    s = ch.stream(max_files_per_trigger=1)
+    out = transaction_window_stream(
+        s, ["k"], "seq", logic, agg=agg, out_extra_schema="n long, sum_v double"
+    )
+    got = {(r.k, r.window_id, r.n, r.sum_v)
+           for r in run_to_completion(out.df, output_mode="append")}
+    assert got == {
+        ("A", 0, 2, 1.05),   # rows 0,1 — commit element included
+        ("A", 1, 2, 1.19),   # rows 2,3 — window spans the two pushes
+        ("B", 0, 2, 1.21),   # rows 0,1
+        # B seq=2 (0.5) stays buffered: no commit, correct append gap
+    }
+
+
+def test_streaming_transaction_window_discard(ctx):
+    from renoir_spark.streaming import transaction_window_stream
+
+    ch = ctx.stream_channel("k string, seq long, v double")
+    ch.push([("A", 0, 0.2), ("A", 1, -1.0), ("A", 2, 0.3), ("A", 3, 0.95)])
+
+    def logic(row, _state):
+        if row["v"] < 0:
+            return "discard"
+        return "commit" if row["v"] > 0.9 else "continue"
+
+    def agg(rows):
+        return (len(rows),)
+
+    out = transaction_window_stream(
+        ch.stream(), ["k"], "seq", logic, agg=agg, out_extra_schema="n long"
+    )
+    got = {(r.k, r.window_id, r.n)
+           for r in run_to_completion(out.df, output_mode="append")}
+    # window 0 (rows 0,1) discarded without output; rows 2,3 commit as
+    # window 1 — ids stay monotonic across the discard
+    assert got == {("A", 1, 2)}
+
+
+def test_streaming_transaction_window_matches_batch(ctx):
+    """Parity: the same commit logic via the BATCH TransactionWindow
+    (window.py) and the streaming operator over identical rows."""
+    import random
+
+    from renoir_spark.streaming import transaction_window_stream
+    from renoir_spark.window import TransactionWindow
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [
+        (k, i, round(rng.random(), 3))
+        for k in ("A", "B", "C")
+        for i in range(40)
+    ]
+    ch = ctx.stream_channel("k string, seq long, v double")
+    ch.push(rows[:50])
+    ch.push(rows[50:])
+
+    def logic(row, _state):
+        return "commit" if row["v"] > 0.8 else "continue"
+
+    def agg(rs):
+        return (len(rs), round(sum(r["v"] for r in rs), 6))
+
+    out = transaction_window_stream(
+        ch.stream(max_files_per_trigger=1), ["k"], "seq", logic,
+        agg=agg, out_extra_schema="n long, sum_v double",
+    )
+    got = {(r.k, r.window_id, r.n, r.sum_v)
+           for r in run_to_completion(out.df, output_mode="append")}
+
+    batch = (
+        ch.stream_batch()
+        .key_by("k")
+        .window(TransactionWindow("seq", logic))
+        .fold(n=F.count(F.lit(1)), sum_v=F.round(F.sum("v"), 6))
+        .collect_vec()
+    )
+    # batch emits ALL windows including the uncommitted tail; streaming
+    # append emits only committed ones — compare the committed prefix
+    # (every streaming window must appear identically in batch output)
+    batch_set = {(r.k, r.window_id, r.n, r.sum_v) for r in batch}
+    assert got <= batch_set and len(got) > 0
+    # and every batch window except (possibly) each key's LAST one —
+    # the open tail — must have been committed by the stream
+    tails = {max(t for t in batch_set if t[0] == k) for k in ("A", "B", "C")}
+    assert batch_set - tails <= got
+
+
+def test_streaming_transaction_window_commit_after_watermark(ctx):
+    """CommitAfter(ts) (transaction.rs:99-122): the window registers a
+    close time; a WATERMARK past it — carried by a later micro-batch
+    with only OTHER keys' rows — fires the commit via event-time
+    timeout, with no further row for the closing key."""
+    from datetime import datetime, timezone
+
+    from renoir_spark.streaming import transaction_window_stream
+
+    def _t(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    ch = ctx.stream_channel("k string, seq long, ts timestamp, v double")
+    ch.push([("A", 0, _t(100), 1.0), ("A", 1, _t(110), 2.0)])
+    # key B only; its rows advance the watermark to 500-10=490 > 150
+    ch.push([("B", 0, _t(500), 9.0)])
+    ch.push([("B", 1, _t(600), 9.0)])
+
+    def logic(row, _state):
+        # every A row re-registers: close once watermark passes 150s
+        return ("commit_after", 150_000_000)  # epoch µs
+
+    def agg(rows):
+        return (len(rows), round(sum(r["v"] for r in rows), 6))
+
+    out = transaction_window_stream(
+        ch.stream(max_files_per_trigger=1), ["k"], "seq", logic,
+        agg=agg, out_extra_schema="n long, sum_v double",
+        ts_col="ts", watermark="10 seconds",
+    )
+    got = {(r.k, r.window_id, r.n, r.sum_v)
+           for r in run_to_completion(out.df, output_mode="append")}
+    # A's window committed by watermark alone (no third A row); B's
+    # windows also pend on commit_after and close as the frontier moves
+    assert ("A", 0, 2, 3.0) in got
