@@ -274,8 +274,9 @@ def dedup_minhash(
     # time (an unpersist here, at plan-BUILD time, would silently force
     # full recomputation per join side — measured 10× slower). Spark's
     # ContextCleaner releases the blocks once the plan is unreachable;
-    # call .unpersist() on the result's lineage for deterministic release.
-    return stream._new(out)
+    # The relation is RETAINED on the result: `.unpersist()` on the
+    # returned stream releases it deterministically (else ContextCleaner).
+    return stream._new(out)._retain(sig)
 
 
 def sql_dedup_minhash(
@@ -434,8 +435,9 @@ def dedup_simhash(
         .select(F.col("idb").alias(id_col))
         .distinct()
     )
-    # sig stays persisted until the plan drops (both join sides read it)
-    return stream._new(stream.df.join(dup_ids, id_col, "left_anti"))
+    # sig stays persisted until released: retained on the result so
+    # `.unpersist()` frees it deterministically (both join sides read it)
+    return stream._new(stream.df.join(dup_ids, id_col, "left_anti"))._retain(sig)
 
 
 def sql_dedup_simhash(
@@ -569,7 +571,7 @@ def similar_pairs_ngram(
         .filter(F.col("jaccard") >= threshold)
         .select("ida", "idb", "jaccard")
     )
-    return stream._new(pairs)
+    return stream._new(pairs)._retain(staged)
 
 
 def sql_similar_pairs_ngram(
@@ -656,7 +658,9 @@ def dedup_embedding(
         .select(F.col("idb").alias(id_col))
         .distinct()
     )
-    return stream._new(stream.df.join(dup_ids, id_col, "left_anti"))
+    return stream._new(
+        stream.df.join(dup_ids, id_col, "left_anti")
+    )._retain(sig)
 
 
 def sql_dedup_embedding(

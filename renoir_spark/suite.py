@@ -1263,7 +1263,7 @@ def q41_map_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(ctx, sf_dir, "documents")
         .map("n_chars")
         .map_memo(
-            lambda t: {"n_chars": t[0], "bucket": t[0] // 100},
+            lambda r: {"n_chars": r["n_chars"], "bucket": r["n_chars"] // 100},
             "n_chars long, bucket long",
         )
         .group_by("bucket")
