@@ -2054,6 +2054,20 @@ FROM p JOIN a ON p.user_id = a.seller AND p.w = a.w
 """
 
 
+def q64_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN (the recall dial at scale): 8 independent
+    hash tables of 6 planes each, candidates = union of per-table bucket
+    matches, scored once. Measured recall@5 jumps 0.06 → 0.38 vs one
+    table (tools/recall_harness.py); the oracle's OR-join over per-table
+    bucket equalities mirrors the union+dedup exactly."""
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings")
+    queries = _t(ctx, sf_dir, "embeddings").filter("vec_id < 8")
+    return emb.ann_cosine(
+        queries, method="lsh", k=3, n_planes=6, n_tables=8
+    ).df
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -2118,6 +2132,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_nexmark_hot_items": q61_nexmark_hot_items,
     "q62_nexmark_highest_bid": q62_nexmark_highest_bid,
     "q63_nexmark_new_users": q63_nexmark_new_users,
+    "q64_ann_lsh_multi": q64_ann_lsh_multi,
 }
 
 ORACLE: Dict[str, str] = {
@@ -2184,4 +2199,7 @@ ORACLE: Dict[str, str] = {
     "q61_nexmark_hot_items": ORACLE_Q61,
     "q62_nexmark_highest_bid": ORACLE_Q62,
     "q63_nexmark_new_users": ORACLE_Q63,
+    "q64_ann_lsh_multi": sql_ann_cosine_lsh(
+        "embeddings", "vec_id < 8", k=3, n_planes=6, n_tables=8
+    ),
 }
