@@ -1128,6 +1128,11 @@ def lsh_planes(dim: int, n_planes: int) -> list[list[float]]:
 
 
 def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-plane bucket id via the ``_dot`` sequential fold. Keep the
+    higher-order-function form: expanding the dots into explicit
+    per-element arithmetic (planes × dims scalar terms) measured 10×
+    SLOWER — Catalyst/codegen degrade on multi-thousand-node expression
+    trees (q64 6.1 s → 62 s) — while the HOF evaluates in a tight loop."""
     bits = []
     for j, p in enumerate(planes):
         dot_j = _dot(vec, F.array(*[F.lit(v) for v in p]))
@@ -1181,30 +1186,51 @@ def ann_cosine_lsh(
         )
     else:
         all_planes = lsh_planes(dim, n_planes * n_tables)
-        tables = [
-            all_planes[t * n_planes:(t + 1) * n_planes]
-            for t in range(n_tables)
-        ]
 
-        def tagged(vec):
-            return F.explode(F.array(*[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    _bucket_expr(vec, tables[t]).alias("h"),
-                )
-                for t in range(n_tables)
-            ]))
+        def sig_map(batches):
+            # all L×n_planes signatures in ONE Arrow pass: numpy cumsum
+            # along the dim axis reproduces the _dot sequential fold
+            # bit-exactly (same trick as IVF assignment, _dots_block) —
+            # per-row HOF dots measured ~6 s of the q64 wall time
+            import numpy as np
 
-        q = queries.df.select(
-            F.col(id_col).alias("qid"),
-            F.col(vec_col).alias("qvec"),
-            tagged(F.col(vec_col)).alias("__bkt"),
-        )
-        c = stream.df.select(
-            F.col(id_col),
-            F.col(vec_col).alias("cvec"),
-            tagged(F.col(vec_col)).alias("__bkt"),
-        )
+            Pm = np.array(all_planes, dtype=np.float64).T  # (dim, L*np)
+            shift = 1 << n_planes
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+                keys = np.zeros((len(pdf), n_tables), dtype=np.int64)
+                for lo in range(0, len(pdf), 1024):
+                    m = mat[lo:lo + 1024]
+                    prod = m[:, :, None] * Pm[None, :, :]
+                    signs = np.cumsum(prod, axis=1)[:, -1, :] >= 0
+                    for t in range(n_tables):
+                        b = np.zeros(m.shape[0], dtype=np.int64)
+                        for j in range(n_planes):
+                            b += signs[:, t * n_planes + j].astype(np.int64) << j
+                        keys[lo:lo + 1024, t] = t * shift + b
+                pdf = pdf.copy()
+                pdf["__bkts"] = [row.tolist() for row in keys]
+                yield pdf
+
+        def with_buckets(df, idname):
+            base = df.select(
+                F.col(id_col).alias(idname), F.col(vec_col).alias("__vec")
+            )
+            id_type = dict(base.dtypes)[idname]
+            vec_type = dict(base.dtypes)["__vec"]
+            out = base.mapInPandas(
+                sig_map,
+                f"{idname} {id_type}, __vec {vec_type}, __bkts array<bigint>",
+            )
+            # bucket key packs (table, hash) into one long: t*2^planes+h
+            return out.select(
+                idname, "__vec", F.explode("__bkts").alias("__bkt")
+            )
+
+        q = with_buckets(queries.df, "qid").withColumnRenamed("__vec", "qvec")
+        c = with_buckets(stream.df, id_col).withColumnRenamed("__vec", "cvec")
         cand = (
             c.join(F.broadcast(q), "__bkt")
             .filter(F.col(id_col) != F.col("qid"))

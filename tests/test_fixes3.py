@@ -117,3 +117,19 @@ def test_dedup_minhash_unpersist_releases_signatures(ctx, sf_dir):
     out.unpersist(blocking=True)
     assert out._retained == []
     assert not out.df.is_cached
+
+
+def test_stream_kafka_source_gated(ctx):
+    """Kafka source option plumbing, classpath-gated like stream_avro:
+    no broker/connector in this sandbox, so the load must fail with the
+    connector-missing error (NOT an option/validation error — that would
+    mean the plumbing is wrong)."""
+    try:
+        s = ctx.stream_kafka("localhost:9092", "topic_t",
+                             starting_offsets="latest")
+    except Exception as e:
+        msg = str(e)
+        assert "kafka" in msg.lower()
+        assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
+    else:  # pragma: no cover - connector-ful environment
+        assert s.df.isStreaming
