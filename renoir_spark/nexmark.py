@@ -225,3 +225,130 @@ def monitor_new_users(
             "reserve",
         )
     )
+
+
+def auctions(stream, ts="ts"):
+    """The Auction sub-stream: the FIRST click event per ``props.k``
+    opens auction ``k`` (seller = user_id, reserve = value, expires =
+    open + 7 days, category = k % 10). Mirrors the Person/Auction route
+    split of examples/nexmark.rs:131-160."""
+    df = _with_ets(stream, ts)
+    clicks = df.filter(F.col("event_type") == "click").select(
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.col("user_id").alias("seller"),
+        F.col("value").alias("reserve"),
+        F.col("__ets"),
+        "event_id",
+    )
+    first = clicks.groupBy("k").agg(
+        F.min_by(
+            F.struct("seller", "reserve", "__ets", "event_id"),
+            F.col("event_id"),
+        ).alias("__a")
+    )
+    out = first.select(
+        "k",
+        F.col("__a.seller").alias("seller"),
+        F.col("__a.reserve").alias("reserve"),
+        F.col("__a.__ets").alias("open_ts"),
+        (F.col("__a.__ets") + F.expr("INTERVAL 7 DAYS")).alias("expires"),
+        (F.col("k") % 10).alias("category"),
+    )
+    return stream._new(out)
+
+
+def winning_bids(stream, ts="ts"):
+    """``winning_bids`` (examples/nexmark.rs:64-90, the q4/q6 input):
+    per auction, the highest valid bid — valid means inside
+    [open, expires) and price ≥ reserve (`is_valid_bid`,
+    examples/nexmark.rs:202-206); deterministic tie-break on event_id.
+
+    Scale: the auction side is tiny by construction (one row per
+    auction id), so it BROADCASTS and the bid stream never shuffles for
+    the join; the per-auction argmax is a partial/final ``max_by``."""
+    b = bids(stream, ts)
+    a = auctions(stream, ts)
+    joined = (
+        b.df.join(F.broadcast(a.df), b.df["auction"] == a.df["k"])
+        .filter(
+            (F.col("__ets") >= F.col("open_ts"))
+            & (F.col("__ets") < F.col("expires"))
+            & (F.col("price") >= F.col("reserve"))
+        )
+    )
+    win = joined.groupBy("k").agg(
+        F.max_by(
+            F.struct("seller", "category", "price", "bidder", "event_id"),
+            F.struct("price", "event_id"),
+        ).alias("__w")
+    )
+    return stream._new(
+        win.select(
+            "k",
+            F.col("__w.seller").alias("seller"),
+            F.col("__w.category").alias("category"),
+            F.col("__w.price").alias("price"),
+            F.col("__w.bidder").alias("bidder"),
+            F.col("__w.event_id").alias("bid_event_id"),
+        )
+    )
+
+
+def avg_price_by_category(stream, ts="ts"):
+    """NEXMark q4 Average Price for a Category
+    (examples/nexmark.rs:173-196): winning bids → per-category average."""
+    w = winning_bids(stream, ts)
+    return stream._new(
+        w.df.groupBy("category").agg(
+            F.round(F.avg("price"), 6).alias("avg_final"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def avg_selling_by_seller(stream, ts="ts", *, size: int = 3):
+    """NEXMark q6 Average Selling Price by Seller
+    (examples/nexmark.rs:332-359): per seller, the rolling average of
+    the last ``size`` winning bids (renoir: CountWindow::sliding(10,1)
+    — sized down for the test corpus; partial windows kept, as renoir
+    emits a window per new element)."""
+    from .window import CountWindow
+
+    w = winning_bids(stream, ts)
+    return (
+        stream._new(w.df)
+        .key_by("seller")
+        .window(CountWindow.sliding("bid_event_id", size=size, slide=1,
+                                    exact=False))
+        .fold(
+            avg_price=F.round(F.avg("price"), 6),
+            n=F.count(F.lit(1)),
+        )
+    )
+
+
+def local_item_suggestion(stream, ts="ts", *, category: int = 4,
+                          person_mod: int = 3):
+    """NEXMark q3 Local Item Suggestion (examples/nexmark.rs:126-160):
+    filtered persons joined to filtered auctions on seller. Person =
+    each user's FIRST signup; the reference's state/category predicates
+    map to ``user_id % person_mod == 0`` and ``k % 10 == category``.
+    Both filters sit below the join (pushed into the scans); the person
+    side is small after filtering, so it broadcasts."""
+    df = _with_ets(stream, ts)
+    persons = (
+        df.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("signup_id"))
+        .filter(F.col("user_id") % person_mod == 0)
+    )
+    auctions_all = df.filter(F.col("event_type") == "click").select(
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.col("user_id").alias("seller"),
+        F.col("event_id").alias("open_id"),
+    ).filter(F.col("k") % 10 == category)
+    joined = auctions_all.join(
+        F.broadcast(persons),
+        auctions_all["seller"] == persons["user_id"],
+    )
+    return stream._new(joined.select("user_id", "signup_id", "k", "open_id"))

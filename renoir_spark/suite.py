@@ -2068,6 +2068,121 @@ def q64_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+
+_NEXMARK_WB_CTE = """
+WITH a0 AS (
+  SELECT json_extract(props, '$.k')::BIGINT AS k, user_id AS seller,
+         value AS reserve, ts, event_id,
+         row_number() OVER (PARTITION BY json_extract(props, '$.k')::BIGINT
+                            ORDER BY event_id) AS rn
+  FROM events WHERE event_type = 'click'
+), a AS (
+  SELECT k, seller, reserve, ts AS open_ts,
+         ts + INTERVAL 7 DAY AS expires, k % 10 AS category
+  FROM a0 WHERE rn = 1
+), b AS (
+  SELECT json_extract(props, '$.k')::BIGINT AS k, user_id AS bidder,
+         value AS price, ts, event_id
+  FROM events WHERE event_type = 'purchase'
+), valid AS (
+  SELECT a.k, a.seller, a.category, b.price, b.bidder, b.event_id
+  FROM b JOIN a ON b.k = a.k
+  WHERE b.ts >= a.open_ts AND b.ts < a.expires AND b.price >= a.reserve
+), win AS (
+  SELECT k, seller, category, price, bidder, event_id AS bid_event_id
+  FROM valid
+  QUALIFY row_number() OVER (PARTITION BY k
+                             ORDER BY price DESC, event_id DESC) = 1
+)
+"""
+
+
+def q65_nexmark_winning_bids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark winning_bids (examples/nexmark.rs:64-90, feeds q4/q6):
+    per auction (first click per props.k opens it; 7-day lifetime), the
+    highest valid bid — in-window and >= reserve. The auction side is
+    one row per auction id, so it broadcasts; the bid stream never
+    shuffles for the join."""
+    from .nexmark import winning_bids
+
+    ctx = _ctx(spark)
+    return winning_bids(_t(ctx, sf_dir, "events")).df
+
+
+ORACLE_Q65 = _NEXMARK_WB_CTE + """
+SELECT k, seller, category, price, bidder, bid_event_id FROM win
+"""
+
+
+def q66_nexmark_avg_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark q4 Average Price for a Category
+    (examples/nexmark.rs:173-196): winning bids -> per-category avg."""
+    from .nexmark import avg_price_by_category
+
+    ctx = _ctx(spark)
+    return avg_price_by_category(_t(ctx, sf_dir, "events")).df
+
+
+ORACLE_Q66 = _NEXMARK_WB_CTE + """
+SELECT category, round(avg(price), 6) AS avg_final, count(*) AS n
+FROM win GROUP BY category
+"""
+
+
+def q67_nexmark_avg_seller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark q6 Average Selling Price by Seller
+    (examples/nexmark.rs:332-359): per seller, rolling average over the
+    last-3 winning bids (CountWindow sliding(3,1), partials kept)."""
+    from .nexmark import avg_selling_by_seller
+
+    ctx = _ctx(spark)
+    return avg_selling_by_seller(_t(ctx, sf_dir, "events"), size=3).map(
+        "seller", "window_id", "avg_price", "n"
+    ).df
+
+
+ORACLE_Q67 = _NEXMARK_WB_CTE + """
+, pos AS (
+  SELECT seller, price,
+         row_number() OVER (PARTITION BY seller ORDER BY bid_event_id) - 1 AS p
+  FROM win
+)
+SELECT seller, p AS window_id,
+       round(avg(price) OVER w, 6) AS avg_price,
+       count(*) OVER w AS n
+FROM pos
+WINDOW w AS (PARTITION BY seller ORDER BY p
+             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+"""
+
+
+def q68_nexmark_item_suggestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark q3 Local Item Suggestion (examples/nexmark.rs:126-160):
+    filtered person x filtered auction equi-join on seller; both
+    predicates pushed below the join, person side broadcast. Completes
+    the NEXMark q0-q8 restatement (q0 passthrough = collect_vec)."""
+    from .nexmark import local_item_suggestion
+
+    ctx = _ctx(spark)
+    return local_item_suggestion(_t(ctx, sf_dir, "events")).df
+
+
+ORACLE_Q68 = """
+WITH p AS (
+  SELECT user_id, min(event_id) AS signup_id
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id HAVING user_id % 3 = 0
+), a AS (
+  SELECT json_extract(props, '$.k')::BIGINT AS k, user_id AS seller,
+         event_id AS open_id
+  FROM events WHERE event_type = 'click'
+    AND json_extract(props, '$.k')::BIGINT % 10 = 4
+)
+SELECT p.user_id, p.signup_id, a.k, a.open_id
+FROM a JOIN p ON a.seller = p.user_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -2133,6 +2248,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_nexmark_highest_bid": q62_nexmark_highest_bid,
     "q63_nexmark_new_users": q63_nexmark_new_users,
     "q64_ann_lsh_multi": q64_ann_lsh_multi,
+    "q65_nexmark_winning_bids": q65_nexmark_winning_bids,
+    "q66_nexmark_avg_category": q66_nexmark_avg_category,
+    "q67_nexmark_avg_seller": q67_nexmark_avg_seller,
+    "q68_nexmark_item_suggestion": q68_nexmark_item_suggestion,
 }
 
 ORACLE: Dict[str, str] = {
@@ -2202,4 +2321,8 @@ ORACLE: Dict[str, str] = {
     "q64_ann_lsh_multi": sql_ann_cosine_lsh(
         "embeddings", "vec_id < 8", k=3, n_planes=6, n_tables=8
     ),
+    "q65_nexmark_winning_bids": ORACLE_Q65,
+    "q66_nexmark_avg_category": ORACLE_Q66,
+    "q67_nexmark_avg_seller": ORACLE_Q67,
+    "q68_nexmark_item_suggestion": ORACLE_Q68,
 }

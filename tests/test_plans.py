@@ -44,6 +44,7 @@ def test_q05_broadcast_chain_never_shuffles_the_fact_table(ctx):
         "q35_dedup_embedding",
         "q32_ann_lsh",
         "q50_ann_ivf",
+        "q64_ann_lsh_multi",
     ],
 )
 def test_no_cartesian_or_nested_loop_in_bucketed_operators(ctx, name):
@@ -70,3 +71,12 @@ def test_interval_join_band_is_residual_on_equi_join(ctx):
     plan = _plan(ctx, "q11_interval_join")
     assert "__bucket" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q64_signatures_are_one_arrow_pass(ctx):
+    """Multi-table LSH signatures must come from the vectorized
+    mapInPandas stage (flat in n_tables), not per-row HOF expression
+    dots (linear, measured 6.1 s), and never macro-expanded expressions
+    (measured 10x worse)."""
+    plan = _plan(ctx, "q64_ann_lsh_multi")
+    assert "MapInPandas" in plan
