@@ -884,10 +884,23 @@ class Stream:
         """renoir ``drop_timestamps`` (src/operator/mod.rs:342-344)."""
         return self._new(self.df.drop("__ts"))
 
-    def batch_mode(self, *_args, **_kwargs) -> "Stream":
-        """renoir ``batch_mode`` (src/block/batcher.rs:19-38) is a network
-        batching knob; Spark batches internally → documented no-op."""
-        return self
+    def batch_mode(self, mode: str = "adaptive",
+                   interval: Optional[float] = None) -> "Stream":
+        """renoir ``batch_mode`` (src/block/batcher.rs:19-38,
+        ``BatchMode::{Fixed, Adaptive, Timed}``) — a network batching
+        knob. ``fixed``/``adaptive`` are documented no-ops (Spark
+        batches internally); ``timed(interval)`` — renoir's max-latency
+        bound — maps to the Structured Streaming PROCESSING-TIME
+        trigger, applied by this stream's streaming sinks
+        (:meth:`write_kafka`)."""
+        if mode not in ("fixed", "adaptive", "timed"):
+            raise ValueError(f"unknown batch mode {mode!r}")
+        s = self._new(self.df)
+        if mode == "timed":
+            if interval is None:
+                raise ValueError("batch_mode('timed') needs an interval (s)")
+            s._trigger_interval = float(interval)
+        return s
 
     def reorder(self, *cols) -> "Stream":
         """renoir ``reorder`` (src/operator/mod.rs:420-422) buffers to
@@ -935,6 +948,43 @@ class Stream:
         df = self.df.coalesce(1) if single_file else self.df
         df.write.mode("overwrite").options(header="true", **options).csv(path)
 
+    def write_csv_seq(self, template_path: str, **options) -> list:
+        """renoir ``write_csv_seq`` (src/operator/sink/csv.rs:116-133):
+        one NUMBERED csv per replica following the template —
+        ``/data/out.csv`` → ``out0000.csv``, ``out0001.csv`` …;
+        ``/data/`` → ``0000.csv``, ``0001.csv`` … (replica ≙ partition).
+
+        Spark-first: the JVM csv writer emits one part file per
+        partition into a staging dir; the part files (already sorted by
+        partition id in their names) are renamed to the template
+        numbering. Data never moves through the driver — the renames
+        are metadata operations. Returns the written paths."""
+        import glob
+        import os
+        import shutil
+        import uuid
+
+        if template_path.endswith(os.sep):
+            base, prefix, ext = template_path.rstrip(os.sep), "", ".csv"
+        else:
+            base, name = os.path.split(template_path)
+            prefix, ext = os.path.splitext(name)
+            ext = ext or ".csv"
+        os.makedirs(base, exist_ok=True)
+        staging = os.path.join(base, f".spark-staging-{uuid.uuid4().hex[:8]}")
+        self.df.write.mode("overwrite").options(
+            header="true", **options
+        ).csv(staging)
+        outs = []
+        try:
+            for i, p in enumerate(sorted(glob.glob(f"{staging}/part-*"))):
+                dest = os.path.join(base, f"{prefix}{i:04d}{ext}")
+                shutil.move(p, dest)
+                outs.append(dest)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return outs
+
     def write_parquet(self, path: str, *, single_file: bool = False, **options) -> None:
         """renoir ``write_parquet_seq/_one``
         (src/operator/sink/parquet.rs:95-131)."""
@@ -974,13 +1024,18 @@ class Stream:
                     raise ValueError(
                         "write_kafka on an unbounded stream needs a checkpoint dir"
                     )
-                return (
+                writer = (
                     payload.writeStream.format("kafka")
                     .option("kafka.bootstrap.servers", brokers)
                     .option("topic", topic)
                     .option("checkpointLocation", checkpoint)
-                    .start()
                 )
+                trig = getattr(self, "_trigger_interval", None)
+                if trig is not None:  # BatchMode::Timed latency bound
+                    writer = writer.trigger(
+                        processingTime=f"{int(trig * 1000)} milliseconds"
+                    )
+                return writer.start()
             payload.write.format("kafka").option(
                 "kafka.bootstrap.servers", brokers
             ).option("topic", topic).save()

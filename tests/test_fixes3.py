@@ -133,3 +133,42 @@ def test_stream_kafka_source_gated(ctx):
         assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
     else:  # pragma: no cover - connector-ful environment
         assert s.df.isStreaming
+
+
+def test_write_csv_seq_numbered_replica_files(ctx, tmp_path):
+    """renoir write_csv_seq naming contract (csv.rs:116-133): template
+    file -> prefix + 0000-numbered files keeping the extension;
+    template directory -> bare numbered files; contents round-trip."""
+    import os
+
+    s = ctx.stream_range(100, partitions=3).map(id="id", sq=F.col("id") * 2)
+    outs = s.write_csv_seq(str(tmp_path / "out.csv"))
+    assert [os.path.basename(p) for p in outs] == [
+        "out0000.csv", "out0001.csv", "out0002.csv",
+    ]
+    back = ctx.stream_csv(str(tmp_path / "out*.csv"), header=True,
+                          inferSchema=True)
+    assert {(r.id, r.sq) for r in back.collect_vec()} == {
+        (i, i * 2) for i in range(100)
+    }
+
+    d = tmp_path / "dir_out"
+    outs2 = s.write_csv_seq(str(d) + os.sep)
+    assert [os.path.basename(p) for p in outs2] == [
+        "0000.csv", "0001.csv", "0002.csv",
+    ]
+
+
+def test_batch_mode_timed_sets_streaming_trigger(ctx):
+    """BatchMode::Timed (batcher.rs:19-38) maps to the processing-time
+    trigger carried to streaming sinks; fixed/adaptive stay no-ops and
+    unknown modes are rejected."""
+    s = ctx.stream_range(5)
+    assert not hasattr(s.batch_mode("adaptive"), "_trigger_interval") or \
+        s.batch_mode("adaptive")._trigger_interval is None
+    timed = s.batch_mode("timed", 2.5)
+    assert timed._trigger_interval == 2.5
+    with pytest.raises(ValueError):
+        s.batch_mode("bogus")
+    with pytest.raises(ValueError):
+        s.batch_mode("timed")
