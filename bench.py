@@ -134,7 +134,7 @@ def _streaming_hot_items(spark, sf_dir: str) -> tuple[int, float]:
             ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         else:
             ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-        ev.repartitionByRange(16, "ts").write.mode("overwrite").parquet(spool)
+        ev.repartitionByRange(8, "ts").write.mode("overwrite").parquet(spool)
         parts = sorted(glob.glob(f"{spool}/part-*"))
         base = time.time() - len(parts) - 1
         for i, p in enumerate(parts):

@@ -292,13 +292,23 @@ class Stream:
 
             async def _run(rows):
                 sem = asyncio.Semaphore(concurrency)
+                inflight: dict = {}
 
                 async def one(row):
                     k = key_fn(row)
                     if k in cache:
                         return cache[k]
-                    async with sem:
-                        out = await fn(row)
+                    # duplicate keys inside one batch share ONE in-flight
+                    # call (renoir's cache dedups concurrent hits too) —
+                    # without this, same-key rows arriving together each
+                    # fired fn and could even memoize different results
+                    if k not in inflight:
+                        async def compute(row=row):
+                            async with sem:
+                                return await fn(row)
+
+                        inflight[k] = asyncio.ensure_future(compute())
+                    out = await inflight[k]
                     if len(cache) < capacity:
                         cache[k] = out
                     return out

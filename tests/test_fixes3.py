@@ -172,3 +172,26 @@ def test_batch_mode_timed_sets_streaming_trigger(ctx):
         s.batch_mode("bogus")
     with pytest.raises(ValueError):
         s.batch_mode("timed")
+
+
+def test_map_async_memo_dedups_inflight_same_key(ctx):
+    """Duplicate keys arriving in ONE batch must share a single call:
+    the async fn returns a per-call unique value, so any double-fire
+    shows up as differing results for the same key."""
+    df = ctx.spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (2, "d"), (1, "e")], "k long, tag string"
+    ).coalesce(1)
+
+    async def enrich(row):
+        import random
+        return {"k": row["k"], "nonce": random.random()}
+
+    got = (
+        ctx.from_df(df)
+        .map_async_memo_by(enrich, lambda r: r["k"], "k long, nonce double")
+        .collect_vec()
+    )
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.k, set()).add(r.nonce)
+    assert all(len(v) == 1 for v in by_key.values()), by_key
