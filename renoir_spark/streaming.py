@@ -251,6 +251,57 @@ def keyed_map_with_state(
     )
 
 
+def last_k_window_stream(
+    stream,
+    keys: Sequence[str],
+    order,
+    value_col: str,
+    k: int,
+):
+    """Streaming LastKWindow — the unbounded form of the batch
+    :class:`~renoir_spark.window.LastKWindow`
+    (src/operator/window/descr/last_k.rs:90-105): per key, EVERY arriving
+    element emits the aggregate over the trailing ≤k values, with the
+    window rolling across micro-batch boundaries.
+
+    Built on :func:`keyed_map_with_state`: the per-key state is (emit
+    counter, last k-1 values) — O(k) per key, hash-partitioned. Rows are
+    processed in ``order`` within each micro-batch; cross-batch order is
+    arrival order (renoir's single-replica-per-key contract). Emits
+    ``(key..., seq, n, sum_v)``."""
+    import pandas as pd
+
+    order_cols = [order] if isinstance(order, str) else list(order)
+
+    def _fold(key, pdf, cur):
+        seq, buf = (cur[0], list(cur[1])) if cur is not None else (0, [])
+        rows = []
+        if len(pdf):
+            pdf = pdf.sort_values(order_cols)
+            for v in pdf[value_col]:
+                buf.append(float(v))
+                buf = buf[-k:]
+                rows.append(key + (seq, len(buf), sum(buf)))
+                seq += 1
+        out = pd.DataFrame(
+            rows, columns=[*keys, "seq", "n", "sum_v"]
+        ) if rows else None
+        return out, (seq, buf)
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream.df.schema.fields
+        if f.name in set(keys)
+    )
+    return keyed_map_with_state(
+        stream,
+        keys,
+        _fold,
+        state_schema="seq long, buf array<double>",
+        out_schema=f"{key_fields}, seq long, n long, sum_v double",
+    )
+
+
 def transaction_window_stream(
     stream,
     keys: Sequence[str],

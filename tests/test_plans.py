@@ -80,3 +80,25 @@ def test_q64_signatures_are_one_arrow_pass(ctx):
     (measured 10x worse)."""
     plan = _plan(ctx, "q64_ann_lsh_multi")
     assert "MapInPandas" in plan
+
+
+def test_nexmark_winning_bids_broadcasts_the_auction_side(ctx):
+    """q65/q66: the auction relation is one row per auction id — it must
+    broadcast so the bid stream never shuffles for the join."""
+    plan = _plan(ctx, "q65_nexmark_winning_bids")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nexmark_item_suggestion_broadcasts_persons(ctx):
+    plan = _plan(ctx, "q68_nexmark_item_suggestion")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_nexmark_hot_items_is_two_hash_aggregates(ctx):
+    """q61's chained argmax must stay aggregation-shaped: no sort to
+    pick the per-window winner, no join between the two levels."""
+    plan = _plan(ctx, "q61_nexmark_hot_items")
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

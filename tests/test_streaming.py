@@ -386,3 +386,28 @@ def test_streaming_transaction_window_commit_after_watermark(ctx):
     # A's window committed by watermark alone (no third A row); B's
     # windows also pend on commit_after and close as the frontier moves
     assert ("A", 0, 2, 3.0) in got
+
+
+def test_streaming_last_k_window_rolls_across_batches(ctx):
+    """Streaming LastKWindow (last_k.rs:90-105): every element emits the
+    trailing <=k aggregate; the buffer must carry across micro-batches
+    (A's fourth element sums values from both pushes)."""
+    from renoir_spark.streaming import last_k_window_stream
+
+    ch = ctx.stream_channel("k string, seq long, v double")
+    ch.push([("A", 0, 1.0), ("A", 1, 2.0), ("B", 0, 10.0)])
+    ch.push([("A", 2, 3.0), ("A", 3, 4.0), ("B", 1, 20.0)])
+
+    out = last_k_window_stream(
+        ch.stream(max_files_per_trigger=1), ["k"], "seq", "v", k=3
+    )
+    got = {(r.k, r.seq, r.n, r.sum_v)
+           for r in run_to_completion(out.df, output_mode="append")}
+    assert got == {
+        ("A", 0, 1, 1.0),
+        ("A", 1, 2, 3.0),
+        ("A", 2, 3, 6.0),     # 1+2+3
+        ("A", 3, 3, 9.0),     # 2+3+4 — rolled across the push boundary
+        ("B", 0, 1, 10.0),
+        ("B", 1, 2, 30.0),    # 10+20 across batches
+    }
