@@ -117,3 +117,51 @@ def test_dedup_exact_properties(ctx, texts):
         for r in out.dedup_exact("text", order=["doc_id"]).df.select("doc_id").collect()
     )
     assert again == got
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=99), min_size=1, max_size=30
+    ),
+    commit_at=st.integers(min_value=1, max_value=9),
+    discard_at=st.integers(min_value=90, max_value=99),
+)
+def test_transaction_window_matches_python_reference(
+    ctx, vals, commit_at, discard_at
+):
+    """Batch TransactionWindow (transaction.rs:52-122) vs a pure-Python
+    simulator: commit closes the window INCLUDING the element, discard
+    drops it without output, ids stay monotonic, uncommitted tails are
+    still emitted by the batch form (stream-end flush)."""
+    from renoir_spark.window import TransactionWindow
+
+    def logic(row, _state):
+        if row["v"] % 10 == commit_at % 10:
+            return "commit"
+        if row["v"] == discard_at:
+            return "discard"
+        return "continue"
+
+    rows = [(0, i, v) for i, v in enumerate(vals)]
+    s = ctx.stream_iter(rows, "k long, pos long, v long")
+    out = (
+        s.key_by("k")
+        .window(TransactionWindow("pos", logic))
+        .fold(n=F.count(F.lit(1)), total=F.sum("v"))
+        .df.collect()
+    )
+    got = {(r.window_id, r.n, r.total) for r in out}
+
+    want, buf, wid = set(), [], 0
+    for v in vals:
+        action = logic({"v": v}, None)
+        buf.append(v)
+        if action == "commit":
+            want.add((wid, len(buf), sum(buf)))
+            wid, buf = wid + 1, []
+        elif action == "discard":
+            wid, buf = wid + 1, []
+    if buf:
+        want.add((wid, len(buf), sum(buf)))  # stream-end flush
+    assert got == want
