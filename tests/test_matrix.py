@@ -31,6 +31,11 @@ SWEEP = [
     "q36_transaction_window",
     "q50_ann_ivf",
     "q54_kmv_distinct",
+    # round-3: the Arrow-batched multi-table LSH signature pass (per-
+    # partition numpy blocks must agree with the oracle regardless of
+    # partitioning) and the broadcast winning-bids argmax
+    "q64_ann_lsh_multi",
+    "q65_nexmark_winning_bids",
 ]
 
 

@@ -168,3 +168,23 @@ def test_monitor_new_users_stream_equals_batch(ctx, nex_dir):
     )
     assert key(got) == key(exp)
     assert key(exp) == [(0, 1, 0, 4, 55.0), (60, 2, 6, 9, 66.0)]
+
+
+def test_hot_items_sliding_stream_equals_batch(ctx, nex_dir):
+    """Sliding (overlapping) windows through the chained stateful aggs:
+    each bid lands in TWO 60s windows (30s slide); per-window winners
+    must match the bounded run for all finalized windows."""
+    got = run_to_completion(
+        hot_items(
+            _unbounded(ctx, nex_dir), size=60.0, slide=30.0,
+            watermark="10 seconds",
+        ).df,
+        output_mode="append",
+    )
+    exp = hot_items(
+        _bounded(ctx, nex_dir), size=60.0, slide=30.0
+    ).collect_vec()
+    key = lambda rows: sorted(
+        (r.win_s, r.auction, r.num) for r in rows if r.win_s < 120
+    )
+    assert key(got) == key(exp) and len(key(exp)) >= 4
