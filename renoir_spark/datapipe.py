@@ -152,6 +152,38 @@ SELECT {cols} FROM (
 """
 
 
+def dedup_against(stream, reference, text_col: str,
+                  ref_text_col: Optional[str] = None) -> "object":
+    """Cross-corpus exact dedup — drop every row whose normalized
+    content already appears in ``reference`` (decontamination / "seen in
+    a previous crawl" filtering, a standard training-data ingest step).
+
+    Scale: both sides reduce to 32-byte sha2 content keys; the reference
+    side aggregates to DISTINCT keys BEFORE the join (one shuffle of
+    keys, not texts), then a left_anti equi-join — if the reference key
+    set is small Catalyst broadcasts it, otherwise it is a plain hash
+    anti-join; the corpus text never shuffles."""
+    ref_col = ref_text_col or text_col
+    keys = (
+        reference.df.select(
+            F.sha2(norm_text(ref_col), 256).alias("__ck")
+        ).distinct()
+    )
+    df = stream.df.withColumn("__ck", F.sha2(norm_text(text_col), 256))
+    return stream._new(df.join(keys, "__ck", "left_anti").drop("__ck"))
+
+
+def sql_dedup_against(table_expr: str, ref_expr: str, text: str,
+                      ref_text: str, cols: str) -> str:
+    return f"""
+SELECT {cols} FROM {table_expr} t
+WHERE NOT EXISTS (
+  SELECT 1 FROM {ref_expr} r
+  WHERE {sql_norm_text(f"r.{ref_text}")} = {sql_norm_text(f"t.{text}")}
+)
+"""
+
+
 # --------------------------------------------------------------------- #
 # MinHash-LSH near-duplicate dedup
 # --------------------------------------------------------------------- #

@@ -767,6 +767,15 @@ class Stream:
 
         return _dd(self, text_col, order=order)
 
+    def dedup_against(self, reference: "Stream", text_col: str,
+                      ref_text_col: Optional[str] = None) -> "Stream":
+        """Cross-corpus exact dedup (decontamination): drop rows whose
+        normalized content appears in ``reference``. See
+        datapipe.dedup_against for the scale notes."""
+        from .datapipe import dedup_against as _da
+
+        return _da(self, reference, text_col, ref_text_col)
+
     def dedup_minhash(self, text_col: str, id_col: str, **kw) -> "Stream":
         """MinHash-LSH near-duplicate dedup — banded bucket-join, never
         all-pairs. See datapipe.dedup_minhash."""

@@ -901,6 +901,7 @@ from .datapipe import (  # noqa: E402  (oracle generators share constants)
     sql_ann_cosine_brute,
     sql_ann_cosine_ivf,
     sql_ann_cosine_lsh,
+    sql_dedup_against,
     sql_approx_distinct_kmv,
     sql_dedup_embedding,
     sql_dedup_exact,
@@ -2183,6 +2184,27 @@ FROM a JOIN p ON a.seller = p.user_id
 """
 
 
+def q69_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact dedup (decontamination): drop documents whose
+    normalized text already appears in a reference corpus (here: the
+    first 100 doc ids). Reference side reduces to DISTINCT sha2 keys
+    before a left_anti equi-join — keys shuffle, texts never do."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents")
+    seen = _t(ctx, sf_dir, "documents").filter("doc_id < 100")
+    return (
+        docs.dedup_against(seen, "text")
+        .map("doc_id", "n_chars")
+        .df
+    )
+
+
+ORACLE_Q69 = sql_dedup_against(
+    "documents", "(SELECT * FROM documents WHERE doc_id < 100)",
+    "text", "text", "t.doc_id, t.n_chars",
+)
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -2252,6 +2274,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_nexmark_avg_category": q66_nexmark_avg_category,
     "q67_nexmark_avg_seller": q67_nexmark_avg_seller,
     "q68_nexmark_item_suggestion": q68_nexmark_item_suggestion,
+    "q69_dedup_against": q69_dedup_against,
 }
 
 ORACLE: Dict[str, str] = {
@@ -2325,4 +2348,5 @@ ORACLE: Dict[str, str] = {
     "q66_nexmark_avg_category": ORACLE_Q66,
     "q67_nexmark_avg_seller": ORACLE_Q67,
     "q68_nexmark_item_suggestion": ORACLE_Q68,
+    "q69_dedup_against": ORACLE_Q69,
 }
