@@ -105,3 +105,53 @@ def test_zip_and_merge_on_empty(ctx):
     assert e.zip(o, order=["k"], other_order=["k"]).collect_vec() == []
     merged = e.merge(o).collect_vec()
     assert len(merged) == 1
+
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_nexmark_builders_on_empty_events(ctx):
+    from renoir_spark.nexmark import (
+        avg_price_by_category,
+        currency_conversion,
+        highest_bid,
+        hot_items,
+        local_item_suggestion,
+        monitor_new_users,
+        winning_bids,
+    )
+
+    s = ctx.stream_iter([], _EV_SCHEMA)
+    assert currency_conversion(s).collect_vec() == []
+    assert hot_items(s, size=60.0).collect_vec() == []
+    assert highest_bid(s, size=60.0).collect_vec() == []
+    assert monitor_new_users(s, size=60.0).collect_vec() == []
+    assert winning_bids(s).collect_vec() == []
+    assert avg_price_by_category(s).collect_vec() == []
+    assert local_item_suggestion(s).collect_vec() == []
+
+
+def test_dedup_against_edges(ctx):
+    # empty reference: everything survives; empty corpus: nothing out;
+    # reference == corpus: nothing survives
+    docs = ctx.stream_iter([(0, "a b"), (1, "c")], "doc_id long, text string")
+    none = ctx.stream_iter([], "doc_id long, text string")
+    assert docs.dedup_against(none, "text").collect_count() == 2
+    assert none.dedup_against(docs, "text").collect_count() == 0
+    assert docs.dedup_against(docs, "text").collect_count() == 0
+    # normalization applies on BOTH sides
+    ref = ctx.stream_iter([(9, "  A   b ")], "doc_id long, text string")
+    assert {r.doc_id for r in docs.dedup_against(ref, "text").collect_vec()} == {1}
+
+
+def test_multi_table_lsh_on_tiny_corpus(ctx):
+    # 2 vectors, 2 tables: no crash, self-pairs excluded, k respected
+    rows = [(0, [1.0] * 64), (1, [1.0] * 63 + [-1.0])]
+    emb = ctx.stream_iter(rows, "vec_id long, embedding array<double>")
+    out = emb.ann_cosine(emb, method="lsh", k=1, n_planes=2, n_tables=2)
+    got = out.collect_vec()
+    assert all(r.qid != r.vec_id for r in got)
+    assert len(got) <= 2
