@@ -251,6 +251,62 @@ def keyed_map_with_state(
     )
 
 
+def windowed_top_k_stream(
+    stream,
+    ts,
+    key_col: str,
+    *,
+    size: float,
+    slide: Optional[float] = None,
+    k: int = 3,
+    watermark: Optional[str] = None,
+):
+    """Per-window top-k by frequency on bounded OR unbounded input — the
+    streaming form of the reference's rolling_top_words example
+    (examples/rolling_top_words.rs; batch restatement is suite q55).
+
+    Chained stateful shape like NEXMark hot-items: (window, key) counts,
+    then a per-window aggregation that keeps the k most frequent keys by
+    sorting the (small) per-window count set INSIDE an aggregate —
+    ``slice(sort_array(collect_list(...)))`` — so the second level stays
+    an aggregation (streaming-legal), not a rank window function. State
+    for level two is one (n, key) pair per distinct key per window —
+    bounded by key cardinality, evicted by the watermark. Emits
+    ``(win_s, rank, key, n)`` rows, rank 1-based, ties broken by key
+    ascending (same contract as q55)."""
+    df = stream.df.withColumn("__ets", to_col(ts).cast("timestamp"))
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark("__ets", watermark)
+    win = F.window("__ets", _dur(size), _dur(slide or size))
+    counts = df.groupBy(win.alias("__win"), F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # sort_array on struct(-n, key) orders by count desc then key asc
+    top = counts.groupBy("__win").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct((-F.col("n")).alias("negn"), F.col(key_col))
+                )
+            ),
+            1,
+            k,
+        ).alias("__top")
+    )
+    exploded = top.select(
+        F.unix_seconds(F.col("__win.start")).alias("win_s"),
+        F.posexplode("__top").alias("__i", "__t"),
+    )
+    return stream._new(
+        exploded.select(
+            "win_s",
+            (F.col("__i") + 1).alias("rank"),
+            F.col(f"__t.{key_col}").alias(key_col),
+            (-F.col("__t.negn")).alias("n"),
+        )
+    )
+
+
 def last_k_window_stream(
     stream,
     keys: Sequence[str],

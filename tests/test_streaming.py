@@ -411,3 +411,38 @@ def test_streaming_last_k_window_rolls_across_batches(ctx):
         ("B", 0, 1, 10.0),
         ("B", 1, 2, 30.0),    # 10+20 across batches
     }
+
+
+def test_windowed_top_k_stream_equals_batch(ctx, stream_dir):
+    """rolling_top_words streaming form: per-window top-2 user ids by
+    event count; unbounded (chained stateful aggs + collect_list top-k)
+    must match the bounded run of the same plan for finalized windows."""
+    from renoir_spark.streaming import windowed_top_k_stream
+
+    unbounded = ctx.from_df(
+        ctx.spark.readStream.schema(_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")
+    )
+    got = run_to_completion(
+        windowed_top_k_stream(
+            unbounded, "ts", "user_id", size=120.0, k=2,
+            watermark="10 seconds",
+        ).df,
+        output_mode="append",
+    )
+    # the bounded reference excludes batch_3's LATE row (the stream
+    # drops it at the watermark; a batch run would count it) — so this
+    # also asserts the late-drop contract through the chained aggs
+    bounded = ctx.stream_parquet(f"{stream_dir}/batch_[012].parquet")
+    exp = windowed_top_k_stream(
+        bounded, "ts", "user_id", size=120.0, k=2
+    ).collect_vec()
+    # the last window cannot finalize (no flush rows past it) — compare
+    # the windows the stream emitted, and require at least one
+    key = lambda rows, wins: sorted(
+        (r.win_s, r.rank, r.user_id, r.n) for r in rows if r.win_s in wins
+    )
+    emitted = {r.win_s for r in got}
+    assert len(emitted) >= 1
+    assert key(got, emitted) == key(exp, emitted)
