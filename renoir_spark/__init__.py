@@ -17,13 +17,17 @@ from .iteration import IterationStateHandle
 from .keyed import KeyedStream
 from .stream import Stream
 from .streaming import (
+    count_window_fold_stream,
     dedup_exact_stream,
     event_time_agg,
     foreach_batch,
     interval_join_stream,
     keyed_map_with_state,
+    last_k_window_stream,
     run_to_completion,
     session_agg,
+    transaction_window_stream,
+    windowed_top_k_stream,
 )
 from .window import (
     AllWindow,
@@ -57,6 +61,10 @@ __all__ = [
     "interval_join_stream",
     "dedup_exact_stream",
     "keyed_map_with_state",
+    "count_window_fold_stream",
+    "last_k_window_stream",
+    "transaction_window_stream",
+    "windowed_top_k_stream",
     "run_to_completion",
     "foreach_batch",
 ]
