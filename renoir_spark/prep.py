@@ -1,0 +1,742 @@
+"""Training-data preparation operators (LLM-pipeline expansion pack).
+
+Beyond the dedup/ANN/text family in :mod:`datapipe`, a production
+training-data pipeline needs: PII redaction, heuristic quality filtering
+(Gopher-style rules), repetition analysis, deterministic sampling
+(stratified / fractional), sequence packing to a context length, TF-IDF
+term weighting, BM25 retrieval, n-gram benchmark decontamination, and
+domain-mix rebalancing. Each operator here is expression-first (JVM-side,
+whole-stage-codegen friendly), shuffles only on real keys, and ships a
+``sql_*`` twin producing the exact DuckDB oracle so the driver can verify
+values bit-for-bit.
+
+Cross-engine discipline (same rules as datapipe.py):
+- shared md5-based hashes (:func:`datapipe.md5_int31`) inlined into BOTH
+  plans so sampling/packing decisions are deterministic and identical;
+- every computed float is ``round(x, 6)`` on both sides;
+- regexes restricted to the Java∩RE2 common dialect (no lookaround,
+  no backreferences) so Spark and DuckDB match the same spans.
+
+Scale notes are inline per operator; none of them is all-pairs and none
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .datapipe import (
+    MINHASH_P,
+    md5_int31,
+    norm_text,
+    sql_md5_int31,
+    sql_norm_text,
+    sql_tokens,
+    tokens,
+)
+from .util import to_col
+
+# --------------------------------------------------------------------- #
+# PII redaction
+# --------------------------------------------------------------------- #
+
+# Java-regex ∩ RE2 safe patterns. Order matters: the running text is
+# redacted kind-by-kind, counting matches BEFORE each replacement, so a
+# credit-card digit run is not double-counted as a phone number once
+# phone has already been replaced.
+PII_PATTERNS: Dict[str, str] = {
+    # local@domain.tld — conservative, ASCII-only
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # 13-16 contiguous digits (card-number-ish); before phone so the
+    # longer digit run wins
+    "ccn": r"\b\d{13,16}\b",
+    # 555-012-3456 / 555 012 3456 / +1-555-012-3456
+    "phone": r"\+?\d{1,3}[- ]\d{3}[- ]\d{4,7}\b",
+    # dotted quad
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+PII_KINDS: Sequence[str] = tuple(PII_PATTERNS)
+
+
+def pii_redact(stream, text_col: str, *, kinds: Sequence[str] = PII_KINDS):
+    """Redact PII spans in ``text_col`` → ``<KIND>`` tokens, adding one
+    ``pii_<kind>`` match-count column per kind and ``text_redacted``.
+
+    All work is a chain of ``regexp_count`` + ``regexp_replace`` Column
+    expressions — map-side only, zero shuffles, codegen'd in the JVM.
+    At 100 TB this runs at scan speed; the regexes are the documented
+    Java∩RE2 subset so the oracle matches span-for-span.
+    """
+    df = stream.df
+    cur = to_col(text_col)
+    counts = []
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        # cast long: DuckDB len(regexp_extract_all(..)) is BIGINT and the
+        # driver hashes pandas dtypes — int32 vs int64 would mismatch
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"pii_{kind}")
+        )
+        cur = F.regexp_replace(cur, pat, f"<{kind.upper()}>")
+    out = df.select("*", *counts, cur.alias("text_redacted"))
+    return stream._new(out)
+
+
+def sql_pii_redact(table_expr: str, text: str, keep_cols: str,
+                   kinds: Sequence[str] = PII_KINDS) -> str:
+    """DuckDB twin of :func:`pii_redact` (same order, same patterns)."""
+    cur = text
+    counts = []
+    for kind in kinds:
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        counts.append(
+            f"len(regexp_extract_all({cur}, '{pat}')) AS pii_{kind}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '<{kind.upper()}>', 'g')"
+    cols = ", ".join(counts)
+    return (
+        f"SELECT {keep_cols}, {cols}, {cur} AS text_redacted "
+        f"FROM {table_expr}"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Gopher-style quality rules
+# --------------------------------------------------------------------- #
+
+# Tiny fixed english stopword list shared verbatim with the oracle (the
+# Gopher rule is "≥ 2 of a small stop set present").
+QUALITY_STOPWORDS: Sequence[str] = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def quality_gopher(
+    stream,
+    text_col: str,
+    *,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+):
+    """Gopher-rule quality gate (Rae et al. 2021 §A1.1 shape): token
+    count bounds, mean word length bounds, fraction of tokens containing
+    an alphabetic character, and ≥ N stopword hits. Emits the metrics
+    plus a ``q_keep`` flag; filtering is left to the caller so rejected
+    rows can be audited.
+
+    Pure Column expressions over one materialized token array — no
+    shuffle, no Python. The token array is staged as a real column first
+    (attribute reference) so higher-order lambdas don't re-tokenize per
+    element (the 50× trap documented at datapipe.py shingles_from).
+    """
+    df = stream.df
+    toks = tokens(text_col)
+    df = df.withColumn("__toks", toks)
+    t = F.col("__toks")
+    n = F.size(t)
+    total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_len = F.round(total_len / n, 6)
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.round(alpha / n, 6)
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(t), stop_arr))
+    keep = (
+        (n >= min_tokens) & (n <= max_tokens)
+        & (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stopword_hits)
+    )
+    out = (
+        df.select(
+            "*",
+            n.cast("long").alias("q_tokens"),
+            mean_len.alias("q_mean_word_len"),
+            alpha_frac.alias("q_alpha_frac"),
+            stop_hits.cast("long").alias("q_stopword_hits"),
+            keep.alias("q_keep"),
+        )
+        .drop("__toks")
+    )
+    return stream._new(out)
+
+
+def sql_quality_gopher(
+    table_expr: str,
+    text: str,
+    keep_cols: str,
+    *,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> str:
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""
+WITH toked AS (
+  SELECT {keep_cols}, {sql_tokens(text)} AS toks FROM {table_expr}
+), m AS (
+  SELECT {keep_cols},
+         len(toks) AS q_tokens,
+         round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+               / len(toks), 6) AS q_mean_word_len,
+         round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+               / len(toks), 6) AS q_alpha_frac,
+         len(list_intersect(list_distinct(toks), [{stop_list}]))
+             AS q_stopword_hits
+  FROM toked
+)
+SELECT *,
+       (q_tokens >= {min_tokens} AND q_tokens <= {max_tokens}
+        AND q_mean_word_len >= {min_mean_word_len}
+        AND q_mean_word_len <= {max_mean_word_len}
+        AND q_alpha_frac >= {min_alpha_frac}
+        AND q_stopword_hits >= {min_stopword_hits}) AS q_keep
+FROM m
+"""
+
+
+# --------------------------------------------------------------------- #
+# Repetition statistics (dup-word fraction, top n-gram fraction)
+# --------------------------------------------------------------------- #
+
+def repetition_stats(stream, id_col: str, text_col: str, *, ngram: int = 2,
+                     max_top_frac: float = 0.20):
+    """Per-document repetition metrics (Gopher §A1.1 repetition rules,
+    word-level form): duplicate-word fraction and the fraction of tokens
+    covered by the single most frequent word ``ngram``-gram, plus a
+    ``rep_keep`` flag (top-gram coverage ≤ ``max_top_frac``).
+
+    Shape: tokens are exploded to (id, gram) — ONE shuffle on the
+    composite key with map-side partial counts, then a per-id max.  The
+    (id, gram) count relation is bounded by total token count, never
+    quadratic; at 100 TB this is the same plan as wordcount with a doc
+    key prepended. Ties on the max count are broken by the
+    lexicographically smallest gram so both engines pick the same one.
+    """
+    df = stream.df
+    sid, toks = F.col(id_col), tokens(text_col)
+    base = df.select(sid.alias("__id"), toks.alias("__toks"))
+    t = F.col("__toks")
+    stats = base.select(
+        "__id",
+        F.size(t).cast("long").alias("rep_tokens"),
+        F.round(
+            (F.size(t) - F.size(F.array_distinct(t))) / F.size(t), 6
+        ).alias("dup_word_frac"),
+    )
+    # 2-gram explode: zip the token array against itself shifted by n-1
+    grams = base.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.slice(t, 1, F.greatest(F.size(t) - (ngram - 1), F.lit(0))),
+                lambda x, i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j + 1) for j in range(ngram)]
+                ),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("__id", "gram").agg(F.count("*").alias("c"))
+    # ties on max count broken by smallest gram — same on both engines
+    w = Window.partitionBy("__id").orderBy(F.desc("c"), F.asc("gram"))
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", F.col("gram").alias("top_gram"),
+                F.col("c").alias("top_gram_count"))
+    )
+    out = (
+        stats.join(top, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "rep_tokens",
+            "dup_word_frac",
+            "top_gram",
+            F.coalesce("top_gram_count", F.lit(0)).alias("top_gram_count"),
+            F.round(
+                F.coalesce(F.col("top_gram_count"), F.lit(0)) * ngram
+                / F.col("rep_tokens"), 6,
+            ).alias("top_gram_frac"),
+        )
+        .withColumn("rep_keep", F.col("top_gram_frac") <= max_top_frac)
+    )
+    return stream._new(out)
+
+
+def sql_repetition_stats(table_expr: str, id_col: str, text: str, *,
+                         ngram: int = 2, max_top_frac: float = 0.20) -> str:
+    return f"""
+WITH toked AS (
+  SELECT {id_col} AS __id, {sql_tokens(text)} AS toks FROM {table_expr}
+), stats AS (
+  SELECT __id, len(toks) AS rep_tokens,
+         round((len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks), 6)
+             AS dup_word_frac
+  FROM toked
+), grams AS (
+  SELECT __id,
+         unnest([array_to_string(toks[i:i+{ngram - 1}], ' ')
+                 for i in range(1, len(toks) - {ngram - 2})]) AS gram
+  FROM toked
+), counts AS (
+  SELECT __id, gram, count(*) AS c FROM grams GROUP BY __id, gram
+), top AS (
+  SELECT __id, gram AS top_gram, c AS top_gram_count,
+         row_number() OVER (PARTITION BY __id ORDER BY c DESC, gram ASC)
+             AS rn
+  FROM counts
+)
+SELECT s.__id AS {id_col}, s.rep_tokens, s.dup_word_frac,
+       t.top_gram, coalesce(t.top_gram_count, 0) AS top_gram_count,
+       round(coalesce(t.top_gram_count, 0) * {ngram}
+             / s.rep_tokens::DOUBLE, 6) AS top_gram_frac,
+       (round(coalesce(t.top_gram_count, 0) * {ngram}
+              / s.rep_tokens::DOUBLE, 6) <= {max_top_frac}) AS rep_keep
+FROM stats s LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (__id)
+"""
+
+
+# --------------------------------------------------------------------- #
+# Deterministic sampling
+# --------------------------------------------------------------------- #
+
+def sample_fraction(stream, id_col: str, fraction: float, *, salt: str = "s0"):
+    """Deterministic fractional sample: keep rows whose 31-bit md5 hash
+    of (salt || id) falls below ``fraction`` of the hash space.
+
+    Map-side filter only — NO shuffle, no rand() (reproducible across
+    retries/stragglers, unlike ``df.sample`` whose output depends on
+    partition layout). This is the only sampling shape that is safe at
+    100 TB: every executor decides locally from the row content.
+    """
+    df = stream.df
+    h = md5_int31(F.concat_ws("|", F.lit(salt), to_col(id_col).cast("string")))
+    out = df.filter(h < int(fraction * MINHASH_P))
+    return stream._new(out)
+
+
+def sql_sample_fraction(table_expr: str, id_col: str, fraction: float, *,
+                        salt: str = "s0") -> str:
+    h = sql_md5_int31(f"concat_ws('|', '{salt}', {id_col}::VARCHAR)")
+    return (
+        f"SELECT * FROM {table_expr} WHERE {h} < "
+        f"{int(fraction * MINHASH_P)}"
+    )
+
+
+def sample_stratified(stream, id_col: str, strata: Sequence[str], quota: int,
+                      *, salt: str = "s0"):
+    """Deterministic per-stratum quota sample: within each stratum keep
+    the ``quota`` rows with the smallest md5 hash of (salt || id).
+
+    One shuffle on the strata key; rank via window. Scale note: each
+    stratum is ranked inside its partition — fine when strata count ≫
+    executor count (lang × source at corpus scale); for few huge strata
+    use :func:`sample_fraction` with per-stratum fractions
+    (:func:`rebalance_mix`) which stays map-side.
+    """
+    df = stream.df
+    h = md5_int31(F.concat_ws("|", F.lit(salt), to_col(id_col).cast("string")))
+    w = Window.partitionBy(*strata).orderBy(F.asc("__h"), F.asc(id_col))
+    out = (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__h", "__rn")
+    )
+    return stream._new(out)
+
+
+def sql_sample_stratified(table_expr: str, id_col: str, strata: str,
+                          quota: int, *, salt: str = "s0") -> str:
+    h = sql_md5_int31(f"concat_ws('|', '{salt}', {id_col}::VARCHAR)")
+    return f"""
+SELECT * EXCLUDE (__h, __rn) FROM (
+  SELECT *, {h} AS __h,
+         row_number() OVER (PARTITION BY {strata}
+                            ORDER BY {h} ASC, {id_col} ASC) AS __rn
+  FROM {table_expr}
+) WHERE __rn <= {quota}
+"""
+
+
+def rebalance_mix(stream, id_col: str, group_col: str,
+                  targets: Dict[str, float], *, salt: str = "mix"):
+    """Domain-mix rebalancing: given target SHARES per group (e.g. lang
+    weights for a training mix), compute per-group keep-fractions so the
+    surviving corpus approaches the target mix, then apply the
+    deterministic hash filter.
+
+    Two aggregation passes, zero driver collects: (1) per-group counts
+    (tiny relation, broadcast-joined back), (2) the map-side hash
+    filter. keep_frac_g = min(1, target_g * scale / count_g) where
+    scale = min_g(count_g / target_g) — the largest total size for
+    which every group can meet its target share without upsampling.
+    All arithmetic is integer/round(…,9) mirrored in the oracle.
+    """
+    df = stream.df
+    g = to_col(group_col)
+    counts = df.groupBy(g.alias("__g")).agg(F.count("*").alias("__n"))
+    tmap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in targets]),
+        F.array(*[F.lit(float(v)) for v in targets.values()]),
+    )
+    counts = counts.withColumn("__t", F.coalesce(tmap[F.col("__g")], F.lit(0.0)))
+    scale = counts.agg(
+        F.min(F.when(F.col("__t") > 0, F.col("__n") / F.col("__t"))).alias("__s")
+    )
+    fracs = (
+        counts.crossJoin(F.broadcast(scale))
+        .select(
+            "__g",
+            F.round(
+                F.least(F.lit(1.0),
+                        F.when(F.col("__n") > 0,
+                               F.col("__t") * F.col("__s") / F.col("__n"))
+                        .otherwise(F.lit(0.0))),
+                9,
+            ).alias("__frac"),
+        )
+    )
+    h = md5_int31(F.concat_ws("|", F.lit(salt), to_col(id_col).cast("string")))
+    out = (
+        df.join(F.broadcast(fracs), g == F.col("__g"), "left")
+        .withColumn("__h", h)
+        .filter(F.col("__h") < (F.col("__frac") * MINHASH_P).cast("long"))
+        .drop("__g", "__frac", "__h")
+    )
+    return stream._new(out)
+
+
+def sql_rebalance_mix(table_expr: str, id_col: str, group_col: str,
+                      targets: Dict[str, float], *, salt: str = "mix") -> str:
+    pairs = ", ".join(f"('{k}', {float(v)})" for k, v in targets.items())
+    h = sql_md5_int31(f"concat_ws('|', '{salt}', t.{id_col}::VARCHAR)")
+    return f"""
+WITH tgt(g, share) AS (VALUES {pairs}),
+counts AS (
+  SELECT {group_col} AS g, count(*) AS n FROM {table_expr} GROUP BY 1
+), joined AS (
+  SELECT c.g, c.n, coalesce(t.share, 0.0) AS share
+  FROM counts c LEFT JOIN tgt t ON c.g = t.g
+), s AS (
+  SELECT min(n / share) AS scale FROM joined WHERE share > 0
+), fracs AS (
+  SELECT g, round(least(1.0, CASE WHEN n > 0 THEN share * scale / n
+                                  ELSE 0.0 END), 9) AS frac
+  FROM joined, s
+)
+SELECT t.* FROM {table_expr} t JOIN fracs f ON t.{group_col} = f.g
+WHERE {h} < CAST(f.frac * {MINHASH_P} AS BIGINT)
+"""
+
+
+# --------------------------------------------------------------------- #
+# Sequence packing (concat-and-chunk to a context length)
+# --------------------------------------------------------------------- #
+
+def pack_sequences(stream, id_col: str, ntok_col: str, *,
+                   max_tokens: int = 2048, n_buckets: int = 64,
+                   salt: str = "pack"):
+    """Assign documents to fixed-size training sequences
+    (concat-and-chunk semantics): documents are laid out in a
+    deterministic hash order, token offsets accumulate, and a document
+    belongs to the pack where it STARTS: ``pack = offset div
+    max_tokens``.
+
+    Scale shape: a single global ordering would funnel the window sum
+    through one task, so the layout is two-level — docs are first
+    hash-bucketed (``n_buckets`` independent streams, map-side), then
+    the running-offset window runs PER BUCKET (partitionBy bucket), so
+    all 32 (or 1000) executors pack in parallel.  pack_id =
+    bucket * 2^32 + local_pack is globally unique. Deterministic:
+    ordering inside a bucket is (md5 hash, id).
+    """
+    df = stream.df
+    sid = to_col(id_col)
+    h = md5_int31(F.concat_ws("|", F.lit(salt), sid.cast("string")))
+    staged = df.withColumn("__h", h).withColumn(
+        "__bucket", (F.col("__h") % n_buckets).cast("long")
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.asc("__h"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ntok = to_col(ntok_col)
+    out = (
+        staged.withColumn("__cum", F.sum(ntok).over(w))
+        .select(
+            "*",
+            (F.col("__cum") - ntok).alias("pack_offset"),
+            (
+                F.col("__bucket") * F.lit(1 << 32)
+                + ((F.col("__cum") - ntok) / max_tokens).cast("long")
+            ).alias("pack_id"),
+        )
+        .drop("__h", "__cum")
+        .withColumnRenamed("__bucket", "pack_bucket")
+    )
+    return stream._new(out)
+
+
+def sql_pack_sequences(table_expr: str, id_col: str, ntok_col: str, *,
+                       max_tokens: int = 2048, n_buckets: int = 64,
+                       salt: str = "pack") -> str:
+    h = sql_md5_int31(f"concat_ws('|', '{salt}', {id_col}::VARCHAR)")
+    return f"""
+WITH staged AS (
+  SELECT *, {h} AS __h, ({h}) % {n_buckets} AS pack_bucket
+  FROM {table_expr}
+), cum AS (
+  SELECT *, sum({ntok_col}) OVER (
+      PARTITION BY pack_bucket ORDER BY __h ASC, {id_col} ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum
+  FROM staged
+)
+SELECT * EXCLUDE (__h, __cum),
+       CAST(__cum - {ntok_col} AS BIGINT) AS pack_offset,
+       CAST(pack_bucket * {1 << 32}
+            + (__cum - {ntok_col}) // {max_tokens} AS BIGINT) AS pack_id
+FROM cum
+"""
+
+
+# --------------------------------------------------------------------- #
+# TF-IDF and BM25
+# --------------------------------------------------------------------- #
+
+def tfidf_top_terms(stream, id_col: str, text_col: str, *, k: int = 3):
+    """Top-``k`` TF-IDF terms per document.
+
+    Plan: explode tokens → tf = count per (doc, term) (ONE shuffle with
+    map-side combine, same as wordcount) → df per term (second small
+    agg) → idf joined back ON TERM (the term-df relation is vocabulary-
+    sized, orders of magnitude smaller than the corpus — broadcast) →
+    per-doc top-k via window row_number. idf = ln((N+1)/(df+1)) + 1
+    (smoothed, sklearn shape), score = round(tf * idf, 6).
+    """
+    df = stream.df
+    sid = to_col(id_col)
+    base = df.select(sid.alias("__id"), tokens(text_col).alias("__toks"))
+    n_docs = base.agg(F.count("*").alias("__N"))
+    terms = base.select("__id", F.explode("__toks").alias("term"))
+    tf = terms.groupBy("__id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id", "term", "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__N") + 1) / (F.col("df_t") + 1)) + 1),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("score"), F.asc("term"))
+    out = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(F.col("__id").alias(id_col), "term", "tf", "score",
+                F.col("__rn").cast("long").alias("rank"))
+    )
+    return stream._new(out)
+
+
+def sql_tfidf_top_terms(table_expr: str, id_col: str, text: str, *,
+                        k: int = 3) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS __id, {sql_tokens(text)} AS toks FROM {table_expr}
+), n AS (SELECT count(*) AS N FROM base),
+terms AS (SELECT __id, unnest(toks) AS term FROM base),
+tf AS (SELECT __id, term, count(*) AS tf FROM terms GROUP BY __id, term),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.__id, tf.term, tf.tf,
+         round(tf.tf * (ln((n.N + 1)::DOUBLE / (d.df_t + 1)) + 1), 6)
+             AS score
+  FROM tf JOIN dfreq d USING (term), n
+)
+SELECT __id AS {id_col}, term, tf, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY __id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def bm25_rank(stream, id_col: str, text_col: str, query: Sequence[str], *,
+              k: int = 10, k1: float = 1.2, b: float = 0.75):
+    """BM25 retrieval: score every document against a fixed bag of query
+    terms, return the top-``k`` (score desc, id asc).
+
+    Plan: tokens explode FILTERED TO QUERY TERMS FIRST (the filter is
+    pushed below the explode's shuffle, so only query-term postings move
+    — at 100 TB this shuffles a few GB, not the corpus), tf per (doc,
+    term), df per term (tiny, broadcast), avgdl via a 1-row agg
+    (broadcast cross join), idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    score = Σ idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)), round 6. Final
+    top-k is TakeOrderedAndProject (no global sort).
+    """
+    df = stream.df
+    sid = to_col(id_col)
+    qarr = F.array(*[F.lit(t) for t in query])
+    base = df.select(sid.alias("__id"), tokens(text_col).alias("__toks"))
+    base = base.withColumn("dl", F.size("__toks"))
+    stats = base.agg(
+        F.count("*").alias("N"), F.avg("dl").alias("avgdl")
+    )
+    hits = base.select(
+        "__id", "dl",
+        F.explode(F.filter("__toks", lambda x: F.array_contains(qarr, x)))
+        .alias("term"),
+    )
+    tf = hits.groupBy("__id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("__id").alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "__id",
+            (
+                F.log(1 + (F.col("N") - F.col("df_t") + 0.5)
+                      / (F.col("df_t") + 0.5))
+                * F.col("tf") * (k1 + 1)
+                / (F.col("tf")
+                   + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("part"),
+        )
+        .groupBy("__id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+    )
+    out = (
+        scored.orderBy(F.desc("bm25"), F.asc("__id"))
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "bm25")
+    )
+    return stream._new(out)
+
+
+def sql_bm25_rank(table_expr: str, id_col: str, text: str,
+                  query: Sequence[str], *, k: int = 10, k1: float = 1.2,
+                  b: float = 0.75) -> str:
+    qlist = ", ".join(f"'{t}'" for t in query)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS __id, {sql_tokens(text)} AS toks FROM {table_expr}
+), sized AS (SELECT __id, toks, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS N, avg(dl) AS avgdl FROM sized),
+hits AS (
+  SELECT __id, dl, unnest(list_filter(toks, x -> x IN ({qlist}))) AS term
+  FROM sized
+), tf AS (
+  SELECT __id, dl, term, count(*) AS tf FROM hits GROUP BY __id, dl, term
+), dfreq AS (SELECT term, count(DISTINCT __id) AS df_t FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.__id,
+         ln(1 + (s.N - d.df_t + 0.5) / (d.df_t + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * tf.dl / s.avgdl)) AS part
+  FROM tf JOIN dfreq d USING (term), stats s
+)
+SELECT __id AS {id_col}, round(sum(part), 6) AS bm25
+FROM scored GROUP BY __id
+ORDER BY bm25 DESC, __id ASC LIMIT {k}
+"""
+
+
+# --------------------------------------------------------------------- #
+# N-gram benchmark decontamination
+# --------------------------------------------------------------------- #
+
+def contaminated_ngrams(stream, reference, id_col: str, text_col: str,
+                        ref_text_col: str, *, n: int = 8):
+    """Benchmark decontamination, n-gram form (GPT-3 appendix C shape):
+    flag any document sharing at least one word ``n``-gram with the
+    reference (benchmark) corpus, reporting the overlap count.
+
+    Plan: both sides explode to DISTINCT hashed n-grams (31-bit md5 —
+    16-byte rows on the shuffle, the text stays home); the reference
+    gram set is benchmark-sized (small) so the join broadcasts; per-doc
+    overlap count is one map-side-combinable agg. Semantics: left join
+    keeps CLEAN docs too (overlap_ngrams = 0) so the caller filters.
+    """
+    df = stream.df
+    sid = to_col(id_col)
+
+    def gram_col(txt):
+        toks = tokens(txt)
+        return F.array_distinct(
+            F.transform(
+                F.slice(toks, 1,
+                        F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+                lambda x, i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            )
+        )
+
+    doc_grams = (
+        df.select(sid.alias("__id"), gram_col(text_col).alias("__g"))
+        .select("__id", F.explode("__g").alias("gram"))
+        .select("__id", md5_int31(F.col("gram")).alias("gh"))
+    )
+    ref_grams = (
+        reference.df.select(gram_col(ref_text_col).alias("__g"))
+        .select(F.explode("__g").alias("gram"))
+        .select(md5_int31(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    overlap = (
+        doc_grams.join(F.broadcast(ref_grams), "gh")
+        .groupBy("__id")
+        .agg(F.count("*").alias("overlap_ngrams"))
+    )
+    out = (
+        df.select(sid.alias("__id"))
+        .join(overlap, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("overlap_ngrams", F.lit(0)).alias("overlap_ngrams"),
+            (F.coalesce("overlap_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+    return stream._new(out)
+
+
+def sql_contaminated_ngrams(table_expr: str, ref_expr: str, id_col: str,
+                            text: str, ref_text: str, *, n: int = 8) -> str:
+    def grams_sql(src, id_sel_outer, id_sel_inner, txt):
+        return f"""
+  SELECT {id_sel_outer}unnest(list_distinct(
+      [array_to_string(toks[i:i+{n - 1}], ' ')
+       for i in range(1, len(toks) - {n - 2})])) AS gram
+  FROM (SELECT {id_sel_inner}{sql_tokens(txt)} AS toks FROM {src}) _t
+"""
+
+    return f"""
+WITH doc_grams AS (
+  SELECT __id, {sql_md5_int31('gram')} AS gh
+  FROM ({grams_sql(table_expr, '__id, ', f'{id_col} AS __id, ', text)})
+), ref_grams AS (
+  SELECT DISTINCT {sql_md5_int31('gram')} AS gh
+  FROM ({grams_sql(ref_expr, '', '', ref_text)})
+), overlap AS (
+  SELECT __id, count(*) AS overlap_ngrams
+  FROM doc_grams JOIN ref_grams USING (gh) GROUP BY __id
+)
+SELECT t.{id_col}, coalesce(o.overlap_ngrams, 0) AS overlap_ngrams,
+       (coalesce(o.overlap_ngrams, 0) > 0) AS contaminated
+FROM {table_expr} t LEFT JOIN overlap o ON t.{id_col} = o.__id
+"""

@@ -838,6 +838,76 @@ class Stream:
 
         return _fw(self, text_col, id_col, **kw)
 
+    # ------------------------------------------------------------------ #
+    # training-data preparation operators (prep.py)
+    # ------------------------------------------------------------------ #
+
+    def pii_redact(self, text_col: str, **kw) -> "Stream":
+        """Regex PII redaction with per-kind match counts — prep.pii_redact."""
+        from .prep import pii_redact as _pr
+
+        return _pr(self, text_col, **kw)
+
+    def quality_gopher(self, text_col: str, **kw) -> "Stream":
+        """Gopher-rule quality metrics + keep flag — prep.quality_gopher."""
+        from .prep import quality_gopher as _qg
+
+        return _qg(self, text_col, **kw)
+
+    def repetition_stats(self, id_col: str, text_col: str, **kw) -> "Stream":
+        """Duplicate-word / top-n-gram repetition metrics —
+        prep.repetition_stats."""
+        from .prep import repetition_stats as _rs
+
+        return _rs(self, id_col, text_col, **kw)
+
+    def sample_fraction(self, id_col: str, fraction: float, **kw) -> "Stream":
+        """Deterministic map-side fractional sample — prep.sample_fraction."""
+        from .prep import sample_fraction as _sf
+
+        return _sf(self, id_col, fraction, **kw)
+
+    def sample_stratified(self, id_col: str, strata, quota: int,
+                          **kw) -> "Stream":
+        """Deterministic per-stratum quota sample — prep.sample_stratified."""
+        from .prep import sample_stratified as _ss
+
+        return _ss(self, id_col, strata, quota, **kw)
+
+    def rebalance_mix(self, id_col: str, group_col: str, targets,
+                      **kw) -> "Stream":
+        """Domain-mix rebalancing to target shares — prep.rebalance_mix."""
+        from .prep import rebalance_mix as _rm
+
+        return _rm(self, id_col, group_col, targets, **kw)
+
+    def pack_sequences(self, id_col: str, ntok_col: str, **kw) -> "Stream":
+        """Concat-and-chunk sequence packing — prep.pack_sequences."""
+        from .prep import pack_sequences as _ps
+
+        return _ps(self, id_col, ntok_col, **kw)
+
+    def tfidf_top_terms(self, id_col: str, text_col: str, **kw) -> "Stream":
+        """Top-k TF-IDF terms per document — prep.tfidf_top_terms."""
+        from .prep import tfidf_top_terms as _tt
+
+        return _tt(self, id_col, text_col, **kw)
+
+    def bm25_rank(self, id_col: str, text_col: str, query, **kw) -> "Stream":
+        """BM25 top-k retrieval for a query term bag — prep.bm25_rank."""
+        from .prep import bm25_rank as _bm
+
+        return _bm(self, id_col, text_col, query, **kw)
+
+    def contaminated_ngrams(self, reference: "Stream", id_col: str,
+                            text_col: str, ref_text_col: str,
+                            **kw) -> "Stream":
+        """N-gram benchmark decontamination flags —
+        prep.contaminated_ngrams."""
+        from .prep import contaminated_ngrams as _cn
+
+        return _cn(self, reference, id_col, text_col, ref_text_col, **kw)
+
     def decode_image(self, content_col: str = "content", out_col: str = "image") -> "Stream":
         """Image decode plumbing (stubbed codec) — multimodal.decode_image."""
         from .multimodal import decode_image as _di

@@ -2205,6 +2205,219 @@ ORACLE_Q69 = sql_dedup_against(
 )
 
 
+# --------------------------------------------------------------------- #
+# training-data preparation (prep.py): q70-q79
+# --------------------------------------------------------------------- #
+
+from .prep import (  # noqa: E402  (oracle generators share constants)
+    sql_bm25_rank,
+    sql_contaminated_ngrams,
+    sql_pack_sequences,
+    sql_pii_redact,
+    sql_quality_gopher,
+    sql_rebalance_mix,
+    sql_repetition_stats,
+    sql_sample_fraction,
+    sql_sample_stratified,
+    sql_tfidf_top_terms,
+)
+
+# The synthetic corpus carries no PII-shaped spans, so the PII query
+# appends a deterministic synthetic contact block per document (same
+# construction inlined in the oracle) — the redaction is exercised on
+# every row instead of matching nothing.
+_PII_FMT = ("contact u%d@ex%d.com ip 10.0.%d.%d card 4111111111111111 "
+            "tel +1 555 0100234")
+_PII_SQL_INPUT = """(
+  SELECT doc_id,
+         concat_ws(' ', text,
+                   format('contact u{}@ex{}.com ip 10.0.{}.{} card '
+                          || '4111111111111111 tel +1 555 0100234',
+                          doc_id, doc_id, doc_id % 256,
+                          (doc_id * 7) % 256)) AS text
+  FROM documents
+)"""
+
+
+def q70_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, card numbers, phones, IPv4) with per-kind
+    match counts — pure regexp_count/regexp_replace chain, zero
+    shuffles, scan-speed at 100 TB. Synthetic PII injected
+    deterministically per doc (see _PII_FMT) so every row redacts."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .map(
+            doc_id=F.col("doc_id"),
+            text=F.concat_ws(
+                " ",
+                F.col("text"),
+                F.format_string(
+                    _PII_FMT,
+                    F.col("doc_id"), F.col("doc_id"),
+                    F.col("doc_id") % 256, (F.col("doc_id") * 7) % 256,
+                ),
+            ),
+        )
+        .pii_redact("text")
+        .map("doc_id", "pii_email", "pii_ccn", "pii_phone", "pii_ipv4",
+             "text_redacted")
+        .df
+    )
+
+
+ORACLE_Q70 = sql_pii_redact(_PII_SQL_INPUT, "text", "doc_id")
+
+
+def q71_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate: token/word-length/alpha-fraction/
+    stopword metrics + keep flag. Map-side only."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .map("doc_id", "text")
+        .quality_gopher("text")
+        .map("doc_id", "q_tokens", "q_mean_word_len", "q_alpha_frac",
+             "q_stopword_hits", "q_keep")
+        .df
+    )
+
+
+ORACLE_Q71 = sql_quality_gopher("documents", "text", "doc_id")
+
+
+def q72_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level repetition metrics: duplicate-word fraction and top
+    bigram coverage per doc. One (id, gram) shuffle with map-side
+    partial counts — wordcount with a doc key prepended."""
+    ctx = _ctx(spark)
+    return _t(ctx, sf_dir, "documents").repetition_stats("doc_id", "text").df
+
+
+ORACLE_Q72 = sql_repetition_stats("documents", "doc_id", "text")
+
+
+def q73_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% sample: map-side md5-hash filter, NO shuffle,
+    reproducible across retries (unlike rand()-based sampling)."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .sample_fraction("doc_id", 0.25)
+        .map("doc_id", "lang", "source", "n_chars")
+        .df
+    )
+
+
+ORACLE_Q73 = (
+    f"SELECT doc_id, lang, source, n_chars FROM "
+    f"({sql_sample_fraction('documents', 'doc_id', 0.25)})"
+)
+
+
+def q74_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-(lang, source) quota sample (2 rows per
+    stratum, smallest salted hash wins)."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .sample_stratified("doc_id", ["lang", "source"], 2)
+        .map("doc_id", "lang", "source")
+        .df
+    )
+
+
+ORACLE_Q74 = (
+    f"SELECT doc_id, lang, source FROM "
+    f"({sql_sample_stratified('documents', 'doc_id', 'lang, source', 2)})"
+)
+
+
+_MIX_TARGETS = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+
+
+def q75_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing to target language shares, then the
+    per-lang survivor counts (verifies both the per-group fraction math
+    and the hash filter)."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .rebalance_mix("doc_id", "lang", _MIX_TARGETS)
+        .group_by("lang")
+        .count(alias="n")
+        .df
+    )
+
+
+ORACLE_Q75 = (
+    f"SELECT lang, count(*) AS n FROM "
+    f"({sql_rebalance_mix('documents', 'doc_id', 'lang', _MIX_TARGETS)}) "
+    f"GROUP BY lang"
+)
+
+
+def q76_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk to 512-token packs, 8 hash
+    buckets): per-doc pack assignment. The running-offset window runs
+    PER BUCKET so packing parallelizes across executors."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .map("doc_id", "n_chars")
+        .pack_sequences("doc_id", "n_chars", max_tokens=512, n_buckets=8)
+        .map("doc_id", "pack_bucket", "pack_offset", "pack_id")
+        .df
+    )
+
+
+ORACLE_Q76 = (
+    f"SELECT doc_id, pack_bucket, pack_offset, pack_id FROM "
+    f"({sql_pack_sequences('(SELECT doc_id, n_chars FROM documents)', 'doc_id', 'n_chars', max_tokens=512, n_buckets=8)})"
+)
+
+
+def q77_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: wordcount-shaped tf shuffle,
+    vocabulary-sized df relation broadcast back, per-doc top-k window."""
+    ctx = _ctx(spark)
+    return _t(ctx, sf_dir, "documents").tfidf_top_terms("doc_id", "text", k=3).df
+
+
+ORACLE_Q77 = sql_tfidf_top_terms("documents", "doc_id", "text", k=3)
+
+
+_BM25_QUERY = ["spark", "window", "merge"]
+
+
+def q78_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed query bag: postings filtered
+    BEFORE the shuffle (only query-term hits move), TakeOrdered top-k."""
+    ctx = _ctx(spark)
+    return _t(ctx, sf_dir, "documents").bm25_rank(
+        "doc_id", "text", _BM25_QUERY, k=10
+    ).df
+
+
+ORACLE_Q78 = sql_bm25_rank("documents", "doc_id", "text", _BM25_QUERY, k=10)
+
+
+def q79_contaminated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any word 8-gram with
+    a reference slice (doc_id % 10 = 0). Grams hash to 31-bit ints
+    before the shuffle; the benchmark-side distinct gram set broadcasts."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents")
+    ref = _t(ctx, sf_dir, "documents").filter("doc_id % 10 = 0").map("text")
+    return docs.contaminated_ngrams(ref, "doc_id", "text", "text", n=8).df
+
+
+ORACLE_Q79 = sql_contaminated_ngrams(
+    "documents", "(SELECT text FROM documents WHERE doc_id % 10 = 0)",
+    "doc_id", "text", "text", n=8,
+)
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -2275,6 +2488,16 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_nexmark_avg_seller": q67_nexmark_avg_seller,
     "q68_nexmark_item_suggestion": q68_nexmark_item_suggestion,
     "q69_dedup_against": q69_dedup_against,
+    "q70_pii_redact": q70_pii_redact,
+    "q71_quality_gopher": q71_quality_gopher,
+    "q72_repetition_stats": q72_repetition_stats,
+    "q73_sample_fraction": q73_sample_fraction,
+    "q74_sample_stratified": q74_sample_stratified,
+    "q75_rebalance_mix": q75_rebalance_mix,
+    "q76_pack_sequences": q76_pack_sequences,
+    "q77_tfidf_top_terms": q77_tfidf_top_terms,
+    "q78_bm25": q78_bm25,
+    "q79_contaminated_ngrams": q79_contaminated_ngrams,
 }
 
 ORACLE: Dict[str, str] = {
@@ -2349,4 +2572,14 @@ ORACLE: Dict[str, str] = {
     "q67_nexmark_avg_seller": ORACLE_Q67,
     "q68_nexmark_item_suggestion": ORACLE_Q68,
     "q69_dedup_against": ORACLE_Q69,
+    "q70_pii_redact": ORACLE_Q70,
+    "q71_quality_gopher": ORACLE_Q71,
+    "q72_repetition_stats": ORACLE_Q72,
+    "q73_sample_fraction": ORACLE_Q73,
+    "q74_sample_stratified": ORACLE_Q74,
+    "q75_rebalance_mix": ORACLE_Q75,
+    "q76_pack_sequences": ORACLE_Q76,
+    "q77_tfidf_top_terms": ORACLE_Q77,
+    "q78_bm25": ORACLE_Q78,
+    "q79_contaminated_ngrams": ORACLE_Q79,
 }

@@ -1,0 +1,217 @@
+"""Training-data prep operators (prep.py): plan properties and edge
+cases beyond the per-query oracle parity in test_oracle.py (q70-q79).
+
+Plan assertions pin the 100 TB design: map-side-only operators must not
+shuffle, the tfidf/contamination small relations must broadcast, and
+nothing here may degenerate to a cartesian product. Edge cases cover
+degenerate strata, short documents, 0/1 fractions, and determinism of
+hash-derived decisions under a different physical layout."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from renoir_spark import prep, suite
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(ctx):
+    return ctx.stream_parquet(f"{SF}/documents.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --------------------------------------------------------------------- #
+# plan properties
+# --------------------------------------------------------------------- #
+
+def test_pii_redact_is_shuffle_free(ctx):
+    df = prep.pii_redact(_docs(ctx).map("doc_id", "text"), "text").df
+    plan = _plan(df)
+    assert "Exchange" not in plan, "PII redaction must stay map-side"
+
+
+def test_quality_gopher_is_shuffle_free(ctx):
+    df = prep.quality_gopher(_docs(ctx).map("doc_id", "text"), "text").df
+    plan = _plan(df)
+    assert "Exchange" not in plan
+
+
+def test_sample_fraction_is_shuffle_free(ctx):
+    df = prep.sample_fraction(_docs(ctx), "doc_id", 0.5).df
+    plan = _plan(df)
+    assert "Exchange" not in plan, "hash sampling must be a local filter"
+
+
+def test_tfidf_broadcasts_the_df_relation(ctx):
+    df = prep.tfidf_top_terms(_docs(ctx), "doc_id", "text", k=2).df
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contaminated_ngrams_broadcasts_reference_grams(ctx):
+    ref = _docs(ctx).filter("doc_id % 10 = 0").map("text")
+    df = prep.contaminated_ngrams(
+        _docs(ctx), ref, "doc_id", "text", "text", n=8
+    ).df
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_filters_postings_before_the_shuffle(ctx):
+    df = prep.bm25_rank(_docs(ctx), "doc_id", "text", ["spark"], k=5).df
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+
+
+def test_pack_sequences_single_window_exchange(ctx):
+    df = prep.pack_sequences(
+        _docs(ctx).map("doc_id", "n_chars"), "doc_id", "n_chars",
+        max_tokens=512, n_buckets=8,
+    ).df
+    plan = _plan(df)
+    # one hash exchange on the bucket key (plus AQE reads) — never a
+    # single-partition global window
+    assert "SinglePartition" not in plan
+
+
+# --------------------------------------------------------------------- #
+# edge cases
+# --------------------------------------------------------------------- #
+
+def test_sample_fraction_bounds(ctx):
+    total = _docs(ctx).df.count()
+    assert prep.sample_fraction(_docs(ctx), "doc_id", 0.0).df.count() == 0
+    assert prep.sample_fraction(_docs(ctx), "doc_id", 1.0).df.count() == total
+
+
+def test_stratified_quota_larger_than_stratum_keeps_all(ctx):
+    out = prep.sample_stratified(
+        _docs(ctx), "doc_id", ["lang"], 10**6
+    ).df.count()
+    assert out == _docs(ctx).df.count()
+
+
+def test_stratified_sample_is_deterministic_across_layouts(ctx):
+    a = prep.sample_stratified(_docs(ctx), "doc_id", ["lang"], 3).df
+    b = prep.sample_stratified(
+        ctx.from_df(_docs(ctx).df.repartition(7)), "doc_id", ["lang"], 3
+    ).df
+    assert sorted(r.doc_id for r in a.select("doc_id").collect()) == sorted(
+        r.doc_id for r in b.select("doc_id").collect()
+    )
+
+
+def test_pack_assignment_deterministic_across_layouts(ctx):
+    base = _docs(ctx).map("doc_id", "n_chars")
+    a = prep.pack_sequences(base, "doc_id", "n_chars",
+                            max_tokens=256, n_buckets=4).df
+    b = prep.pack_sequences(
+        ctx.from_df(base.df.repartition(13)), "doc_id", "n_chars",
+        max_tokens=256, n_buckets=4,
+    ).df
+    ka = {r.doc_id: r.pack_id for r in a.collect()}
+    kb = {r.doc_id: r.pack_id for r in b.collect()}
+    assert ka == kb
+
+
+def test_pack_offsets_stay_within_chunk_arithmetic(ctx):
+    out = prep.pack_sequences(
+        _docs(ctx).map("doc_id", "n_chars"), "doc_id", "n_chars",
+        max_tokens=512, n_buckets=4,
+    ).df.collect()
+    for r in out:
+        local_pack = r.pack_id - r.pack_bucket * (1 << 32)
+        assert local_pack == r.pack_offset // 512
+        assert r.pack_offset >= 0
+
+
+def test_rebalance_mix_missing_target_group_is_dropped(ctx):
+    # zh absent from targets → frac 0 → no zh rows survive
+    out = prep.rebalance_mix(
+        _docs(ctx), "doc_id", "lang", {"en": 0.5, "de": 0.5}
+    ).df
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert "zh" not in langs and "fr" not in langs
+
+
+def test_rebalance_mix_shares_approach_targets(ctx, spark):
+    targets = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+    out = prep.rebalance_mix(_docs(ctx), "doc_id", "lang", targets).df
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    for lang, share in targets.items():
+        got = counts.get(lang, 0) / total
+        # hash filter is binomial around the target share; sf0.001 has
+        # only ~500 docs so allow a wide but meaningful band
+        assert abs(got - share) < 0.12, (lang, got, share)
+
+
+def test_repetition_short_doc_has_no_bigram(ctx, spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "a b a b a b")],
+                               ["id", "txt"])
+    out = prep.repetition_stats(
+        ctx.from_df(df), "id", "txt"
+    ).df.orderBy("id").collect()
+    assert out[0].top_gram is None and out[0].top_gram_count == 0
+    assert out[0].rep_keep  # vacuously repetition-free
+    assert out[1].top_gram == "a b" and out[1].top_gram_count == 3
+    assert not out[1].rep_keep  # 3*2/6 = 1.0 coverage
+
+
+def test_contamination_short_and_clean_docs(ctx, spark):
+    docs = ctx.from_df(spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine"),
+         (2, "totally different words here"),
+         (3, "short")],
+        ["id", "txt"],
+    ))
+    ref = ctx.from_df(spark.createDataFrame(
+        [("one two three four five six seven eight tail",)], ["rtxt"]
+    ))
+    out = {r.id: (r.overlap_ngrams, r.contaminated)
+           for r in prep.contaminated_ngrams(
+               docs, ref, "id", "txt", "rtxt", n=8).df.collect()}
+    assert out[1] == (1, True)   # shares exactly one 8-gram
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)  # shorter than n → no grams, clean
+
+
+def test_pii_redact_counts_and_output(ctx, spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and b@c.io ip 1.2.3.4 card 4111111111111111 "
+             "tel +1 555 0100234 done")],
+        ["id", "txt"],
+    )
+    r = prep.pii_redact(ctx.from_df(df), "txt").df.collect()[0]
+    assert r.pii_email == 2 and r.pii_ipv4 == 1
+    assert r.pii_ccn == 1 and r.pii_phone == 1
+    assert "<EMAIL>" in r.text_redacted and "<CCN>" in r.text_redacted
+    assert "4111111111111111" not in r.text_redacted
+    assert "a@b.co" not in r.text_redacted
+
+
+def test_quality_gopher_flags_degenerate_docs(ctx, spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on a mat and then the dog sat too today ok"),
+         (2, "x y z"),  # too short
+         (3, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16")],  # no alpha
+        ["id", "txt"],
+    )
+    out = {r.id: r.q_keep for r in
+           prep.quality_gopher(ctx.from_df(df), "txt").df.collect()}
+    assert out[1] is True
+    assert out[2] is False
+    assert out[3] is False
+
+
+def test_bm25_empty_query_hits_returns_no_rows(ctx):
+    out = prep.bm25_rank(_docs(ctx), "doc_id", "text",
+                         ["zzzznotaword"], k=5).df
+    assert out.count() == 0
