@@ -215,3 +215,54 @@ def test_bm25_empty_query_hits_returns_no_rows(ctx):
     out = prep.bm25_rank(_docs(ctx), "doc_id", "text",
                          ["zzzznotaword"], k=5).df
     assert out.count() == 0
+
+
+# --------------------------------------------------------------------- #
+# properties (hypothesis)
+# --------------------------------------------------------------------- #
+
+from hypothesis import given, settings, strategies as st
+
+SLOW = settings(max_examples=6, deadline=None, derandomize=True)
+
+
+@SLOW
+@given(
+    ntoks=st.lists(st.integers(min_value=1, max_value=400),
+                   min_size=1, max_size=40),
+    max_tokens=st.integers(min_value=16, max_value=512),
+)
+def test_pack_offsets_are_contiguous_per_bucket(ctx, ntoks, max_tokens):
+    """Within a bucket, offsets are a running sum in (hash, id) order —
+    concat-and-chunk leaves no gaps and no overlaps."""
+    rows = [(i, n) for i, n in enumerate(ntoks)]
+    s = ctx.stream_iter(rows, "id long, ntok long")
+    out = prep.pack_sequences(s, "id", "ntok", max_tokens=max_tokens,
+                              n_buckets=3).df.collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.pack_bucket, []).append(r)
+    n_by_id = dict(rows)
+    for rows_b in by_bucket.values():
+        rows_b.sort(key=lambda r: r.pack_offset)
+        expect = 0
+        for r in rows_b:
+            assert r.pack_offset == expect
+            assert r.pack_id == r.pack_bucket * (1 << 32) + r.pack_offset // max_tokens
+            expect += n_by_id[r.id]
+
+
+@SLOW
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**6),
+                 min_size=1, max_size=60, unique=True),
+    f1=st.floats(min_value=0.05, max_value=0.5),
+    f2=st.floats(min_value=0.5, max_value=0.95),
+)
+def test_sample_fraction_is_monotone_in_fraction(ctx, ids, f1, f2):
+    """Same salt: the f1 sample is a subset of the f2 sample when
+    f1 <= f2 — hash thresholding nests, rand() sampling would not."""
+    s = ctx.stream_iter([(i,) for i in ids], "id long")
+    a = {r.id for r in prep.sample_fraction(s, "id", f1).df.collect()}
+    b = {r.id for r in prep.sample_fraction(s, "id", f2).df.collect()}
+    assert a <= b
