@@ -2418,6 +2418,58 @@ ORACLE_Q79 = sql_contaminated_ngrams(
 )
 
 
+def q80_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data hygiene pipeline — the prep operators
+    composed the way a real corpus build chains them:
+
+        redact PII → quality gate (keep) → exact dedup → deterministic
+        50% sample → pack into 512-token sequences
+
+    Every stage stays declarative, so Catalyst fuses the map-side stages
+    (redact + gate + the dedup key projection) into the scan stage; the
+    only shuffles are the dedup key partition and the pack bucket
+    window. The oracle composes the same sql_* generators, so the
+    verified object is the PIPELINE, not just its pieces."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .map("doc_id", "n_chars", "text")
+        .pii_redact("text")
+        .map("doc_id", "n_chars", text=F.col("text_redacted"))
+        .quality_gopher("text")
+        .filter("q_keep")
+        .map("doc_id", "n_chars", "text")
+        .dedup_exact("text", order=["doc_id"])
+        .map("doc_id", "n_chars")
+        .sample_fraction("doc_id", 0.5)
+        .pack_sequences("doc_id", "n_chars", max_tokens=512, n_buckets=8)
+        .map("doc_id", "n_chars", "pack_bucket", "pack_offset", "pack_id")
+        .df
+    )
+
+
+_Q80_REDACTED = f"""(
+  SELECT doc_id, n_chars, text_redacted AS text
+  FROM ({sql_pii_redact('documents', 'text', 'doc_id, n_chars')})
+)"""
+_Q80_GATED = f"""(
+  SELECT doc_id, n_chars, text
+  FROM ({sql_quality_gopher(_Q80_REDACTED, 'text', 'doc_id, n_chars, text')})
+  WHERE q_keep
+)"""
+_Q80_DEDUPED = f"""(
+  {sql_dedup_exact(_Q80_GATED, 'text', 'doc_id', 'doc_id, n_chars')}
+)"""
+_Q80_SAMPLED = f"""(
+  {sql_sample_fraction(_Q80_DEDUPED, 'doc_id', 0.5)}
+)"""
+ORACLE_Q80 = f"""
+SELECT doc_id, n_chars, pack_bucket, pack_offset, pack_id
+FROM ({sql_pack_sequences(_Q80_SAMPLED, 'doc_id', 'n_chars',
+                          max_tokens=512, n_buckets=8)})
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -2498,6 +2550,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_tfidf_top_terms": q77_tfidf_top_terms,
     "q78_bm25": q78_bm25,
     "q79_contaminated_ngrams": q79_contaminated_ngrams,
+    "q80_prep_pipeline": q80_prep_pipeline,
 }
 
 ORACLE: Dict[str, str] = {
@@ -2582,4 +2635,5 @@ ORACLE: Dict[str, str] = {
     "q77_tfidf_top_terms": ORACLE_Q77,
     "q78_bm25": ORACLE_Q78,
     "q79_contaminated_ngrams": ORACLE_Q79,
+    "q80_prep_pipeline": ORACLE_Q80,
 }

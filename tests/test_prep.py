@@ -266,3 +266,36 @@ def test_sample_fraction_is_monotone_in_fraction(ctx, ids, f1, f2):
     a = {r.id for r in prep.sample_fraction(s, "id", f1).df.collect()}
     b = {r.id for r in prep.sample_fraction(s, "id", f2).df.collect()}
     assert a <= b
+
+
+# --------------------------------------------------------------------- #
+# streaming applicability: the stateless prep stages are plain Column
+# projections, so the SAME operator code runs on an unbounded frame —
+# the full hygiene front (redact -> gate -> sample) works in a
+# readStream pipeline with zero changes.
+# --------------------------------------------------------------------- #
+
+def test_stateless_prep_ops_run_on_unbounded_input(ctx, spark, tmp_path):
+    from renoir_spark.streaming import run_to_completion
+
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        [(1, "the a of to in is big data mail a@b.co ok", "en"),
+         (2, "x", "en")],
+        "doc_id long, text string, lang string",
+    ).write.mode("overwrite").parquet(src)
+
+    sdf = spark.readStream.schema(
+        "doc_id long, text string, lang string"
+    ).parquet(src)
+    s = ctx.from_df(sdf)
+    out = (
+        s.pii_redact("text")
+        .quality_gopher("text_redacted")
+        .filter("q_keep")
+        .sample_fraction("doc_id", 1.0)
+    )
+    assert out.df.isStreaming
+    rows = run_to_completion(out.df, output_mode="append")
+    assert [r.doc_id for r in rows] == [1]
+    assert "<EMAIL>" in rows[0].text_redacted
