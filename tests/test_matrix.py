@@ -36,6 +36,12 @@ SWEEP = [
     # partitioning) and the broadcast winning-bids argmax
     "q64_ann_lsh_multi",
     "q65_nexmark_winning_bids",
+    # round-4: prep-layer partition-sensitive shapes — the (id, gram)
+    # repetition shuffle, the per-bucket packing window, and the fully
+    # composed hygiene pipeline
+    "q72_repetition_stats",
+    "q76_pack_sequences",
+    "q80_prep_pipeline",
 ]
 
 
