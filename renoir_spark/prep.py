@@ -439,6 +439,60 @@ WHERE {h} < CAST(f.frac * {MINHASH_P} AS BIGINT)
 """
 
 
+def assign_split(stream, id_col: str, weights: Dict[str, float], *,
+                 salt: str = "split"):
+    """Deterministic train/val/test assignment: the salted 31-bit hash
+    of the id falls into consecutive ranges sized by ``weights``
+    (normalized). Adds a ``split`` column; map-side only, layout- and
+    retry-stable, and the SAME id always lands in the same split across
+    runs — the property that keeps eval sets uncontaminated when the
+    corpus is rebuilt.
+    """
+    df = stream.df
+    total = float(sum(weights.values()))
+    h = md5_int31(F.concat_ws("|", F.lit(salt), to_col(id_col).cast("string")))
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = h < int(acc * MINHASH_P)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return stream._new(df.withColumn("split", expr))
+
+
+def sql_assign_split(table_expr: str, id_col: str, weights: Dict[str, float],
+                     *, salt: str = "split") -> str:
+    total = float(sum(weights.values()))
+    h = sql_md5_int31(f"concat_ws('|', '{salt}', {id_col}::VARCHAR)")
+    items = list(weights.items())
+    acc = 0.0
+    cases = []
+    for name, w in items[:-1]:
+        acc += w / total
+        cases.append(f"WHEN {h} < {int(acc * MINHASH_P)} THEN '{name}'")
+    body = " ".join(cases)
+    last = items[-1][0]
+    case = f"CASE {body} ELSE '{last}' END" if cases else f"'{last}'"
+    return f"SELECT *, {case} AS split FROM {table_expr}"
+
+
+def split_by_hash(stream, id_col: str, weights: Dict[str, float], *,
+                  salt: str = "split") -> Dict[str, "object"]:
+    """Materialize :func:`assign_split` as one stream per split name —
+    disjoint and exhaustive by construction (consecutive hash ranges).
+    """
+    labeled = assign_split(stream, id_col, weights, salt=salt)
+    return {
+        name: labeled.filter(F.col("split") == name)
+        for name in weights
+    }
+
+
 # --------------------------------------------------------------------- #
 # Sequence packing (concat-and-chunk to a context length)
 # --------------------------------------------------------------------- #

@@ -874,6 +874,19 @@ class Stream:
 
         return _ss(self, id_col, strata, quota, **kw)
 
+    def assign_split(self, id_col: str, weights, **kw) -> "Stream":
+        """Deterministic train/val/test labels by hash range —
+        prep.assign_split."""
+        from .prep import assign_split as _as
+
+        return _as(self, id_col, weights, **kw)
+
+    def split_by_hash(self, id_col: str, weights, **kw):
+        """Dict of disjoint split streams — prep.split_by_hash."""
+        from .prep import split_by_hash as _sh
+
+        return _sh(self, id_col, weights, **kw)
+
     def rebalance_mix(self, id_col: str, group_col: str, targets,
                       **kw) -> "Stream":
         """Domain-mix rebalancing to target shares — prep.rebalance_mix."""

@@ -2217,6 +2217,7 @@ from .prep import (  # noqa: E402  (oracle generators share constants)
     sql_quality_gopher,
     sql_rebalance_mix,
     sql_repetition_stats,
+    sql_assign_split,
     sql_sample_fraction,
     sql_sample_stratified,
     sql_tfidf_top_terms,
@@ -2470,6 +2471,29 @@ FROM ({sql_pack_sequences(_Q80_SAMPLED, 'doc_id', 'n_chars',
 """
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q81_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (hash-range assignment) —
+    per-(split, lang) counts. Map-side labeling; one small agg."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .assign_split("doc_id", _SPLIT_WEIGHTS)
+        .group_by("split", "lang")
+        .count(alias="n")
+        .df
+    )
+
+
+ORACLE_Q81 = (
+    f"SELECT split, lang, count(*) AS n FROM "
+    f"({sql_assign_split('documents', 'doc_id', _SPLIT_WEIGHTS)}) "
+    f"GROUP BY split, lang"
+)
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -2551,6 +2575,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_bm25": q78_bm25,
     "q79_contaminated_ngrams": q79_contaminated_ngrams,
     "q80_prep_pipeline": q80_prep_pipeline,
+    "q81_train_val_test_split": q81_train_val_test_split,
 }
 
 ORACLE: Dict[str, str] = {
@@ -2636,4 +2661,5 @@ ORACLE: Dict[str, str] = {
     "q78_bm25": ORACLE_Q78,
     "q79_contaminated_ngrams": ORACLE_Q79,
     "q80_prep_pipeline": ORACLE_Q80,
+    "q81_train_val_test_split": ORACLE_Q81,
 }

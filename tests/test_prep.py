@@ -299,3 +299,28 @@ def test_stateless_prep_ops_run_on_unbounded_input(ctx, spark, tmp_path):
     rows = run_to_completion(out.df, output_mode="append")
     assert [r.doc_id for r in rows] == [1]
     assert "<EMAIL>" in rows[0].text_redacted
+
+
+def test_split_by_hash_is_disjoint_and_exhaustive(ctx):
+    splits = prep.split_by_hash(_docs(ctx), "doc_id",
+                                {"train": 0.8, "val": 0.1, "test": 0.1})
+    ids = {k: {r.doc_id for r in v.df.select("doc_id").collect()}
+           for k, v in splits.items()}
+    total = _docs(ctx).df.count()
+    assert sum(len(s) for s in ids.values()) == total
+    assert not (ids["train"] & ids["val"])
+    assert not (ids["train"] & ids["test"])
+    assert not (ids["val"] & ids["test"])
+    # roughly sized (binomial band at ~500 docs)
+    assert len(ids["train"]) / total > 0.7
+
+
+def test_assign_split_stable_under_salt_and_layout(ctx):
+    a = prep.assign_split(_docs(ctx), "doc_id", {"a": 0.5, "b": 0.5}).df
+    b = prep.assign_split(
+        ctx.from_df(_docs(ctx).df.repartition(11)), "doc_id",
+        {"a": 0.5, "b": 0.5},
+    ).df
+    ma = {r.doc_id: r.split for r in a.select("doc_id", "split").collect()}
+    mb = {r.doc_id: r.split for r in b.select("doc_id", "split").collect()}
+    assert ma == mb
