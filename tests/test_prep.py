@@ -324,3 +324,42 @@ def test_assign_split_stable_under_salt_and_layout(ctx):
     ma = {r.doc_id: r.split for r in a.select("doc_id", "split").collect()}
     mb = {r.doc_id: r.split for r in b.select("doc_id", "split").collect()}
     assert ma == mb
+
+
+def test_null_text_parity_with_duckdb(ctx, spark, duck):
+    """Real corpora carry NULL text; both engines must agree. Spark and
+    DuckDB share 3VL here: NULL tokens -> NULL metrics -> q_keep NULL
+    (dropped by WHERE), NULL regexp counts, and concat_ws skipping NULL
+    args in the sampling hash."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [None, "the a of to in real words here okay fine then"],
+    })
+    sdf = spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None))
+    s = ctx.from_df(sdf)
+
+    duck.register("null_docs", pdf)
+    got = {
+        r.doc_id: (r.q_tokens, r.q_keep)
+        for r in prep.quality_gopher(s, "text").df.collect()
+    }
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            "SELECT doc_id, q_tokens, q_keep FROM ("
+            + prep.sql_quality_gopher("null_docs", "text", "doc_id")
+            + ")"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[1] == (None, None)
+
+    rg = {r.doc_id: r.pii_email
+          for r in prep.pii_redact(s, "text").df.collect()}
+    rw = {r[0]: r[1] for r in duck.execute(
+        "SELECT doc_id, pii_email FROM ("
+        + prep.sql_pii_redact("null_docs", "text", "doc_id")
+        + ")").fetchall()}
+    assert rg == rw and rg[1] is None
