@@ -769,8 +769,10 @@ def text_stats(stream, text_col: str):
     return stream._new(
         df.select(
             *orig,
-            n_chars.alias("stat_chars"),
-            n_tok.alias("stat_tokens"),
+            # long: DuckDB len() is BIGINT; pandas-dtype-faithful drivers
+            # hash int32 vs int64 differently
+            n_chars.cast("long").alias("stat_chars"),
+            n_tok.cast("long").alias("stat_tokens"),
             F.round(avg_len, 6).alias("stat_avg_token_len"),
             F.round(n_stop / n_tok, 6).alias("stat_stopword_ratio"),
             F.round(n_punct / n_chars, 6).alias("stat_punct_ratio"),
@@ -824,10 +826,10 @@ def token_count(stream, text_col: str):
     return stream._new(
         stream.df.select(
             *orig,
-            F.size(F.split(norm, " ")).alias("tok_ws"),
-            F.size(F.regexp_extract_all(lowered, F.lit(BPE_TOKEN_RE), F.lit(0))).alias(
-                "tok_bpe"
-            ),
+            F.size(F.split(norm, " ")).cast("long").alias("tok_ws"),
+            F.size(
+                F.regexp_extract_all(lowered, F.lit(BPE_TOKEN_RE), F.lit(0))
+            ).cast("long").alias("tok_bpe"),
         )
     )
 

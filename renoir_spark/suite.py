@@ -1457,7 +1457,8 @@ def q49_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         return expr
 
     def body(s, handle):
-        return s.map("pid", "x", "y", cluster=assign_expr(handle.get()))
+        return s.map("pid", "x", "y",
+                     cluster=assign_expr(handle.get()).cast("long"))
 
     def update(state, df):
         means = {
@@ -1473,7 +1474,7 @@ def q49_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     final = pts.replay(_KMEANS_ROUNDS, init, body, update)
     out = (
-        pts.map("pid", "x", "y", cluster=assign_expr(final))
+        pts.map("pid", "x", "y", cluster=assign_expr(final).cast("long"))
         .group_by("cluster")
         .fold(
             n=F.count(F.lit(1)),
@@ -1721,7 +1722,7 @@ def q58_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q58 = """
 SELECT event_type, count(*) AS n,
-       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
        max(json_extract(props, '$.k')::BIGINT) AS max_k
 FROM events GROUP BY event_type
 """
@@ -1817,8 +1818,9 @@ WITH p AS (
     parts.append(
         f"""
 SELECT w.w1, w.w2, w.b,
-       sum(CASE WHEN (CASE WHEN w.w1*x1 + w.w2*x2 + w.b > 0
-                      THEN 1.0 ELSE 0.0 END) = y THEN 1 ELSE 0 END) AS n_correct
+       CAST(sum(CASE WHEN (CASE WHEN w.w1*x1 + w.w2*x2 + w.b > 0
+                      THEN 1.0 ELSE 0.0 END) = y THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
 FROM p, w{_LR_ROUNDS} w
 GROUP BY w.w1, w.w2, w.b"""
     )
@@ -1939,7 +1941,7 @@ WITH m AS (
     16 + ('0x' || substr(h, 1, 2))::INT % 64 AS image_width,
     16 + ('0x' || substr(h, 3, 2))::INT % 64 AS image_height,
     8000 * (1 + ('0x' || substr(h, 5, 2))::INT % 6) AS audio_sample_rate,
-    1000 + ('0x' || substr(h, 7, 6))::BIGINT % 100000 AS audio_n_samples
+    1000 + ('0x' || substr(h, 7, 6))::INT % 100000 AS audio_n_samples
   FROM m
 )
 SELECT doc_id, image_width, image_height, audio_sample_rate,
@@ -2494,6 +2496,67 @@ ORACLE_Q81 = (
 )
 
 
+def q82_collatz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collatz steps — the reference's per-element tight-loop bench
+    (benches/collatz.rs:15-17, examples/collatz.rs:18-38): for each n in
+    1..10000 run the 3n+1 loop (cap 1000 steps, stop when cur <= 1
+    AFTER the update, exactly the reference's break placement), then
+    reduce_assoc max on (steps, n).
+
+    The loop is the genuinely-not-SQL workload, so it runs as an
+    Arrow-batched numpy MASK loop — each batch advances all its active
+    elements one step per pass (vectorized; never per-row Python). The
+    oracle is a DuckDB recursive CTE with the identical update and
+    termination rule — non-SQL operator, SQL-verifiable semantics."""
+    import numpy as np
+    import pandas as pd
+
+    ctx = _ctx(spark)
+    N, CAP = 10_000, 1_000
+
+    def _batch(_state, pdf):
+        n = pdf["id"].to_numpy(dtype=np.int64)
+        cur = n.copy()
+        steps = np.zeros_like(n)
+        active = np.ones(len(n), dtype=bool)
+        it = 0
+        while active.any() and it < CAP:
+            even = active & (cur % 2 == 0)
+            odd = active & ~even
+            cur[even] //= 2
+            cur[odd] = cur[odd] * 3 + 1
+            steps[active] += 1
+            active &= cur > 1
+            it += 1
+        return pd.DataFrame({"n": n, "steps": steps})
+
+    return (
+        ctx.stream_par_iter(N, partitions=8)
+        .filter("id >= 1")
+        .rich_map_batches(lambda: None, _batch, "n long, steps long")
+        .fold(best=F.max(F.struct(F.col("steps"), F.col("n"))))
+        .map(steps=F.col("best.steps"), n=F.col("best.n"))
+        .df
+    )
+
+
+ORACLE_Q82 = """
+WITH RECURSIVE c(n, cur, steps, done) AS (
+  SELECT t.range, t.range, 0, false FROM range(1, 10000) t
+  UNION ALL
+  SELECT n,
+         CASE WHEN cur % 2 = 0 THEN cur // 2 ELSE 3 * cur + 1 END,
+         steps + 1,
+         (CASE WHEN cur % 2 = 0 THEN cur // 2 ELSE 3 * cur + 1 END) <= 1
+  FROM c WHERE NOT done AND steps < 1000
+), per_n AS (
+  SELECT n, max(steps) AS steps FROM c GROUP BY n
+)
+SELECT CAST(steps AS BIGINT) AS steps, CAST(n AS BIGINT) AS n
+FROM per_n ORDER BY steps DESC, n DESC LIMIT 1
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -2576,6 +2639,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_contaminated_ngrams": q79_contaminated_ngrams,
     "q80_prep_pipeline": q80_prep_pipeline,
     "q81_train_val_test_split": q81_train_val_test_split,
+    "q82_collatz": q82_collatz,
 }
 
 ORACLE: Dict[str, str] = {
@@ -2662,4 +2726,5 @@ ORACLE: Dict[str, str] = {
     "q79_contaminated_ngrams": ORACLE_Q79,
     "q80_prep_pipeline": ORACLE_Q80,
     "q81_train_val_test_split": ORACLE_Q81,
+    "q82_collatz": ORACLE_Q82,
 }
