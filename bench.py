@@ -143,15 +143,29 @@ def _streaming_hot_items(spark, sf_dir: str) -> tuple[int, float]:
             "event_id long, ts timestamp, user_id long, "
             "event_type string, value double, props string"
         )
-        s = ctx.from_df(
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(spool)
-        )
-        out = hot_items(s, size=172800.0, slide=86400.0, watermark="1 hour")
-        t0 = time.perf_counter()
-        n = len(run_to_completion(out.df, output_mode="append"))
-        return n, round(time.perf_counter() - t0, 3)
+        # State-store partitions are fixed at the query's first run by
+        # shuffle.partitions; every micro-batch then pays a task + store
+        # commit PER PARTITION PER STATEFUL OPERATOR, independent of row
+        # volume. Size them to stream throughput, not to the batch
+        # suite's shuffle width (measured here: 32 -> 7.3 s, 8 -> 2.9 s
+        # for the identical drain). The 100 TB sizing rule is the same —
+        # state partitions ~ keys x update rate, chosen when the query
+        # starts, not inherited from batch defaults.
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            s = ctx.from_df(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(spool)
+            )
+            out = hot_items(s, size=172800.0, slide=86400.0,
+                            watermark="1 hour")
+            t0 = time.perf_counter()
+            n = len(run_to_completion(out.df, output_mode="append"))
+            return n, round(time.perf_counter() - t0, 3)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     finally:
         shutil.rmtree(spool, ignore_errors=True)
 

@@ -729,26 +729,30 @@ def contaminated_ngrams(stream, reference, id_col: str, text_col: str,
     df = stream.df
     sid = to_col(id_col)
 
-    def gram_col(txt):
-        toks = tokens(txt)
-        return F.array_distinct(
+    def staged_grams(src_df, cols, txt):
+        # stage tokens as a REAL column first: a transform lambda
+        # re-evaluates embedded subexpressions per array element, so an
+        # inlined split() would re-tokenize once per gram (the measured
+        # 50x trap documented at datapipe.shingles_from)
+        staged = src_df.select(*cols, tokens(txt).alias("__toks"))
+        t = F.col("__toks")
+        grams = F.array_distinct(
             F.transform(
-                F.slice(toks, 1,
-                        F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+                F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))),
                 lambda x, i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                    " ", *[F.element_at(t, i + j + 1) for j in range(n)]
                 ),
             )
         )
+        return staged.select(*cols, F.explode(grams).alias("gram"))
 
-    doc_grams = (
-        df.select(sid.alias("__id"), gram_col(text_col).alias("__g"))
-        .select("__id", F.explode("__g").alias("gram"))
-        .select("__id", md5_int31(F.col("gram")).alias("gh"))
-    )
+    doc_grams = staged_grams(
+        df.select(sid.alias("__id"), to_col(text_col).alias("__txt")),
+        ["__id"], "__txt",
+    ).select("__id", md5_int31(F.col("gram")).alias("gh"))
     ref_grams = (
-        reference.df.select(gram_col(ref_text_col).alias("__g"))
-        .select(F.explode("__g").alias("gram"))
+        staged_grams(reference.df.select(to_col(ref_text_col).alias("__txt")),
+                     [], "__txt")
         .select(md5_int31(F.col("gram")).alias("gh"))
         .distinct()
     )
