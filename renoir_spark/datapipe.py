@@ -200,7 +200,7 @@ def minhash_signature(col, num_hashes: int = 12, shingle_n: int = 3) -> Column:
     )
 
 
-def dedup_minhash(
+def minhash_pairs(
     stream,
     text_col: str,
     id_col: str,
@@ -210,16 +210,18 @@ def dedup_minhash(
     shingle_n: int = 3,
     threshold: float = 0.7,
 ):
-    """MinHash-LSH near-duplicate dedup — banded, bucket-join, NEVER
-    all-pairs:
+    """Jaccard-verified MinHash-LSH near-duplicate PAIRS — the shared
+    candidate machinery under :func:`dedup_minhash` (greedy keep) and
+    :func:`dedup_cluster_minhash` (connected-component clustering):
 
     1. per doc: distinct word shingles → ``num_hashes`` minhashes;
     2. signature split into ``bands`` bands; each band hashed to a bucket;
     3. candidate pairs = docs sharing (band_index, band_hash) — an
        EQUI-join (one shuffle on the band hash);
-    4. exact shingle-Jaccard verification within candidates only;
-    5. greedy keep: drop a doc iff some candidate with a SMALLER id has
-       Jaccard ≥ threshold (deterministic, clustering-free).
+    4. exact shingle-Jaccard verification within candidates only.
+
+    Returns a stream of ``(ida, idb, jac)`` with ``ida < idb`` and
+    ``jac >= threshold``.
 
     Scale: the bucket self-join shuffles ONLY (band, hash, id) triples —
     the heavy shingle arrays never ride the bucket shuffle; they are
@@ -294,13 +296,11 @@ def dedup_minhash(
         sh.select(F.col("__id").alias("idb"), F.col("__sh").alias("shb")), "idb"
     )
     jac = F.size(F.array_intersect("sha", "shb")) / F.size(F.array_union("sha", "shb"))
-    dup_ids = (
+    pairs = (
         cand.withColumn("__j", jac)
         .filter(F.col("__j") >= F.lit(threshold))
-        .select(F.col("idb").alias(id_col))
-        .distinct()
+        .select("ida", "idb", F.col("__j").alias("jac"))
     )
-    out = stream.df.join(dup_ids, id_col, "left_anti")
     # NOTE: `sig` stays persisted — it feeds BOTH sides of the bucket
     # self-join, so the signature chain must materialize once, at action
     # time (an unpersist here, at plan-BUILD time, would silently force
@@ -308,21 +308,118 @@ def dedup_minhash(
     # ContextCleaner releases the blocks once the plan is unreachable;
     # The relation is RETAINED on the result: `.unpersist()` on the
     # returned stream releases it deterministically (else ContextCleaner).
-    return stream._new(out)._retain(sig)
+    return stream._new(pairs)._retain(sig)
 
 
-def sql_dedup_minhash(
-    table_expr: str,
-    text: str,
+def dedup_minhash(
+    stream,
+    text_col: str,
     id_col: str,
-    cols: str,
     *,
     num_hashes: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.7,
+):
+    """MinHash-LSH near-duplicate dedup — :func:`minhash_pairs` (banded,
+    bucket-join, never all-pairs; scale notes there) + greedy keep: drop
+    a doc iff some verified candidate with a SMALLER id has Jaccard ≥
+    threshold (deterministic, clustering-free — for transitive
+    cluster-level dedup see :func:`dedup_cluster_minhash`)."""
+    pairs = minhash_pairs(
+        stream, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, threshold=threshold,
+    )
+    dup_ids = pairs.df.select(F.col("idb").alias(id_col)).distinct()
+    out = stream.df.join(dup_ids, id_col, "left_anti")
+    return stream._new(out)._retain(*pairs._retained)
+
+
+def dedup_cluster_minhash(
+    stream,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_iter: int = 20,
+):
+    """Cluster-level MinHash fuzzy dedup — the full production pipeline
+    shape (MinHash → LSH bands → Jaccard-verified pairs → connected
+    components → one canonical doc per cluster), as used by large
+    open-web corpus builds.
+
+    vs :func:`dedup_minhash` (greedy keep-min-id against DIRECT
+    neighbors): clustering follows TRANSITIVE duplication — A~B and B~C
+    put A, B, C in one cluster even when A and C themselves fall below
+    the threshold.
+
+    Output: every input row + ``cluster_id`` (the minimum doc id of its
+    duplicate component) + ``is_canonical`` (this row is that minimum —
+    filter on it to keep one representative per cluster).
+
+    Scale: pairs come from the banded equi-join (never all-pairs); the
+    component loop runs ONLY over ids that appear in some verified pair
+    — the duplicate subgraph, a small fraction of the corpus — via
+    min-label propagation (one groupBy + one key-partitioned join per
+    round, delta termination — same Pregel shape as
+    ``delta_iterate``-based connected components). Singleton docs never
+    enter the loop; the final left join hands them their own id.
+    """
+    pairs = minhash_pairs(
+        stream, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, threshold=threshold,
+    )
+    p = pairs.df.select("ida", "idb")
+    edges = (
+        p.union(p.select(F.col("idb"), F.col("ida")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    ctx = stream.ctx
+    init = ctx.from_df(
+        edges.select(F.col("src").alias("v")).distinct()
+        .withColumn("comp", F.col("v"))
+    ).key_by("v")
+
+    def body(state, _it):
+        cand_c = (
+            state.df.join(edges, state.df["v"] == edges["src"])
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("comp").alias("new_comp"))
+        )
+        return ctx.from_df(
+            cand_c.join(state.df, "v")
+            .filter(F.col("new_comp") < F.col("comp"))
+            .select("v", F.col("new_comp").alias("comp"))
+        )
+
+    final = init.delta_iterate(max_iter, body, checkpoint_every=8)
+    comp_map = final.to_stream().df.select(
+        F.col("v").alias("__cv"), F.col("comp").alias("cluster_id")
+    )
+    out = (
+        stream.df.join(comp_map, stream.df[id_col] == F.col("__cv"), "left")
+        .drop("__cv")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+    )
+    return stream._new(out)._retain(*pairs._retained, edges)
+
+
+def _sql_minhash_ctes(
+    table_expr: str,
+    text: str,
+    id_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
 ) -> str:
-    """DuckDB mirror of :func:`dedup_minhash` (same constants, same hash)."""
+    """Shared CTE chain ending in ``cand (ida, idb, sha, shb)`` —
+    the DuckDB mirror of :func:`minhash_pairs` up to verification."""
     rows_per_band = num_hashes // bands
     mh_exprs = ", ".join(
         f"list_min([({a}*h + {b}) % {MINHASH_P} for h in hs]) AS mh{i}"
@@ -343,8 +440,7 @@ def sql_dedup_minhash(
         f"SELECT id, sh, {bb} AS bidx, b{bb} AS bhash FROM bandsig"
         for bb in range(bands)
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT {id_col} AS id, {sql_word_shingles(text, shingle_n)} AS sh
   FROM {table_expr}
 ), hashed AS (
@@ -359,13 +455,163 @@ WITH base AS (
   SELECT DISTINCT a.id AS ida, b.id AS idb, a.sh AS sha, b.sh AS shb
   FROM buckets a JOIN buckets b
     ON a.bidx = b.bidx AND a.bhash = b.bhash AND a.id < b.id
-), dups AS (
+)"""
+
+
+_SQL_JACCARD = (
+    "len(list_intersect(sha, shb))::DOUBLE"
+    " / len(list_distinct(list_concat(sha, shb)))"
+)
+
+
+def sql_dedup_minhash(
+    table_expr: str,
+    text: str,
+    id_col: str,
+    cols: str,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> str:
+    """DuckDB mirror of :func:`dedup_minhash` (same constants, same hash)."""
+    ctes = _sql_minhash_ctes(
+        table_expr, text, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    return f"""
+WITH {ctes}, dups AS (
   SELECT DISTINCT idb FROM cand
-  WHERE len(list_intersect(sha, shb))::DOUBLE
-        / len(list_distinct(list_concat(sha, shb))) >= {threshold}
+  WHERE {_SQL_JACCARD} >= {threshold}
 )
 SELECT {cols} FROM {table_expr}
 WHERE {id_col} NOT IN (SELECT idb FROM dups)
+"""
+
+
+def sql_dedup_cluster_minhash(
+    table_expr: str,
+    text: str,
+    id_col: str,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> str:
+    """DuckDB mirror of :func:`dedup_cluster_minhash`: the shared pair
+    CTEs, then connected components as a RECURSIVE reachability CTE
+    (component id = min reachable id) — SQL-expressible because the
+    duplicate subgraph is tiny at oracle scale; the Spark side uses the
+    delta-iterated min-propagation loop instead."""
+    ctes = _sql_minhash_ctes(
+        table_expr, text, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    return f"""
+WITH RECURSIVE {ctes}, vp AS (
+  SELECT ida, idb FROM cand WHERE {_SQL_JACCARD} >= {threshold}
+), edges AS (
+  SELECT ida AS src, idb AS dst FROM vp
+  UNION
+  SELECT idb AS src, ida AS dst FROM vp
+), reach(v, w) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.v, edges.dst FROM reach JOIN edges ON reach.w = edges.src
+), comp AS (
+  SELECT v, least(v, min(w)) AS cluster_id FROM reach GROUP BY v
+)
+SELECT d.{id_col} AS {id_col},
+       coalesce(comp.cluster_id, d.{id_col}) AS cluster_id,
+       coalesce(comp.cluster_id, d.{id_col}) = d.{id_col} AS is_canonical
+FROM {table_expr} d LEFT JOIN comp ON d.{id_col} = comp.v
+"""
+
+
+# --------------------------------------------------------------------- #
+# within-corpus duplicate-span detection
+# --------------------------------------------------------------------- #
+
+def duplicate_span_fraction(
+    stream,
+    text_col: str,
+    id_col: str,
+    *,
+    ngram: int = 5,
+    threshold: float = 0.5,
+):
+    """Span-level duplication signal: for each document, the fraction of
+    its DISTINCT word ``ngram``-grams that also occur in at least one
+    OTHER document; ``flagged`` marks docs at or above ``threshold``.
+    This is the shuffle-friendly approximation of suffix-based substring
+    dedup (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better"): boilerplate/templated spans shared across pages push
+    the fraction up even when whole-document signatures differ.
+
+    Scale: grams travel as 31-bit hashes (16-byte rows), never as
+    strings; one shuffle on the gram hash (window count — no second
+    relation to join back) + one groupBy on the doc id. Linear in total
+    tokens; no all-pairs stage anywhere. Hash collisions can merge two
+    distinct grams — the oracle mirrors the identical hash, so the
+    behavior is deterministic and verified.
+    """
+    staged = (
+        stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__norm", norm_text("__text"))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+        .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), ngram))
+        .select("__id", F.explode(
+            F.transform(F.col("__sh"), lambda s: md5_int31(s))
+        ).alias("__gh"))
+        .distinct()
+    )
+    w = Window.partitionBy("__gh")
+    marked = staged.withColumn("__docs", F.count(F.lit(1)).over(w))
+    ratio = F.col("__dup") / F.col("__grams")
+    return stream._new(
+        marked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("__grams"),
+            F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0)).alias("__dup"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__grams").alias("n_grams"),
+            F.round(ratio, 6).alias("dup_frac"),
+            (ratio >= F.lit(threshold)).alias("flagged"),
+        )
+    )
+
+
+def sql_duplicate_span_fraction(
+    table_expr: str,
+    text: str,
+    id_col: str,
+    *,
+    ngram: int = 5,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB mirror of :func:`duplicate_span_fraction`."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {sql_word_shingles(text, ngram)} AS sh
+  FROM {table_expr}
+), ex AS (
+  SELECT id, unnest([{sql_md5_int31('s')} for s in sh]) AS gh FROM base
+), pairs AS (
+  SELECT DISTINCT id, gh FROM ex
+), marked AS (
+  SELECT id, count(*) OVER (PARTITION BY gh) AS docs FROM pairs
+)
+SELECT id AS {id_col},
+       count(*) AS n_grams,
+       round(CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+             / count(*), 6) AS dup_frac,
+       CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+           / count(*) >= {threshold} AS flagged
+FROM marked GROUP BY id
 """
 
 

@@ -798,3 +798,97 @@ SELECT t.{id_col}, coalesce(o.overlap_ngrams, 0) AS overlap_ngrams,
        (coalesce(o.overlap_ngrams, 0) > 0) AS contaminated
 FROM {table_expr} t LEFT JOIN overlap o ON t.{id_col} = o.__id
 """
+
+
+# --------------------------------------------------------------------- #
+# chunk-level dedup (paragraph-granularity, with reassembly)
+# --------------------------------------------------------------------- #
+
+def chunk_dedup(stream, id_col: str, text_col: str, *, chunk_words: int = 20):
+    """Chunk-level exact dedup with document reassembly: texts are cut
+    into fixed ``chunk_words``-word chunks (the paragraph-granularity
+    analog for corpora without structural separators — swap the chunker
+    for a newline split when documents have real paragraphs); for every
+    distinct chunk only its FIRST occurrence (minimum ``(doc, position)``)
+    survives, and each document is reassembled from its surviving chunks
+    in order. The standard within-corpus boilerplate-removal pass
+    (headers, navboxes, license blocks repeated across pages).
+
+    Output: ``id_col``, ``clean_text`` (surviving chunks re-joined; ''
+    when everything was dropped), ``n_chunks``, ``n_dropped``.
+
+    Scale: chunk identity travels as the shared 31-bit md5 hash (the
+    oracle mirrors collisions exactly); the only wide stage is ONE
+    shuffle on the chunk hash (row_number window) plus the per-document
+    reassembly groupBy. Linear in total tokens, no all-pairs stage.
+    """
+    w = chunk_words
+    staged = (
+        stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__toks", F.split(norm_text(F.col("__text")), " "))
+        .withColumn(
+            "__nch", F.ceil(F.size("__toks") / F.lit(float(w))).cast("int")
+        )
+        .withColumn(
+            "__chunks",
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nch") - 1),
+                lambda i: F.array_join(F.slice("__toks", i * w + 1, w), " "),
+            ),
+        )
+        .select("__id", F.posexplode("__chunks").alias("__idx", "__chunk"))
+        .withColumn("__gh", md5_int31(F.col("__chunk")))
+    )
+    win = Window.partitionBy("__gh").orderBy("__id", "__idx")
+    marked = staged.withColumn("__rn", F.row_number().over(win))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("__idx"), F.col("__chunk"))
+    )
+    out = (
+        marked.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["__chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .select(F.col("__id").alias(id_col), "clean_text", "n_chunks", "n_dropped")
+    )
+    return stream._new(out)
+
+
+def sql_chunk_dedup(table_expr: str, id_col: str, text: str, *,
+                    chunk_words: int = 20) -> str:
+    """DuckDB mirror of :func:`chunk_dedup` (same chunker, same hash)."""
+    w = chunk_words
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, string_split({sql_norm_text(text)}, ' ') AS toks
+  FROM {table_expr}
+), ch AS (
+  SELECT id,
+         [array_to_string(toks[(i*{w}+1):(i*{w}+{w})], ' ')
+          for i in range(0, CAST(ceil(len(toks)::DOUBLE / {w}) AS INT))] AS chunks
+  FROM base
+), ex AS (
+  SELECT id, unnest(chunks) AS chunk,
+         generate_subscripts(chunks, 1) - 1 AS idx
+  FROM ch
+), mk AS (
+  SELECT id, idx, chunk,
+         row_number() OVER (PARTITION BY {sql_md5_int31('chunk')}
+                            ORDER BY id, idx) AS rn
+  FROM ex
+)
+SELECT id AS {id_col},
+       coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')
+           AS clean_text,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM mk GROUP BY id
+"""

@@ -783,6 +783,36 @@ class Stream:
 
         return _dm(self, text_col, id_col, **kw)
 
+    def minhash_pairs(self, text_col: str, id_col: str, **kw) -> "Stream":
+        """Jaccard-verified MinHash-LSH near-duplicate pairs
+        (ida, idb, jac). See datapipe.minhash_pairs."""
+        from .datapipe import minhash_pairs as _mp
+
+        return _mp(self, text_col, id_col, **kw)
+
+    def dedup_cluster_minhash(self, text_col: str, id_col: str, **kw) -> "Stream":
+        """Cluster-level fuzzy dedup: MinHash pairs → connected
+        components → canonical doc per cluster. See
+        datapipe.dedup_cluster_minhash."""
+        from .datapipe import dedup_cluster_minhash as _dc
+
+        return _dc(self, text_col, id_col, **kw)
+
+    def duplicate_span_fraction(self, text_col: str, id_col: str, **kw) -> "Stream":
+        """Fraction of each doc's distinct n-grams shared with other
+        docs (span-level duplication signal). See
+        datapipe.duplicate_span_fraction."""
+        from .datapipe import duplicate_span_fraction as _df_
+
+        return _df_(self, text_col, id_col, **kw)
+
+    def chunk_dedup(self, id_col: str, text_col: str, **kw) -> "Stream":
+        """Chunk-level exact dedup with document reassembly. See
+        prep.chunk_dedup."""
+        from .prep import chunk_dedup as _cd
+
+        return _cd(self, id_col, text_col, **kw)
+
     def dedup_simhash(self, text_col: str, id_col: str, **kw) -> "Stream":
         """SimHash near-dup dedup — byte-band buckets + Hamming verify.
         See datapipe.dedup_simhash."""

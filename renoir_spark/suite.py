@@ -905,8 +905,10 @@ from .datapipe import (  # noqa: E402  (oracle generators share constants)
     sql_approx_distinct_kmv,
     sql_dedup_embedding,
     sql_dedup_exact,
+    sql_dedup_cluster_minhash,
     sql_dedup_minhash,
     sql_dedup_simhash,
+    sql_duplicate_span_fraction,
     sql_lang_id,
     sql_similar_pairs_ngram,
     sql_text_stats,
@@ -2213,6 +2215,7 @@ ORACLE_Q69 = sql_dedup_against(
 
 from .prep import (  # noqa: E402  (oracle generators share constants)
     sql_bm25_rank,
+    sql_chunk_dedup,
     sql_contaminated_ngrams,
     sql_pack_sequences,
     sql_pii_redact,
@@ -2557,6 +2560,112 @@ FROM per_n ORDER BY steps DESC, n DESC LIMIT 1
 """
 
 
+def q83_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level fuzzy dedup: MinHash-LSH verified pairs → connected
+    components (min-label delta iteration) → canonical doc per cluster —
+    the full production fuzzy-dedup pipeline shape. Input makes chains:
+    each doc gets a ' zzz' near-copy and a ' zzz yyy www' copy-of-the-copy,
+    so clusters form through TRANSITIVE pairs (the oracle's recursive CTE
+    follows the same closure)."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    near = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id") + 100000,
+        text=F.concat_ws(" ", F.col("text"), F.lit("zzz")),
+    )
+    far = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id") + 200000,
+        text=F.concat_ws(" ", F.col("text"), F.lit("zzz yyy www")),
+    )
+    return (
+        docs.merge(near).merge(far)
+        .shuffle()
+        .dedup_cluster_minhash("text", "doc_id", threshold=0.6)
+        .map("doc_id", "cluster_id", "is_canonical")
+        .df
+    )
+
+
+_Q83_INPUT = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzz' FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zzz yyy www' FROM documents
+)"""
+
+ORACLE_Q83 = sql_dedup_cluster_minhash(_Q83_INPUT, "text", "doc_id",
+                                       threshold=0.6)
+
+
+def q84_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication: fraction of each doc's distinct 5-grams
+    shared with at least one other doc (the shuffle-friendly stand-in for
+    suffix-array substring dedup). Input plants partial copies — each doc
+    re-appears with its first 12 words kept and a unique tail — so
+    dup_frac lands strictly between 0 and 1 for most rows."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    partial = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id") + 100000,
+        text=F.concat_ws(
+            " ",
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 12), " "),
+            F.concat(F.lit("tail"), F.col("doc_id").cast("string")),
+        ),
+    )
+    return (
+        docs.merge(partial)
+        .shuffle()
+        .duplicate_span_fraction("text", "doc_id", ngram=5, threshold=0.5)
+        .df
+    )
+
+
+_Q84_INPUT = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string((string_split(text, ' '))[1:12], ' ')
+             || ' tail' || doc_id::VARCHAR
+  FROM documents
+)"""
+
+ORACLE_Q84 = sql_duplicate_span_fraction(_Q84_INPUT, "text", "doc_id",
+                                         ngram=5, threshold=0.5)
+
+
+def q85_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup with reassembly: 8-word chunks, first
+    occurrence wins globally, documents rebuilt from surviving chunks.
+    Input plants full copies with one fresh trailing token — the copy's
+    body chunks all drop, its final (tail-bearing) chunk survives."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    copies = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id") + 100000,
+        text=F.concat_ws(
+            " ", F.col("text"),
+            F.concat(F.lit("fresh"), F.col("doc_id").cast("string")),
+        ),
+    )
+    return (
+        docs.merge(copies)
+        .shuffle()
+        .chunk_dedup("doc_id", "text", chunk_words=8)
+        .df
+    )
+
+
+_Q85_INPUT = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' fresh' || doc_id::VARCHAR FROM documents
+)"""
+
+ORACLE_Q85 = sql_chunk_dedup(_Q85_INPUT, "doc_id", "text", chunk_words=8)
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -2640,6 +2749,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_prep_pipeline": q80_prep_pipeline,
     "q81_train_val_test_split": q81_train_val_test_split,
     "q82_collatz": q82_collatz,
+    "q83_dedup_cluster": q83_dedup_cluster,
+    "q84_duplicate_spans": q84_duplicate_spans,
+    "q85_chunk_dedup": q85_chunk_dedup,
 }
 
 ORACLE: Dict[str, str] = {
@@ -2727,4 +2839,7 @@ ORACLE: Dict[str, str] = {
     "q80_prep_pipeline": ORACLE_Q80,
     "q81_train_val_test_split": ORACLE_Q81,
     "q82_collatz": ORACLE_Q82,
+    "q83_dedup_cluster": ORACLE_Q83,
+    "q84_duplicate_spans": ORACLE_Q84,
+    "q85_chunk_dedup": ORACLE_Q85,
 }

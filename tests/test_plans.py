@@ -45,6 +45,9 @@ def test_q05_broadcast_chain_never_shuffles_the_fact_table(ctx):
         "q32_ann_lsh",
         "q50_ann_ivf",
         "q64_ann_lsh_multi",
+        "q83_dedup_cluster",
+        "q84_duplicate_spans",
+        "q85_chunk_dedup",
     ],
 )
 def test_no_cartesian_or_nested_loop_in_bucketed_operators(ctx, name):
