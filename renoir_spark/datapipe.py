@@ -372,12 +372,20 @@ def dedup_cluster_minhash(
         stream, text_col, id_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, threshold=threshold,
     )
-    p = pairs.df.select("ida", "idb")
-    edges = (
-        p.union(p.select(F.col("idb"), F.col("ida")))
-        .toDF("src", "dst")
-        .persist()
-    )
+    p = pairs.df.select("ida", "idb").persist()
+    edges0 = p.union(p.select(F.col("idb"), F.col("ida"))).toDF("src", "dst")
+    # size the component loop to the DUPLICATE SUBGRAPH, not the corpus:
+    # the count materializes the pair relation once (paid anyway by
+    # round 1) and the loop then shuffles at a width matched to the edge
+    # volume — at sf0.1 that's 1-2 partitions instead of 32 empty-task
+    # rounds; at 100 TB (billions of edges) it scales back up. The edge
+    # cache is hash-partitioned on src at exactly the loop width, so
+    # every round's state⋈edges join reuses the layout instead of
+    # re-scanning a corpus-wide cache with hundreds of near-empty tasks.
+    n_edges = 2 * p.count()
+    loop_parts = max(1, min(int(stream.df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")), n_edges // 100_000 + 1))
+    edges = edges0.repartition(loop_parts, "src").persist()
     ctx = stream.ctx
     init = ctx.from_df(
         edges.select(F.col("src").alias("v")).distinct()
@@ -396,7 +404,9 @@ def dedup_cluster_minhash(
             .select("v", F.col("new_comp").alias("comp"))
         )
 
-    final = init.delta_iterate(max_iter, body, checkpoint_every=8)
+    final = init.delta_iterate(
+        max_iter, body, checkpoint_every=8, shuffle_partitions=loop_parts
+    )
     comp_map = final.to_stream().df.select(
         F.col("v").alias("__cv"), F.col("comp").alias("cluster_id")
     )
@@ -406,7 +416,7 @@ def dedup_cluster_minhash(
         .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
         .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
     )
-    return stream._new(out)._retain(*pairs._retained, edges)
+    return stream._new(out)._retain(*pairs._retained, p, edges)
 
 
 def _sql_minhash_ctes(

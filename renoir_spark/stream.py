@@ -690,6 +690,102 @@ class Stream:
             out = out.drop(c)
         return self._new(out)._retain(*retained)
 
+    def asof_join(
+        self,
+        other: "Stream",
+        *,
+        left_ts,
+        right_ts,
+        on: Optional[Sequence[str]] = None,
+        direction: str = "backward",
+        tolerance: Optional[float] = None,
+        how: str = "left",
+        matched_ts_col: str = "matched_ts",
+    ) -> "Stream":
+        """Point-in-time (as-of) join — pipeline extension beyond renoir's
+        operator set (renoir covers the band shape via ``interval_join``,
+        src/operator/mod.rs:1738-1755; the as-of "most recent prior row"
+        shape is the standard feature-store / training-data primitive).
+
+        For each left row, attach the single right row with the greatest
+        ``right_ts <= left_ts`` (``direction='backward'``, inclusive) or
+        the smallest ``right_ts >= left_ts`` (``'forward'``) among rows
+        sharing the equality keys ``on``. ``tolerance`` (seconds) bounds
+        the gap; out-of-tolerance matches become NULLs (``how='left'``)
+        or are dropped (``how='inner'``).
+
+        Scale design: NOT a range join (which Catalyst can only execute
+        as a per-key cross + filter). Both sides are unioned with a side
+        marker and a single ``last(payload_struct, ignorenulls) OVER
+        (PARTITION BY keys ORDER BY ts, side)`` carries the latest right
+        payload forward — one shuffle + one sort, linear in rows, same
+        plan shape at 100 TB. Right rows sort BEFORE left rows at equal
+        ts, so the bound is inclusive. Ties among right rows at the same
+        (key, ts) break deterministically by the packed payload struct's
+        lexicographic order.
+        """
+        if direction not in ("backward", "forward"):
+            raise ValueError(f"direction must be backward/forward, got {direction!r}")
+        if how not in ("left", "inner"):
+            raise ValueError(f"asof_join supports left/inner, got {how!r}")
+        keys = list(on or [])
+
+        lts = ts_micros(left_ts)
+        rts = ts_micros(right_ts)
+        left0 = self.df.withColumn("__ats", lts)
+        right0 = other.df.withColumn("__ats", rts)
+        payload = [c for c in right0.columns if c not in keys and c != "__ats"]
+        # pack the right payload (+ its event time, for the tolerance
+        # check) into ONE struct so every output column comes from the
+        # SAME matched row — per-column last(ignorenulls) could otherwise
+        # mix rows when the right payload itself contains NULLs
+        right_u = right0.select(
+            *keys,
+            F.col("__ats"),
+            F.lit(0).alias("__side"),
+            F.struct(F.col("__ats").alias("__rts"), *payload).alias("__rpay"),
+        )
+        left_u = left0.select(
+            "*", F.lit(1).alias("__side"), F.lit(None).alias("__rpay")
+        )
+        both = right_u.unionByName(left_u, allowMissingColumns=True)
+
+        if direction == "backward":
+            order = [F.col("__ats").asc(), F.col("__side").asc(), F.col("__rpay").asc()]
+        else:
+            order = [F.col("__ats").desc(), F.col("__side").asc(), F.col("__rpay").desc()]
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = both.withColumn(
+            "__m", F.last("__rpay", ignorenulls=True).over(w)
+        ).filter(F.col("__side") == 1)
+
+        if tolerance is not None:
+            tol = int(round(tolerance * 1_000_000))
+            if direction == "backward":
+                ok = F.col("__m.__rts") >= F.col("__ats") - F.lit(tol)
+            else:
+                ok = F.col("__m.__rts") <= F.col("__ats") + F.lit(tol)
+            matched = matched.withColumn(
+                "__m", F.when(ok, F.col("__m")).otherwise(F.lit(None))
+            )
+        if how == "inner":
+            matched = matched.filter(F.col("__m").isNotNull())
+
+        out = matched
+        lcols = set(self.df.columns)
+        for c in payload:
+            name = f"{c}_r" if c in lcols else c
+            out = out.withColumn(name, F.col(f"__m.{c}"))
+        out = out.withColumn(
+            matched_ts_col, F.timestamp_micros(F.col("__m.__rts"))
+        )
+        out = out.drop("__ats", "__side", "__rpay", "__m")
+        return self._new(out)
+
     # ------------------------------------------------------------------ #
     # iteration (SURVEY.md §2.9) — driver loops, see iteration.py
     # ------------------------------------------------------------------ #
