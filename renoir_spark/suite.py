@@ -2666,6 +2666,57 @@ _Q85_INPUT = """(
 ORACLE_Q85 = sql_chunk_dedup(_Q85_INPUT, "doc_id", "text", chunk_words=8)
 
 
+def q86_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: every click event picks up the most
+    recent PRIOR purchase of the same user within a 1-hour tolerance —
+    the feature-store / training-data primitive (``Stream.asof_join``).
+    The right side is pre-aggregated per (user, ts) with an
+    order-independent max so right event times are unique per key and
+    the DuckDB ``ASOF JOIN`` oracle is deterministic."""
+    ctx = _ctx(spark)
+    ev = _t(ctx, sf_dir, "events")
+    left = ev.filter("event_type = 'click'").map(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter("event_type = 'purchase'")
+        .map("user_id", "ts", "value")
+        .group_by_max_element(["user_id", "ts"], "value")
+        .map("user_id", "ts", pvalue=F.col("value"))
+    )
+    return (
+        left.asof_join(
+            right, left_ts="ts", right_ts="ts", on=["user_id"],
+            direction="backward", tolerance=3600.0, how="left",
+        )
+        .map(
+            "event_id", "user_id", "value", "pvalue",
+            # epoch-µs longs: pandas materializes Spark timestamps as
+            # ns and DuckDB's as µs — integer µs is dtype-stable across
+            # both engines (driver protocol)
+            ts_us=F.unix_micros(F.col("ts").cast("timestamp")),
+            matched_us=F.unix_micros(F.col("matched_ts").cast("timestamp")),
+        )
+        .df
+    )
+
+
+ORACLE_Q86 = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.value,
+       CASE WHEN r.ts >= l.ts - INTERVAL 3600 SECOND THEN r.pvalue END AS pvalue,
+       epoch_us(l.ts) AS ts_us,
+       CASE WHEN r.ts >= l.ts - INTERVAL 3600 SECOND THEN epoch_us(r.ts) END
+         AS matched_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -2752,6 +2803,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_dedup_cluster": q83_dedup_cluster,
     "q84_duplicate_spans": q84_duplicate_spans,
     "q85_chunk_dedup": q85_chunk_dedup,
+    "q86_asof_join": q86_asof_join,
 }
 
 ORACLE: Dict[str, str] = {
@@ -2842,4 +2894,5 @@ ORACLE: Dict[str, str] = {
     "q83_dedup_cluster": ORACLE_Q83,
     "q84_duplicate_spans": ORACLE_Q84,
     "q85_chunk_dedup": ORACLE_Q85,
+    "q86_asof_join": ORACLE_Q86,
 }
