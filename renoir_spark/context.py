@@ -162,6 +162,13 @@ class StreamContext:
         batches; Spark's scan is distributed with pushdown/pruning."""
         return Stream(self, self.spark.read.parquet(path, *paths))
 
+    def stream_table(self, name: str) -> Stream:
+        """Catalog table scan (beyond-reference) — the read side of
+        ``Stream.write_table_bucketed``: bucketed tables carry their
+        hash layout into the plan, so joins/aggs on the bucket columns
+        run shuffle-free."""
+        return Stream(self, self.spark.table(name))
+
     def stream_json(self, path: str, schema=None, **options) -> Stream:
         """JSON-lines scan (beyond-reference — renoir has no JSON source;
         Spark's distributed reader comes free). Pass ``schema`` to skip

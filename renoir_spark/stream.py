@@ -1213,11 +1213,43 @@ class Stream:
             shutil.rmtree(staging, ignore_errors=True)
         return outs
 
-    def write_parquet(self, path: str, *, single_file: bool = False, **options) -> None:
+    def write_parquet(self, path: str, *, single_file: bool = False,
+                      partition_by: Optional[Sequence[str]] = None,
+                      **options) -> None:
         """renoir ``write_parquet_seq/_one``
-        (src/operator/sink/parquet.rs:95-131)."""
+        (src/operator/sink/parquet.rs:95-131). ``partition_by`` is the
+        beyond-reference scale knob: hive-style ``col=value/`` layout so
+        later scans prune partitions at the FILE LISTING level — the
+        100 TB reader never opens files outside the predicate's
+        partitions (plan-asserted in tests/test_storage.py)."""
         df = self.df.coalesce(1) if single_file else self.df
-        df.write.mode("overwrite").options(**options).parquet(path)
+        w = df.write.mode("overwrite").options(**options)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def write_table_bucketed(self, table: str, *, by: Sequence[str],
+                             num_buckets: int,
+                             sort_by: Optional[Sequence[str]] = None,
+                             path: Optional[str] = None) -> None:
+        """Bucketed parquet table (beyond-reference scale primitive):
+        rows are hash-partitioned into ``num_buckets`` files per the
+        bucket columns AT WRITE TIME, so later joins/aggregations on
+        those columns skip the shuffle entirely — the write-once,
+        join-many layout for 100 TB fact tables. Optionally sorted
+        within buckets (sort-merge join without the sort). Read back via
+        ``StreamContext.stream_table``; co-location is plan-asserted in
+        tests/test_storage.py (no Exchange on a bucketed⋈bucketed join).
+        """
+        w = (
+            self.df.write.mode("overwrite").format("parquet")
+            .bucketBy(num_buckets, *by)
+        )
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        if path is not None:
+            w = w.option("path", path)
+        w.saveAsTable(table)
 
     def write_json(self, path: str, *, single_file: bool = False, **options) -> None:
         """JSON-lines sink (beyond-reference; pairs with

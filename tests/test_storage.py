@@ -1,0 +1,109 @@
+"""Storage-layout scale primitives: hive-partitioned writes (partition
+pruning at file-listing time) and bucketed tables (write-once hash
+layout → shuffle-free joins/aggs). These are the knobs a 100 TB
+deployment uses so the EXPENSIVE side of a join/scan never moves; the
+tests assert the resulting physical plans, not just the data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def events(ctx, sf_dir):
+    from renoir_spark.suite import _t
+
+    return _t(ctx, sf_dir, "events")
+
+
+def test_partitioned_write_prunes_at_listing(ctx, events, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    events.write_parquet(out, partition_by=["event_type"])
+
+    back = ctx.stream_parquet(out).filter("event_type = 'click'")
+    plan = _executed(back.df)
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    # the predicate lands in PartitionFilters (pruned directory listing),
+    # NOT as a row-level data filter over every file
+    assert "PartitionFilters" in scan and "event_type" in scan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    n = back.collect_count()
+    assert n == events.filter("event_type = 'click'").collect_count()
+    # partition column round-trips (moved to directory names and back)
+    assert set(back.df.columns) == set(events.df.columns)
+
+
+def test_partitioned_write_roundtrip_values(ctx, events, tmp_path):
+    out = str(tmp_path / "events_part_rt")
+    events.map("event_id", "event_type", "value").write_parquet(
+        out, partition_by=["event_type"]
+    )
+    back = ctx.stream_parquet(out).df
+    a = sorted((r.event_id, r.event_type) for r in back.collect())
+    b = sorted(
+        (r.event_id, r.event_type)
+        for r in events.map("event_id", "event_type").collect_vec()
+    )
+    assert a == b
+
+
+def test_bucketed_join_is_shuffle_free(ctx, tmp_path):
+    spark = ctx.spark
+    n = 10_000
+    left = ctx.from_df(
+        spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("a")
+        )
+    )
+    right = ctx.from_df(
+        spark.range(0, n, 2).select(
+            F.col("id").alias("k"), (F.col("id") % 13).alias("b")
+        )
+    )
+    left.write_table_bucketed(
+        "t_bleft", by=["k"], num_buckets=8, sort_by=["k"],
+        path=str(tmp_path / "bleft"),
+    )
+    right.write_table_bucketed(
+        "t_bright", by=["k"], num_buckets=8, sort_by=["k"],
+        path=str(tmp_path / "bright"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path a 100 TB⋈100 TB join would take
+        # (locally both sides fit a broadcast, which would hide the
+        # property under test)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = ctx.stream_table("t_bleft").join(ctx.stream_table("t_bright"), "k")
+        plan = _executed(j.df)
+        # the whole point: co-located bucket files join with NO exchange
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.collect_count() == n // 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_bucketed_groupby_is_shuffle_free(ctx, tmp_path):
+    spark = ctx.spark
+    s = ctx.from_df(
+        spark.range(5_000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+        )
+    )
+    s.write_table_bucketed(
+        "t_bagg", by=["k"], num_buckets=4, path=str(tmp_path / "bagg")
+    )
+    try:
+        g = ctx.stream_table("t_bagg").group_by_sum("k", "v")
+        plan = _executed(g.df)
+        assert "Exchange" not in plan, plan
+        assert g.collect_count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bagg")
