@@ -488,6 +488,36 @@ class Stream:
             self.df.groupBy(*to_cols(keys)).agg(F.avg(to_col(value)).alias("avg"))
         )
 
+    def group_by_quantiles(self, keys, value, probs, *, exact: bool = True,
+                           accuracy: int = 10000) -> "Stream":
+        """Grouped quantiles (beyond-reference; renoir users hand-roll
+        this with fold). ``probs`` is ``{col_name: probability}``.
+
+        ``exact=True`` runs Spark's exact ``percentile`` (linear
+        interpolation — bit-identical to DuckDB ``quantile_cont``, which
+        is why the suite oracle can verify it). Exact percentile buffers
+        each group's values in the aggregation state, so for 100 TB
+        groups flip ``exact=False``: ``approx_percentile`` (a
+        Greenwald-Khanna sketch, bounded memory, mergeable map-side) with
+        ``accuracy`` as the error dial — same query shape, sketch-sized
+        state."""
+        keys = [keys] if isinstance(keys, (str, Column)) else list(keys)
+        names = list(probs)
+        ps = F.array(*[F.lit(float(probs[n])) for n in names])
+        v = to_col(value)
+        agg = (
+            F.percentile(v, ps) if exact
+            else F.percentile_approx(v, ps, F.lit(accuracy))
+        )
+        return self._new(
+            self.df.groupBy(*to_cols(keys))
+            .agg(agg.alias("__qs"))
+            .select(
+                *keys,
+                *[F.col("__qs")[i].alias(n) for i, n in enumerate(names)],
+            )
+        )
+
     def group_by_max_element(self, keys, by) -> "Stream":
         """Arg-max whole element — renoir ``group_by_max_element``
         (src/operator/mod.rs:1418-1434) → ``max_by(struct(*), by)``."""
@@ -929,6 +959,14 @@ class Stream:
         from .datapipe import dedup_embedding as _de
 
         return _de(self, **kw)
+
+    def dedup_embedding_ivf(self, **kw) -> "Stream":
+        """Semantic dedup via IVF Voronoi cells (SemDeDup shape) —
+        geometry-following candidate cells instead of hyperplane signs.
+        See datapipe.dedup_embedding_ivf."""
+        from .datapipe import dedup_embedding_ivf as _dei
+
+        return _dei(self, **kw)
 
     def text_stats(self, text_col: str) -> "Stream":
         """Token/char counts, ratios, fingerprint, quality score — pure

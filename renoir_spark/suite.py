@@ -904,6 +904,7 @@ from .datapipe import (  # noqa: E402  (oracle generators share constants)
     sql_dedup_against,
     sql_approx_distinct_kmv,
     sql_dedup_embedding,
+    sql_dedup_embedding_ivf,
     sql_dedup_exact,
     sql_dedup_cluster_minhash,
     sql_dedup_minhash,
@@ -2717,6 +2718,60 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q88_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup via IVF Voronoi cells (SemDeDup shape) over
+    embeddings ∪ positively scaled copies (cosine exactly 1, same argmax
+    cell by scale-invariance of the dot against unit centroids):
+    ``Stream.dedup_embedding_ivf``. The geometry-following complement to
+    q35's sign-LSH dedup — the oracle recomputes the identical seeded
+    cells in SQL."""
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings").map("vec_id", "embedding")
+    scaled = _t(ctx, sf_dir, "embeddings").map(
+        vec_id=F.col("vec_id") + 100000,
+        embedding=F.transform("embedding", lambda x: x * F.lit(1.5)),
+    )
+    return (
+        emb.merge(scaled)
+        .shuffle()
+        .dedup_embedding_ivf(threshold=0.95, n_cells=32)
+        .map("vec_id")
+        .df
+    )
+
+
+ORACLE_Q88 = sql_dedup_embedding_ivf(
+    _Q35_INPUT, "vec_id", threshold=0.95, n_cells=32
+)
+
+
+def q87_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact quantiles of extended price per return flag —
+    ``Stream.group_by_quantiles``. Spark's exact ``percentile`` and
+    DuckDB's ``quantile_cont`` share the linear-interpolation definition,
+    so the driver hash verifies them bit-for-bit; ``exact=False``
+    switches the same operator to the sketch-based 100 TB path."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "lineitem")
+        .group_by_quantiles(
+            "l_returnflag", "l_extendedprice",
+            {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9},
+        )
+        .df
+    )
+
+
+ORACLE_Q87 = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5)  AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       quantile_cont(l_extendedprice, 0.9)  AS p90
+FROM lineitem GROUP BY 1
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -2804,6 +2859,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_duplicate_spans": q84_duplicate_spans,
     "q85_chunk_dedup": q85_chunk_dedup,
     "q86_asof_join": q86_asof_join,
+    "q87_group_quantiles": q87_group_quantiles,
+    "q88_dedup_embedding_ivf": q88_dedup_embedding_ivf,
 }
 
 ORACLE: Dict[str, str] = {
@@ -2895,4 +2952,6 @@ ORACLE: Dict[str, str] = {
     "q84_duplicate_spans": ORACLE_Q84,
     "q85_chunk_dedup": ORACLE_Q85,
     "q86_asof_join": ORACLE_Q86,
+    "q87_group_quantiles": ORACLE_Q87,
+    "q88_dedup_embedding_ivf": ORACLE_Q88,
 }

@@ -168,3 +168,29 @@ def test_write_read_json_roundtrip(ctx, tmp_path):
     s.write_json(path)
     back = ctx.stream_json(path, "k long, v string")
     assert sorted((r.k, r.v) for r in back.collect_vec()) == sorted(rows)
+
+
+def test_group_by_quantiles_exact_and_approx(ctx):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i % 3, rnd.uniform(0, 1000)) for i in range(3000)]
+    s = ctx.stream_iter(rows, "g long, x double")
+    probs = {"p10": 0.1, "p50": 0.5, "p99": 0.99}
+    exact = {r.g: r for r in s.group_by_quantiles("g", "x", probs).collect_vec()}
+    # exact median of group 0 equals the Python reference
+    import statistics
+
+    xs = sorted(x for g, x in rows if g == 0)
+    assert abs(exact[0].p50 - statistics.quantiles(xs, n=2, method="inclusive")[0]) < 1e-9
+    # the sketch path (the 100 TB dial) lands within rank tolerance
+    approx = {
+        r.g: r
+        for r in s.group_by_quantiles(
+            "g", "x", probs, exact=False, accuracy=10000
+        ).collect_vec()
+    }
+    for g in exact:
+        for c in probs:
+            a, b = getattr(exact[g], c), getattr(approx[g], c)
+            assert abs(a - b) <= 25.0, (g, c, a, b)  # ~2.5% of the range
