@@ -984,6 +984,100 @@ WHERE {id_col} NOT IN (SELECT idb FROM dups)
 """
 
 
+def dedup_embedding_ivf(
+    stream,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+):
+    """Semantic dedup, SemDeDup shape (Abbas et al. 2023, public): assign
+    every embedding to a Voronoi cell (same deterministic seeded
+    centroids as :func:`ann_cosine_ivf`), then drop the larger id of any
+    in-cell pair with cosine ≥ threshold.
+
+    vs :func:`dedup_embedding` (sign-LSH buckets): IVF cells follow the
+    data's own geometry — near-duplicates land in one cell even when a
+    hyperplane sign flips — and ``n_cells`` scales candidate volume
+    directly (cells ≈ corpus/cell_size). Scale: assignment is the
+    shuffle-free Arrow block product; the only shuffle is the in-cell
+    self-join on the cell id. In-cell work is quadratic in cell size, so
+    grow ``n_cells`` with the corpus (same dial as every IVF index)."""
+    units = _ivf_seed_units(stream.df, vec_col, id_col, n_cells)
+    assigned = _ivf_assign(
+        stream.df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("cvec")),
+        units, id_schema="__id long",
+    )
+    sig = assigned.select(
+        "__id",
+        F.col("cvec").alias("__v"),
+        _norm2(F.col("cvec")).alias("__nrm"),
+        "__cell",
+    ).persist()
+    a = sig.select(
+        "__cell", F.col("__id").alias("ida"),
+        F.col("__v").alias("va"), F.col("__nrm").alias("na"),
+    )
+    b = sig.select(
+        "__cell", F.col("__id").alias("idb"),
+        F.col("__v").alias("vb"), F.col("__nrm").alias("nb"),
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    dup_ids = (
+        a.join(b, "__cell")
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("idb").alias(id_col))
+        .distinct()
+    )
+    return stream._new(
+        stream.df.join(dup_ids, id_col, "left_anti")
+    )._retain(sig)
+
+
+def sql_dedup_embedding_ivf(
+    table_expr: str,
+    cols: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+) -> str:
+    """DuckDB mirror of :func:`dedup_embedding_ivf`: the same seeded
+    unit centroids and rounded argmax-dot assignment as
+    :func:`sql_ann_cosine_ivf`, then the in-cell pair rule."""
+    nrm_seed = SQL_NORM.format(a=vec_col)
+    dot_cu = SQL_DOT.format(a="t.v", b="cells.u")
+    dot = SQL_DOT.format(a="a.v", b="b.v")
+    na = SQL_NORM.format(a="a.v")
+    nb = SQL_NORM.format(a="b.v")
+    return f"""
+WITH cells AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell,
+         list_transform({vec_col}, x -> x::DOUBLE / {nrm_seed}) AS u
+  FROM (SELECT * FROM {table_expr} ORDER BY {id_col} LIMIT {n_cells})
+), c AS (
+  SELECT id, v, cell FROM (
+    SELECT t.id, t.v, cells.cell,
+           row_number() OVER (
+             PARTITION BY t.id
+             ORDER BY -round({dot_cu}, 9), cells.cell
+           ) AS rn
+    FROM (SELECT {id_col} AS id, {vec_col} AS v FROM {table_expr}) t, cells
+  ) WHERE rn = 1
+), dups AS (
+  SELECT DISTINCT b.id AS idb
+  FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
+  WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
+)
+SELECT {cols} FROM {table_expr}
+WHERE {id_col} NOT IN (SELECT idb FROM dups)
+"""
+
+
 # --------------------------------------------------------------------- #
 # text statistics / quality / language id / fingerprint
 # --------------------------------------------------------------------- #
@@ -1321,6 +1415,54 @@ def _norm2(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
+def _ivf_seed_units(df, vec_col: str, id_col: str, n_cells: int) -> list:
+    """Deterministic seeded centroids: the ``n_cells`` smallest-id
+    vectors, unit-normalized (bounded driver collect — renoir's
+    IterationStateHandle shape). Shared by the IVF ANN and the IVF
+    semantic-dedup operators so both mirror the same SQL ``cells`` CTE."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).limit(n_cells).collect()
+    )
+    units = []
+    for r in rows:
+        v = [float(x) for x in r[1]]
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        units.append([x / nrm for x in v])
+    return units
+
+
+def _ivf_dots_block(mat, UT):
+    """Row-block × centroid-matrix dots via cumsum — reproduces the
+    oracle's list_reduce LEFT-FOLD association exactly (bit-equal)."""
+    import numpy as np
+
+    prod = mat[:, :, None] * UT[None, :, :]
+    return np.cumsum(prod, axis=1)[:, -1, :]
+
+
+def _ivf_assign(df, units, *, vec_col_in: str = "cvec", id_schema: str = "id long"):
+    """Arrow-vectorized Voronoi assignment: adds ``__cell`` (argmax
+    rounded dot against unit centroids, ties → lowest cell) without any
+    join or shuffle. ``df`` must carry exactly (id, ``vec_col_in``)."""
+    def _assign_cells(batches):
+        import numpy as np
+
+        UT = np.array(units, dtype=np.float64).T  # dim × n_cells
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(
+                [list(map(float, v)) for v in pdf[vec_col_in]], dtype=np.float64
+            )
+            d = -np.round(_ivf_dots_block(mat, UT), 9)
+            yield pdf.assign(__cell=d.argmin(axis=1))  # first min = lowest cell
+
+    vec_t = dict(df.dtypes)[vec_col_in]
+    return df.mapInPandas(
+        _assign_cells, f"{id_schema}, {vec_col_in} {vec_t}, __cell long"
+    )
+
+
 SQL_DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}),"
     " p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)"
@@ -1570,18 +1712,6 @@ def ann_cosine_ivf(
     cells (``nprobe``) buys recall linearly in searched volume — the
     standard IVF dial.
     """
-    cent_rows = (
-        stream.df.select(F.col(id_col), F.col(vec_col))
-        .orderBy(id_col)
-        .limit(n_cells)
-        .collect()
-    )
-    units = []
-    for r in cent_rows:
-        v = [float(x) for x in r[1]]
-        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
-        units.append([x / nrm for x in v])
-
     # Assignment is dense linear algebra (a row-block × centroid-matrix
     # product) — the one place a vectorized Arrow batch beats Catalyst
     # expressions: 16 cells × 64 dims as inline expressions either
@@ -1589,23 +1719,10 @@ def ann_cosine_ivf(
     # overwhelm janino codegen (26 s compile). numpy's cumsum reproduces
     # the oracle's list_reduce left-fold EXACTLY (same IEEE association),
     # so values stay bit-equal; argmin/stable argsort break ties on the
-    # lower cell id, mirroring ORDER BY d, cell.
-    def _dots_block(mat, UT):
-        import numpy as np
-
-        prod = mat[:, :, None] * UT[None, :, :]
-        return np.cumsum(prod, axis=1)[:, -1, :]
-
-    def _assign_cells(batches):
-        import numpy as np
-
-        UT = np.array(units, dtype=np.float64).T  # dim × n_cells
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.array([list(map(float, v)) for v in pdf["cvec"]], dtype=np.float64)
-            d = -np.round(_dots_block(mat, UT), 9)
-            yield pdf.assign(__cell=d.argmin(axis=1))  # first min = lowest cell
+    # lower cell id, mirroring ORDER BY d, cell. (Shared helpers:
+    # _ivf_seed_units / _ivf_dots_block / _ivf_assign, also used by
+    # dedup_embedding_ivf.)
+    units = _ivf_seed_units(stream.df, vec_col, id_col, n_cells)
 
     def _probe_cells(batches):
         import numpy as np
@@ -1616,7 +1733,7 @@ def ann_cosine_ivf(
             if not len(pdf):
                 continue
             mat = np.array([list(map(float, v)) for v in pdf["qvec"]], dtype=np.float64)
-            d = -np.round(_dots_block(mat, UT), 9)
+            d = -np.round(_ivf_dots_block(mat, UT), 9)
             top = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
             idx = np.repeat(np.arange(len(pdf)), nprobe)
             yield pd.DataFrame(
@@ -1628,8 +1745,9 @@ def ann_cosine_ivf(
             )
 
     vec_t = dict(stream.df.dtypes)[vec_col]
-    c = stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec")).mapInPandas(
-        _assign_cells, f"{id_col} long, cvec {vec_t}, __cell long"
+    c = _ivf_assign(
+        stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec")),
+        units, id_schema=f"{id_col} long",
     )
     q = queries.df.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")

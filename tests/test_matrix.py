@@ -42,6 +42,10 @@ SWEEP = [
     "q72_repetition_stats",
     "q76_pack_sequences",
     "q80_prep_pipeline",
+    # round-5: the union+window as-of join (partition-by-key ordering
+    # must agree under any layout) and the IVF cell self-join dedup
+    "q86_asof_join",
+    "q88_dedup_embedding_ivf",
 ]
 
 

@@ -48,6 +48,8 @@ def test_q05_broadcast_chain_never_shuffles_the_fact_table(ctx):
         "q83_dedup_cluster",
         "q84_duplicate_spans",
         "q85_chunk_dedup",
+        "q86_asof_join",
+        "q88_dedup_embedding_ivf",
     ],
 )
 def test_no_cartesian_or_nested_loop_in_bucketed_operators(ctx, name):
@@ -105,3 +107,15 @@ def test_nexmark_hot_items_is_two_hash_aggregates(ctx):
     plan = _plan(ctx, "q61_nexmark_hot_items")
     assert "HashAggregate" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q86_asof_is_one_window_pass_not_a_range_join(ctx):
+    """asof_join promises union + ONE window pass — a refactor that
+    degrades it to a per-key range join would show up as a second join
+    (beyond the right side's pre-aggregation) or a cartesian."""
+    plan = _plan(ctx, "q86_asof_join")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+    # no join operator at all: the match is carried by the window frame
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, j
