@@ -2718,6 +2718,70 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q89_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (Bellman-Ford relaxation) over the
+    q25 test graph with deterministic weights ``(src+dst) % 7 + 1`` —
+    the third ``delta_iterate`` workload beside connected components
+    (q25) and transitive closure (q53): per-vertex min-distance state,
+    rounds emit only IMPROVED distances as deltas, loop ends when no
+    relaxation fires. Oracle: bounded-depth recursive CTE (positive
+    weights + the graph's 2-hop reach make depth 3 exact).
+
+    Scale: same Pregel shape as q25 — the invariant weighted edge side
+    broadcasts, each round is one groupBy(dst) shuffle sized to the
+    frontier, unreached vertices stay at the sentinel and never emit."""
+    ctx = _ctx(spark)
+    verts, edges = _graph(ctx, sf_dir)
+    INF = 1 << 62
+    wedges = edges.withColumn(
+        "w", (F.col("src") + F.col("dst")) % 7 + 1
+    ).persist()
+    init = ctx.from_df(
+        verts.withColumn(
+            "dist",
+            F.when(F.col("v") == 100, F.lit(0)).otherwise(F.lit(INF)).cast("long"),
+        )
+    ).key_by("v")
+
+    def body(state, _it):
+        cand = (
+            state.df.filter(F.col("dist") < INF)
+            .join(F.broadcast(wedges), state.df["v"] == wedges["src"])
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("new_dist"))
+        )
+        return ctx.from_df(
+            cand.join(state.df, "v")
+            .filter(F.col("new_dist") < F.col("dist"))
+            .select("v", F.col("new_dist").alias("dist"))
+        )
+
+    final = init.delta_iterate(10, body, checkpoint_every=8, shuffle_partitions=8)
+    return final.df.filter(F.col("dist") < INF).select("v", "dist")
+
+
+ORACLE_Q89 = """
+WITH RECURSIVE e0 AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS src,
+         CAST(n_regionkey + 100 AS BIGINT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(c_custkey + 1000 AS BIGINT), CAST(c_nationkey AS BIGINT)
+  FROM customer
+), e AS (
+  SELECT src, dst, (src + dst) % 7 + 1 AS w FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+  )
+), walk(v, dist, depth) AS (
+  SELECT CAST(100 AS BIGINT), CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, walk.dist + e.w, walk.depth + 1
+  FROM walk JOIN e ON e.src = walk.v
+  WHERE walk.depth < 3
+)
+SELECT v, min(dist) AS dist FROM walk GROUP BY v
+"""
+
+
 def q88_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup via IVF Voronoi cells (SemDeDup shape) over
     embeddings ∪ positively scaled copies (cosine exactly 1, same argmax
@@ -2861,6 +2925,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_asof_join": q86_asof_join,
     "q87_group_quantiles": q87_group_quantiles,
     "q88_dedup_embedding_ivf": q88_dedup_embedding_ivf,
+    "q89_sssp": q89_sssp,
 }
 
 ORACLE: Dict[str, str] = {
@@ -2954,4 +3019,5 @@ ORACLE: Dict[str, str] = {
     "q86_asof_join": ORACLE_Q86,
     "q87_group_quantiles": ORACLE_Q87,
     "q88_dedup_embedding_ivf": ORACLE_Q88,
+    "q89_sssp": ORACLE_Q89,
 }
