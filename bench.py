@@ -79,14 +79,13 @@ def main() -> None:
             # (dedup signature relations etc.) so later queries aren't timed
             # against another query's leftover blocks and GC pressure
             spark.catalog.clearCache()
-        n, took = _streaming_hot_items(spark, sf_dir)
-        timings["s01_nexmark_hot_items_stream"] = min(
-            timings.get("s01_nexmark_hot_items_stream", float("inf")), took
-        )
-        print(
-            f"# run{r} s01_nexmark_hot_items_stream: {took:.3f}s ({n} rows)",
-            file=sys.stderr,
-        )
+        for sname, sfn in (
+            ("s01_nexmark_hot_items_stream", _streaming_hot_items),
+            ("s02_stream_stream_join", _streaming_join),
+        ):
+            n, took = sfn(spark, sf_dir)
+            timings[sname] = min(timings.get(sname, float("inf")), took)
+            print(f"# run{r} {sname}: {took:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -102,72 +101,111 @@ def main() -> None:
     )
 
 
-def _streaming_hot_items(spark, sf_dir: str) -> tuple[int, float]:
-    """Structured-Streaming leg of the bench: NEXMark q5 (hot items,
-    chained stateful aggs) over the events table as an UNBOUNDED source
-    — the micro-batch engine, state store, watermark advancement, and
-    append-mode finalization are all on the measured path (the
-    reference's headline bench is streaming NEXMark,
-    benches/nexmark.rs:358-400).
+_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
 
-    Prep (untimed): spool events into time-range-partitioned files with
-    ascending mtimes, so the file source replays them as an in-order
-    multi-micro-batch stream — one big file would collapse to a single
-    batch and never exercise watermark-driven emission. Timed: the
-    availableNow drain."""
+
+def _spool_events(spark, sf_dir: str) -> str:
+    """Untimed prep shared by the streaming legs: spool events into
+    time-range-partitioned files with ascending mtimes, so the file
+    source replays them as an in-order multi-micro-batch stream — one
+    big file would collapse to a single batch and never exercise
+    watermark-driven emission."""
     import glob
-    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
+    spool = tempfile.mkdtemp(prefix="nex_stream_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        # TIMESTAMP(NANOS) read as long under nanosAsLong
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.repartitionByRange(8, "ts").write.mode("overwrite").parquet(spool)
+    parts = sorted(glob.glob(f"{spool}/part-*"))
+    base = time.time() - len(parts) - 1
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+    return spool
+
+
+def _stream_source(spark, spool: str):
+    return (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(spool)
+    )
+
+
+def _run_streaming_leg(spark, sf_dir: str, build) -> tuple[int, float]:
+    """Timed availableNow drain of a streaming query built by
+    ``build(ctx, spool)``. State-store partitions are fixed at the
+    query's first run by shuffle.partitions; every micro-batch then pays
+    a task + store commit PER PARTITION PER STATEFUL OPERATOR,
+    independent of row volume. Size them to stream throughput, not to
+    the batch suite's shuffle width (measured here: 32 -> 7.3 s,
+    8 -> 2.9 s for the identical drain). The 100 TB sizing rule is the
+    same — state partitions ~ keys x update rate, chosen when the query
+    starts, not inherited from batch defaults."""
+    import shutil
+
     from renoir_spark import StreamContext
-    from renoir_spark.nexmark import hot_items
     from renoir_spark.streaming import run_to_completion
 
     ctx = StreamContext(spark)
-    spool = tempfile.mkdtemp(prefix="nex_stream_")
+    spool = _spool_events(spark, sf_dir)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(ev.dtypes)["ts"] in ("bigint", "long"):
-            # TIMESTAMP(NANOS) read as long under nanosAsLong
-            ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        else:
-            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-        ev.repartitionByRange(8, "ts").write.mode("overwrite").parquet(spool)
-        parts = sorted(glob.glob(f"{spool}/part-*"))
-        base = time.time() - len(parts) - 1
-        for i, p in enumerate(parts):
-            os.utime(p, (base + i, base + i))
-        schema = (
-            "event_id long, ts timestamp, user_id long, "
-            "event_type string, value double, props string"
-        )
-        # State-store partitions are fixed at the query's first run by
-        # shuffle.partitions; every micro-batch then pays a task + store
-        # commit PER PARTITION PER STATEFUL OPERATOR, independent of row
-        # volume. Size them to stream throughput, not to the batch
-        # suite's shuffle width (measured here: 32 -> 7.3 s, 8 -> 2.9 s
-        # for the identical drain). The 100 TB sizing rule is the same —
-        # state partitions ~ keys x update rate, chosen when the query
-        # starts, not inherited from batch defaults.
-        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            s = ctx.from_df(
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 2)
-                .parquet(spool)
-            )
-            out = hot_items(s, size=172800.0, slide=86400.0,
-                            watermark="1 hour")
-            t0 = time.perf_counter()
-            n = len(run_to_completion(out.df, output_mode="append"))
-            return n, round(time.perf_counter() - t0, 3)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        out = build(ctx, spool)
+        t0 = time.perf_counter()
+        n = len(run_to_completion(out.df, output_mode="append"))
+        return n, round(time.perf_counter() - t0, 3)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(spool, ignore_errors=True)
+
+
+def _streaming_hot_items(spark, sf_dir: str) -> tuple[int, float]:
+    """Streaming leg 1: NEXMark q5 (hot items, chained stateful aggs)
+    over the events table as an UNBOUNDED source — micro-batch engine,
+    state store, watermark advancement, and append-mode finalization all
+    on the measured path (the reference's headline bench is streaming
+    NEXMark, benches/nexmark.rs:358-400)."""
+    from renoir_spark.nexmark import hot_items
+
+    def build(ctx, spool):
+        s = ctx.from_df(_stream_source(spark, spool))
+        return hot_items(s, size=172800.0, slide=86400.0, watermark="1 hour")
+
+    return _run_streaming_leg(spark, sf_dir, build)
+
+
+def _streaming_join(spark, sf_dir: str) -> tuple[int, float]:
+    """Streaming leg 2: stream-stream event-time band join (clicks ⋈
+    purchases per user within 6 h) — exercises the OTHER stateful
+    machinery class: dual watermark frontiers and join-state eviction
+    (state bounded by watermark + band width), per renoir's
+    interval_join on unbounded input."""
+    from renoir_spark.streaming import interval_join_stream
+
+    def build(ctx, spool):
+        clicks = ctx.from_df(_stream_source(spark, spool)).filter(
+            "event_type = 'click'"
+        ).map("event_id", "user_id", "ts")
+        purchases = ctx.from_df(_stream_source(spark, spool)).filter(
+            "event_type = 'purchase'"
+        ).map("user_id", "ts", "value")
+        return interval_join_stream(
+            clicks, purchases, left_ts="ts", right_ts="ts",
+            lower=21600.0, upper=0.0, on=["user_id"], watermark="1 hour",
+        )
+
+    return _run_streaming_leg(spark, sf_dir, build)
 
 
 if __name__ == "__main__":
