@@ -488,6 +488,26 @@ class Stream:
             self.df.groupBy(*to_cols(keys)).agg(F.avg(to_col(value)).alias("avg"))
         )
 
+    def group_by_count_distinct(self, keys, value, *, exact: bool = True,
+                                rsd: float = 0.05,
+                                alias: str = "n_distinct") -> "Stream":
+        """Grouped distinct counts (beyond-reference, completes the agg
+        family beside the KMV sketch operator). ``exact=True`` is the
+        oracle-checkable path (distinct-shuffle per group);
+        ``exact=False`` switches to HyperLogLog++
+        (``approx_count_distinct``): fixed-size mergeable sketch state,
+        map-side combinable, ``rsd`` = relative standard deviation dial
+        — the 100 TB default, same query shape."""
+        keys = [keys] if isinstance(keys, (str, Column)) else list(keys)
+        v = to_col(value)
+        agg = (
+            F.count_distinct(v) if exact
+            else F.approx_count_distinct(v, rsd=rsd)
+        )
+        return self._new(
+            self.df.groupBy(*to_cols(keys)).agg(agg.alias(alias))
+        )
+
     def group_by_quantiles(self, keys, value, probs, *, exact: bool = True,
                            accuracy: int = 10000) -> "Stream":
         """Grouped quantiles (beyond-reference; renoir users hand-roll

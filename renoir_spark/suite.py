@@ -2782,6 +2782,24 @@ SELECT v, min(dist) AS dist FROM walk GROUP BY v
 """
 
 
+def q90_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type — ``Stream.group_by_count_distinct``
+    exact path (the HLL++ sketch path is the same call with
+    ``exact=False``; their agreement is pinned in tests/test_gaps.py)."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "events")
+        .group_by_count_distinct("event_type", "user_id")
+        .df
+    )
+
+
+ORACLE_Q90 = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 1
+"""
+
+
 def q88_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup via IVF Voronoi cells (SemDeDup shape) over
     embeddings ∪ positively scaled copies (cosine exactly 1, same argmax
@@ -2926,6 +2944,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_group_quantiles": q87_group_quantiles,
     "q88_dedup_embedding_ivf": q88_dedup_embedding_ivf,
     "q89_sssp": q89_sssp,
+    "q90_count_distinct": q90_count_distinct,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3020,4 +3039,5 @@ ORACLE: Dict[str, str] = {
     "q87_group_quantiles": ORACLE_Q87,
     "q88_dedup_embedding_ivf": ORACLE_Q88,
     "q89_sssp": ORACLE_Q89,
+    "q90_count_distinct": ORACLE_Q90,
 }

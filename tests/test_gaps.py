@@ -194,3 +194,19 @@ def test_group_by_quantiles_exact_and_approx(ctx):
         for c in probs:
             a, b = getattr(exact[g], c), getattr(approx[g], c)
             assert abs(a - b) <= 25.0, (g, c, a, b)  # ~2.5% of the range
+
+
+def test_group_by_count_distinct_exact_vs_hll(ctx):
+    rows = [(i % 4, i % 500) for i in range(5000)]
+    s = ctx.stream_iter(rows, "g long, u long")
+    exact = {r.g: r.n_distinct for r in s.group_by_count_distinct("g", "u").collect_vec()}
+    expected = {}
+    for g, u in rows:
+        expected.setdefault(g, set()).add(u)
+    assert exact == {g: len(us) for g, us in expected.items()}
+    hll = {
+        r.g: r.n_distinct
+        for r in s.group_by_count_distinct("g", "u", exact=False, rsd=0.02).collect_vec()
+    }
+    for g, v in exact.items():
+        assert abs(hll[g] - v) <= 0.06 * v, (g, v, hll[g])
