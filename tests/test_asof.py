@@ -93,3 +93,13 @@ def test_asof_column_name_collision(ctx):
     r = ctx.stream_iter([(1, 5.0, "zz")], "k long, ts double, tag string")
     [row] = l.asof_join(r, left_ts="ts", right_ts="ts", on=["k"]).collect_vec()
     assert row.tag == "a" and row.tag_r == "zz"
+
+
+def test_asof_global_no_keys(ctx):
+    # keyless as-of: one global ordering (single partition — the
+    # documented renoir Replication::One analog for global ordered ops)
+    l = ctx.stream_iter([(1, 10.0, "a"), (2, 30.0, "b")], LS)
+    r = ctx.stream_iter([(9, 5.0, 1.0), (9, 25.0, 2.0)], RS)
+    out = _by_tag(l.asof_join(r, left_ts="ts", right_ts="ts").collect_vec())
+    assert out["a"].rv == 1.0
+    assert out["b"].rv == 2.0

@@ -165,3 +165,47 @@ def test_transaction_window_matches_python_reference(
     if buf:
         want.add((wid, len(buf), sum(buf)))  # stream-end flush
     assert got == want
+
+
+@SLOW
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25
+    ),
+    tol=st.one_of(st.none(), st.integers(min_value=0, max_value=30)),
+)
+def test_asof_join_equals_pandas_merge_asof(ctx, left, right, tol):
+    """asof_join (union + window pass) == pandas merge_asof, an
+    INDEPENDENT reference implementation: per key, each left row takes
+    the newest right value at-or-before its ts (within tolerance)."""
+    import pandas as pd
+
+    # unique right (key, ts) so the match is well-defined in both engines
+    rd = {}
+    for k, t in right:
+        rd[(k, t)] = float(k * 1000 + t)
+    r_rows = [(k, float(t), v) for (k, t), v in sorted(rd.items())]
+    l_rows = [(i, k, float(t)) for i, (k, t) in enumerate(left)]
+
+    sl = ctx.stream_iter(l_rows, "lid long, k long, ts double")
+    sr = ctx.stream_iter(r_rows, "k long, ts double, rv double")
+    out = sl.asof_join(
+        sr, left_ts=F.timestamp_seconds("ts"), right_ts=F.timestamp_seconds("ts"),
+        on=["k"], tolerance=None if tol is None else float(tol),
+    )
+    got = {r.lid: r.rv for r in out.df.select("lid", "rv").collect()}
+
+    lp = pd.DataFrame(l_rows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(r_rows, columns=["k", "ts", "rv"]).sort_values("ts")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="backward",
+        tolerance=None if tol is None else float(tol),
+    )
+    want = {
+        int(row.lid): (None if pd.isna(row.rv) else float(row.rv))
+        for row in merged.itertuples()
+    }
+    assert got == want
