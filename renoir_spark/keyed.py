@@ -36,10 +36,16 @@ class KeyedStream:
         return KeyedStream(self.ctx, df, self.keys)
 
     def to_stream(self) -> "Stream":
-        """Drop keying — renoir ``unkey`` / ``drop_key``."""
+        """Drop KEYING, keep the key columns — renoir ``unkey``
+        (src/operator/mod.rs:2808: the stream becomes (K, V) tuples)."""
         return self._stream(self.df)
 
     unkey = to_stream
+
+    def drop_key(self) -> "Stream":
+        """Drop the key COLUMNS too — renoir ``drop_key``
+        (src/operator/mod.rs:2822: only the values remain)."""
+        return self._stream(self.df.drop(*self.keys))
 
     # ------------------------------------------------------------------ #
     # keyed element-wise: key is preserved, values transform

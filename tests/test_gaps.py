@@ -210,3 +210,10 @@ def test_group_by_count_distinct_exact_vs_hll(ctx):
     }
     for g, v in exact.items():
         assert abs(hll[g] - v) <= 0.06 * v, (g, v, hll[g])
+
+
+def test_unkey_vs_drop_key(ctx):
+    ks = ctx.stream_iter([(1, 10.0), (2, 20.0)], "k long, v double").key_by("k")
+    assert set(ks.unkey().df.columns) == {"k", "v"}
+    assert ks.drop_key().df.columns == ["v"]
+    assert sorted(r.v for r in ks.drop_key().collect_vec()) == [10.0, 20.0]
