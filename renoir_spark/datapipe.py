@@ -990,7 +990,8 @@ def dedup_embedding_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: Optional[int] = 16,
+    target_cell_size: int = 200,
 ):
     """Semantic dedup, SemDeDup shape (Abbas et al. 2023, public): assign
     every embedding to a Voronoi cell (same deterministic seeded
@@ -1003,7 +1004,14 @@ def dedup_embedding_ivf(
     directly (cells ≈ corpus/cell_size). Scale: assignment is the
     shuffle-free Arrow block product; the only shuffle is the in-cell
     self-join on the cell id. In-cell work is quadratic in cell size, so
-    grow ``n_cells`` with the corpus (same dial as every IVF index)."""
+    ``n_cells`` MUST grow with the corpus (same dial as every IVF
+    index) — measured in docs/SCALING.md: 10× corpus with n_cells
+    pinned = 18× wall; with cell size held constant = linear. Pass
+    ``n_cells=None`` to derive it from ``target_cell_size`` (one cheap
+    count; oracle-mirroring callers pass an explicit n_cells)."""
+    if n_cells is None:
+        n = stream.df.count()
+        n_cells = max(1, -(-n // target_cell_size))
     units = _ivf_seed_units(stream.df, vec_col, id_col, n_cells)
     assigned = _ivf_assign(
         stream.df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("cvec")),
@@ -1432,12 +1440,20 @@ def _ivf_seed_units(df, vec_col: str, id_col: str, n_cells: int) -> list:
 
 
 def _ivf_dots_block(mat, UT):
-    """Row-block × centroid-matrix dots via cumsum — reproduces the
-    oracle's list_reduce LEFT-FOLD association exactly (bit-equal)."""
+    """Row-block × centroid-matrix dots with the oracle's list_reduce
+    LEFT-FOLD association (bit-equal): accumulate one dimension at a
+    time in ascending order — same additions, same order as cumsum over
+    the dim axis, but O(B × cells) memory instead of materializing the
+    B × dim × cells cube (which at 400 cells × 10k-row Arrow batches
+    was 2 GB per task — measured 56 s → 4 s for the k=10 sig stage).
+    numpy matmul would be faster still but uses pairwise summation —
+    a different association, so the oracle hashes would drift."""
     import numpy as np
 
-    prod = mat[:, :, None] * UT[None, :, :]
-    return np.cumsum(prod, axis=1)[:, -1, :]
+    acc = np.zeros((mat.shape[0], UT.shape[1]), dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc += mat[:, j][:, None] * UT[j][None, :]
+    return acc
 
 
 def _ivf_assign(df, units, *, vec_col_in: str = "cvec", id_schema: str = "id long"):

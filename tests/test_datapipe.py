@@ -162,3 +162,19 @@ def test_kmv_distinct_partitioning_independent(ctx):
     small = ctx.stream_iter([(i,) for i in range(10)], "v long")
     [r] = small.approx_distinct_kmv(F.col("v").cast("string"), k=64).collect_vec()
     assert r.approx_distinct == 10.0
+
+
+def test_dedup_embedding_ivf_auto_cells(ctx):
+    # identical vectors dedup regardless of cell layout; n_cells=None
+    # derives the cell count from target_cell_size (the 100 TB dial)
+    rows = [(i, [float(i % 7), 1.0, float(i)]) for i in range(60)]
+    rows += [(1000 + i, v) for i, v in [(i, v) for i, v in rows[:5]]]
+    s = ctx.stream_iter(rows, "vec_id long, embedding array<double>")
+    out = s.dedup_embedding_ivf(
+        threshold=0.999999, n_cells=None, target_cell_size=10,
+        vec_col="embedding", id_col="vec_id",
+    )
+    kept = {r.vec_id for r in out.collect_vec()}
+    # every planted copy (same vector, larger id) is dropped
+    assert all(1000 + i not in kept for i in range(5))
+    assert all(i in kept for i in range(60))
