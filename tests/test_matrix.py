@@ -43,9 +43,11 @@ SWEEP = [
     "q76_pack_sequences",
     "q80_prep_pipeline",
     # round-5: the union+window as-of join (partition-by-key ordering
-    # must agree under any layout) and the IVF cell self-join dedup
+    # must agree under any layout), the IVF cell self-join dedup, and
+    # the delta-iterate relaxation loop (frontier joins under layouts)
     "q86_asof_join",
     "q88_dedup_embedding_ivf",
+    "q89_sssp",
 ]
 
 
