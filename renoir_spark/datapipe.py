@@ -404,8 +404,13 @@ def dedup_cluster_minhash(
             .select("v", F.col("new_comp").alias("comp"))
         )
 
+    # checkpoint_every=2: each round's merge references the prior state
+    # twice, so plan ANALYSIS doubles per round between checkpoints; the
+    # component state is small (duplicate-subgraph vertices), making
+    # frequent lineage cuts near-free while keeping every round's
+    # compile O(1)
     final = init.delta_iterate(
-        max_iter, body, checkpoint_every=8, shuffle_partitions=loop_parts
+        max_iter, body, checkpoint_every=2, shuffle_partitions=loop_parts
     )
     comp_map = final.to_stream().df.select(
         F.col("v").alias("__cv"), F.col("comp").alias("cluster_id")

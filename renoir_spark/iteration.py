@@ -260,4 +260,13 @@ def delta_iterate(
                 prev_state = state_df
             prev_delta = delta_df
             state_df = new_state
+    # cut the returned lineage: each round's merge references the prior
+    # state TWICE (body + merge), so the logical plan doubles per round
+    # between checkpoints — execution is cache-saved, but ANALYSIS of the
+    # final plan is exponential in rounds-since-checkpoint (measured: the
+    # q83 component loop compiled to a 1000-exchange plan string). The
+    # eager checkpoint re-reads the already-persisted state once and
+    # hands callers an O(1) plan that also survives cache eviction.
+    if state_df is not keyed.df:
+        state_df = state_df.localCheckpoint(eager=True)
     return KeyedStream(keyed.ctx, state_df, keys)
