@@ -52,4 +52,6 @@ def main(path: str, which: str = "all") -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else "all")
+    main(sys.argv[1] if len(sys.argv) > 1
+         else "/root/testdata/sf0.001/events.parquet",
+         sys.argv[2] if len(sys.argv) > 2 else "all")
