@@ -538,6 +538,30 @@ class Stream:
             )
         )
 
+    def group_by_rollup(self, keys, **aggs) -> "Stream":
+        """Hierarchical subtotals (beyond-reference — SURVEY §2.5 notes
+        renoir has no grouping sets; Spark gives them free): one pass
+        emits per-(k1,k2,...) rows plus each prefix's subtotal and the
+        grand total, grouping columns NULL on subtotal rows (q91).
+        Scale: Spark expands grouping sets BEFORE the shuffle, so it is
+        still a single partial/final hash aggregate — not one job per
+        level."""
+        keys = [keys] if isinstance(keys, (str, Column)) else list(keys)
+        return self._new(
+            self.df.rollup(*to_cols(keys)).agg(
+                *[to_col(e).alias(n) for n, e in aggs.items()]
+            )
+        )
+
+    def group_by_cube(self, keys, **aggs) -> "Stream":
+        """All grouping-set combinations (see :meth:`group_by_rollup`)."""
+        keys = [keys] if isinstance(keys, (str, Column)) else list(keys)
+        return self._new(
+            self.df.cube(*to_cols(keys)).agg(
+                *[to_col(e).alias(n) for n, e in aggs.items()]
+            )
+        )
+
     def group_by_max_element(self, keys, by) -> "Stream":
         """Arg-max whole element — renoir ``group_by_max_element``
         (src/operator/mod.rs:1418-1434) → ``max_by(struct(*), by)``."""

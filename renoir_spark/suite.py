@@ -2782,6 +2782,30 @@ SELECT v, min(dist) AS dist FROM walk GROUP BY v
 """
 
 
+def q91_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals over (returnflag, linestatus) —
+    ``Stream.group_by_rollup``: detail rows + per-flag subtotals + grand
+    total in ONE partial/final aggregate (grouping sets expand before
+    the shuffle). Counts only, so the subtotal rows hash bit-exactly."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "lineitem")
+        .group_by_rollup(
+            ["l_returnflag", "l_linestatus"],
+            n=F.count(F.lit(1)),
+            sum_qty=F.sum(F.col("l_quantity").cast("long")),
+        )
+        .df
+    )
+
+
+ORACLE_Q91 = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q90_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type — ``Stream.group_by_count_distinct``
     exact path (the HLL++ sketch path is the same call with
@@ -2945,6 +2969,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_dedup_embedding_ivf": q88_dedup_embedding_ivf,
     "q89_sssp": q89_sssp,
     "q90_count_distinct": q90_count_distinct,
+    "q91_rollup": q91_rollup,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3040,4 +3065,5 @@ ORACLE: Dict[str, str] = {
     "q88_dedup_embedding_ivf": ORACLE_Q88,
     "q89_sssp": ORACLE_Q89,
     "q90_count_distinct": ORACLE_Q90,
+    "q91_rollup": ORACLE_Q91,
 }
