@@ -134,6 +134,11 @@ def iterate(
             df = out
             if loop_condition is not None and not loop_condition(state):
                 break
+    # cut the returned lineage (see delta_iterate): analysis of the
+    # final plan otherwise replays every round's logical history, and a
+    # cache eviction would recompute the whole chain
+    if df is not stream.df:
+        df = df.localCheckpoint(eager=True)
     return state, stream._new(df)
 
 
