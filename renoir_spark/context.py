@@ -162,6 +162,36 @@ class StreamContext:
         batches; Spark's scan is distributed with pushdown/pruning."""
         return Stream(self, self.spark.read.parquet(path, *paths))
 
+    def compact_parquet(self, src_path: str, dst_path: str, *,
+                        target_file_mb: int = 256, **options) -> int:
+        """Small-files compaction (beyond-reference; the classic large-
+        corpus maintenance op): read a parquet dataset, rewrite it as
+        ``ceil(total_bytes / target_file_mb)`` similarly-sized files.
+        Millions of KB-scale files destroy scan parallelism economics —
+        footer reads and task scheduling dominate — so ingest pipelines
+        compact before training reads. Sizing uses the source's on-disk
+        bytes (compressed), so output files land near ``target_file_mb``
+        of parquet, not of in-memory rows. Returns the file count.
+
+        Local/posix paths are sized directly; on object stores pass the
+        dataset through ``spark.read`` metadata instead (same repartition
+        + write shape)."""
+        import glob as _glob
+        import os as _os
+
+        files = [
+            f for f in _glob.glob(f"{src_path}/**", recursive=True)
+            if _os.path.isfile(f) and not _os.path.basename(f).startswith((".", "_"))
+        ]
+        total = sum(_os.path.getsize(f) for f in files)
+        n_out = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+        (
+            self.spark.read.parquet(src_path)
+            .repartition(n_out)
+            .write.mode("overwrite").options(**options).parquet(dst_path)
+        )
+        return n_out
+
     def stream_table(self, name: str) -> Stream:
         """Catalog table scan (beyond-reference) — the read side of
         ``Stream.write_table_bucketed``: bucketed tables carry their

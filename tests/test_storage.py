@@ -107,3 +107,22 @@ def test_bucketed_groupby_is_shuffle_free(ctx, tmp_path):
         assert g.collect_count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bagg")
+
+
+def test_compact_parquet_reduces_file_count(ctx, tmp_path):
+    import glob
+
+    src = str(tmp_path / "many_small")
+    dst = str(tmp_path / "compacted")
+    # 64 tiny files
+    ctx.spark.range(10_000).repartition(64).write.parquet(src)
+    n_small = len(glob.glob(f"{src}/part-*"))
+    assert n_small == 64
+    n_out = ctx.compact_parquet(src, dst, target_file_mb=1)
+    parts = glob.glob(f"{dst}/part-*")
+    assert len(parts) == n_out < n_small
+    # values survive the rewrite
+    assert (
+        sorted(r.id for r in ctx.stream_parquet(dst).collect_vec())
+        == list(range(10_000))
+    )
