@@ -1401,6 +1401,12 @@ class Stream:
         ``stream_in(ctx)`` re-sources the materialized result."""
         return CachedStream(self.df)
 
+    def to_view(self, name: str) -> "Stream":
+        """Register this stream as a temp view for ``ctx.sql`` — the two
+        halves of the SQL escape hatch renoir doesn't have."""
+        self.df.createOrReplaceTempView(name)
+        return self
+
     def unpersist(self, blocking: bool = False) -> "Stream":
         """Release cached blocks from :meth:`cache` / :meth:`split` /
         ``route().build()`` AND any internal relations an operator

@@ -217,3 +217,9 @@ def test_unkey_vs_drop_key(ctx):
     assert set(ks.unkey().df.columns) == {"k", "v"}
     assert ks.drop_key().df.columns == ["v"]
     assert sorted(r.v for r in ks.drop_key().collect_vec()) == [10.0, 20.0]
+
+
+def test_to_view_sql_roundtrip(ctx):
+    ctx.stream_iter([(1, 2.0), (2, 4.0)], "k long, v double").to_view("tv_gaps")
+    got = ctx.sql("SELECT sum(v) AS s FROM tv_gaps").collect_vec()
+    assert got[0].s == 6.0
