@@ -446,3 +446,27 @@ def test_windowed_top_k_stream_equals_batch(ctx, stream_dir):
     emitted = {r.win_s for r in got}
     assert len(emitted) >= 1
     assert key(got, emitted) == key(exp, emitted)
+
+
+def test_stream_static_dimension_join(ctx, stream_dir):
+    """Stream-static enrichment — the slowly-changing-dimension join a
+    training pipeline runs on every ingest stream. Spark joins each
+    micro-batch against the static relation with NO streaming state
+    (nothing to watermark); the declared plan is identical to the batch
+    join (renoir has no static-side notion — its analog is a broadcast
+    side input via IterationStateHandle)."""
+    dim = ctx.spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "user_id long, tier string"
+    )
+    s = ctx.from_df(
+        ctx.spark.readStream.schema(_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")  # glob: the batch dirs are nested
+    )
+    out = s.join(ctx.from_df(dim), "user_id")
+    rows = run_to_completion(out.df, output_mode="append")
+    got = sorted((r.user_id, r.value, r.tier) for r in rows)
+    # every event (including the late one — no state, nothing dropped)
+    # carries its dimension row
+    assert len(got) == 7
+    assert all(t == ("gold" if u == 1 else "basic") for u, _v, t in got)
