@@ -3,6 +3,7 @@ Python references, the reference crate's proptest-style strategy
 (SURVEY.md §5). Each property runs a handful of examples (Spark jobs are
 ~0.5 s each); shrinking still localizes failures to minimal inputs."""
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -209,3 +210,25 @@ def test_asof_join_equals_pandas_merge_asof(ctx, left, right, tol):
         for row in merged.itertuples()
     }
     assert got == want
+
+
+@SLOW
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                  allow_infinity=False, width=32),
+        min_size=1, max_size=60,
+    ),
+    p=st.integers(min_value=0, max_value=100),
+)
+def test_group_by_quantiles_equals_numpy(ctx, xs, p):
+    """Exact grouped percentile == numpy's 'linear' interpolation — the
+    shared definition that also makes it bit-match DuckDB quantile_cont
+    (oracle q87)."""
+    import numpy as np
+
+    s = ctx.stream_iter([(1, float(x)) for x in xs], "g long, x double")
+    [row] = s.group_by_quantiles("g", "x", {"q": p / 100.0}).collect_vec()
+    want = float(np.percentile(np.array(xs, dtype=np.float64), p,
+                               method="linear"))
+    assert row.q == pytest.approx(want, rel=1e-12, abs=1e-9)
