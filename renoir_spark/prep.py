@@ -332,6 +332,32 @@ def sql_sample_fraction(table_expr: str, id_col: str, fraction: float, *,
     )
 
 
+def sample_weighted(stream, id_col: str, weight_expr, *, salt: str = "w0"):
+    """Per-row weighted sample: keep a row with probability
+    ``weight_expr`` (a column in [0, 1], e.g. a quality score) — the
+    quality-weighted corpus downsampling step (CCNet-style: sample
+    high-quality documents at a higher rate instead of a hard gate).
+
+    Same scale shape as :func:`sample_fraction`: the keep decision is a
+    pure map-side comparison of the row's salted id hash against its OWN
+    weight — no shuffle, no rand(), reproducible across retries and
+    partition layouts. Weights outside [0, 1] clamp (<=0 never keeps,
+    >=1 always keeps).
+    """
+    df = stream.df
+    h = md5_int31(F.concat_ws("|", F.lit(salt), to_col(id_col).cast("string")))
+    w = F.greatest(F.lit(0.0), F.least(F.lit(1.0), to_col(weight_expr).cast("double")))
+    out = df.filter(h < w * MINHASH_P)
+    return stream._new(out)
+
+
+def sql_sample_weighted(table_expr: str, id_col: str, weight_sql: str, *,
+                        salt: str = "w0") -> str:
+    h = sql_md5_int31(f"concat_ws('|', '{salt}', {id_col}::VARCHAR)")
+    w = f"greatest(0.0, least(1.0, ({weight_sql})::DOUBLE))"
+    return f"SELECT * FROM {table_expr} WHERE {h} < {w} * {MINHASH_P}"
+
+
 def sample_stratified(stream, id_col: str, strata: Sequence[str], quota: int,
                       *, salt: str = "s0"):
     """Deterministic per-stratum quota sample: within each stratum keep

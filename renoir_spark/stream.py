@@ -1075,6 +1075,13 @@ class Stream:
 
         return _sf(self, id_col, fraction, **kw)
 
+    def sample_weighted(self, id_col: str, weight_expr, **kw) -> "Stream":
+        """Deterministic per-row weighted sample (keep-probability =
+        weight column, e.g. a quality score) — prep.sample_weighted."""
+        from .prep import sample_weighted as _sw
+
+        return _sw(self, id_col, weight_expr, **kw)
+
     def sample_stratified(self, id_col: str, strata, quota: int,
                           **kw) -> "Stream":
         """Deterministic per-stratum quota sample — prep.sample_stratified."""

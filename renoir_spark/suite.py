@@ -2226,6 +2226,7 @@ from .prep import (  # noqa: E402  (oracle generators share constants)
     sql_assign_split,
     sql_sample_fraction,
     sql_sample_stratified,
+    sql_sample_weighted,
     sql_tfidf_top_terms,
 )
 
@@ -2782,6 +2783,27 @@ SELECT v, min(dist) AS dist FROM walk GROUP BY v
 """
 
 
+def q92_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus downsampling — ``Stream.sample_weighted``:
+    each document keeps with probability proportional to its length
+    score (CCNet-style soft gate instead of a hard quality filter). The
+    keep decision is a map-side salted-hash-vs-weight comparison — no
+    shuffle, reproducible across retries — mirrored exactly by the
+    oracle."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .sample_weighted("doc_id", F.col("n_chars") / 400.0)
+        .map("doc_id", "n_chars")
+        .df
+    )
+
+
+ORACLE_Q92 = sql_sample_weighted(
+    "documents", "doc_id", "n_chars / 400.0"
+) .replace("SELECT *", "SELECT doc_id, n_chars")
+
+
 def q91_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals over (returnflag, linestatus) —
     ``Stream.group_by_rollup``: detail rows + per-flag subtotals + grand
@@ -2970,6 +2992,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_sssp": q89_sssp,
     "q90_count_distinct": q90_count_distinct,
     "q91_rollup": q91_rollup,
+    "q92_sample_weighted": q92_sample_weighted,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3066,4 +3089,5 @@ ORACLE: Dict[str, str] = {
     "q89_sssp": ORACLE_Q89,
     "q90_count_distinct": ORACLE_Q90,
     "q91_rollup": ORACLE_Q91,
+    "q92_sample_weighted": ORACLE_Q92,
 }

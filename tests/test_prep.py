@@ -363,3 +363,19 @@ def test_null_text_parity_with_duckdb(ctx, spark, duck):
         + prep.sql_pii_redact("null_docs", "text", "doc_id")
         + ")").fetchall()}
     assert rg == rw and rg[1] is None
+
+
+def test_sample_weighted_extremes_and_determinism(ctx):
+    rows = [(i, 0.0 if i < 20 else (1.0 if i < 40 else 0.5)) for i in range(120)]
+    s = ctx.stream_iter(rows, "id long, w double")
+    kept = [r.id for r in s.sample_weighted("id", "w").collect_vec()]
+    # weight 0 never keeps, weight 1 always keeps
+    assert not any(i < 20 for i in kept)
+    assert all(i in kept for i in range(20, 40))
+    # deterministic across replans/retries: same result every run
+    kept2 = [r.id for r in s.sample_weighted("id", "w").collect_vec()]
+    assert sorted(kept) == sorted(kept2)
+    # out-of-range weights clamp instead of misbehaving
+    s2 = ctx.stream_iter([(1, -3.0), (2, 7.0)], "id long, w double")
+    got = {r.id for r in s2.sample_weighted("id", "w").collect_vec()}
+    assert got == {2}
