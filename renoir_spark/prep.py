@@ -332,6 +332,49 @@ def sql_sample_fraction(table_expr: str, id_col: str, fraction: float, *,
     )
 
 
+def word_entropy(stream, id_col: str, text_col: str):
+    """Per-document token-distribution entropy (nats) — the unigram
+    information-density quality signal (Dolma/CCNet-style filters drop
+    both extremes: near-zero entropy = boilerplate/repeated tokens, very
+    high = random noise). ``H = -Σ (c/n) ln(c/n)`` over the document's
+    token counts, rounded to 6 decimals (both engines' libm ln agree at
+    that precision — same precedent as the BM25 oracle).
+
+    Shape: ONE shuffle on (id, token) with map-side partial counts, then
+    a per-id sum — wordcount with a doc key prepended; never quadratic,
+    no state beyond the aggregation buffers."""
+    df = stream.df
+    toked = df.select(to_col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+    counts = (
+        toked.select("__id", F.size("__toks").alias("__n"),
+                     F.explode("__toks").alias("__tok"))
+        .groupBy("__id", "__n", "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    p = F.col("__c") / F.col("__n")
+    out = (
+        counts.groupBy("__id")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .withColumnRenamed("__id", id_col)
+    )
+    return stream._new(out)
+
+
+def sql_word_entropy(table_expr: str, id_col: str, text: str) -> str:
+    return f"""
+WITH toked AS (
+  SELECT {id_col} AS __id, {sql_tokens(text)} AS toks FROM {table_expr}
+), counts AS (
+  SELECT __id, n, tok, count(*) AS c FROM (
+    SELECT __id, len(toks) AS n, unnest(toks) AS tok FROM toked
+  ) GROUP BY 1, 2, 3
+)
+SELECT __id AS {id_col},
+       round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 6) AS entropy
+FROM counts GROUP BY 1
+"""
+
+
 def sample_weighted(stream, id_col: str, weight_expr, *, salt: str = "w0"):
     """Per-row weighted sample: keep a row with probability
     ``weight_expr`` (a column in [0, 1], e.g. a quality score) — the

@@ -1075,6 +1075,13 @@ class Stream:
 
         return _sf(self, id_col, fraction, **kw)
 
+    def word_entropy(self, id_col: str, text_col: str) -> "Stream":
+        """Per-document token-distribution entropy (quality signal) —
+        prep.word_entropy."""
+        from .prep import word_entropy as _we
+
+        return _we(self, id_col, text_col)
+
     def sample_weighted(self, id_col: str, weight_expr, **kw) -> "Stream":
         """Deterministic per-row weighted sample (keep-probability =
         weight column, e.g. a quality score) — prep.sample_weighted."""

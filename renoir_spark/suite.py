@@ -2227,6 +2227,7 @@ from .prep import (  # noqa: E402  (oracle generators share constants)
     sql_sample_fraction,
     sql_sample_stratified,
     sql_sample_weighted,
+    sql_word_entropy,
     sql_tfidf_top_terms,
 )
 
@@ -2783,6 +2784,18 @@ SELECT v, min(dist) AS dist FROM walk GROUP BY v
 """
 
 
+def q93_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram entropy per document (nats, 6 decimals) —
+    ``Stream.word_entropy``, the information-density quality signal:
+    one (id, token) shuffle with map-side partial counts, then a per-id
+    sum (wordcount with a doc key prepended)."""
+    ctx = _ctx(spark)
+    return _t(ctx, sf_dir, "documents").word_entropy("doc_id", "text").df
+
+
+ORACLE_Q93 = sql_word_entropy("documents", "doc_id", "text")
+
+
 def q92_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus downsampling — ``Stream.sample_weighted``:
     each document keeps with probability proportional to its length
@@ -2993,6 +3006,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_count_distinct": q90_count_distinct,
     "q91_rollup": q91_rollup,
     "q92_sample_weighted": q92_sample_weighted,
+    "q93_word_entropy": q93_word_entropy,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3090,4 +3104,5 @@ ORACLE: Dict[str, str] = {
     "q90_count_distinct": ORACLE_Q90,
     "q91_rollup": ORACLE_Q91,
     "q92_sample_weighted": ORACLE_Q92,
+    "q93_word_entropy": ORACLE_Q93,
 }

@@ -48,6 +48,8 @@ SWEEP = [
     "q86_asof_join",
     "q88_dedup_embedding_ivf",
     "q89_sssp",
+    # float-sum rounding must not depend on partition-order association
+    "q93_word_entropy",
 ]
 
 
