@@ -545,7 +545,13 @@ class Stream:
         grand total, grouping columns NULL on subtotal rows (q91).
         Scale: Spark expands grouping sets BEFORE the shuffle, so it is
         still a single partial/final hash aggregate — not one job per
-        level."""
+        level.
+
+        Documented divergence: on an EMPTY input Spark emits zero rows,
+        while the SQL standard (and DuckDB) emit the grand-total row
+        (count 0) for the ``()`` grouping set — pinned in
+        tests/test_edges.py. Matching it would cost a second full
+        aggregation of the input just for the empty case."""
         keys = [keys] if isinstance(keys, (str, Column)) else list(keys)
         return self._new(
             self.df.rollup(*to_cols(keys)).agg(

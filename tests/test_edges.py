@@ -155,3 +155,32 @@ def test_multi_table_lsh_on_tiny_corpus(ctx):
     got = out.collect_vec()
     assert all(r.qid != r.vec_id for r in got)
     assert len(got) <= 2
+
+
+def test_new_aggregates_on_empty(ctx):
+    e = _empty(ctx)
+    assert e.group_by_quantiles("k", "v", {"p50": 0.5}).collect_vec() == []
+    assert e.group_by_count_distinct("k", "v").collect_vec() == []
+    # DOCUMENTED divergence: Spark's rollup on empty input emits zero
+    # rows; SQL-standard/DuckDB emit the grand-total (count 0) row for
+    # the () grouping set (see Stream.group_by_rollup docstring)
+    assert e.group_by_rollup(["k"], n=F.count(F.lit(1))).collect_vec() == []
+
+
+def test_new_prep_ops_on_empty(ctx):
+    e = ctx.stream_iter([], "doc_id long, text string, w double")
+    assert e.sample_weighted("doc_id", "w").collect_vec() == []
+    assert e.word_entropy("doc_id", "text").collect_vec() == []
+    emb = ctx.stream_iter([], "vec_id long, embedding array<double>")
+    assert emb.dedup_embedding_ivf(n_cells=4).collect_vec() == []
+
+
+def test_entropy_null_and_single_token(ctx):
+    s = ctx.stream_iter(
+        [(1, "hello"), (2, None), (3, "a a a a")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.entropy for r in s.word_entropy("doc_id", "text").collect_vec()}
+    assert got[1] == 0.0  # single token → zero entropy
+    assert got[3] == 0.0  # all-identical tokens → zero entropy
+    assert 2 not in got   # NULL text contributes no tokens (oracle-mirrored)
