@@ -1421,6 +1421,20 @@ class Stream:
         ``stream_in(ctx)`` re-sources the materialized result."""
         return CachedStream(self.df)
 
+    def materialize(self, path: str, *, partition_by=None, **options) -> "Stream":
+        """Durable materialization barrier: write this stream to parquet
+        and continue FROM THE FILES — the 100 TB idiom for cutting a long
+        pipeline into restartable phases (memory/disk ``cache()`` dies
+        with the session; a materialized phase survives driver loss and
+        is shareable across jobs). The downstream plan starts at a fresh
+        scan, so its optimizer work no longer re-analyzes the upstream
+        graph — the durable cousin of the iteration loops' eager
+        ``localCheckpoint``. renoir analog: ``CachedStream`` replayed
+        into a new context (src/operator/cache/stream_cache.rs:13-85),
+        made durable."""
+        self.write_parquet(path, partition_by=partition_by, **options)
+        return self.ctx.stream_parquet(path)
+
     def to_view(self, name: str) -> "Stream":
         """Register this stream as a temp view for ``ctx.sql`` — the two
         halves of the SQL escape hatch renoir doesn't have."""

@@ -126,3 +126,13 @@ def test_compact_parquet_reduces_file_count(ctx, tmp_path):
         sorted(r.id for r in ctx.stream_parquet(dst).collect_vec())
         == list(range(10_000))
     )
+
+
+def test_materialize_barrier_roundtrip(ctx, tmp_path):
+    p = str(tmp_path / "phase1")
+    s = ctx.stream_range(1000).map("id", sq=F.col("id") * F.col("id"))
+    m = s.materialize(p)
+    # downstream continues from a fresh file scan, not the old plan
+    plan = _executed(m.df)
+    assert "FileScan" in plan and "Range" not in plan
+    assert m.fold(t=F.sum("sq")).collect_vec()[0].t == sum(i * i for i in range(1000))
