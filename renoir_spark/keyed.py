@@ -189,6 +189,16 @@ class KeyedStream:
         """renoir ``KeyedStream::join_outer`` (keyed_join.rs:390-406)."""
         return self.join(other, how="full")
 
+    def asof_join(self, other: "KeyedStream", *, left_ts, right_ts,
+                  **kw) -> "Stream":
+        """Point-in-time join on this stream's keys — the keyed form of
+        ``Stream.asof_join`` (same union + single window pass; the keys
+        come from the keying instead of ``on``)."""
+        return self.to_stream().asof_join(
+            other.to_stream(), left_ts=left_ts, right_ts=right_ts,
+            on=self.keys, **kw,
+        )
+
     def window(self, descr) -> "WindowedStream":
         """Attach a window description — renoir ``KeyedStream::window``
         (src/operator/window/mod.rs:311-321)."""

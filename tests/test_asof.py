@@ -103,3 +103,16 @@ def test_asof_global_no_keys(ctx):
     out = _by_tag(l.asof_join(r, left_ts="ts", right_ts="ts").collect_vec())
     assert out["a"].rv == 1.0
     assert out["b"].rv == 2.0
+
+
+def test_keyed_asof_join_matches_unkeyed(ctx):
+    l = ctx.stream_iter(LEFT, LS)
+    r = ctx.stream_iter(RIGHT, RS)
+    keyed = (
+        l.key_by("k")
+        .asof_join(r.key_by("k"), left_ts="ts", right_ts="ts")
+        .collect_vec()
+    )
+    plain = l.asof_join(r, left_ts="ts", right_ts="ts", on=["k"]).collect_vec()
+    norm = lambda rows: sorted((x.tag, x.rv) for x in rows)
+    assert norm(keyed) == norm(plain)
