@@ -114,22 +114,22 @@ def _spool_events(spark, sf_dir: str) -> str:
     big file would collapse to a single batch and never exercise
     watermark-driven emission."""
     import glob
+    import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
+    from renoir_spark.util import normalize_event_ts
 
     spool = tempfile.mkdtemp(prefix="nex_stream_")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
-        # TIMESTAMP(NANOS) read as long under nanosAsLong
-        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    else:
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    ev.repartitionByRange(8, "ts").write.mode("overwrite").parquet(spool)
-    parts = sorted(glob.glob(f"{spool}/part-*"))
-    base = time.time() - len(parts) - 1
-    for i, p in enumerate(parts):
-        os.utime(p, (base + i, base + i))
+    try:
+        ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        ev.repartitionByRange(8, "ts").write.mode("overwrite").parquet(spool)
+        parts = sorted(glob.glob(f"{spool}/part-*"))
+        base = time.time() - len(parts) - 1
+        for i, p in enumerate(parts):
+            os.utime(p, (base + i, base + i))
+    except BaseException:
+        shutil.rmtree(spool, ignore_errors=True)
+        raise
     return spool
 
 

@@ -28,11 +28,10 @@ DAY = 86400.0
 
 
 def main(path: str, which: str = "all") -> None:
+    from renoir_spark.util import normalize_event_ts
+
     ctx = StreamContext(shuffle_partitions=8)
-    ev = ctx.stream_parquet(path)
-    for f in ev.df.schema.fields:
-        if f.name == "ts" and f.dataType.typeName() in ("long", "bigint"):
-            ev = ev.with_column("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ev = ctx.from_df(normalize_event_ts(ctx.stream_parquet(path).df))
 
     queries = {
         "0": lambda: bids(ev).collect_count(),                      # passthrough

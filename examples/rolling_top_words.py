@@ -14,17 +14,14 @@ from renoir_spark.window import EventTimeWindow
 
 
 def main(sf_dir: str, k: int) -> None:
+    from renoir_spark.util import normalize_event_ts
+
     ctx = StreamContext(shuffle_partitions=8)
-    ev = ctx.stream_parquet(f"{sf_dir}/events.parquet")
-    # events stores TIMESTAMP(NANOS): read as long ns (nanosAsLong) or as
-    # timestamp_ntz depending on session conf — normalize either way
-    ts = (
-        F.timestamp_micros(F.expr("ts div 1000"))
-        if dict(ev.df.dtypes)["ts"] in ("bigint", "long")
-        else F.col("ts").cast("timestamp")
+    ev = ctx.from_df(
+        normalize_event_ts(ctx.stream_parquet(f"{sf_dir}/events.parquet").df)
     )
     top = (
-        ev.map("event_type", ts=ts)
+        ev.map("event_type", "ts")
         .key_by("event_type")
         .window(EventTimeWindow.sliding("ts", 172800.0, 86400.0))
         .fold(n=F.count(F.lit(1)))

@@ -1018,9 +1018,10 @@ def dedup_embedding_ivf(
         n = stream.df.count()
         n_cells = max(1, -(-n // target_cell_size))
     units = _ivf_seed_units(stream.df, vec_col, id_col, n_cells)
+    id_t = dict(stream.df.dtypes)[id_col]
     assigned = _ivf_assign(
         stream.df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("cvec")),
-        units, id_schema="__id long",
+        units, id_schema=f"__id {id_t}",
     )
     sig = assigned.select(
         "__id",

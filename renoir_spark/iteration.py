@@ -136,9 +136,13 @@ def iterate(
                 break
     # cut the returned lineage (see delta_iterate): analysis of the
     # final plan otherwise replays every round's logical history, and a
-    # cache eviction would recompute the whole chain
+    # cache eviction would recompute the whole chain; the superseded
+    # per-round persist is released once the checkpoint holds the data
     if df is not stream.df:
-        df = df.localCheckpoint(eager=True)
+        final = df.localCheckpoint(eager=True)
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        df = final
     return state, stream._new(df)
 
 
@@ -273,5 +277,12 @@ def delta_iterate(
     # eager checkpoint re-reads the already-persisted state once and
     # hands callers an O(1) plan that also survives cache eviction.
     if state_df is not keyed.df:
-        state_df = state_df.localCheckpoint(eager=True)
+        final = state_df.localCheckpoint(eager=True)
+        # the checkpoint copied the data, so the loop's last persisted
+        # relations are now unreachable through the returned stream —
+        # release them here or the CacheManager holds them forever
+        for d in (state_df, prev_state, prev_delta):
+            if d is not None:
+                d.unpersist()
+        state_df = final
     return KeyedStream(keyed.ctx, state_df, keys)

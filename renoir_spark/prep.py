@@ -385,11 +385,14 @@ def sample_weighted(stream, id_col: str, weight_expr, *, salt: str = "w0"):
     pure map-side comparison of the row's salted id hash against its OWN
     weight — no shuffle, no rand(), reproducible across retries and
     partition layouts. Weights outside [0, 1] clamp (<=0 never keeps,
-    >=1 always keeps).
+    >=1 always keeps); a NULL weight never keeps (coalesced to 0 on BOTH
+    engines — Spark's greatest/least SKIP nulls, so without the coalesce
+    a NULL weight would silently keep everything).
     """
     df = stream.df
     h = md5_int31(F.concat_ws("|", F.lit(salt), to_col(id_col).cast("string")))
-    w = F.greatest(F.lit(0.0), F.least(F.lit(1.0), to_col(weight_expr).cast("double")))
+    w0 = F.coalesce(to_col(weight_expr).cast("double"), F.lit(0.0))
+    w = F.greatest(F.lit(0.0), F.least(F.lit(1.0), w0))
     out = df.filter(h < w * MINHASH_P)
     return stream._new(out)
 
@@ -397,7 +400,7 @@ def sample_weighted(stream, id_col: str, weight_expr, *, salt: str = "w0"):
 def sql_sample_weighted(table_expr: str, id_col: str, weight_sql: str, *,
                         salt: str = "w0") -> str:
     h = sql_md5_int31(f"concat_ws('|', '{salt}', {id_col}::VARCHAR)")
-    w = f"greatest(0.0, least(1.0, ({weight_sql})::DOUBLE))"
+    w = f"greatest(0.0, least(1.0, coalesce(({weight_sql})::DOUBLE, 0.0)))"
     return f"SELECT * FROM {table_expr} WHERE {h} < {w} * {MINHASH_P}"
 
 

@@ -814,6 +814,13 @@ class Stream:
         rts = ts_micros(right_ts)
         left0 = self.df.withColumn("__ats", lts)
         right0 = other.df.withColumn("__ats", rts)
+        # SQL join semantics: NULL keys never match. The window
+        # partitioning below WOULD group NULL keys together, so drop
+        # NULL-keyed right rows up front (NULL-keyed left rows still
+        # flow through and come out unmatched, exactly like a left join
+        # and the DuckDB ASOF oracle).
+        for k in keys:
+            right0 = right0.filter(F.col(k).isNotNull())
         payload = [c for c in right0.columns if c not in keys and c != "__ats"]
         # pack the right payload (+ its event time, for the tolerance
         # check) into ONE struct so every output column comes from the
@@ -830,10 +837,19 @@ class Stream:
         )
         both = right_u.unionByName(left_u, allowMissingColumns=True)
 
+        # deterministic tie-break among right rows at equal (key, ts):
+        # order by the ORDERABLE payload columns only — a map-typed
+        # payload column can ride along as data but cannot appear in an
+        # ORDER BY (AnalysisException), and ties only need determinism
+        rtypes = dict(right0.dtypes)
+        orderable = [c for c in payload if "map<" not in rtypes[c]]
+        tie = F.struct(*[F.col(f"__rpay.{c}") for c in orderable]) if orderable else None
         if direction == "backward":
-            order = [F.col("__ats").asc(), F.col("__side").asc(), F.col("__rpay").asc()]
+            order = [F.col("__ats").asc(), F.col("__side").asc()]
+            order += [tie.asc()] if tie is not None else []
         else:
-            order = [F.col("__ats").desc(), F.col("__side").asc(), F.col("__rpay").desc()]
+            order = [F.col("__ats").desc(), F.col("__side").asc()]
+            order += [tie.desc()] if tie is not None else []
         w = (
             Window.partitionBy(*keys)
             .orderBy(*order)

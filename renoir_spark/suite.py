@@ -37,11 +37,12 @@ def _ctx(spark: SparkSession) -> StreamContext:
 def _t(ctx: StreamContext, sf_dir: str, name: str):
     s = ctx.stream_parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # stored as TIMESTAMP(NANOS) → read as long ns; truncate to µs
-        # exactly like DuckDB's nanos→micros parquet read.
-        for f in s.df.schema.fields:
-            if f.name == "ts" and f.dataType.typeName() in ("long", "bigint"):
-                s = s.with_column("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # stored as TIMESTAMP(NANOS) → normalize to µs-truncated
+        # TIMESTAMP exactly like DuckDB's nanos→micros parquet read
+        # (util.normalize_event_ts handles every session-conf variant)
+        from .util import normalize_event_ts
+
+        s = ctx.from_df(normalize_event_ts(s.df))
     return s
 
 

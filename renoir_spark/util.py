@@ -42,6 +42,17 @@ def ts_micros(c) -> Column:
     return F.unix_micros(to_col(c).cast("timestamp"))
 
 
+def normalize_event_ts(df, col: str = "ts"):
+    """Normalize a TIMESTAMP(NANOS)-parquet timestamp column: depending
+    on session confs it reads as LONG nanos (nanosAsLong), TIMESTAMP, or
+    TIMESTAMP_NTZ. Returns the DataFrame with ``col`` as a plain
+    TIMESTAMP truncated to µs — matching DuckDB's nanos→micros read.
+    (Shared by the suite loader, the bench spool, and examples.)"""
+    if dict(df.dtypes).get(col) in ("bigint", "long"):
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df.withColumn(col, F.col(col).cast("timestamp"))
+
+
 def grouped_apply_sorted(df, keys, order_cols, fn, schema):
     """``groupBy(keys).applyInPandas(fn)`` semantics executed as ONE
     ``mapInPandas`` pass: hash-repartition on the keys, sort within each

@@ -116,3 +116,28 @@ def test_keyed_asof_join_matches_unkeyed(ctx):
     plain = l.asof_join(r, left_ts="ts", right_ts="ts", on=["k"]).collect_vec()
     norm = lambda rows: sorted((x.tag, x.rv) for x in rows)
     assert norm(keyed) == norm(plain)
+
+
+def test_asof_null_keys_never_match(ctx):
+    # SQL join semantics: NULL keys match nothing (the window
+    # partitioning groups NULLs, so the operator must exclude them)
+    l = ctx.stream_iter([(None, 10.0, "a"), (1, 10.0, "b")], LS)
+    r = ctx.stream_iter([(None, 5.0, 1.0), (1, 5.0, 2.0)], RS)
+    out = _by_tag(l.asof_join(r, left_ts="ts", right_ts="ts", on=["k"]).collect_vec())
+    assert out["a"].rv is None  # NULL key left row: unmatched, kept
+    assert out["b"].rv == 2.0
+
+
+def test_asof_map_payload_rides_along(ctx):
+    # a map-typed payload column can't appear in an ORDER BY; it must
+    # still survive as data
+    l = ctx.stream_iter([(1, 10.0, "a")], LS)
+    r = ctx.spark.createDataFrame(
+        [(1, 5.0, {"x": "1"})], "k long, ts double, props map<string,string>"
+    )
+    from renoir_spark import Stream
+
+    [row] = l.asof_join(
+        Stream(ctx, r), left_ts="ts", right_ts="ts", on=["k"]
+    ).collect_vec()
+    assert row.props == {"x": "1"}

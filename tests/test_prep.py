@@ -379,3 +379,9 @@ def test_sample_weighted_extremes_and_determinism(ctx):
     s2 = ctx.stream_iter([(1, -3.0), (2, 7.0)], "id long, w double")
     got = {r.id for r in s2.sample_weighted("id", "w").collect_vec()}
     assert got == {2}
+
+
+def test_sample_weighted_null_weight_never_keeps(ctx):
+    s = ctx.stream_iter([(1, None), (2, 1.0)], "id long, w double")
+    got = {r.id for r in s.sample_weighted("id", "w").collect_vec()}
+    assert got == {2}
