@@ -1358,6 +1358,13 @@ class Stream:
         within buckets (sort-merge join without the sort). Read back via
         ``StreamContext.stream_table``; co-location is plan-asserted in
         tests/test_storage.py (no Exchange on a bucketed⋈bucketed join).
+
+        Catalog note: with Spark's default in-memory catalog the table
+        METADATA (including the bucketing spec) lives for the session;
+        the parquet files persist at ``path`` but a new session reads
+        them as a plain dataset. On a real deployment back the session
+        with a shared metastore so the bucket layout survives — the
+        data never needs rewriting either way.
         """
         w = (
             self.df.write.mode("overwrite").format("parquet")
