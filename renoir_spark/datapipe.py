@@ -1766,14 +1766,17 @@ def ann_cosine_ivf(
                 }
             )
 
-    vec_t = dict(stream.df.dtypes)[vec_col]
+    dtypes = dict(stream.df.dtypes)
+    vec_t = dtypes[vec_col]
+    id_t = dtypes[id_col]  # derive — a hardcoded `long` breaks string ids
     c = _ivf_assign(
         stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec")),
-        units, id_schema=f"{id_col} long",
+        units, id_schema=f"{id_col} {id_t}",
     )
+    qid_t = dict(queries.df.dtypes)[id_col]
     q = queries.df.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
-    ).mapInPandas(_probe_cells, f"qid long, qvec {vec_t}, __cell long")
+    ).mapInPandas(_probe_cells, f"qid {qid_t}, qvec {vec_t}, __cell long")
 
     cos = F.round(
         _dot(F.col("qvec"), F.col("cvec"))

@@ -173,6 +173,11 @@ class KeyedStream:
         (src/operator/join/keyed_join.rs:408-425). Joins on the key
         columns; Spark reuses an existing partitioning when both sides are
         already exchanged on the key (EnsureRequirements)."""
+        if len(other.keys) != len(self.keys):
+            raise ValueError(
+                "keyed join requires matching key arity: "
+                f"left keys {list(self.keys)} vs right keys {list(other.keys)}"
+            )
         if [k for k in other.keys] != self.keys:
             right = other.df
             for a, b in zip(other.keys, self.keys):

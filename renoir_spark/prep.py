@@ -352,10 +352,20 @@ def word_entropy(stream, id_col: str, text_col: str):
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     p = F.col("__c") / F.col("__n")
+    # canonical-order sum: a plain F.sum adds in partition order, and a
+    # different association can flip the 6th decimal vs the oracle on
+    # long documents — instead sort the per-token terms and fold them
+    # left-to-right, the exact addition sequence DuckDB's
+    # list_sum(list_sort(...)) performs
     out = (
         counts.groupBy("__id")
-        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
-        .withColumnRenamed("__id", id_col)
+        .agg(F.sort_array(F.collect_list(p * F.log(p))).alias("__terms"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                -F.aggregate("__terms", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("entropy"),
+        )
     )
     return stream._new(out)
 
@@ -370,7 +380,8 @@ WITH toked AS (
   ) GROUP BY 1, 2, 3
 )
 SELECT __id AS {id_col},
-       round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 6) AS entropy
+       round(-list_sum(list_sort(list((c::DOUBLE / n) * ln(c::DOUBLE / n)))), 6)
+         AS entropy
 FROM counts GROUP BY 1
 """
 

@@ -821,6 +821,11 @@ class Stream:
         # and the DuckDB ASOF oracle).
         for k in keys:
             right0 = right0.filter(F.col(k).isNotNull())
+        # ASOF semantics (SQL/DuckDB): a NULL timestamp never matches.
+        # NULL-ts right rows are dropped up front; NULL-ts left rows are
+        # ordered before every right row (nulls-first in BOTH directions)
+        # so last(ignorenulls) sees no right payload for them.
+        right0 = right0.filter(F.col("__ats").isNotNull())
         payload = [c for c in right0.columns if c not in keys and c != "__ats"]
         # pack the right payload (+ its event time, for the tolerance
         # check) into ONE struct so every output column comes from the
@@ -848,7 +853,7 @@ class Stream:
             order = [F.col("__ats").asc(), F.col("__side").asc()]
             order += [tie.asc()] if tie is not None else []
         else:
-            order = [F.col("__ats").desc(), F.col("__side").asc()]
+            order = [F.col("__ats").desc_nulls_first(), F.col("__side").asc()]
             order += [tie.desc()] if tie is not None else []
         w = (
             Window.partitionBy(*keys)

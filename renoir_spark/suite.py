@@ -2760,6 +2760,11 @@ def q89_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     final = init.delta_iterate(10, body, checkpoint_every=8, shuffle_partitions=8)
+    # the final state is localCheckpointed (lineage cut inside
+    # delta_iterate), so the invariant edge cache is no longer reachable
+    # from the returned plan — release it instead of leaking the block
+    # until session end
+    wedges.unpersist()
     return final.df.filter(F.col("dist") < INF).select("v", "dist")
 
 
