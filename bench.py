@@ -88,17 +88,27 @@ def main() -> None:
             print(f"# run{r} {sname}: {took:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    print(line)
+    # the harness that invokes this script captures only a short output
+    # tail, which truncates the per-query JSON once the suite is large —
+    # also persist the full line next to the script so round-over-round
+    # comparisons always have the complete numbers in-repo
+    try:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_last.json")
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
 
 
 _EVENT_SCHEMA = (

@@ -250,10 +250,36 @@ class StreamContext:
             reader = reader.option("pathGlobFilter", glob)
         return Stream(self, reader.load(path))
 
-    def stream_parquet_unbounded(self, path: str, schema) -> Stream:
+    def stream_parquet_unbounded(
+        self,
+        path: str,
+        schema,
+        *,
+        max_files_per_trigger: Optional[int] = None,
+        max_bytes_per_trigger: Optional[str] = None,
+        latest_first: bool = False,
+        **options,
+    ) -> Stream:
         """File-based streaming source (test stand-in for Kafka): replays
-        parquet files through Structured Streaming."""
-        return Stream(self, self.spark.readStream.schema(schema).parquet(path))
+        parquet files through Structured Streaming.
+
+        Trigger/rate options thread through to the file source:
+        ``max_files_per_trigger`` bounds each micro-batch by file count
+        (the replay-in-order knob — one ``materialize``d phase output per
+        batch), ``max_bytes_per_trigger`` (e.g. ``"128m"``) bounds it by
+        volume (the backfill-without-OOM knob at 100 TB), and
+        ``latest_first`` drains newest files first. Extra ``options``
+        pass through verbatim (``fileNameOnly``, ``maxFileAge``, ...)."""
+        reader = self.spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        if max_bytes_per_trigger is not None:
+            reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+        if latest_first:
+            reader = reader.option("latestFirst", "true")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return Stream(self, reader.parquet(path))
 
     def stream_channel(self, schema, *, directory: Optional[str] = None) -> "ChannelSource":
         """Push-based feed — renoir ``ChannelSource``

@@ -155,21 +155,27 @@ def highest_bid(
     The reference does a two-level max (per-key then window_all) to keep
     the reduction parallel; Catalyst's partial/final ``max_by`` is that
     same two-phase plan generated automatically. Tie-break: higher
-    event_id (reference keeps an unspecified winner)."""
-    df = bids(stream, ts, watermark).df
-    win = F.window("__ets", _dur(size))
-    top = df.groupBy(win.alias("__win")).agg(
-        F.max_by(
+    event_id (reference keeps an unspecified winner).
+
+    Stated on ``Stream.window_all`` — the reference's one-line global
+    window API (src/operator/window/mod.rs:353-362); the descriptor
+    compiles to the same ``groupBy(window)`` + single-pass ``max_by``
+    plan as writing the aggregation by hand."""
+    from .window import EventTimeWindow
+
+    b = bids(stream, ts, watermark)
+    top = b.window_all(EventTimeWindow.tumbling("__ets", size)).fold(
+        top=F.max_by(
             F.struct("auction", "price", "bidder"),
             F.struct("price", "event_id"),
-        ).alias("__top")
+        )
     )
     return stream._new(
-        top.select(
-            F.unix_seconds(F.col("__win.start")).alias("win_s"),
-            F.col("__top.auction").alias("auction"),
-            F.col("__top.price").alias("price"),
-            F.col("__top.bidder").alias("bidder"),
+        top.df.select(
+            F.unix_seconds(F.col("win_start")).alias("win_s"),
+            F.col("top.auction").alias("auction"),
+            F.col("top.price").alias("price"),
+            F.col("top.bidder").alias("bidder"),
         )
     )
 

@@ -54,6 +54,37 @@ def _global_index(df: DataFrame, order_cols: list, idx: str = "__zip_idx") -> Da
     )
 
 
+def _fold_py_partials(df: DataFrame, init, local_fn: Callable) -> DataFrame:
+    """Per-partition partial fold as an Arrow-batched stage: each input
+    partition reduces to ONE pickled-accumulator row (so the driver merge
+    sees <= num_partitions rows). Rows reach ``local_fn`` as pyspark
+    ``Row`` objects (attribute + [] access), matching the old RDD path;
+    values are native Python via pandas' record conversion (timestamps
+    arrive as ``pd.Timestamp``, a datetime subclass)."""
+    import pickle
+
+    from pyspark.sql import Row
+
+    cols = list(df.columns)
+    mk = Row(*cols)
+
+    def _partial(batches):
+        import copy
+
+        import pandas as pd
+
+        acc = copy.deepcopy(init)
+        seen = False
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                acc = local_fn(acc, mk(*[rec[c] for c in cols]))
+                seen = True
+        if seen:
+            yield pd.DataFrame({"acc": [pickle.dumps(acc)]})
+
+    return df.mapInPandas(_partial, "acc binary")
+
+
 class Stream:
     """A distributed stream of rows (renoir ``Stream``, src/stream.rs:27-35)."""
 
@@ -340,6 +371,17 @@ class Stream:
             names.append(name)
         return KeyedStream(self.ctx, df, names)
 
+    def window_all(self, descr) -> "GlobalWindowedStream":
+        """Window the WHOLE stream — renoir ``Stream::window_all``
+        (src/operator/window/mod.rs:353-362): unit key + ``window(descr)``
+        with the key dropped from outputs. Unlike the reference (which
+        pins parallelism 1), the aggregation remains parallel via
+        Catalyst's partial/final two-phase plan."""
+        from .window import GlobalWindowedStream
+
+        keyed = self.key_by(**{GlobalWindowedStream.UNIT: F.lit(0)})
+        return GlobalWindowedStream(keyed.window(descr))
+
     def group_by(self, *keys, **named_keys) -> "KeyedStream":
         """Hash-shuffle by key — renoir ``group_by``
         (src/operator/mod.rs:1377-1387). Spark-first: we do NOT eagerly
@@ -428,9 +470,21 @@ class Stream:
     def fold_py(self, init, local_fn: Callable, global_fn: Callable):
         """Arbitrary-closure two-phase fold — renoir ``fold_assoc``
         (src/operator/mod.rs:771-780): ``local_fn(acc, row)`` per
-        partition, ``global_fn(acc, acc)`` on the driver. Distributed
-        partials via RDD aggregate (the rare justified RDD use)."""
-        return self.df.rdd.aggregate(init, local_fn, global_fn)
+        partition, ``global_fn(acc, acc)`` merging partials. Vectorized:
+        an Arrow-batched ``mapInPandas`` partial fold emits one pickled
+        accumulator per partition and the driver merges those
+        <= num_partitions partials — the RDD-aggregate contract without
+        the row-at-a-time Python pickling transfer path. Each partition
+        (and the driver merge) starts from its own deep copy of ``init``,
+        exactly like ``RDD.aggregate``'s zeroValue."""
+        import copy
+        import pickle
+
+        partials = _fold_py_partials(self.df, init, local_fn).collect()
+        acc = copy.deepcopy(init)
+        for r in partials:
+            acc = global_fn(acc, pickle.loads(bytes(r.acc)))
+        return acc
 
     def unique_assoc(self) -> "Stream":
         """Distinct — renoir ``unique_assoc``

@@ -67,15 +67,24 @@ class EventTimeWindow(WindowDescription):
         return cls(ts, size, slide)
 
     def assign(self, keyed) -> _Assigned:
-        df = keyed.df.withColumn("__ets", to_col(self.ts).cast("timestamp"))
+        df = keyed.df
+        # an already-cast timestamp column passes through untouched: a
+        # withColumn would REPLACE it with a new expression, and on
+        # streaming input that silently discards the watermark tag
+        # (Spark then rejects append-mode aggregation)
+        if isinstance(self.ts, str) and dict(df.dtypes).get(self.ts) == "timestamp":
+            ets = self.ts
+        else:
+            df = df.withColumn("__ets", to_col(self.ts).cast("timestamp"))
+            ets = "__ets"
         df = df.withColumn(
-            "__win", F.window("__ets", _dur(self.size), _dur(self.slide))
+            "__win", F.window(ets, _dur(self.size), _dur(self.slide))
         )
         out = [
             F.col("__win.start").alias("win_start"),
             F.col("__win.end").alias("win_end"),
         ]
-        return _Assigned(df, ["__win"], out, "__ets")
+        return _Assigned(df, ["__win"], out, ets)
 
 
 class SessionWindow(WindowDescription):
@@ -400,3 +409,38 @@ class WindowedStream:
             if c not in lgroup and not c.startswith("__")
         ]
         return Stream(self.keyed.ctx, out.select(*proj))
+
+
+class GlobalWindowedStream:
+    """Whole-stream windows — renoir ``Stream::window_all``
+    (src/operator/window/mod.rs:353-362): the reference forces
+    ``Replication::One`` plus a unit key and windows everything. Here the
+    unit key is a literal column and the aggregation stays PARALLEL —
+    Catalyst's partial/final two-phase aggregate combines executor-side
+    before the single-key exchange, so the plan keeps map-side combining
+    where renoir funnels raw elements to one replica. Every
+    ``WindowedStream`` aggregator is available; the synthetic key never
+    appears in results."""
+
+    UNIT = "__unit"
+
+    def __init__(self, windowed: "WindowedStream") -> None:
+        self._windowed = windowed
+
+    def __getattr__(self, name):
+        attr = getattr(self._windowed, name)
+        if not callable(attr):
+            return attr
+
+        def call(*args, **kwargs):
+            return self._strip(attr(*args, **kwargs))
+
+        return call
+
+    @staticmethod
+    def _strip(res):
+        from .stream import Stream
+
+        if isinstance(res, Stream) and GlobalWindowedStream.UNIT in res.df.columns:
+            return res._new(res.df.drop(GlobalWindowedStream.UNIT))
+        return res

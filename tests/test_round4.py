@@ -105,3 +105,102 @@ def test_driver_set_contract():
     # every suite query is still exposed (under d- or q-key), exactly once
     exposed = {k.split("_", 1)[1] if k.startswith("d") else k for k in qs}
     assert exposed == set(entry.suite.QUERIES)
+
+
+# ------------------------------------------------------------------ #
+# Stream.window_all: global windows without a user-visible key
+# ------------------------------------------------------------------ #
+
+def test_window_all_event_time(ctx):
+    from renoir_spark.window import EventTimeWindow
+
+    rows = [(float(i), float(i % 7)) for i in range(20)]
+    s = ctx.stream_iter(rows, "ts double, v double")
+    out = s.window_all(
+        EventTimeWindow.tumbling("timestamp_seconds(ts)", 5.0)
+    ).sum("v", alias="total").collect_vec()
+    assert len(out) == 4  # 20 s of data / 5 s tumbling
+    assert "__unit" not in out[0].asDict()
+    expected = {}
+    for ts, v in rows:
+        expected[int(ts // 5)] = expected.get(int(ts // 5), 0.0) + v
+    got = sorted(r.total for r in out)
+    assert got == sorted(expected.values())
+
+
+def test_window_all_to_vec_ordered(ctx):
+    from renoir_spark.window import EventTimeWindow
+
+    s = ctx.stream_iter(
+        [(3.0, "c"), (1.0, "a"), (2.0, "b")], "ts double, tag string"
+    )
+    out = s.window_all(
+        EventTimeWindow.tumbling("timestamp_seconds(ts)", 10.0)
+    ).to_vec("tag").collect_vec()
+    assert len(out) == 1 and out[0].items == ["a", "b", "c"]
+
+
+# ------------------------------------------------------------------ #
+# fold_py: vectorized partial-fold path (no RDD scan in the plan)
+# ------------------------------------------------------------------ #
+
+def test_fold_py_no_rdd_in_plan(ctx):
+    from renoir_spark.stream import _fold_py_partials
+
+    # range source: any RDD in the plan would come from fold_py itself
+    df = ctx.spark.range(100)
+    partials = _fold_py_partials(df, 0, lambda acc, row: acc + row.id)
+    plan = partials._sc._jvm.PythonSQLUtils.explainString(
+        partials._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" in plan
+    assert "ExistingRDD" not in plan and "Scan ExistingRDD" not in plan
+
+
+def test_fold_py_mutable_acc_and_row_access(ctx):
+    # dict accumulator mutated in place + Row [] access + empty-partition
+    # handling (shuffle(16) over 5 rows leaves empty partitions)
+    s = ctx.stream_iter([(i, f"t{i % 2}") for i in range(5)],
+                        "id long, tag string").shuffle(16)
+    out = s.fold_py(
+        {},
+        lambda acc, row: (acc.update({row["tag"]: acc.get(row["tag"], 0) + row.id})
+                          or acc),
+        lambda a, b: {k: a.get(k, 0) + b.get(k, 0) for k in {*a, *b}},
+    )
+    assert out == {"t0": 0 + 2 + 4, "t1": 1 + 3}
+
+
+def test_fold_py_empty_input(ctx):
+    s = ctx.stream_iter([(1,)], "id long").filter("id > 99")
+    assert s.fold_py(42, lambda a, r: a + r.id, lambda a, b: a + b) == 42
+
+
+# ------------------------------------------------------------------ #
+# stream_parquet_unbounded: trigger/rate options reach the file source
+# ------------------------------------------------------------------ #
+
+def test_stream_parquet_unbounded_max_files_per_trigger(ctx, tmp_path):
+    import os
+    import time
+
+    from renoir_spark.streaming import foreach_batch
+
+    spool = str(tmp_path / "spool")
+    base = time.time() - 10
+    for i in range(4):
+        (ctx.spark.range(i * 10, i * 10 + 10)
+         .selectExpr("id", "id * 2 as v")
+         .coalesce(1).write.mode("append").parquet(spool))
+    for j, p in enumerate(sorted(
+            f"{spool}/{f}" for f in os.listdir(spool) if f.startswith("part-"))):
+        os.utime(p, (base + j, base + j))
+
+    s = ctx.stream_parquet_unbounded(
+        spool, "id long, v long", max_files_per_trigger=1
+    )
+    batches = []
+    foreach_batch(s.df, lambda bdf, bid: batches.append(bdf.count()))
+    # one file per micro-batch: 4 files -> 4 non-empty batches, 40 rows
+    assert sum(batches) == 40
+    assert len([b for b in batches if b]) == 4
