@@ -630,6 +630,211 @@ FROM marked GROUP BY id
 """
 
 
+def _sam_longest_dup(seqs: list) -> list:
+    """Longest duplicated span per sequence, EXACT: build one generalized
+    suffix automaton over all token sequences (unique separator symbol
+    between docs), propagate occurrence counts up suffix links, then walk
+    each sequence reporting its longest span occurring >= 2 times in the
+    whole group corpus (overlapping and within-doc repeats count, matches
+    never cross a separator). O(total tokens) build + walk — the exact
+    algorithm a suffix-array dedup pipeline runs, per group."""
+    vocab: dict = {}
+    enc = [[vocab.setdefault(t, len(vocab)) for t in s] for s in seqs]
+    sep = len(vocab)  # fresh symbol per doc boundary
+
+    sa_len = [0]
+    sa_link = [-1]
+    sa_tr: list = [{}]
+    sa_cnt = [0]
+    last = 0
+
+    def extend(c: int) -> None:
+        nonlocal last
+        cur = len(sa_len)
+        sa_len.append(sa_len[last] + 1)
+        sa_link.append(-1)
+        sa_tr.append({})
+        sa_cnt.append(1)
+        p = last
+        while p != -1 and c not in sa_tr[p]:
+            sa_tr[p][c] = cur
+            p = sa_link[p]
+        if p == -1:
+            sa_link[cur] = 0
+        else:
+            q = sa_tr[p][c]
+            if sa_len[p] + 1 == sa_len[q]:
+                sa_link[cur] = q
+            else:
+                clone = len(sa_len)
+                sa_len.append(sa_len[p] + 1)
+                sa_link.append(sa_link[q])
+                sa_tr.append(dict(sa_tr[q]))
+                sa_cnt.append(0)
+                while p != -1 and sa_tr[p].get(c) == q:
+                    sa_tr[p][c] = clone
+                    p = sa_link[p]
+                sa_link[q] = clone
+                sa_link[cur] = clone
+        last = cur
+
+    for i, s in enumerate(enc):
+        for c in s:
+            extend(c)
+        extend(sep + i)
+
+    # occurrence counts: counting-sort states by len, push cnt up links
+    order = sorted(range(1, len(sa_len)), key=sa_len.__getitem__, reverse=True)
+    for v in order:
+        if sa_link[v] > 0:
+            sa_cnt[sa_link[v]] += sa_cnt[v]
+    # best[v] = v if its substrings occur >=2 times, else nearest suffix-
+    # link ancestor that does (-1 if none) — O(1) per walk step
+    best = [-1] * len(sa_len)
+    for v in reversed(order):  # len ascending
+        best[v] = v if sa_cnt[v] >= 2 else best[sa_link[v]]
+
+    out = []
+    for s in enc:
+        v, l, m = 0, 0, 0
+        for c in s:
+            while v != 0 and c not in sa_tr[v]:
+                v = sa_link[v]
+                l = sa_len[v]
+            if c in sa_tr[v]:
+                v = sa_tr[v][c]
+                l += 1
+            else:
+                v, l = 0, 0
+                continue
+            if sa_cnt[v] >= 2:
+                cand = l
+            else:
+                b = best[sa_link[v]] if sa_link[v] > 0 else -1
+                cand = sa_len[b] if b != -1 else 0
+            if cand > m:
+                m = cand
+        out.append(m)
+    return out
+
+
+def longest_duplicate_span(
+    stream,
+    text_col: str,
+    id_col: str,
+    *,
+    n_groups: int = 25,
+    salt: str = "span0",
+    group_expr=None,
+):
+    """TRUE substring-level duplication: for each document, the EXACT
+    length (in tokens) of its longest word-span occurring at least twice
+    in its group's corpus — the suffix-array substring-dedup signal (Lee
+    et al. 2022) that :func:`duplicate_span_fraction`'s fixed-n-gram
+    fraction only approximates. Overlapping and within-document repeats
+    count; spans never cross document boundaries.
+
+    Scale: documents are hash-bucketed into ``n_groups`` deterministic
+    groups (salted md5 of the id) and each group runs ONE linear-time
+    generalized suffix-automaton pass inside a single Arrow stage — one
+    shuffle on the group id, no pairwise join anywhere, memory bounded by
+    group token count. In production compose with the minhash cluster
+    step (``dedup_cluster_minhash``): groups = near-dup clusters, so the
+    exact pass runs only where duplication is already likely — a global
+    suffix array over 100 TB is not shuffle-friendly, bounded groups
+    are. ``group_expr`` overrides the bucketing input (pass the cluster
+    id, or any co-grouping key); docs sharing its value always land in
+    one group. The DuckDB oracle computes the identical quantity
+    relationally (token-position equi-join -> diagonal islands -> max
+    run per doc), verifying the automaton against an independent
+    formulation."""
+    from .util import grouped_apply_sorted
+
+    id_t = dict(stream.df.dtypes)[id_col]
+    gsrc = to_col(group_expr) if group_expr is not None else F.col(id_col)
+    grp = (
+        md5_int31(F.concat_ws("|", F.lit(salt), gsrc.cast("string")))
+        % F.lit(n_groups)
+    )
+    base = stream.df.select(
+        F.col(id_col).alias("__id"),
+        grp.alias("__grp"),
+        tokens(text_col).alias("__toks"),
+    )
+
+    schema = f"__id {id_t}, n_tokens long, dup_span_len long, dup_span_frac double"
+
+    def _per_group(pdf):
+        import pandas as pd
+
+        seqs = [list(t) if t is not None else [] for t in pdf["__toks"]]
+        dups = _sam_longest_dup(seqs)
+        n = [len(s) for s in seqs]
+        return pd.DataFrame(
+            {
+                "__id": pdf["__id"],
+                "n_tokens": n,
+                "dup_span_len": dups,
+                "dup_span_frac": [
+                    round(d / t, 6) if t else 0.0 for d, t in zip(dups, n)
+                ],
+            }
+        )
+
+    out = grouped_apply_sorted(base, ["__grp"], ["__id"], _per_group, schema)
+    return stream._new(out.withColumnRenamed("__id", id_col))
+
+
+def sql_longest_duplicate_span(
+    table_expr: str,
+    text: str,
+    id_col: str,
+    *,
+    n_groups: int = 25,
+    salt: str = "span0",
+    group_sql: Optional[str] = None,
+) -> str:
+    """DuckDB mirror of :func:`longest_duplicate_span` via an INDEPENDENT
+    relational formulation: equi-join token positions within a group,
+    group matches by (doc pair, diagonal), and the longest consecutive
+    run of positions on a diagonal is the longest shared span."""
+    gsrc = group_sql if group_sql is not None else id_col
+    h = sql_md5_int31(f"concat_ws('|', '{salt}', {gsrc}::VARCHAR)")
+    return f"""
+WITH toked AS (
+  SELECT {id_col} AS id, {h} % {n_groups} AS grp, {sql_tokens(text)} AS toks
+  FROM {table_expr}
+), pos AS (
+  SELECT id, grp, unnest(toks) AS tok,
+         generate_subscripts(toks, 1)::BIGINT AS p
+  FROM toked
+), m AS (
+  SELECT a.id AS id1, b.id AS id2, a.p AS p1, b.p AS p2
+  FROM pos a JOIN pos b ON a.grp = b.grp AND a.tok = b.tok
+  WHERE NOT (a.id = b.id AND a.p = b.p)
+), runs AS (
+  SELECT id1, count(*) AS span_len
+  FROM (
+    SELECT id1, id2, p1,
+           p1 - row_number() OVER (PARTITION BY id1, id2, p2 - p1
+                                   ORDER BY p1) AS isl,
+           p2 - p1 AS diag
+    FROM m
+  )
+  GROUP BY id1, id2, diag, isl
+), per_doc AS (
+  SELECT id1 AS id, max(span_len) AS dup FROM runs GROUP BY 1
+)
+SELECT t.id AS {id_col},
+       len(t.toks)::BIGINT AS n_tokens,
+       coalesce(d.dup, 0)::BIGINT AS dup_span_len,
+       CASE WHEN len(t.toks) > 0
+            THEN round(coalesce(d.dup, 0)::DOUBLE / len(t.toks), 6)
+            ELSE 0.0 END AS dup_span_frac
+FROM toked t LEFT JOIN per_doc d USING (id)
+"""
+
+
 # --------------------------------------------------------------------- #
 # SimHash near-duplicate dedup
 # --------------------------------------------------------------------- #

@@ -1057,6 +1057,15 @@ class Stream:
 
         return _df_(self, text_col, id_col, **kw)
 
+    def longest_duplicate_span(self, text_col: str, id_col: str, **kw) -> "Stream":
+        """EXACT longest duplicated word-span per document (generalized
+        suffix automaton per hash group — the true substring-dedup
+        signal duplicate_span_fraction approximates). See
+        datapipe.longest_duplicate_span."""
+        from .datapipe import longest_duplicate_span as _ls
+
+        return _ls(self, text_col, id_col, **kw)
+
     def chunk_dedup(self, id_col: str, text_col: str, **kw) -> "Stream":
         """Chunk-level exact dedup with document reassembly. See
         prep.chunk_dedup."""

@@ -911,6 +911,7 @@ from .datapipe import (  # noqa: E402  (oracle generators share constants)
     sql_dedup_minhash,
     sql_dedup_simhash,
     sql_duplicate_span_fraction,
+    sql_longest_duplicate_span,
     sql_lang_id,
     sql_similar_pairs_ngram,
     sql_text_stats,
@@ -2919,6 +2920,44 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q94_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE substring-level dedup signal — ``Stream.longest_duplicate_span``:
+    exact longest duplicated word-span per document via one generalized
+    suffix-automaton Arrow pass per group (the suffix-array pipeline
+    quantity q84's fixed-n-gram fraction approximates). Input plants long
+    spans — each doc re-appears with its first 12 words kept and a unique
+    tail — and ``group_expr = doc_id % 100000`` co-groups every copy with
+    its original (the production composition passes the minhash cluster
+    id here). Oracle computes the identical quantity via an INDEPENDENT
+    relational formulation (token-position equi-join -> diagonal
+    islands -> longest run per doc)."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    partial = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id") + 100000,
+        text=F.concat_ws(
+            " ",
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 12), " "),
+            F.concat(F.lit("tail"), F.col("doc_id").cast("string")),
+        ),
+    )
+    return (
+        docs.merge(partial)
+        .shuffle()
+        .longest_duplicate_span(
+            "text", "doc_id", n_groups=25,
+            group_expr=F.col("doc_id") % 100000,
+        )
+        .df
+    )
+
+
+ORACLE_Q94 = sql_longest_duplicate_span(
+    _Q84_INPUT, "text", "doc_id", n_groups=25,
+    group_sql="(doc_id % 100000)",
+)
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3013,6 +3052,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_rollup": q91_rollup,
     "q92_sample_weighted": q92_sample_weighted,
     "q93_word_entropy": q93_word_entropy,
+    "q94_longest_dup_span": q94_longest_dup_span,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3111,4 +3151,5 @@ ORACLE: Dict[str, str] = {
     "q91_rollup": ORACLE_Q91,
     "q92_sample_weighted": ORACLE_Q92,
     "q93_word_entropy": ORACLE_Q93,
+    "q94_longest_dup_span": ORACLE_Q94,
 }

@@ -204,3 +204,76 @@ def test_stream_parquet_unbounded_max_files_per_trigger(ctx, tmp_path):
     # one file per micro-batch: 4 files -> 4 non-empty batches, 40 rows
     assert sum(batches) == 40
     assert len([b for b in batches if b]) == 4
+
+
+# ------------------------------------------------------------------ #
+# longest_duplicate_span: exact suffix-automaton substring dedup
+# ------------------------------------------------------------------ #
+
+def _brute_longest_dup(seqs):
+    """O(n^2·L) reference: longest span of each seq occurring >= 2 times
+    across the whole corpus (distinct positions, overlaps allowed)."""
+    spans = {}
+    for di, s in enumerate(seqs):
+        for i in range(len(s)):
+            for j in range(i + 1, len(s) + 1):
+                spans.setdefault(tuple(s[i:j]), []).append((di, i))
+    out = []
+    for di, s in enumerate(seqs):
+        best = 0
+        for i in range(len(s)):
+            for j in range(i + 1, len(s) + 1):
+                occ = spans[tuple(s[i:j])]
+                if len(occ) >= 2:
+                    best = max(best, j - i)
+        out.append(best)
+    return out
+
+
+def test_sam_matches_bruteforce_random():
+    import random
+
+    from renoir_spark.datapipe import _sam_longest_dup
+
+    rng = random.Random(7)
+    for trial in range(25):
+        n_docs = rng.randint(1, 5)
+        seqs = [
+            [rng.choice("abcdef") for _ in range(rng.randint(0, 14))]
+            for _ in range(n_docs)
+        ]
+        assert _sam_longest_dup(seqs) == _brute_longest_dup(seqs), seqs
+
+
+def test_sam_planted_and_edge_cases():
+    from renoir_spark.datapipe import _sam_longest_dup
+
+    # planted 4-token cross-doc span; unique filler elsewhere
+    a = ["u1", "u2", "p1", "p2", "p3", "p4", "u3"]
+    b = ["v1", "p1", "p2", "p3", "p4", "v2", "v3"]
+    assert _sam_longest_dup([a, b]) == [4, 4]
+    # within-doc overlap: "x x x" has "x x" twice (overlapping)
+    assert _sam_longest_dup([["x", "x", "x"]]) == [2]
+    # all-unique corpus, empty docs
+    assert _sam_longest_dup([["a", "b"], ["c"], []]) == [0, 0, 0]
+    # span must not cross the doc separator
+    assert _sam_longest_dup([["a", "b"], ["b", "a"]]) == [1, 1]
+
+
+def test_longest_duplicate_span_operator(ctx):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two alpha beta gamma delta nine"),
+        (3, "totally unique words here only once"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in ctx.stream_iter(rows, "doc_id long, text string")
+        .longest_duplicate_span("text", "doc_id", n_groups=1)
+        .collect_vec()
+    }
+    assert out[1].dup_span_len == 4  # "alpha beta gamma delta"
+    assert out[2].dup_span_len == 4
+    assert out[3].dup_span_len == 0
+    assert out[1].n_tokens == 6
+    assert out[1].dup_span_frac == round(4 / 6, 6)

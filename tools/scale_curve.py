@@ -44,6 +44,7 @@ QUERIES_DEFAULT = [
     "q83_dedup_cluster",
     "q86_asof_join",
     "q88_dedup_embedding_ivf",
+    "q94_longest_dup_span",
 ]
 
 
