@@ -329,7 +329,16 @@ class ChannelSource:
     ``push(rows)`` appends one parquet file to a spool directory;
     ``stream()`` returns the unbounded Stream reading it. Files pushed
     after a streaming query starts are picked up by later micro-batches,
-    which is exactly the reference's push-then-consume contract."""
+    which is exactly the reference's push-then-consume contract.
+
+    Scale note: ``push`` routes the batch THROUGH THE DRIVER
+    (``createDataFrame`` per call) — right for the test-feed use it
+    serves, wrong for a high-volume producer. The spool-dir design
+    itself needs no driver: producers at scale write parquet files to
+    ``self.directory`` (shared storage) with their own writer and the
+    consuming stream picks them up identically — ``push_file`` registers
+    such an externally-written file, or use ``push_df`` to write a
+    DataFrame executor-side without driver materialization."""
 
     def __init__(self, ctx: StreamContext, schema, directory: Optional[str] = None) -> None:
         import tempfile
@@ -340,9 +349,35 @@ class ChannelSource:
         self._pushes = 0
 
     def push(self, rows: Iterable) -> None:
-        """Append one batch (one parquet file = one replayable unit)."""
+        """Append one batch (one parquet file = one replayable unit).
+        Driver-side by design — see the class scale note."""
         df = self._ctx.spark.createDataFrame(list(rows), self._schema)
         df.coalesce(1).write.mode("append").parquet(self.directory)
+        self._pushes += 1
+
+    def push_df(self, df) -> None:
+        """Producer-side push of an already-distributed DataFrame: the
+        write happens on the executors (append-mode parquet into the
+        spool), the driver never materializes the rows."""
+        df.write.mode("append").parquet(self.directory)
+        self._pushes += 1
+
+    def push_file(self, path: str) -> None:
+        """Register an externally-written parquet file (the 100 TB
+        producer path: any writer drops files on the shared spool dir).
+        The file is hard-linked (same filesystem) or copied into the
+        spool so the file source sees a complete, atomic unit."""
+        import os
+        import shutil
+        import uuid
+
+        dst = os.path.join(
+            self.directory, f"push-{uuid.uuid4().hex}-{os.path.basename(path)}"
+        )
+        try:
+            os.link(path, dst)
+        except OSError:
+            shutil.copy2(path, dst)
         self._pushes += 1
 
     def stream(self, *, max_files_per_trigger: Optional[int] = None) -> Stream:

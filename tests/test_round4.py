@@ -277,3 +277,20 @@ def test_longest_duplicate_span_operator(ctx):
     assert out[3].dup_span_len == 0
     assert out[1].n_tokens == 6
     assert out[1].dup_span_frac == round(4 / 6, 6)
+
+
+# ------------------------------------------------------------------ #
+# ChannelSource: executor-side and external-file producer paths
+# ------------------------------------------------------------------ #
+
+def test_channel_push_df_and_push_file(ctx, tmp_path):
+    ch = ctx.stream_channel("id long, v double", directory=str(tmp_path / "ch"))
+    ch.push([(1, 1.0)])                       # driver test-feed path
+    ch.push_df(ctx.spark.range(2, 5).selectExpr("id", "cast(id as double) as v"))
+    ext = str(tmp_path / "ext.parquet")
+    (ctx.spark.createDataFrame([(99, 9.9)], "id long, v double")
+     .coalesce(1).write.mode("overwrite").parquet(ext))
+    import glob
+    ch.push_file(glob.glob(f"{ext}/part-*.parquet")[0])
+    rows = ch.stream_batch().collect_vec()
+    assert sorted(r.id for r in rows) == [1, 2, 3, 4, 99]
