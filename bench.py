@@ -82,6 +82,7 @@ def main() -> None:
         for sname, sfn in (
             ("s01_nexmark_hot_items_stream", _streaming_hot_items),
             ("s02_stream_stream_join", _streaming_join),
+            ("s03_transaction_window_stream", _streaming_transaction_window),
         ):
             n, took = sfn(spark, sf_dir)
             timings[sname] = min(timings.get(sname, float("inf")), took)
@@ -213,6 +214,37 @@ def _streaming_join(spark, sf_dir: str) -> tuple[int, float]:
         return interval_join_stream(
             clicks, purchases, left_ts="ts", right_ts="ts",
             lower=21600.0, upper=0.0, on=["user_id"], watermark="1 hour",
+        )
+
+    return _run_streaming_leg(spark, sf_dir, build)
+
+
+def _streaming_transaction_window(spark, sf_dir: str) -> tuple[int, float]:
+    """Streaming leg 3: TransactionWindow over unbounded purchases —
+    the THIRD stateful-machinery class beside chained JVM aggs (s01) and
+    join state (s02): arbitrary per-key PYTHON window state
+    (applyInPandasWithState) carried across micro-batches, with
+    user-logic-driven commits. Per-user windows commit when the
+    committing purchase exceeds the ~p90 value — ~10% commit rate,
+    windows of ~10 rows, so the state store carries live buffers for
+    most keys on every batch (the worst honest case for this operator)."""
+    from renoir_spark.streaming import transaction_window_stream
+
+    def build(ctx, spool):
+        s = ctx.from_df(_stream_source(spark, spool)).filter(
+            "event_type = 'purchase'"
+        ).map("user_id", "event_id", "value")
+
+        def logic(row, _state):
+            return "commit" if (row["value"] or 0.0) > 113.0 else "continue"
+
+        def agg(rows):
+            return (len(rows),
+                    round(sum(r["value"] or 0.0 for r in rows), 6))
+
+        return transaction_window_stream(
+            s, ["user_id"], "event_id", logic, agg=agg,
+            out_extra_schema="n long, total double",
         )
 
     return _run_streaming_leg(spark, sf_dir, build)

@@ -50,6 +50,9 @@ SWEEP = [
     "q89_sssp",
     # float-sum rounding must not depend on partition-order association
     "q93_word_entropy",
+    # the per-group suffix-automaton pass: group co-location and the
+    # sorted-partition carry must give identical spans under any layout
+    "q94_longest_dup_span",
 ]
 
 
