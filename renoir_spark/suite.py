@@ -806,6 +806,12 @@ def q26_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ew = edges.join(deg, "src").persist()
     verts = verts.persist()
     n = verts.count()
+    if n == 0:  # empty graph: no ranks, keep the output schema
+        ew.unpersist()
+        verts_df, verts = verts, None
+        out = verts_df.withColumn("rank", F.lit(0.0)).select("v", "rank")
+        verts_df.unpersist()
+        return out
 
     init = ctx.from_df(verts.withColumn("r", F.lit(1.0 / n)))
 
@@ -1775,6 +1781,8 @@ def q57_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("g0"), 6).alias("s0"),
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
+        if r.n == 0:  # empty point set: sums are NULL, weights hold
+            return state
         return (
             round(w1 - _LR_RATE * r.s1 / r.n, 9),
             round(w2 - _LR_RATE * r.s2 / r.n, 9),
