@@ -1199,10 +1199,14 @@ WITH pos AS (
   FROM events
 )
 SELECT user_id, p // 7 AS window_id,
-       round(min_by(value, p), 6) AS first_v,
-       round(max_by(value, p), 6) AS last_v
+       round(list(value ORDER BY p)[1], 6) AS first_v,
+       round(list(value ORDER BY p)[-1], 6) AS last_v
 FROM pos GROUP BY user_id, p // 7 HAVING count(*) = 7
 """
+# first/last = the value of the boundary ROW even when that value is
+# NULL (renoir's first/last return the boundary element). DuckDB's
+# min_by/max_by skip NULL values, so the oracle reads the ordered-list
+# boundary instead — NULL-faithful, identical on non-null data.
 
 
 def q39_window_to_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1234,9 +1238,13 @@ WITH pos AS (
   FROM events
 )
 SELECT user_id, p // 5 AS window_id,
-       array_to_string(list(printf('%.6f', value) ORDER BY p), ',') AS vals
+       array_to_string(list(coalesce(printf('%.6f', value), 'null')
+                            ORDER BY p), ',') AS vals
 FROM pos GROUP BY user_id, p // 5 HAVING count(*) = 5
 """
+# to_vec keeps NULL elements in window order (Spark renders them as the
+# string "null" via format_string); array_to_string drops NULL list
+# entries, so the oracle coalesces to the same literal first.
 
 
 def q40_window_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1296,7 +1304,13 @@ def q42_keyed_rich_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def running(pdf):
         pdf = pdf.sort_values("event_id")
-        pdf["cum"] = pdf["value"].cumsum().round(6)
+        # SQL running-sum NULL contract (mirrors the window-fn oracle):
+        # NULL values don't advance the total, the row still emits the
+        # carried sum, and rows BEFORE the first non-null stay NULL —
+        # a plain cumsum would instead poison the tail with NaN
+        cs = pdf["value"].fillna(0.0).cumsum()
+        seen = pdf["value"].notna().cumsum() > 0
+        pdf["cum"] = cs.where(seen).round(6)
         return pdf[["user_id", "event_id", "cum"]]
 
     return (
@@ -1443,7 +1457,7 @@ def q49_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         pid=F.col("event_id"),
         x=F.col("value"),
         y=(F.col("event_id") % 97).cast("double") / F.lit(9.7),
-    )
+    ).filter(F.col("x").isNotNull())  # a NULL coordinate has no distance
 
     init = [
         (i, round(r.x, 9), round(r.y, 9))
@@ -1502,7 +1516,7 @@ def _kmeans_oracle() -> str:
         f"""
 WITH p AS (
   SELECT event_id AS pid, value AS x, (event_id % 97)::DOUBLE / 9.7 AS y
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), c0 AS (
   SELECT row_number() OVER (ORDER BY pid) - 1 AS cid,
          round(x, 9) AS cx, round(y, 9) AS cy
