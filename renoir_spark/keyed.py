@@ -133,6 +133,117 @@ class KeyedStream:
 
     reduce_scan = fold_scan
 
+    def running_sum(self, order, *, skew_proof: bool = True,
+                    partitions: Optional[int] = None, **named) -> "Stream":
+        """Per-key RUNNING (prefix) sums in ``order`` — the running form
+        of keyed ``fold_scan``: for every row, each named output is the
+        sum of its expression over the key's rows up to and including
+        this row (SQL ``SUM(x) OVER (PARTITION BY k ORDER BY o ROWS
+        UNBOUNDED PRECEDING)``, including its NULL contract: NULL values
+        don't advance the total, rows before a key's first non-null stay
+        NULL).
+
+        ``skew_proof=False`` is that exact window aggregate — one hash
+        shuffle, and the right default when no key is pathological: the
+        JVM scan is fast enough that a 2M-row hot key costs ~0.2 s.
+        But the hot key's ENTIRE history lands in one task's sort +
+        scan + spill; once a single key's volume approaches what one
+        executor can sort in memory, that task is the job. The
+        ``skew_proof=True`` (default) chunked plan removes the per-key
+        serialization:
+
+        1. range-partition on ``(keys..., order)`` — a hot key SPANS
+           chunks instead of owning one task;
+        2. partition-local per-key prefix sums via a JVM window over
+           ``(chunk, key)`` — its hash exchange is what splits the hot
+           key, and no window partition exceeds ~rows/#chunks;
+        3. per-(chunk, key) totals — a relation of at most
+           #chunks + #keys rows — prefix-summed by a window over the
+           tiny relation and broadcast-joined back as carry-ins.
+
+        Costs one extra exchange + a correctness persist versus the
+        plain window form (see the inline comment); buys a per-key scan
+        that is parallel in the number of range chunks regardless of key
+        distribution. Requires ``order`` to be unique per key (ties may
+        split across range chunks).
+        """
+        keys = list(self.keys)
+        if not skew_proof:
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(to_col(order))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            df = self.df
+            for n, e in named.items():
+                df = df.withColumn(n, F.sum(to_col(e)).over(w))
+            return self._stream(df)
+
+        df = self.df.withColumn("__ord", to_col(order))
+        for n, e in named.items():
+            df = df.withColumn(f"__v_{n}", to_col(e).cast("double"))
+        P = partitions or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        # CORRECTNESS persist, not caching: the local-prefix branch and
+        # the chunk-total branch both consume this range exchange, and
+        # two physical instances of a range exchange sample partition
+        # boundaries independently (rdd-id-seeded) — unpersisted, the
+        # branches can disagree on chunk ids and the carries land on the
+        # wrong rows (measured ~7% of rows). One shared InMemoryRelation
+        # pins a single partitioning for every consumer (same fix as
+        # zip's _global_index).
+        d = (
+            df.repartitionByRange(P, *keys, "__ord")
+            .withColumn("__pid", F.spark_partition_id())
+            .persist()
+        )
+
+        names = list(named)
+        # partition-local per-key prefix, JVM-side: the window partitions
+        # by (chunk, key), and the hot key SPANS chunks, so no window
+        # partition exceeds ~rows/P — the window's own hash exchange on
+        # (chunk, key) is what breaks the hot key apart
+        wloc = (
+            Window.partitionBy("__pid", *keys)
+            .orderBy("__ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = d
+        for n in names:
+            local = local.withColumn(f"__lc_{n}", F.sum(f"__v_{n}").over(wloc))
+            local = local.withColumn(f"__ln_{n}", F.count(f"__v_{n}").over(wloc))
+
+        tot = d.groupBy("__pid", *keys).agg(
+            *[F.sum(f"__v_{n}").alias(f"__s_{n}") for n in names],
+            *[F.count(f"__v_{n}").alias(f"__c_{n}") for n in names],
+        )
+        wprev = (
+            Window.partitionBy(*keys)
+            .orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = tot.select(
+            "__pid",
+            *keys,
+            *[F.sum(f"__s_{n}").over(wprev).alias(f"__cs_{n}") for n in names],
+            *[F.sum(f"__c_{n}").over(wprev).alias(f"__cc_{n}") for n in names],
+        )
+
+        out = local.join(F.broadcast(carry), ["__pid", *keys], "left")
+        for n in names:
+            seen = (
+                F.col(f"__ln_{n}") + F.coalesce(F.col(f"__cc_{n}"), F.lit(0))
+            ) > 0
+            cum = F.coalesce(F.col(f"__lc_{n}"), F.lit(0.0)) + F.coalesce(
+                F.col(f"__cs_{n}"), F.lit(0.0)
+            )
+            out = out.withColumn(n, F.when(seen, cum))
+        drop = ["__ord", "__pid"] + [
+            f"__{p}_{n}" for n in names for p in ("v", "lc", "ln", "cs", "cc")
+        ]
+        return self._stream(out.drop(*drop))._retain(d)
+
     def rich_map(self, fn: Callable, schema, *, order: Optional[Sequence] = None) -> "Stream":
         """Per-key stateful map — renoir keyed ``rich_map``
         (src/operator/mod.rs:2740-2746, state per key). ``fn(pdf) -> pdf``

@@ -25,8 +25,10 @@ if TYPE_CHECKING:  # pragma: no cover
     from .context import StreamContext
 
 
-def _global_index(df: DataFrame, order_cols: list, idx: str = "__zip_idx") -> DataFrame:
+def _global_index(df: DataFrame, order_cols: list, idx: str = "__zip_idx"):
     """Distributed 1-based global row index in ``order_cols`` order.
+    Returns ``(indexed_df, cached_relation)`` — the caller must arrange
+    ``cached_relation.unpersist()`` (e.g. via ``Stream._retain``).
 
     Scale design: a bare ``row_number() OVER (ORDER BY ...)`` funnels every
     row through ONE task. Instead: range-partition on the order (so
@@ -34,6 +36,15 @@ def _global_index(df: DataFrame, order_cols: list, idx: str = "__zip_idx") -> Da
     then add broadcast per-partition offsets — the classic zipWithIndex,
     stated as DataFrame ops. The only single-task step is the offset
     cumsum over ~num_partitions rows.
+
+    The persist is CORRECTNESS, not caching: the offsets branch and the
+    data branch both consume the range exchange, and two physical
+    instances of a range exchange sample their partition boundaries
+    independently (rdd-id-seeded reservoir sample) — with column pruning
+    making the branches non-identical, ReuseExchange cannot deduplicate
+    them and the branches can disagree on partition ids (measured: ~7%
+    of rows on the events table). One shared InMemoryRelation pins a
+    single physical partitioning for every consumer.
     """
     d = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
     # monotonically_increasing_id AFTER the sort = (partition id << 33) +
@@ -41,17 +52,19 @@ def _global_index(df: DataFrame, order_cols: list, idx: str = "__zip_idx") -> Da
     # the extra hash exchange + sort a row_number() window would add.
     d = d.withColumn("__mid", F.monotonically_increasing_id())
     d = d.withColumn("__pid", F.spark_partition_id())
+    d = d.persist()
     counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__cnt").over(woff), F.lit(0))
     ).drop("__cnt")
     pos_in_part = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
-    return (
+    out = (
         d.join(F.broadcast(offsets), "__pid")
         .withColumn(idx, F.col("__off") + pos_in_part + 1)
         .drop("__pid", "__mid", "__off")
     )
+    return out, d
 
 
 def _fold_py_partials(df: DataFrame, init, local_fn: Callable) -> DataFrame:
@@ -442,13 +455,13 @@ class Stream:
         partition → per-partition row_number + broadcast partition
         offsets), then an equi-join on the index. No single-task stage at
         any size — a 100 TB side still indexes in parallel."""
-        left = _global_index(self.df, to_cols(order))
-        right = _global_index(other.df, to_cols(other_order))
+        left, lcache = _global_index(self.df, to_cols(order))
+        right, rcache = _global_index(other.df, to_cols(other_order))
         overlap = set(left.columns) & set(right.columns) - {"__zip_idx"}
         for c in overlap:
             right = right.withColumnRenamed(c, f"{c}_r")
         out = left.join(right, "__zip_idx", "inner").drop("__zip_idx")
-        return self._new(out)
+        return self._new(out)._retain(lcache, rcache)
 
     # ------------------------------------------------------------------ #
     # global aggregations (SURVEY.md §2.5) — terminal folds

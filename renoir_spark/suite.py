@@ -2980,6 +2980,40 @@ ORACLE_Q94 = sql_longest_duplicate_span(
 )
 
 
+def q95_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof per-key running sum — ``KeyedStream.running_sum``
+    (chunked path): range-split chunks + JVM local-prefix window over
+    (chunk, key) + broadcast carries, so a hot key never serializes into
+    one task (measured in docs/SCALING.md). Integer amounts keep the
+    chunked carry addition exact at any association, so the result is
+    bit-identical to the oracle's single-pass window sum. The final
+    eager localCheckpoint materializes once and releases the operator's
+    correctness persist (no cache leak — same discipline as the
+    iteration queries)."""
+    ctx = _ctx(spark)
+    out = (
+        _t(ctx, sf_dir, "events")
+        .map("user_id", "event_id", amt=(F.col("event_id") % 100).cast("double"))
+        .key_by("user_id")
+        .running_sum("event_id", partitions=8, cum=F.col("amt"))
+    )
+    final = (
+        out.df.select("user_id", "event_id", F.col("cum").cast("long").alias("cum"))
+        .localCheckpoint(eager=True)
+    )
+    out.unpersist()
+    return final
+
+
+ORACLE_Q95 = """
+SELECT user_id, event_id,
+       CAST(sum(event_id % 100) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+FROM events
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3075,6 +3109,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_sample_weighted": q92_sample_weighted,
     "q93_word_entropy": q93_word_entropy,
     "q94_longest_dup_span": q94_longest_dup_span,
+    "q95_running_sum": q95_running_sum,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3174,4 +3209,5 @@ ORACLE: Dict[str, str] = {
     "q92_sample_weighted": ORACLE_Q92,
     "q93_word_entropy": ORACLE_Q93,
     "q94_longest_dup_span": ORACLE_Q94,
+    "q95_running_sum": ORACLE_Q95,
 }

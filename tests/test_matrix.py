@@ -53,6 +53,9 @@ SWEEP = [
     # the per-group suffix-automaton pass: group co-location and the
     # sorted-partition carry must give identical spans under any layout
     "q94_longest_dup_span",
+    # the chunked prefix scan: chunk boundaries move with the layout but
+    # the carries must reconstruct the identical prefix sums
+    "q95_running_sum",
 ]
 
 

@@ -294,3 +294,54 @@ def test_channel_push_df_and_push_file(ctx, tmp_path):
     ch.push_file(glob.glob(f"{ext}/part-*.parquet")[0])
     rows = ch.stream_batch().collect_vec()
     assert sorted(r.id for r in rows) == [1, 2, 3, 4, 99]
+
+
+# ------------------------------------------------------------------ #
+# running_sum: skew-proof chunked prefix scan == window-function result
+# ------------------------------------------------------------------ #
+
+def test_running_sum_chunked_equals_window(ctx):
+    import random
+
+    rng = random.Random(11)
+    rows = [(rng.randint(0, 5), i,
+             float(rng.randint(0, 100)) if rng.random() > 0.15 else None)
+            for i in range(4000)]
+    s = ctx.stream_iter(rows, "k long, o long, v double")
+    a = s.key_by("k").running_sum("o", partitions=8, cum=F.col("v"))
+    ra = {(r.k, r.o): r.cum for r in a.collect_vec()}
+    rb = {(r.k, r.o): r.cum
+          for r in s.key_by("k")
+          .running_sum("o", skew_proof=False, cum=F.col("v"))
+          .collect_vec()}
+    a.unpersist()
+    assert ra == rb
+    # SQL NULL contract: rows before a key's first non-null stay NULL
+    first_by_key = {}
+    for k, o, v in sorted(rows, key=lambda t: (t[0], t[1])):
+        if k not in first_by_key and v is not None:
+            first_by_key[k] = o
+    for (k, o), cum in ra.items():
+        if o < first_by_key.get(k, 1 << 60):
+            assert cum is None, (k, o, cum)
+
+
+def test_running_sum_hot_key_spans_chunks(ctx):
+    # 80%-hot key must be SPLIT across range chunks (the whole point)
+    rows = [(1 if i % 5 else 2, i, 1.0) for i in range(4000)]
+    s = ctx.stream_iter(rows, "k long, o long, v double")
+    d = (s.df.withColumn("__ord", F.col("o"))
+         .repartitionByRange(8, "k", "__ord")
+         .withColumn("pid", F.spark_partition_id()))
+    n_chunks = (d.filter("k = 1").select("pid").distinct().count())
+    assert n_chunks >= 3, f"hot key landed in only {n_chunks} chunk(s)"
+    # and the chunked result is still the exact prefix sum
+    a = s.key_by("k").running_sum("o", partitions=8, cum=F.col("v"))
+    got = {(r.k, r.o): r.cum for r in a.collect_vec()}
+    a.unpersist()
+    expect_rank = {}
+    cnt = {}
+    for k, o, v in sorted(rows, key=lambda t: (t[0], t[1])):
+        cnt[k] = cnt.get(k, 0) + 1
+        expect_rank[(k, o)] = float(cnt[k])
+    assert got == expect_rank
