@@ -69,15 +69,38 @@ def sql_md5_int60(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def lower_canon(col) -> Column:
+    """Cross-engine canonical lowercase. Java (Spark) and utf8proc
+    (DuckDB) disagree on two Unicode SpecialCasing rules — İ (U+0130)
+    lowercases to ``i`` + combining-dot-above (Java always, DuckDB
+    context-dependently), and a trailing Σ becomes final sigma ς in Java
+    but σ in utf8proc. Both ambiguities are normalized away post-lower
+    (combining dot after i stripped, ς → σ), so identical text
+    canonicalizes identically on both engines — pinned by the
+    Unicode-differential gate (tests/test_unicode.py)."""
+    lowered = F.lower(to_col(col))
+    return F.replace(
+        F.replace(lowered, F.lit("i̇"), F.lit("i")),
+        F.lit("ς"), F.lit("σ"),
+    )
+
+
+def sql_lower_canon(expr: str) -> str:
+    return (
+        f"replace(replace(lower({expr}), 'i̇', 'i'), "
+        f"'ς', 'σ')"
+    )
+
+
 def norm_text(col) -> Column:
-    """Whitespace-collapsed, trimmed, lowercased text."""
-    return F.lower(F.trim(F.regexp_replace(to_col(col), r"\s+", " ")))
+    """Whitespace-collapsed, trimmed, canonically lowercased text."""
+    return lower_canon(F.trim(F.regexp_replace(to_col(col), r"\s+", " ")))
 
 
 def sql_norm_text(expr: str) -> str:
     # DuckDB replaces only the first match unless the 'g' flag is given
     # (Spark's regexp_replace is global by default).
-    return f"lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g')))"
+    return sql_lower_canon(f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))")
 
 
 def tokens(col) -> Column:
@@ -1391,7 +1414,7 @@ def token_count(stream, text_col: str):
     Pure expressions: one projection, no shuffle, codegen-friendly."""
     orig = stream.df.columns
     norm = norm_text(text_col)
-    lowered = F.lower(to_col(text_col))
+    lowered = lower_canon(text_col)
     return stream._new(
         stream.df.select(
             *orig,
@@ -1407,7 +1430,7 @@ def sql_token_count(table_expr: str, text: str, keep_cols: str) -> str:
     return f"""
 SELECT {keep_cols},
   len(string_split({sql_norm_text(text)}, ' ')) AS tok_ws,
-  len(regexp_extract_all(lower({text}), '{BPE_TOKEN_RE}')) AS tok_bpe
+  len(regexp_extract_all({sql_lower_canon(text)}, '{BPE_TOKEN_RE}')) AS tok_bpe
 FROM {table_expr}
 """
 

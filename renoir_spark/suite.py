@@ -267,7 +267,7 @@ def q09_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cluster instead of one task (the 100 TB version of this scan
         # has many splits, but never rely on it).
         .shuffle()
-        .flat_map(F.split(F.lower(F.col("text")), " "), alias="word")
+        .flat_map(F.split(lower_canon(F.col("text")), " "), alias="word")
         .filter("word <> ''")
         .group_by("word")
         .count(alias="cnt")
@@ -277,7 +277,7 @@ def q09_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q09 = """
 SELECT word, count(*) AS cnt
-FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+FROM (SELECT unnest(string_split(replace(replace(lower(text), 'i̇', 'i'), 'ς', 'σ'), ' ')) AS word FROM documents)
 WHERE word <> ''
 GROUP BY word
 """
@@ -918,6 +918,7 @@ from .datapipe import (  # noqa: E402  (oracle generators share constants)
     sql_dedup_simhash,
     sql_duplicate_span_fraction,
     sql_longest_duplicate_span,
+    lower_canon,
     sql_lang_id,
     sql_similar_pairs_ngram,
     sql_text_stats,

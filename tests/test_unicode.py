@@ -1,0 +1,90 @@
+"""Unicode-differential gate: append CJK / emoji / RTL / combining-mark /
+Turkish-İ / Greek-Σ snippets to every document and require all suite
+queries to still agree with their DuckDB oracles. Case mapping is where
+the engines genuinely diverge — Java lowercases İ to i+combining-dot
+always and emits final sigma ς context-sensitively, utf8proc does
+neither consistently — which is why the text layer lowercases through
+``lower_canon`` (both divergences normalized identically on both
+engines). This sweep found those divergences; it pins the fix."""
+
+import math
+import struct
+
+import pytest
+
+from renoir_spark import suite
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+SNIPPETS = [
+    "café naïve résumé Über straße",
+    "日本語の文書 中文文档",
+    "emoji \U0001F600 \U0001F680 mixed with text",
+    "Türkçe BILİM İstanbul DIJITAL",
+    "שלום עולם rtl text",
+    "combining á ë ô marks",
+    " nbsp and thin spaces　ideographic",
+    "İIıi ΣΟΦΟΣ ΟΔΥΣΣΕΥΣ case folding",
+]
+
+
+@pytest.fixture(scope="module")
+def uni_dir(spark, sf_dir, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("sfuni"))
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "documents":
+            snip = F.element_at(
+                F.array(*[F.lit(s) for s in SNIPPETS]),
+                (F.col("doc_id") % len(SNIPPETS) + 1).cast("int"),
+            )
+            df = df.withColumn("text", F.concat_ws(" ", F.col("text"), snip))
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def uni_duck(uni_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{uni_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else struct.pack(">d", v).hex()
+    return v
+
+
+@pytest.mark.parametrize("name", sorted(suite.QUERIES))
+def test_query_matches_oracle_with_unicode(name, spark, uni_dir, uni_duck):
+    sdf = suite.QUERIES[name](spark, uni_dir)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        (tuple(_norm(r.asDict(recursive=True)[c]) for c in scols)
+         for r in sdf.collect()),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    res = uni_duck.execute(suite.ORACLE[name])
+    dcols = [d[0] for d in res.description]
+    idx = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    drows = sorted(
+        (tuple(_norm(r[i]) for i in idx) for r in res.fetchall()),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    assert scols == sorted(dcols), f"{name}: columns {scols} vs {sorted(dcols)}"
+    assert len(srows) == len(drows), (
+        f"{name}: {len(srows)} vs {len(drows)} rows"
+    )
+    mism = [(a, b) for a, b in zip(srows, drows) if a != b]
+    assert not mism, f"{name}: first mismatches: {mism[:3]}"
+    spark.catalog.clearCache()
