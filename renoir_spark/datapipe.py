@@ -207,6 +207,111 @@ WHERE NOT EXISTS (
 """
 
 
+def dedup_against_bloom(
+    stream,
+    reference,
+    text_col: str,
+    ref_text_col: Optional[str] = None,
+    *,
+    fpp: float = 0.01,
+    max_keys: int = 10_000_000,
+):
+    """Decontamination with a broadcast BLOOM prefilter + exact confirm —
+    same semantics as :func:`dedup_against` (drop rows whose normalized
+    text appears in ``reference``), EXACT result, different scale shape.
+
+    When the reference is driver-sized (benchmark test sets, blocklists —
+    the standard decontamination case), :func:`dedup_against` already
+    broadcasts it, but the broadcast relation holds full 32-byte keys in
+    a hash map. Here the reference collapses to a bit array (~10 bits
+    per key at fpp=1% — ~25× smaller), so a reference that blows the
+    broadcast-join threshold still rides to every executor, and the
+    corpus-side membership test is a map-side Arrow-vectorized numpy
+    probe with ZERO shuffle of clean rows. Bloom false positives cannot
+    leak into the output: the positive sliver (true hits + ~fpp of the
+    corpus) is re-checked with an exact normalized-text anti-join, so the
+    result is bit-identical to the exact operator — the bloom only
+    bounds how many rows reach that join.
+
+    ``max_keys`` guards the driver collect: more distinct reference keys
+    than this raises with a pointer to :func:`dedup_against` (whose
+    anti-join never collects).
+
+    Reference parity: decontamination composes renoir's semijoin shape
+    (src/operator/join/mod.rs:118-160) with a filter; the bloom stage is
+    the beyond-reference scale path.
+    """
+    import numpy as np
+
+    ref_col = ref_text_col or text_col
+    spark = stream.df.sparkSession
+    key_rows = (
+        reference.df.select(F.xxhash64(norm_text(ref_col)).alias("__bk"))
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    )
+    if len(key_rows) > max_keys:
+        raise ValueError(
+            f"dedup_against_bloom: reference has more than {max_keys} "
+            "distinct keys; use dedup_against (distributed anti-join) "
+            "for references that are not driver-sized"
+        )
+    ref_keys = np.array([r["__bk"] for r in key_rows], dtype=np.int64).view(np.uint64)
+    n = len(ref_keys)
+
+    keyed = stream.df.withColumn("__bk", F.xxhash64(norm_text(text_col)))
+    if n == 0:
+        # empty reference: nothing can match — pure passthrough
+        return stream._new(keyed.drop("__bk"))
+
+    # m bits (power of two) and k probes sized from fpp:
+    # bits/key = -log2(fpp)/ln(2), k = bits/key * ln(2)
+    bits_per_key = -math.log2(fpp) / math.log(2)
+    m = 1 << max(6, math.ceil(math.log2(n * bits_per_key)))
+    k = max(1, round(bits_per_key * math.log(2)))
+    mask = np.uint64(m - 1)
+
+    def _probes(h: "np.ndarray") -> "list[np.ndarray]":
+        # double hashing: probe_i = (h1 + i*h2) mod m, h2 forced odd
+        h1 = h & mask
+        h2 = (h >> np.uint64(33)) | np.uint64(1)
+        return [(h1 + np.uint64(i) * h2) & mask for i in range(k)]
+
+    bits = np.zeros(m >> 6, dtype=np.uint64)
+    for idx in _probes(ref_keys):
+        np.bitwise_or.at(bits, idx >> np.uint64(6),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    bbits = spark.sparkContext.broadcast(bits)
+
+    import pandas as pd  # noqa: F401  (pandas_udf signature)
+
+    @F.pandas_udf("boolean")
+    def _bloom_hit(keys):
+        h = keys.to_numpy(dtype=np.int64).view(np.uint64)
+        arr = bbits.value
+        hit = np.ones(len(h), dtype=bool)
+        for idx in _probes(h):
+            hit &= (arr[idx >> np.uint64(6)]
+                    >> (idx & np.uint64(63))) & np.uint64(1) == 1
+        return pd.Series(hit)
+
+    hit = keyed.withColumn("__hit", _bloom_hit("__bk"))
+    clean = hit.filter(~F.col("__hit")).drop("__bk", "__hit")
+    # exact confirm on the positive sliver only: normalized-text
+    # anti-join (NULL text never matches — SQL semantics on both sides)
+    ref_norm = (
+        reference.df.select(norm_text(ref_col).alias("__norm")).distinct()
+    )
+    survivors = (
+        hit.filter(F.col("__hit"))
+        .withColumn("__norm", norm_text(text_col))
+        .join(ref_norm, "__norm", "left_anti")
+        .drop("__bk", "__hit", "__norm")
+    )
+    return stream._new(clean.unionByName(survivors))
+
+
 # --------------------------------------------------------------------- #
 # MinHash-LSH near-duplicate dedup
 # --------------------------------------------------------------------- #
@@ -1637,6 +1742,98 @@ WITH h AS (
 SELECT CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
        ELSE round({float(k - 1)} / max(hv), 3) END AS {alias}
 FROM topk
+"""
+
+
+# --------------------------------------------------------------------- #
+# Misra-Gries heavy hitters (exact top-k via bounded-memory candidates)
+# --------------------------------------------------------------------- #
+
+def heavy_hitters(stream, key_col, k: int, *, capacity: Optional[int] = None,
+                  cnt_alias: str = "cnt"):
+    """EXACT top-``k`` most frequent keys via a two-pass Misra-Gries /
+    SpaceSaving sketch — completes the sketch family (KMV distinct, HLL
+    count-distinct, GK quantiles) with frequency estimation.
+
+    Why not plain ``groupBy().count().orderBy().limit(k)``: that shuffles
+    one partial count per distinct key per partition — at 100 TB with
+    billions of distinct keys (URLs, n-grams) the shuffle IS the job.
+    Here pass 1 holds at most ``capacity`` counters per partition
+    (classic MG guarantee: every key with partition frequency >
+    N_p/(capacity+1) survives; summing across partitions, every key with
+    GLOBAL frequency > N/(capacity+1) is emitted by at least one
+    partition — pigeonhole), so only ``capacity × partitions`` candidate
+    keys ever leave the executors. Pass 2 recounts the candidates
+    exactly: a broadcast semi-join (map-side, no corpus shuffle) +
+    map-side-combined count whose shuffle is bounded by candidates ×
+    partitions.
+
+    Exactness contract: the result is the true top-k whenever the k-th
+    exact candidate count exceeds N/(capacity+1) — verified at run time
+    (bounded driver collect of k rows, same discipline as the k-means
+    seeds); on violation (capacity too small for the skew, or fewer than
+    k candidates) it falls back to the exact full aggregation, so the
+    operator NEVER returns an approximate answer — capacity only decides
+    which plan computes it. Ties are deterministic (count desc, key asc).
+    NULL keys are ignored (filter/fill upstream).
+
+    The per-partition sketch is Arrow-vectorized: value_counts per
+    batch, Series.add to merge, and a batched MG decrement (subtract the
+    (capacity+1)-th largest residual, keep positives) — no per-row
+    Python.
+    """
+    c = capacity or max(4 * k, 64)
+    ktype = dict(stream.df.dtypes)[key_col] if key_col in dict(stream.df.dtypes) \
+        else "string"
+    df = stream.df.select(F.col(key_col).alias("__key")).filter(
+        F.col("__key").isNotNull()
+    )
+
+    def _mg(batches):
+        import pandas as pd
+
+        counts = None
+        for pdf in batches:
+            vc = pdf["__key"].value_counts()
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+            if len(counts) > c:
+                d = counts.nlargest(c + 1).iloc[-1]
+                counts = counts[counts > d] - d
+        if counts is not None and len(counts):
+            yield pd.DataFrame({"__key": counts.index})
+
+    cands = df.mapInPandas(_mg, f"__key {ktype}").distinct()
+    exact = (
+        df.join(F.broadcast(cands), "__key", "left_semi")
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias(cnt_alias))
+    )
+    topk = exact.orderBy(F.col(cnt_alias).desc(), F.col("__key").asc()).limit(k)
+
+    n_total = df.count()
+    rows = topk.collect()
+    if len(rows) < k or (rows and rows[-1][cnt_alias] * (c + 1) <= n_total):
+        # capacity too small for this skew (or < k candidates): exact
+        # fallback — same answer the sketch path would give with a
+        # bigger capacity, never an approximation
+        full = (
+            df.groupBy("__key").agg(F.count(F.lit(1)).alias(cnt_alias))
+            .orderBy(F.col(cnt_alias).desc(), F.col("__key").asc())
+            .limit(k)
+        )
+        return stream._new(full.withColumnRenamed("__key", key_col))
+    return stream._new(topk.withColumnRenamed("__key", key_col))
+
+
+def sql_heavy_hitters(table_expr: str, key: str, k: int, *,
+                      cnt_alias: str = "cnt") -> str:
+    return f"""
+SELECT {key}, count(*) AS {cnt_alias}
+FROM {table_expr}
+WHERE {key} IS NOT NULL
+GROUP BY {key}
+ORDER BY {cnt_alias} DESC, {key} ASC
+LIMIT {k}
 """
 
 

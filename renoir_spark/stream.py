@@ -1040,6 +1040,17 @@ class Stream:
 
         return _da(self, reference, text_col, ref_text_col)
 
+    def dedup_against_bloom(self, reference: "Stream", text_col: str,
+                            ref_text_col: Optional[str] = None,
+                            **kw) -> "Stream":
+        """Decontamination via a broadcast Bloom prefilter + exact
+        confirm — bit-identical to ``dedup_against``, but the reference
+        rides to executors as a bit array (~10 bits/key) and clean rows
+        never shuffle. See datapipe.dedup_against_bloom."""
+        from .datapipe import dedup_against_bloom as _dab
+
+        return _dab(self, reference, text_col, ref_text_col, **kw)
+
     def dedup_minhash(self, text_col: str, id_col: str, **kw) -> "Stream":
         """MinHash-LSH near-duplicate dedup — banded bucket-join, never
         all-pairs. See datapipe.dedup_minhash."""
@@ -1141,6 +1152,15 @@ class Stream:
         from .datapipe import approx_distinct_kmv as _kmv
 
         return _kmv(self, col, k=k, alias=alias)
+
+    def heavy_hitters(self, key_col, k: int, *, capacity: Optional[int] = None,
+                      cnt_alias: str = "cnt") -> "Stream":
+        """Exact top-k most frequent keys via a two-pass Misra-Gries
+        sketch (bounded per-partition counters + exact recount of the
+        candidate set). See datapipe.heavy_hitters."""
+        from .datapipe import heavy_hitters as _hh
+
+        return _hh(self, key_col, k, capacity=capacity, cnt_alias=cnt_alias)
 
     def fingerprint_winnow(self, text_col: str, id_col: str, **kw) -> "Stream":
         """Winnowing rolling-hash fingerprints, exploded (id, fp) pairs.

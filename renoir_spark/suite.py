@@ -3015,6 +3015,58 @@ FROM events
 """
 
 
+def q96_dedup_against_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a broadcast Bloom prefilter + exact confirm
+    (``dedup_against_bloom``): reference collapses to a bit array (~10
+    bits/key vs a 32-byte-key broadcast hash relation), corpus rows are
+    probed map-side (Arrow-vectorized numpy, zero shuffle of clean
+    rows), and only the bloom-positive sliver reaches the exact
+    normalized-text anti-join — so bloom false positives cannot leak
+    and the result is bit-identical to the exact NOT EXISTS oracle."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents")
+    seen = _t(ctx, sf_dir, "documents").filter("doc_id % 7 = 0")
+    return (
+        docs.dedup_against_bloom(seen, "text")
+        .map("doc_id", "lang", "n_chars")
+        .df
+    )
+
+
+ORACLE_Q96 = sql_dedup_against(
+    "documents", "(SELECT * FROM documents WHERE doc_id % 7 = 0)",
+    "text", "text", "t.doc_id, t.lang, t.n_chars",
+)
+
+
+def q97_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 words via the two-pass Misra-Gries sketch
+    (``heavy_hitters``): pass 1 keeps ≤ capacity counters per partition
+    (only capacity × partitions candidate keys ever shuffle — the 100 TB
+    answer to billion-cardinality top-k), pass 2 recounts candidates
+    exactly behind a broadcast semi-join, with a run-time exactness check
+    (k-th count > N/(capacity+1)) that falls back to the full exact
+    aggregation rather than ever returning an approximation."""
+    ctx = _ctx(spark)
+    words = (
+        _t(ctx, sf_dir, "documents")
+        .shuffle()
+        .flat_map(F.split(lower_canon(F.col("text")), " "), alias="word")
+        .filter("word <> ''")
+    )
+    return words.heavy_hitters("word", 10, capacity=64).df
+
+
+ORACLE_Q97 = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(replace(replace(lower(text), 'i̇', 'i'), 'ς', 'σ'), ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY cnt DESC, word ASC
+LIMIT 10
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3111,6 +3163,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_word_entropy": q93_word_entropy,
     "q94_longest_dup_span": q94_longest_dup_span,
     "q95_running_sum": q95_running_sum,
+    "q96_dedup_against_bloom": q96_dedup_against_bloom,
+    "q97_heavy_hitters": q97_heavy_hitters,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3211,4 +3265,6 @@ ORACLE: Dict[str, str] = {
     "q93_word_entropy": ORACLE_Q93,
     "q94_longest_dup_span": ORACLE_Q94,
     "q95_running_sum": ORACLE_Q95,
+    "q96_dedup_against_bloom": ORACLE_Q96,
+    "q97_heavy_hitters": ORACLE_Q97,
 }
