@@ -83,6 +83,7 @@ def main() -> None:
             ("s01_nexmark_hot_items_stream", _streaming_hot_items),
             ("s02_stream_stream_join", _streaming_join),
             ("s03_transaction_window_stream", _streaming_transaction_window),
+            ("s04_session_window_stream", _streaming_sessions),
         ):
             n, took = sfn(spark, sf_dir)
             timings[sname] = min(timings.get(sname, float("inf")), took)
@@ -245,6 +246,29 @@ def _streaming_transaction_window(spark, sf_dir: str) -> tuple[int, float]:
         return transaction_window_stream(
             s, ["user_id"], "event_id", logic, agg=agg,
             out_extra_schema="n long, total double",
+        )
+
+    return _run_streaming_leg(spark, sf_dir, build)
+
+
+def _streaming_sessions(spark, sf_dir: str) -> tuple[int, float]:
+    """Streaming leg 4: per-user 30-minute-gap session windows
+    (``session_agg`` → native ``session_window``) — the FOURTH stateful
+    machinery class: MERGING window state. Unlike fixed windows (s01),
+    join state (s02) or Python transaction buffers (s03), open sessions
+    extend and COALESCE across micro-batches in the state store, and
+    only watermark passage finalizes them — the streaming analog of the
+    batch SessionWindow (q13)."""
+    from pyspark.sql import functions as F
+
+    from renoir_spark.streaming import session_agg
+
+    def build(ctx, spool):
+        s = ctx.from_df(_stream_source(spark, spool))
+        return session_agg(
+            s, "ts", gap=1800.0, keys=["user_id"], watermark="1 hour",
+            n_events=F.count(F.lit(1)),
+            total_value=F.round(F.sum("value"), 6),
         )
 
     return _run_streaming_leg(spark, sf_dir, build)
