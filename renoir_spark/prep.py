@@ -386,6 +386,85 @@ FROM counts GROUP BY 1
 """
 
 
+def unigram_logprob(stream, id_col: str, text_col: str, *,
+                    alias: str = "avg_logprob"):
+    """Per-document mean token log-probability under a unigram LM
+    trained on the corpus ITSELF (add-1 smoothing) — the
+    perplexity-style quality filter (CCNet trains a KenLM and drops the
+    high-perplexity tail; the unigram form keeps the exact same pipeline
+    shape with an oracle-checkable model): ``score = (1/n) Σ_w c_dw ·
+    ln((c_w + 1) / (N + V))``, rounded to 6 decimals. Low scores = rare
+    garbage tokens; anomalously high = boilerplate. Docs whose text
+    yields no tokens (NULL) are omitted — same convention as
+    :func:`word_entropy`.
+
+    Plan: the MODEL pass is wordcount-shaped (one (token) shuffle with
+    map-side partials, vocabulary-sized result); the SCORING pass joins
+    per-(doc, token) counts against the model on the token — a
+    vocabulary-sized build side that AQE broadcasts under the threshold
+    and hash-joins above it (same shape either way, never corpus ×
+    corpus); corpus totals ride a 1-row broadcast. Per-doc terms are
+    summed in canonical sorted order (sort_array + left fold ≡ DuckDB
+    list_sum(list_sort(...))) so the float sum is association-identical
+    on both engines — the q93 discipline.
+    """
+    df = stream.df
+    base = df.select(to_col(id_col).alias("__id"),
+                     tokens(text_col).alias("__toks"))
+    occ = base.select(
+        "__id", F.size("__toks").alias("__n"), F.explode("__toks").alias("__w")
+    )
+    model = occ.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    stats = model.agg(F.sum("__c").alias("__NT"), F.count(F.lit(1)).alias("__V"))
+    cdw = occ.groupBy("__id", "__n", "__w").agg(F.count(F.lit(1)).alias("__cd"))
+    terms = (
+        cdw.join(model, "__w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "__id", "__n",
+            (F.col("__cd")
+             * F.log((F.col("__c") + F.lit(1)).cast("double")
+                     / (F.col("__NT") + F.col("__V")).cast("double"))
+             ).alias("__t"),
+        )
+    )
+    out = (
+        terms.groupBy("__id", "__n")
+        .agg(F.sort_array(F.collect_list("__t")).alias("__ts"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                F.aggregate("__ts", F.lit(0.0), lambda a, x: a + x)
+                / F.col("__n"), 6,
+            ).alias(alias),
+        )
+    )
+    return stream._new(out)
+
+
+def sql_unigram_logprob(table_expr: str, id_col: str, text: str, *,
+                        alias: str = "avg_logprob") -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS __id, {sql_tokens(text)} AS toks FROM {table_expr}
+), occ AS (
+  SELECT __id, len(toks) AS n, unnest(toks) AS w FROM base
+), model AS (
+  SELECT w, count(*) AS c FROM occ GROUP BY w
+), stats AS (
+  SELECT sum(c) AS nt, count(*) AS v FROM model
+), cdw AS (
+  SELECT __id, n, w, count(*) AS cd FROM occ GROUP BY 1, 2, 3
+), terms AS (
+  SELECT __id, n,
+         cd * ln((m.c + 1)::DOUBLE / (s.nt + s.v)::DOUBLE) AS t
+  FROM cdw JOIN model m USING (w), stats s
+)
+SELECT __id AS {id_col}, round(list_sum(list_sort(list(t))) / n, 6) AS {alias}
+FROM terms GROUP BY __id, n
+"""
+
+
 def sample_weighted(stream, id_col: str, weight_expr, *, salt: str = "w0"):
     """Per-row weighted sample: keep a row with probability
     ``weight_expr`` (a column in [0, 1], e.g. a quality score) — the

@@ -1205,6 +1205,14 @@ class Stream:
 
         return _we(self, id_col, text_col)
 
+    def unigram_logprob(self, id_col: str, text_col: str, **kw) -> "Stream":
+        """Per-document mean token log-probability under a corpus-trained
+        unigram LM (perplexity-style quality filter) —
+        prep.unigram_logprob."""
+        from .prep import unigram_logprob as _ul
+
+        return _ul(self, id_col, text_col, **kw)
+
     def sample_weighted(self, id_col: str, weight_expr, **kw) -> "Stream":
         """Deterministic per-row weighted sample (keep-probability =
         weight column, e.g. a quality score) — prep.sample_weighted."""

@@ -2252,6 +2252,7 @@ from .prep import (  # noqa: E402  (oracle generators share constants)
     sql_sample_fraction,
     sql_sample_stratified,
     sql_sample_weighted,
+    sql_unigram_logprob,
     sql_word_entropy,
     sql_tfidf_top_terms,
 )
@@ -3067,6 +3068,23 @@ LIMIT 10
 """
 
 
+def q98_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring — ``Stream.unigram_logprob``:
+    mean token log-probability under an add-1-smoothed unigram LM
+    trained on the corpus itself (the oracle-checkable form of CCNet's
+    KenLM filter). Model pass is wordcount-shaped; scoring joins
+    per-(doc, token) counts against the vocabulary-sized model (AQE
+    broadcasts it) with per-doc terms summed in canonical sorted order
+    — the q93 float discipline."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents").unigram_logprob("doc_id", "text").df
+    )
+
+
+ORACLE_Q98 = sql_unigram_logprob("documents", "doc_id", "text")
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3165,6 +3183,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_running_sum": q95_running_sum,
     "q96_dedup_against_bloom": q96_dedup_against_bloom,
     "q97_heavy_hitters": q97_heavy_hitters,
+    "q98_unigram_logprob": q98_unigram_logprob,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3267,4 +3286,5 @@ ORACLE: Dict[str, str] = {
     "q95_running_sum": ORACLE_Q95,
     "q96_dedup_against_bloom": ORACLE_Q96,
     "q97_heavy_hitters": ORACLE_Q97,
+    "q98_unigram_logprob": ORACLE_Q98,
 }
