@@ -6,13 +6,13 @@ in ``renoir_spark/suite.py`` (one entry per operator family from
 SURVEY.md §2, each with a DuckDB-equivalent oracle).
 
 The driver's correctness harness hashes only the FIRST 50 keys of
-``sorted(queries())``.  The suite declares 93 queries, so a plain
+``sorted(queries())``.  The suite declares 98 queries, so a plain
 alphabetical listing would leave whole operator families (NEXMark, as-of
 join, rollup/quantiles/count-distinct, the prep/multimodal layer, cluster
 dedup) without a driver row.  ``DRIVER_SET`` below is therefore a curated
 50-slot set — one representative per family — exposed under ``dNN_``
 keys so it sorts BEFORE the remaining ``q``-keyed entries; the driver
-hashes exactly these 50, while all 93 queries stay exposed here and are
+hashes exactly these 50, while all 98 queries stay exposed here and are
 bit-exactly verified against DuckDB in ``tests/test_oracle.py``.
 """
 
@@ -27,10 +27,13 @@ from renoir_spark import suite
 # One representative per SURVEY.md §2 family (order = driver slot):
 #   core folds/scans: q01 q10 q24 · joins: q03 q04 q22 q52 q86 · plumbing:
 #   q05 q12 q19 · element-wise: q09 q42 · windows: q11 q13 q14 q16 q23 q36
-#   q40 · iteration: q26 q49 q89 · NEXMark: q61 q62 q63 q65 q66 q68 ·
-#   dedup: q28 q34 q69 q83 q84 q85 q88 · text/prep: q30 q48 q70 q71 q78
-#   q80 q81 q92 · ANN: q50 · multimodal: q51 · agg extensions: q87 q90 q91
-#   · argmax: q08
+#   q40 · iteration: q26 q49 q89 · NEXMark: q61 q65 q66 q68 ·
+#   dedup: q28 q34 q69 q83 q84 q85 q88 q96 · text/prep: q30 q48 q70 q71
+#   q78 q80 q81 q98 · ANN: q50 · multimodal: q51 · agg extensions: q87
+#   q90 q91 q97 · argmax: q08
+# (round 4: q62/q63/q92 rotated out for the round's new operators —
+#  bloom decontamination q96, MG heavy hitters q97, unigram-LM
+#  perplexity q98; the rotated-out queries stay oracle-verified.)
 DRIVER_SET = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -61,8 +64,8 @@ DRIVER_SET = [
     "q51_multimodal_decode",
     "q52_salted_join",
     "q61_nexmark_hot_items",
-    "q62_nexmark_highest_bid",
-    "q63_nexmark_new_users",
+    "q96_dedup_against_bloom",
+    "q97_heavy_hitters",
     "q65_nexmark_winning_bids",
     "q66_nexmark_avg_category",
     "q68_nexmark_item_suggestion",
@@ -81,7 +84,7 @@ DRIVER_SET = [
     "q89_sssp",
     "q90_count_distinct",
     "q91_rollup",
-    "q92_sample_weighted",
+    "q98_unigram_logprob",
 ]
 
 assert len(DRIVER_SET) == 50 and len(set(DRIVER_SET)) == 50

@@ -1822,7 +1822,12 @@ def heavy_hitters(stream, key_col, k: int, *, capacity: Optional[int] = None,
             .limit(k)
         )
         return stream._new(full.withColumnRenamed("__key", key_col))
-    return stream._new(topk.withColumnRenamed("__key", key_col))
+    # the validation collect already materialized the k result rows —
+    # rebuild the result from them instead of re-executing the two-pass
+    # plan at action time (k rows, bounded like the k-means seeds)
+    spark = stream.df.sparkSession
+    out = spark.createDataFrame(rows, topk.schema)
+    return stream._new(out.withColumnRenamed("__key", key_col))
 
 
 def sql_heavy_hitters(table_expr: str, key: str, k: int, *,
