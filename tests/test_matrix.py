@@ -56,6 +56,12 @@ SWEEP = [
     # the chunked prefix scan: chunk boundaries move with the layout but
     # the carries must reconstruct the identical prefix sums
     "q95_running_sum",
+    # per-partition Misra-Gries candidates change with the layout
+    # (1 partition sees the whole stream, 8 see slices) but the exact
+    # recount + exactness check must return the identical top-k
+    "q97_heavy_hitters",
+    # canonical-order float sums (the q93 discipline) for the LM terms
+    "q98_unigram_logprob",
 ]
 
 
