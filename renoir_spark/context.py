@@ -377,7 +377,21 @@ class ChannelSource:
         try:
             os.link(path, dst)
         except OSError:
-            shutil.copy2(path, dst)
+            # cross-filesystem: a direct copy into the spool is NOT
+            # atomic — a draining file source could list the
+            # half-written destination mid-copy. Copy to a dot-prefixed
+            # temp name (hidden from Spark's file listing) in the SAME
+            # directory, then rename (atomic within a filesystem).
+            tmp = os.path.join(self.directory, f".{os.path.basename(dst)}.tmp")
+            try:
+                shutil.copy2(path, tmp)
+                os.rename(tmp, dst)
+            except BaseException:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                raise
         self._pushes += 1
 
     def stream(self, *, max_files_per_trigger: Optional[int] = None) -> Stream:

@@ -954,7 +954,7 @@ WITH toked AS (
   SELECT id1 AS id, max(span_len) AS dup FROM runs GROUP BY 1
 )
 SELECT t.id AS {id_col},
-       len(t.toks)::BIGINT AS n_tokens,
+       coalesce(len(t.toks), 0)::BIGINT AS n_tokens,
        coalesce(d.dup, 0)::BIGINT AS dup_span_len,
        CASE WHEN len(t.toks) > 0
             THEN round(coalesce(d.dup, 0)::DOUBLE / len(t.toks), 6)
@@ -1791,18 +1791,39 @@ def heavy_hitters(stream, key_col, k: int, *, capacity: Optional[int] = None,
 
     def _mg(batches):
         import pandas as pd
+        from pyspark import TaskContext
 
+        pid = TaskContext.get().partitionId()
+        n_part = 0
         counts = None
         for pdf in batches:
+            n_part += len(pdf)
             vc = pdf["__key"].value_counts()
             counts = vc if counts is None else counts.add(vc, fill_value=0)
             if len(counts) > c:
                 d = counts.nlargest(c + 1).iloc[-1]
                 counts = counts[counts > d] - d
-        if counts is not None and len(counts):
-            yield pd.DataFrame({"__key": counts.index})
+        if n_part:
+            # candidates + the partition's row count riding along (NULL
+            # sentinel key when every counter decremented away), so the
+            # exactness check's N needs no separate corpus scan
+            keys = (
+                list(counts.index)
+                if counts is not None and len(counts)
+                else [None]
+            )
+            yield pd.DataFrame({
+                "__key": pd.Series(keys, dtype=object),
+                "__pid": pid,
+                "__pn": n_part,
+            })
 
-    cands = df.mapInPandas(_mg, f"__key {ktype}").distinct()
+    sketch = df.mapInPandas(_mg, f"__key {ktype}, __pid int, __pn long").persist()
+    n_total = (
+        sketch.select("__pid", "__pn").distinct().agg(F.sum("__pn")).collect()[0][0]
+        or 0
+    )
+    cands = sketch.filter(F.col("__key").isNotNull()).select("__key").distinct()
     exact = (
         df.join(F.broadcast(cands), "__key", "left_semi")
         .groupBy("__key")
@@ -1810,8 +1831,8 @@ def heavy_hitters(stream, key_col, k: int, *, capacity: Optional[int] = None,
     )
     topk = exact.orderBy(F.col(cnt_alias).desc(), F.col("__key").asc()).limit(k)
 
-    n_total = df.count()
     rows = topk.collect()
+    sketch.unpersist()
     if len(rows) < k or (rows and rows[-1][cnt_alias] * (c + 1) <= n_total):
         # capacity too small for this skew (or < k candidates): exact
         # fallback — same answer the sketch path would give with a

@@ -159,7 +159,10 @@ class KeyedStream:
            key, and no window partition exceeds ~rows/#chunks;
         3. per-(chunk, key) totals — a relation of at most
            #chunks + #keys rows — prefix-summed by a window over the
-           tiny relation and broadcast-joined back as carry-ins.
+           tiny relation and joined back as carry-ins (null-safely, so
+           a NULL key keeps its carries; AQE broadcasts the carry
+           relation when it is small and hash-joins it at billion-key
+           cardinality).
 
         Costs one extra exchange + a correctness persist versus the
         plain window form (see the inline comment); buys a per-key scan
@@ -180,8 +183,12 @@ class KeyedStream:
             return self._stream(df)
 
         df = self.df.withColumn("__ord", to_col(order))
+        # native sum types: SUM(long) stays long (chunked carry addition
+        # is then exact at ANY association, and the output schema matches
+        # the skew_proof=False window path); doubles keep the usual
+        # association caveat either way
         for n, e in named.items():
-            df = df.withColumn(f"__v_{n}", to_col(e).cast("double"))
+            df = df.withColumn(f"__v_{n}", to_col(e))
         P = partitions or int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
@@ -230,18 +237,37 @@ class KeyedStream:
             *[F.sum(f"__c_{n}").over(wprev).alias(f"__cc_{n}") for n in names],
         )
 
-        out = local.join(F.broadcast(carry), ["__pid", *keys], "left")
+        # NULL-SAFE carry join: a NULL key is a real group for the window
+        # machinery (both the local prefix and the carry relation keep
+        # it), so the re-attach must match it too — a plain equi-join
+        # would drop NULL-key carries and silently reset that group's
+        # prefix at every chunk boundary. No forced broadcast: the carry
+        # relation is O(#chunks + #keys) rows — tiny for bounded key
+        # spaces (AQE broadcasts it), but at billion-key cardinality it
+        # must be allowed to hash-join instead of OOMing the driver.
+        cr = carry.select(
+            F.col("__pid").alias("__cr_pid"),
+            *[F.col(k).alias(f"__cr_k{i}") for i, k in enumerate(keys)],
+            *[F.col(f"__cs_{n}") for n in names],
+            *[F.col(f"__cc_{n}") for n in names],
+        )
+        cond = local["__pid"] == cr["__cr_pid"]
+        for i, k in enumerate(keys):
+            cond = cond & local[k].eqNullSafe(cr[f"__cr_k{i}"])
+        out = local.join(cr, cond, "left")
         for n in names:
             seen = (
                 F.col(f"__ln_{n}") + F.coalesce(F.col(f"__cc_{n}"), F.lit(0))
             ) > 0
-            cum = F.coalesce(F.col(f"__lc_{n}"), F.lit(0.0)) + F.coalesce(
-                F.col(f"__cs_{n}"), F.lit(0.0)
+            cum = F.coalesce(F.col(f"__lc_{n}"), F.lit(0)) + F.coalesce(
+                F.col(f"__cs_{n}"), F.lit(0)
             )
             out = out.withColumn(n, F.when(seen, cum))
-        drop = ["__ord", "__pid"] + [
-            f"__{p}_{n}" for n in names for p in ("v", "lc", "ln", "cs", "cc")
-        ]
+        drop = (
+            ["__ord", "__pid", "__cr_pid"]
+            + [f"__cr_k{i}" for i in range(len(keys))]
+            + [f"__{p}_{n}" for n in names for p in ("v", "lc", "ln", "cs", "cc")]
+        )
         return self._stream(out.drop(*drop))._retain(d)
 
     def rich_map(self, fn: Callable, schema, *, order: Optional[Sequence] = None) -> "Stream":

@@ -71,9 +71,12 @@ def _fold_py_partials(df: DataFrame, init, local_fn: Callable) -> DataFrame:
     """Per-partition partial fold as an Arrow-batched stage: each input
     partition reduces to ONE pickled-accumulator row (so the driver merge
     sees <= num_partitions rows). Rows reach ``local_fn`` as pyspark
-    ``Row`` objects (attribute + [] access), matching the old RDD path;
-    values are native Python via pandas' record conversion (timestamps
-    arrive as ``pd.Timestamp``, a datetime subclass)."""
+    ``Row`` objects (attribute + [] access) built from
+    ``RecordBatch.to_pylist`` (``mapInArrow``), NOT a pandas conversion:
+    pandas would coerce a nullable long column to float64, handing the
+    closure NaN (truthy!) where the old RDD path delivered None, and
+    rounding longs above 2^53 — ``to_pylist`` preserves exact ints,
+    None, and datetimes."""
     import pickle
 
     from pyspark.sql import Row
@@ -84,18 +87,21 @@ def _fold_py_partials(df: DataFrame, init, local_fn: Callable) -> DataFrame:
     def _partial(batches):
         import copy
 
-        import pandas as pd
+        import pyarrow as pa
 
         acc = copy.deepcopy(init)
         seen = False
-        for pdf in batches:
-            for rec in pdf.to_dict("records"):
+        for batch in batches:
+            for rec in batch.to_pylist():
                 acc = local_fn(acc, mk(*[rec[c] for c in cols]))
                 seen = True
         if seen:
-            yield pd.DataFrame({"acc": [pickle.dumps(acc)]})
+            yield pa.RecordBatch.from_pydict(
+                {"acc": [pickle.dumps(acc)]},
+                schema=pa.schema([("acc", pa.binary())]),
+            )
 
-    return df.mapInPandas(_partial, "acc binary")
+    return df.mapInArrow(_partial, "acc binary")
 
 
 class Stream:

@@ -119,3 +119,26 @@ def test_q86_asof_is_one_window_pass_not_a_range_join(ctx):
     # no join operator at all: the match is carried by the window frame
     for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert j not in plan, j
+
+
+def test_running_sum_chunked_plan_shape(ctx):
+    """The skew-proof running_sum promises: a range exchange splits hot
+    keys across chunks, the carry re-attach is a null-safe equi-join
+    (never a cartesian/nested loop), and no forced broadcast hint (AQE
+    must stay free to hash-join a billion-key carry relation)."""
+    from pyspark.sql import functions as F
+
+    s = ctx.stream_iter(
+        [(i % 3, i, float(i)) for i in range(100)], "k int, o long, v double"
+    ).key_by("k")
+    df = s.running_sum("o", partitions=4, cum=F.col("v")).df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    s_null = ctx.stream_iter(
+        [(None, 1, 1.0), (None, 2, 1.0)], "k int, o long, v double"
+    ).key_by("k")
+    out = {r.o: r.cum for r in
+           s_null.running_sum("o", partitions=2, cum=F.col("v")).collect_vec()}
+    assert out == {1: 1.0, 2: 2.0}

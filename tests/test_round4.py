@@ -153,7 +153,9 @@ def test_fold_py_no_rdd_in_plan(ctx):
     plan = partials._sc._jvm.PythonSQLUtils.explainString(
         partials._jdf.queryExecution(), "formatted"
     )
-    assert "MapInPandas" in plan
+    # mapInArrow (PythonMapInArrow) since the exact-value fix: pandas
+    # conversion coerced nullable longs to float64/NaN
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
     assert "ExistingRDD" not in plan and "Scan ExistingRDD" not in plan
 
 
