@@ -1054,3 +1054,171 @@ SELECT id AS {id_col},
        CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM mk GROUP BY id
 """
+
+
+# --------------------------------------------------------------------- #
+# BPE tokenizer training (learned merges) + application
+# --------------------------------------------------------------------- #
+
+def bpe_train(stream, text_col: str, *, num_merges: int = 50,
+              min_pair_count: int = 2, checkpoint_every: int = 8):
+    """Learn a byte-pair-encoding merge table FROM the corpus with Spark
+    aggregations — the tokenizer-training step of an LLM data pipeline
+    (Sennrich et al. 2016 word-level BPE; the algorithm is public
+    knowledge, re-derived here with deterministic tie-breaks so reruns
+    and the pure-Python reference in tests agree exactly).
+
+    Returns a Stream of ``(rank, left, right, pair_count)`` — merge
+    rules in learned order (rank 0 first). Deterministic: the winning
+    pair each round is max by (count desc, left asc, right asc).
+
+    Scale shape: the corpus is scanned ONCE into a word-frequency
+    relation (vocabulary-sized — orders of magnitude smaller than the
+    corpus, the same relation TF-IDF broadcasts); every merge round then
+    runs on that relation only: one explode+sum pair count (map-side
+    partials, pair-cardinality shuffle), a 1-row driver argmax (bounded
+    collect, the k-means-seed discipline), and a pure-JVM left-fold
+    rewrite of each word's symbol array (``F.aggregate`` — replace-last
+    IS greedy leftmost merging, since a merged symbol can never equal
+    its own left half). Lineage is cut every ``checkpoint_every`` rounds
+    (the iteration-loop discipline) so round N's plan never replays
+    rounds 1..N-1.
+
+    Symbol convention: a word splits into characters plus a trailing
+    ``</w>`` end-of-word symbol (so merges can learn word-final units);
+    pairs never cross word boundaries.
+    """
+    df = stream.df
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    vocab = words.select(
+        "__f",
+        F.concat(
+            F.expr("split(__w, '(?!$)')"), F.array(F.lit("</w>"))
+        ).alias("__syms"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rank in range(num_merges):
+        # a fully-merged word (one symbol) has no pairs — and must not
+        # reach the index expression: Spark's sequence(1, 0) steps DOWN
+        pairs = (
+            vocab.filter(F.size("__syms") >= 2).select(
+                "__f",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__syms) - 1), "
+                        "i -> struct(element_at(__syms, i) AS a, "
+                        "element_at(__syms, i + 1) AS b))"
+                    )
+                ).alias("__p"),
+            )
+            .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+            .agg(F.sum("__f").alias("cnt"))
+            .filter(F.col("cnt") >= min_pair_count)
+        )
+        top = pairs.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((rank, a, b, cnt))
+        la, lb = F.lit(a), F.lit(b)
+        merged = F.aggregate(
+            "__syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (s == lb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(la, lb)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select("__f", merged.alias("__syms"))
+        if (rank + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+
+    out = spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
+    return stream._new(out)
+
+
+def bpe_segment(stream, text_col: str, merge_rows: Sequence, *,
+                alias: str = "bpe_tokens"):
+    """Apply a learned BPE merge table (rows from :func:`bpe_train`) to
+    every document: adds ``alias`` = the array of BPE tokens.
+
+    The merge table broadcasts as a plain rank dict; application runs in
+    an Arrow-batched pandas stage that encodes each DISTINCT word once
+    per batch (memoized — the classic tokenizer fast path: corpus token
+    cost is amortized over the Zipf head) with the standard
+    lowest-rank-first merge loop. Concatenating the output tokens (and
+    stripping ``</w>``) reconstructs the normalized words exactly —
+    pinned by a round-trip test."""
+    ranks = {(r["left"], r["right"]): int(r["rank"]) for r in merge_rows}
+    bc = stream.df.sparkSession.sparkContext.broadcast(ranks)
+
+    out_cols = stream.df.columns + [alias]
+
+    def _encode_word(word: str, rk: dict, cache: dict) -> list:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = rk.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, i)
+            if best is None:
+                break
+            # merge EVERY occurrence of the winning pair, leftmost-first
+            a, b = syms[best[1]], syms[best[1] + 1]
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = ns
+        cache[word] = syms
+        return syms
+
+    def _apply(batches):
+        import pandas as pd
+
+        rk = bc.value
+        cache: dict = {}
+        for pdf in batches:
+            toks = []
+            for text in pdf["__norm"]:
+                if text is None or text == "":
+                    toks.append([])
+                    continue
+                enc = []
+                for w in text.split(" "):
+                    if w:
+                        enc.extend(_encode_word(w, rk, cache))
+                toks.append(enc)
+            pdf = pdf.drop(columns=["__norm"])
+            pdf[alias] = toks
+            yield pdf
+
+    base = stream.df.withColumn("__norm", norm_text(text_col))
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in stream.df.schema.fields
+    ) + f", `{alias}` array<string>"
+    return stream._new(base.mapInPandas(_apply, schema).select(*out_cols))

@@ -1219,6 +1219,21 @@ class Stream:
 
         return _ul(self, id_col, text_col, **kw)
 
+    def bpe_train(self, text_col: str, **kw) -> "Stream":
+        """Learn a BPE merge table from the corpus (deterministic
+        Sennrich-style word-level BPE over the word-frequency relation)
+        — prep.bpe_train."""
+        from .prep import bpe_train as _bt
+
+        return _bt(self, text_col, **kw)
+
+    def bpe_segment(self, text_col: str, merge_rows, **kw) -> "Stream":
+        """Apply a learned BPE merge table to every document (memoized
+        Arrow-batched encoding) — prep.bpe_segment."""
+        from .prep import bpe_segment as _bs
+
+        return _bs(self, text_col, merge_rows, **kw)
+
     def sample_weighted(self, id_col: str, weight_expr, **kw) -> "Stream":
         """Deterministic per-row weighted sample (keep-probability =
         weight column, e.g. a quality score) — prep.sample_weighted."""
