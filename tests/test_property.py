@@ -232,3 +232,58 @@ def test_group_by_quantiles_equals_numpy(ctx, xs, p):
     want = float(np.percentile(np.array(xs, dtype=np.float64), p,
                                method="linear"))
     assert row.q == pytest.approx(want, rel=1e-12, abs=1e-9)
+
+
+@SLOW
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=12), min_size=1, max_size=120
+    ),
+    k=st.integers(min_value=1, max_value=5),
+    capacity=st.integers(min_value=2, max_value=16),
+)
+def test_heavy_hitters_always_exact(ctx, keys, k, capacity):
+    """heavy_hitters is EXACT for any capacity: the sketch path only
+    answers when the exactness check holds, otherwise the fallback
+    aggregation does — either way the result equals the brute top-k
+    with (count desc, key asc) tie-breaks."""
+    import collections
+
+    s = ctx.stream_iter([(x,) for x in keys], "k long").shuffle()
+    got = [
+        (r.k, r.cnt)
+        for r in s.heavy_hitters("k", k, capacity=capacity).collect_vec()
+    ]
+    cnt = collections.Counter(keys)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([None, 1, 2]),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t,
+    ),
+    parts=st.integers(min_value=1, max_value=6),
+)
+def test_running_sum_chunked_equals_window(ctx, rows, parts):
+    """The skew-proof chunked running_sum equals the plain window form
+    for any partition count, including NULL keys (which are a real
+    group) — integer values keep both paths exact."""
+    data = [(k, o, o + 1) for k, o in rows]
+    s = ctx.from_df(
+        ctx.spark.createDataFrame(data, "k int, o long, v long")
+    ).key_by("k")
+    a = {(r.k, r.o): r.cum
+         for r in s.running_sum("o", partitions=parts,
+                                cum=F.col("v")).collect_vec()}
+    b = {(r.k, r.o): r.cum
+         for r in s.running_sum("o", skew_proof=False,
+                                cum=F.col("v")).collect_vec()}
+    assert a == b
