@@ -414,6 +414,12 @@ def unigram_logprob(stream, id_col: str, text_col: str, *,
     occ = base.select(
         "__id", F.size("__toks").alias("__n"), F.explode("__toks").alias("__w")
     )
+    # DELIBERATE second explode: deriving the model from the per-(doc,
+    # token) counts would need that corpus-scale relation persisted
+    # (three consumers), trading a cheap re-scan for a trillion-row
+    # cache/spill at real scale — measured slower at sf0.1 too (0.8 →
+    # 1.3 s). Recompute-over-cache is the right call for corpus-sized
+    # lineage; the model pass is plain wordcount either way.
     model = occ.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
     stats = model.agg(F.sum("__c").alias("__NT"), F.count(F.lit(1)).alias("__V"))
     cdw = occ.groupBy("__id", "__n", "__w").agg(F.count(F.lit(1)).alias("__cd"))
