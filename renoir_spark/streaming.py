@@ -251,6 +251,87 @@ def keyed_map_with_state(
     )
 
 
+def heavy_hitters_stream(
+    stream,
+    key_col: str,
+    *,
+    capacity: int = 64,
+    n_buckets: int = 8,
+):
+    """Continuous heavy hitters over an UNBOUNDED stream with BOUNDED
+    state — the streaming form of ``Stream.heavy_hitters``: per-bucket
+    Misra-Gries counter sets (≤ ``capacity`` each) carried across
+    micro-batches via ``applyInPandasWithState``, so total state is
+    ``n_buckets × capacity`` counters REGARDLESS of key cardinality
+    (``windowed_top_k_stream`` keeps one count per distinct key per
+    window — right when cardinality is bounded; this operator is the
+    answer when it is not).
+
+    Keys partition disjointly into ``n_buckets`` hash buckets; each
+    bucket maintains the classic MG invariant, so after any prefix of
+    the stream every key with true count > d_b (its bucket's cumulative
+    decrement, ≤ N_b/(capacity+1)) is present, and every estimate
+    satisfies ``est ≤ true ≤ est + max_err``. Per trigger each bucket
+    emits its current candidates as ``(bucket, key, est, n_bucket,
+    max_err)`` — the final emission per bucket is the stream-so-far
+    summary (pick rows at max ``n_bucket``); a bucket whose counters
+    all decremented away emits one NULL-key sentinel so every trigger
+    still reports ``(n_bucket, max_err)``. NULL input keys are ignored.
+
+    Scale: one exchange on the bucket hash; per-batch work is a
+    value_counts merge into a capacity-bounded dict; the state store
+    carries two capacity-length arrays per bucket.
+    """
+    df = stream.df
+    bucketed = df.filter(F.col(key_col).isNotNull()).select(
+        (F.abs(F.xxhash64(F.col(key_col).cast("string"))) % n_buckets)
+        .cast("int").alias("__b"),
+        F.col(key_col).cast("string").alias("__k"),
+    )
+    state_schema = "ks array<string>, cs array<double>, n long, d double"
+    out_schema = (
+        "bucket int, key string, est double, n_bucket long, max_err double"
+    )
+
+    def _upd(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            ks, cs, n, d = state.get
+            counts = dict(zip(ks, cs))
+        else:
+            counts, n, d = {}, 0, 0.0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            for k2, c2 in pdf["__k"].value_counts().items():
+                counts[k2] = counts.get(k2, 0.0) + float(c2)
+            if len(counts) > capacity:
+                dec = sorted(counts.values(), reverse=True)[capacity]
+                counts = {k3: v - dec for k3, v in counts.items() if v > dec}
+                d += dec
+        state.update((list(counts), list(counts.values()), n, d))
+        # a batched decrement can empty the counter set entirely (all
+        # residuals tied) — still emit a NULL-key sentinel so every
+        # trigger reports the bucket's (n_bucket, max_err) and the
+        # "final emission per bucket" contract holds
+        ks_out = list(counts) or [None]
+        es_out = list(counts.values()) or [0.0]
+        yield pd.DataFrame({
+            "bucket": key[0],
+            "key": ks_out,
+            "est": es_out,
+            "n_bucket": n,
+            "max_err": d,
+        })
+
+    grouped = bucketed.groupBy("__b")
+    return stream._new(
+        grouped.applyInPandasWithState(
+            _upd, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )
+
+
 def windowed_top_k_stream(
     stream,
     ts,

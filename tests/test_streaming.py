@@ -470,3 +470,76 @@ def test_stream_static_dimension_join(ctx, stream_dir):
     # carries its dimension row
     assert len(got) == 7
     assert all(t == ("gold" if u == 1 else "basic") for u, _v, t in got)
+
+
+def test_streaming_heavy_hitters_bounded_state(ctx, tmp_path):
+    """heavy_hitters_stream: MG invariants hold after a multi-micro-batch
+    drain — candidate sets stay capacity-bounded, every estimate
+    under-counts by at most its bucket's max_err, every key with true
+    count > max_err survives, and the per-bucket row counts add up."""
+    import collections
+    import os as _os
+    import time as _time
+
+    from renoir_spark.streaming import heavy_hitters_stream, run_to_completion
+
+    rng_keys = (["hot"] * 40 + ["warm"] * 18
+                + [f"t{i}" for i in range(30)] * 2)
+    batches = [rng_keys[i::3] for i in range(3)]
+    d = tmp_path / "hh_stream"
+    d.mkdir()
+    for i, ks in enumerate(batches):
+        df = ctx.spark.createDataFrame([(k,) for k in ks], "k string")
+        p = str(d / f"b{i}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        t = _time.time() - 100 + i * 10
+        for root, _dirs, files in _os.walk(p):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (t, t))
+
+    unbounded = ctx.stream_parquet_unbounded(
+        f"{d}/*", "k string", max_files_per_trigger=1
+    )
+    out = heavy_hitters_stream(unbounded, "k", capacity=6, n_buckets=4)
+    rows = run_to_completion(out.df, output_mode="update")
+    assert rows
+
+    # final emission per bucket = rows at that bucket's max n_bucket
+    final = {}
+    for r in rows:
+        cur = final.get(r.bucket)
+        if cur is None or r.n_bucket > cur[0].n_bucket:
+            final[r.bucket] = [r]
+        elif r.n_bucket == cur[0].n_bucket:
+            cur.append(r)
+
+    true = collections.Counter(rng_keys)
+    from pyspark.sql import functions as F
+    bucket_of = {
+        r.k: r.b
+        for r in ctx.spark.createDataFrame(
+            [(k,) for k in true], "k string"
+        ).select(
+            "k", (F.abs(F.xxhash64(F.col("k"))) % 4).cast("int").alias("b")
+        ).collect()
+    }
+    n_per_bucket = collections.Counter()
+    for k, c in true.items():
+        n_per_bucket[bucket_of[k]] += c
+
+    for b, rs in final.items():
+        cands = [r for r in rs if r.key is not None]  # drop sentinels
+        assert len(cands) <= 6                   # capacity bound
+        assert rs[0].n_bucket == n_per_bucket[b]  # counts add up
+        err = rs[0].max_err
+        for r in cands:
+            t_cnt = true[r.key]
+            assert r.est <= t_cnt <= r.est + err, (r.key, r.est, t_cnt, err)
+        # every key with true count > max_err survives in its bucket
+        cand = {r.key for r in cands}
+        for k, c in true.items():
+            if bucket_of[k] == b and c > err:
+                assert k in cand, (k, c, err)
+    # the heavy key is present with a tight estimate
+    hot_rows = [r for rs in final.values() for r in rs if r.key == "hot"]
+    assert hot_rows and hot_rows[0].est >= 40 - hot_rows[0].max_err
