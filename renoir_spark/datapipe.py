@@ -1819,20 +1819,26 @@ def heavy_hitters(stream, key_col, k: int, *, capacity: Optional[int] = None,
             })
 
     sketch = df.mapInPandas(_mg, f"__key {ktype}, __pid int, __pn long").persist()
-    n_total = (
-        sketch.select("__pid", "__pn").distinct().agg(F.sum("__pn")).collect()[0][0]
-        or 0
-    )
-    cands = sketch.filter(F.col("__key").isNotNull()).select("__key").distinct()
-    exact = (
-        df.join(F.broadcast(cands), "__key", "left_semi")
-        .groupBy("__key")
-        .agg(F.count(F.lit(1)).alias(cnt_alias))
-    )
-    topk = exact.orderBy(F.col(cnt_alias).desc(), F.col("__key").asc()).limit(k)
-
-    rows = topk.collect()
-    sketch.unpersist()
+    try:
+        n_total = (
+            sketch.select("__pid", "__pn").distinct()
+            .agg(F.sum("__pn")).collect()[0][0]
+            or 0
+        )
+        cands = sketch.filter(F.col("__key").isNotNull()).select("__key").distinct()
+        exact = (
+            df.join(F.broadcast(cands), "__key", "left_semi")
+            .groupBy("__key")
+            .agg(F.count(F.lit(1)).alias(cnt_alias))
+        )
+        topk = exact.orderBy(
+            F.col(cnt_alias).desc(), F.col("__key").asc()
+        ).limit(k)
+        rows = topk.collect()
+    finally:
+        # release the sketch cache even when an action fails mid-job —
+        # retried calls must not accumulate InMemoryRelations
+        sketch.unpersist()
     if len(rows) < k or (rows and rows[-1][cnt_alias] * (c + 1) <= n_total):
         # capacity too small for this skew (or < k candidates): exact
         # fallback — same answer the sketch path would give with a

@@ -184,9 +184,12 @@ class KeyedStream:
 
         df = self.df.withColumn("__ord", to_col(order))
         # native sum types: SUM(long) stays long (chunked carry addition
-        # is then exact at ANY association, and the output schema matches
-        # the skew_proof=False window path); doubles keep the usual
-        # association caveat either way
+        # is then exact at ANY association, and for long/double inputs
+        # the output schema matches the skew_proof=False window path);
+        # doubles keep the usual association caveat either way. Decimals
+        # widen one extra digit here (carry + local prefix adds two
+        # SUM(decimal(p,s)) results) — cast downstream if a fixed
+        # decimal schema matters.
         for n, e in named.items():
             df = df.withColumn(f"__v_{n}", to_col(e))
         P = partitions or int(

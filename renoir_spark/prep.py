@@ -1200,6 +1200,11 @@ def bpe_segment(stream, text_col: str, merge_rows: Sequence, *,
                     ns.append(syms[i])
                     i += 1
             syms = ns
+        if len(cache) >= 200_000:
+            # bound the per-task memo (Zipf head stays amortized; an
+            # unbounded dict over web-scale distinct words — typos,
+            # URLs, numbers — would grow with the slice, not the head)
+            cache.pop(next(iter(cache)))
         cache[word] = syms
         return syms
 

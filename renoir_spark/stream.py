@@ -490,10 +490,12 @@ class Stream:
         """Arbitrary-closure two-phase fold — renoir ``fold_assoc``
         (src/operator/mod.rs:771-780): ``local_fn(acc, row)`` per
         partition, ``global_fn(acc, acc)`` merging partials. Vectorized:
-        an Arrow-batched ``mapInPandas`` partial fold emits one pickled
+        an Arrow-batched ``mapInArrow`` partial fold emits one pickled
         accumulator per partition and the driver merges those
         <= num_partitions partials — the RDD-aggregate contract without
-        the row-at-a-time Python pickling transfer path. Each partition
+        the row-at-a-time Python pickling transfer path, and with EXACT
+        value semantics (nullable longs reach the closure as int/None,
+        never pandas' NaN/float64 coercion). Each partition
         (and the driver merge) starts from its own deep copy of ``init``,
         exactly like ``RDD.aggregate``'s zeroValue."""
         import copy

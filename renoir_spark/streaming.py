@@ -283,8 +283,11 @@ def heavy_hitters_stream(
     carries two capacity-length arrays per bucket.
     """
     df = stream.df
+    # pmod, not abs(...) % n: abs(Long.MIN_VALUE) overflows under ANSI
+    # mode (a 2^-64 tail risk per key, but it would fail the query
+    # permanently on replay)
     bucketed = df.filter(F.col(key_col).isNotNull()).select(
-        (F.abs(F.xxhash64(F.col(key_col).cast("string"))) % n_buckets)
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
         .cast("int").alias("__b"),
         F.col(key_col).cast("string").alias("__k"),
     )

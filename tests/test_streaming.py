@@ -520,7 +520,7 @@ def test_streaming_heavy_hitters_bounded_state(ctx, tmp_path):
         for r in ctx.spark.createDataFrame(
             [(k,) for k in true], "k string"
         ).select(
-            "k", (F.abs(F.xxhash64(F.col("k"))) % 4).cast("int").alias("b")
+            "k", F.pmod(F.xxhash64(F.col("k")), F.lit(4)).cast("int").alias("b")
         ).collect()
     }
     n_per_bucket = collections.Counter()
