@@ -31,6 +31,7 @@ CASES = {
     "car_accidents.py": [],
     "nexmark.py": [f"{SF}/events.parquet", "all"],
     "data_prep_pipeline.py": [f"{SF}/documents.parquet"],
+    "corpus_analytics.py": [SF, "4"],
 }
 
 
