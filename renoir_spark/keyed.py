@@ -26,14 +26,21 @@ class KeyedStream:
         self.ctx = ctx
         self.df = df
         self.keys = list(keys)
+        # upstream correctness persists flowing through the keyed hop
+        # (propagated by Stream.key_by / back out via _stream)
+        self._retained: list = []
 
     def _stream(self, df: DataFrame) -> "Stream":
         from .stream import Stream
 
-        return Stream(self.ctx, df)
+        s = Stream(self.ctx, df)
+        s._retained.extend(self._retained)
+        return s
 
     def _keyed(self, df: DataFrame) -> "KeyedStream":
-        return KeyedStream(self.ctx, df, self.keys)
+        ks = KeyedStream(self.ctx, df, self.keys)
+        ks._retained.extend(self._retained)
+        return ks
 
     def to_stream(self) -> "Stream":
         """Drop KEYING, keep the key columns — renoir ``unkey``

@@ -1105,7 +1105,11 @@ def bpe_train(stream, text_col: str, *, num_merges: int = 50,
     vocab = words.select(
         "__f",
         F.concat(
-            F.expr("split(__w, '(?!$)')"), F.array(F.lit("</w>"))
+            # split(w, '') yields CODE POINTS (a lookahead-regex split
+            # cuts astral chars — emoji, math symbols — into lone
+            # surrogates that serialize as '?', corrupting learned
+            # merges and never matching bpe_segment's Python list(word))
+            F.expr("split(__w, '')"), F.array(F.lit("</w>"))
         ).alias("__syms"),
     ).localCheckpoint(eager=True)
 

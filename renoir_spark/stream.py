@@ -116,7 +116,16 @@ class Stream:
         self._retained: list = []
 
     def _new(self, df: DataFrame) -> "Stream":
-        return Stream(self.ctx, df)
+        # correctness persists (zip's global index, running_sum's range
+        # exchange, dedup signatures) must survive CHAINING: without
+        # propagation, `zip(...).map(...)` would strand the handles on
+        # the discarded intermediate Stream and `unpersist()` on the
+        # final stream could never release them. A branch (`split`)
+        # shares the handles — releasing one branch forces the other to
+        # recompute, never to return wrong results.
+        s = Stream(self.ctx, df)
+        s._retained.extend(self._retained)
+        return s
 
     def _retain(self, *dfs: DataFrame) -> "Stream":
         self._retained.extend(dfs)
@@ -388,7 +397,9 @@ class Stream:
         for name, e in named_keys.items():
             df = df.withColumn(name, to_col(e))
             names.append(name)
-        return KeyedStream(self.ctx, df, names)
+        ks = KeyedStream(self.ctx, df, names)
+        ks._retained.extend(self._retained)
+        return ks
 
     def window_all(self, descr) -> "GlobalWindowedStream":
         """Window the WHOLE stream — renoir ``Stream::window_all``

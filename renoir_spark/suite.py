@@ -29,6 +29,10 @@ from .window import (
     TransactionWindow,
 )
 
+# canonical Unicode lowercasing shared with the early oracles (the full
+# datapipe oracle-generator import block sits with its query section)
+from .datapipe import sql_lower_canon  # noqa: E402
+
 
 def _ctx(spark: SparkSession) -> StreamContext:
     return StreamContext(spark)
@@ -275,9 +279,9 @@ def q09_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q09 = """
+ORACLE_Q09 = f"""
 SELECT word, count(*) AS cnt
-FROM (SELECT unnest(string_split(replace(replace(lower(text), 'i̇', 'i'), 'ς', 'σ'), ' ')) AS word FROM documents)
+FROM (SELECT unnest(string_split({sql_lower_canon('text')}, ' ')) AS word FROM documents)
 WHERE word <> ''
 GROUP BY word
 """
@@ -808,9 +812,8 @@ def q26_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = verts.count()
     if n == 0:  # empty graph: no ranks, keep the output schema
         ew.unpersist()
-        verts_df, verts = verts, None
-        out = verts_df.withColumn("rank", F.lit(0.0)).select("v", "rank")
-        verts_df.unpersist()
+        out = verts.withColumn("rank", F.lit(0.0)).select("v", "rank")
+        verts.unpersist()
         return out
 
     init = ctx.from_df(verts.withColumn("r", F.lit(1.0 / n)))
@@ -3058,9 +3061,9 @@ def q97_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.heavy_hitters("word", 10, capacity=64).df
 
 
-ORACLE_Q97 = """
+ORACLE_Q97 = f"""
 SELECT word, count(*) AS cnt
-FROM (SELECT unnest(string_split(replace(replace(lower(text), 'i̇', 'i'), 'ς', 'σ'), ' ')) AS word FROM documents)
+FROM (SELECT unnest(string_split({sql_lower_canon('text')}, ' ')) AS word FROM documents)
 WHERE word <> ''
 GROUP BY word
 ORDER BY cnt DESC, word ASC

@@ -287,7 +287,7 @@ class WindowedStream:
             df = self.keyed.df
             for name, e in named.items():
                 df = df.withColumn(name, to_col(e).over(frame))
-            return Stream(self.keyed.ctx, df)
+            return self.keyed._stream(df)
 
         a = self.descr.assign(self.keyed)
         gcols = [*self.keyed.keys, *a.group_cols]
@@ -301,7 +301,7 @@ class WindowedStream:
         proj = [F.col(k) for k in self.keyed.keys] + a.out_cols + [
             F.col(n) for n in names if n not in self.keyed.keys
         ]
-        return Stream(self.keyed.ctx, out.select(*proj))
+        return self.keyed._stream(out.select(*proj))
 
     # -- named aggregators (aggr/{sum,count,min,max,first,last}.rs) ---- #
 
@@ -408,7 +408,7 @@ class WindowedStream:
             F.col(c) for c in out.columns
             if c not in lgroup and not c.startswith("__")
         ]
-        return Stream(self.keyed.ctx, out.select(*proj))
+        return self.keyed._stream(out.select(*proj))
 
 
 class GlobalWindowedStream:

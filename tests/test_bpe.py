@@ -98,3 +98,27 @@ def test_bpe_segment_null_and_empty_text(ctx):
     out = {r.id: r.bpe_tokens for r in s.bpe_segment("text", merges).collect_vec()}
     assert out[1] == [] and out[2] == []
     assert out[3] != []
+
+
+def test_bpe_train_non_bmp_characters(ctx):
+    """Astral (non-BMP) characters must be single symbols: a
+    UTF-16-naive split would cut them into lone surrogates serialized
+    as '?', corrupting the learned merges and never matching
+    bpe_segment's code-point symbols."""
+    texts = ["\U0001F600\U0001F600x \U0001F600\U0001F600x \U0001F600\U0001F600x"]
+    s = ctx.stream_iter([(t,) for t in texts], "text string")
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in s.bpe_train("text", num_merges=4).df.orderBy("rank").collect()
+    ]
+    exp = _ref_bpe_train(texts, 4)
+    assert got == exp
+    # the emoji participates in merges as a SINGLE code-point symbol —
+    # never as a lone surrogate / '?'
+    syms = {s for _, a, b, _ in got for s in (a, b)}
+    assert any("\U0001F600" in s for s in syms), syms
+    assert not any("?" in s for s in syms), syms
+    merges = s.bpe_train("text", num_merges=4).df.collect()
+    seg = s.bpe_segment("text", merges).df.collect()
+    rebuilt = "".join(seg[0].bpe_tokens).replace("</w>", " ").strip()
+    assert rebuilt == " ".join(texts[0].lower().split())

@@ -118,3 +118,33 @@ def test_longest_dup_span_null_text_matches_oracle(ctx, spark, tmp_path):
     exp = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
     assert got == exp
     assert got[2] == (0, 0, 0.0)
+
+
+# ------------------------------------------------------------------ #
+# correctness persists survive CHAINING: zip(...).map(...).unpersist()
+# must release the internal handles (previously stranded on the
+# discarded intermediate Stream)
+# ------------------------------------------------------------------ #
+
+def test_zip_chain_unpersist_releases_internal_persists(ctx, spark):
+    a = ctx.stream_iter([(i,) for i in range(10)], "x long")
+    b = ctx.stream_iter([(i * 2,) for i in range(10)], "y long")
+    z = a.zip(b, order=["x"], other_order=["y"]).map("x", "y")
+    assert z.collect_count() == 10
+    assert len(z._retained) >= 1
+    assert all(d.is_cached for d in z._retained)
+    z.unpersist(blocking=True)
+    assert z._retained == []
+
+
+def test_running_sum_chain_through_keyed_releases(ctx, spark):
+    s = ctx.from_df(
+        spark.createDataFrame([(1, i, 1.0) for i in range(20)],
+                              "k int, o long, v double")
+    )
+    out = s.key_by("k").running_sum("o", partitions=2, cum=F.col("v")) \
+        .map("k", "o", "cum")
+    assert out.collect_count() == 20
+    assert len(out._retained) >= 1
+    out.unpersist(blocking=True)
+    assert out._retained == []
