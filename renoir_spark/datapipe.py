@@ -2366,3 +2366,179 @@ SELECT qid, {id_col}, cos, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def ann_cosine_sq8(
+    stream,
+    queries,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    rerank: int = 12,
+    dim: int = 64,
+):
+    """Scalar-quantized (SQ8) cosine top-k with exact rerank — the
+    memory/IO scale path next to LSH bucketing and IVF probing: each
+    corpus vector is compressed to one byte per dimension (4x smaller
+    than fp32), the full scan ranks candidates on the DEQUANTIZED codes,
+    and only the ``rerank`` best per query are re-scored against the
+    fp32 vectors.
+
+    Quantization grid: per-dimension [min, max] over the corpus,
+    ``code = floor((x - mn) / (mx - mn) * 255 + 0.5)`` — the classic
+    SQ8 codec (FAISS ``ScalarQuantizer`` family; public knowledge).
+    Both the grid and the two-stage selection are mirrored verbatim in
+    :func:`sql_ann_cosine_sq8`, so correctness is bit-exact regardless
+    of quantization error: approximate scores are rounded to 6 decimals
+    and tie-broken by id in BOTH engines, so the candidate ID set —
+    and hence the exact-reranked result — is identical.
+
+    Scale notes (100 TB): the stats pass is one map-side-combined
+    aggregate (128 partial mins/maxes per partition, one 1-row result)
+    broadcast back into the encode scan — no driver collect, no second
+    shuffle. At production scale the ``__codes`` column is the artifact
+    you persist (write_parquet of (id, codes) is 4x smaller and scans
+    4x faster than the fp32 corpus); norms of the dequantized vectors
+    would be precomputed into that table rather than re-derived per
+    query. The approximate scan never shuffles the corpus — queries
+    broadcast to it (same contract as ``ann_cosine_brute``); the only
+    shuffles are the two tiny per-query top-N windows, and the rerank
+    joins the (nq x rerank)-row candidate list broadcast against the
+    corpus. Quantizing on a per-dimension grid keeps the codec
+    data-parallel: no codebook training loop (contrast IVF/PQ), so a
+    cold corpus encodes in a single pass."""
+    # one-row grid: per-dim min / (max - min), map-side combined
+    stats = stream.df.agg(
+        F.array(
+            *[F.min(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+        ).alias("__mins"),
+        F.array(
+            *[F.max(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+        ).alias("__maxs"),
+    ).select(
+        "__mins",
+        F.zip_with("__maxs", "__mins", lambda mx, mn: mx - mn).alias("__scales"),
+    )
+
+    c = stream.df.select(
+        F.col(id_col), F.col(vec_col).alias("cvec")
+    ).crossJoin(F.broadcast(stats))
+    diff = F.zip_with(
+        F.col("cvec"), F.col("__mins"), lambda x, mn: x.cast("double") - mn
+    )
+    codes = F.zip_with(
+        diff,
+        F.col("__scales"),
+        lambda d, s: F.when(s == F.lit(0.0), F.lit(0.0)).otherwise(
+            F.floor(d / s * F.lit(255.0) + F.lit(0.5)).cast("double")
+        ),
+    )
+    enc = c.select(id_col, "__mins", "__scales", codes.alias("__codes"))
+
+    # dequantize: xhat = mn + (code / 255) * scale  (same op order as SQL)
+    half = F.zip_with(
+        F.col("__codes"), F.col("__scales"), lambda cd, s: cd / F.lit(255.0) * s
+    )
+    xhat = F.zip_with(half, F.col("__mins"), lambda h, mn: mn + h)
+
+    q = queries.df.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    approx = F.round(
+        _dot(F.col("qvec"), F.col("__xhat"))
+        / (_norm2(F.col("qvec")) * _norm2(F.col("__xhat"))),
+        6,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("__approx").desc(), id_col)
+    cand = (
+        enc.select(id_col, xhat.alias("__xhat"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", "qvec", id_col, approx.alias("__approx"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= rerank)
+        .select("qid", "qvec", id_col)
+    )
+
+    cos = F.round(
+        _dot(F.col("qvec"), F.col("cvec"))
+        / (_norm2(F.col("qvec")) * _norm2(F.col("cvec"))),
+        6,
+    )
+    scored = (
+        stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+        .join(F.broadcast(cand), id_col)
+        .select("qid", id_col, cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return stream._new(
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sql_ann_cosine_sq8(
+    table_expr: str,
+    query_pred: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    rerank: int = 12,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`ann_cosine_sq8`: the same per-dimension
+    [min, max] grid, the same ``floor([0,255])`` codec (identical IEEE
+    op order: ``(x - mn) / s * 255 + 0.5``), the same round-to-6 +
+    id tie-break candidate selection, the same exact rerank."""
+    dot_qx = SQL_DOT.format(a="q.qvec", b="x.xv")
+    nq = SQL_NORM.format(a="q.qvec")
+    nx = SQL_NORM.format(a="x.xv")
+    dot_qc = SQL_DOT.format(a="cand.qvec", b="c.v")
+    nq2 = SQL_NORM.format(a="cand.qvec")
+    nc = SQL_NORM.format(a="c.v")
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS id, {vec_col} AS v FROM {table_expr}
+), q AS (
+  SELECT {id_col} AS qid, {vec_col} AS qvec FROM {table_expr}
+  WHERE {query_pred}
+), stats AS (
+  SELECT i, min(v[i]::DOUBLE) AS mn, max(v[i]::DOUBLE) AS mx
+  FROM c, range(1, {dim + 1}) t(i)
+  GROUP BY i
+), st AS (
+  SELECT list(mn ORDER BY i) AS mins,
+         list(mx - mn ORDER BY i) AS scales
+  FROM stats
+), xhat AS (
+  SELECT c.id,
+         list_transform(
+           list_zip(
+             list_transform(list_zip(c.v, st.mins, st.scales),
+               p -> CASE WHEN p[3] = 0 THEN 0.0
+                    ELSE floor((p[1]::DOUBLE - p[2]) / p[3] * 255.0 + 0.5)
+                    END),
+             st.scales, st.mins),
+           p -> p[3] + (p[1] / 255.0) * p[2]) AS xv
+  FROM c, st
+), cand AS (
+  SELECT qid, qvec, id FROM (
+    SELECT q.qid, q.qvec, x.id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round({dot_qx} / ({nq} * {nx}), 6) DESC, x.id) AS rn
+    FROM xhat x, q
+    WHERE x.id <> q.qid
+  ) WHERE rn <= {rerank}
+), scored AS (
+  SELECT cand.qid, c.id AS {id_col},
+         round({dot_qc} / ({nq2} * {nc}), 6) AS cos
+  FROM cand JOIN c ON c.id = cand.id
+)
+SELECT qid, {id_col}, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, {id_col}) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -1343,9 +1343,14 @@ class Stream:
     def ann_cosine(self, queries: "Stream", *, method: str = "brute", **kw) -> "Stream":
         """Cosine top-k similarity search over an embedding column:
         ``method='brute'`` (broadcast baseline), ``'lsh'`` (sign-plane
-        buckets) or ``'ivf'`` (Voronoi cells + nprobe). See
-        datapipe.ann_cosine_*."""
-        from .datapipe import ann_cosine_brute, ann_cosine_ivf, ann_cosine_lsh
+        buckets), ``'ivf'`` (Voronoi cells + nprobe) or ``'sq8'``
+        (byte-quantized scan + exact rerank). See datapipe.ann_cosine_*."""
+        from .datapipe import (
+            ann_cosine_brute,
+            ann_cosine_ivf,
+            ann_cosine_lsh,
+            ann_cosine_sq8,
+        )
 
         if method == "brute":
             return ann_cosine_brute(self, queries, **kw)
@@ -1353,6 +1358,8 @@ class Stream:
             return ann_cosine_lsh(self, queries, **kw)
         if method == "ivf":
             return ann_cosine_ivf(self, queries, **kw)
+        if method == "sq8":
+            return ann_cosine_sq8(self, queries, **kw)
         raise ValueError(f"unknown ann method {method!r}")
 
     # ------------------------------------------------------------------ #

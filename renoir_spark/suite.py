@@ -911,6 +911,7 @@ from .datapipe import (  # noqa: E402  (oracle generators share constants)
     sql_ann_cosine_brute,
     sql_ann_cosine_ivf,
     sql_ann_cosine_lsh,
+    sql_ann_cosine_sq8,
     sql_dedup_against,
     sql_approx_distinct_kmv,
     sql_dedup_embedding,
@@ -3088,6 +3089,21 @@ def q98_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q98 = sql_unigram_logprob("documents", "doc_id", "text")
 
 
+def q99_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized cosine top-3 with exact rerank: per-dim
+    [min,max] byte codec (4x smaller corpus scan), approximate ranking
+    on the dequantized codes, fp32 re-score of the top-12 candidates.
+    The oracle mirrors the grid, codec and two-stage selection, so the
+    check is bit-exact independent of quantization error."""
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings")
+    queries = _t(ctx, sf_dir, "embeddings").filter("vec_id < 8")
+    return emb.ann_cosine(queries, method="sq8", k=3, rerank=12).df
+
+
+ORACLE_Q99 = sql_ann_cosine_sq8("embeddings", "vec_id < 8", k=3, rerank=12)
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3187,6 +3203,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_dedup_against_bloom": q96_dedup_against_bloom,
     "q97_heavy_hitters": q97_heavy_hitters,
     "q98_unigram_logprob": q98_unigram_logprob,
+    "q99_ann_sq8": q99_ann_sq8,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3290,4 +3307,5 @@ ORACLE: Dict[str, str] = {
     "q96_dedup_against_bloom": ORACLE_Q96,
     "q97_heavy_hitters": ORACLE_Q97,
     "q98_unigram_logprob": ORACLE_Q98,
+    "q99_ann_sq8": ORACLE_Q99,
 }

@@ -1,0 +1,65 @@
+"""SQ8 scalar-quantized ANN: exact-rerank contract and codec edge
+cases. The suite oracle (q99) pins bit-exactness vs DuckDB; these pin
+the operator-level properties that hold for ANY corpus."""
+
+from pyspark.sql import functions as F
+
+
+def _key(r):
+    d = r.asDict()
+    return (d["qid"], d["vec_id"], d["cos"], d["rank"])
+
+
+def test_sq8_full_rerank_equals_brute(ctx, sf_dir):
+    """With rerank >= corpus size the candidate stage keeps everything,
+    so the exact re-score must reproduce brute-force bit-for-bit —
+    quantization error can reorder candidates but never the final
+    top-k."""
+    emb = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet")
+    queries = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id < 4"
+    )
+    brute = sorted(
+        map(_key, emb.ann_cosine(queries, method="brute", k=3).collect_vec())
+    )
+    sq8 = sorted(
+        map(
+            _key,
+            emb.ann_cosine(
+                queries, method="sq8", k=3, rerank=10**6
+            ).collect_vec(),
+        )
+    )
+    assert sq8 == brute and len(sq8) == 12
+
+
+def test_sq8_string_ids_and_constant_dims(ctx):
+    """A dimension with zero spread (max == min) hits the scale-0 codec
+    branch (code pinned to 0, dequantized back to mn); ids carry through
+    with their own dtype — nothing assumes long."""
+    rows = [
+        (f"id{i:02d}", [float(i % 5), 7.0, float((i * 3) % 4)])
+        for i in range(12)
+    ]
+    corpus = ctx.stream_iter(rows, "vec_id string, embedding array<double>")
+    queries = ctx.stream_iter(
+        rows[:2], "vec_id string, embedding array<double>"
+    )
+    out = corpus.ann_cosine(
+        queries, method="sq8", k=2, rerank=6, dim=3
+    ).collect_vec()
+    assert len(out) == 4  # 2 queries x k=2
+    assert all(isinstance(r.qid, str) and isinstance(r.vec_id, str) for r in out)
+    assert all(r.qid != r.vec_id for r in out)
+    assert all(-1.0 <= r.cos <= 1.0 for r in out)
+
+
+def test_sq8_corpus_smaller_than_rerank_and_k(ctx):
+    rows = [(i, [1.0, float(i)]) for i in range(3)]
+    corpus = ctx.stream_iter(rows, "vec_id long, embedding array<double>")
+    queries = ctx.stream_iter(rows[:1], "vec_id long, embedding array<double>")
+    out = corpus.ann_cosine(
+        queries, method="sq8", k=10, rerank=50, dim=2
+    ).collect_vec()
+    # 1 query, corpus of 3 minus self = 2 neighbors
+    assert sorted(r.vec_id for r in out) == [1, 2]
