@@ -84,6 +84,7 @@ def main() -> None:
             ("s02_stream_stream_join", _streaming_join),
             ("s03_transaction_window_stream", _streaming_transaction_window),
             ("s04_session_window_stream", _streaming_sessions),
+            ("s05_minhash_dedup_stream", _streaming_minhash_dedup),
         ):
             n, took = sfn(spark, sf_dir)
             timings[sname] = min(timings.get(sname, float("inf")), took)
@@ -153,7 +154,7 @@ def _stream_source(spark, spool: str):
     )
 
 
-def _run_streaming_leg(spark, sf_dir: str, build) -> tuple[int, float]:
+def _run_streaming_leg(spark, sf_dir: str, build, spooler=None) -> tuple[int, float]:
     """Timed availableNow drain of a streaming query built by
     ``build(ctx, spool)``. State-store partitions are fixed at the
     query's first run by shuffle.partitions; every micro-batch then pays
@@ -169,7 +170,7 @@ def _run_streaming_leg(spark, sf_dir: str, build) -> tuple[int, float]:
     from renoir_spark.streaming import run_to_completion
 
     ctx = StreamContext(spark)
-    spool = _spool_events(spark, sf_dir)
+    spool = (spooler or _spool_events)(spark, sf_dir)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -180,6 +181,62 @@ def _run_streaming_leg(spark, sf_dir: str, build) -> tuple[int, float]:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(spool, ignore_errors=True)
+
+
+def _spool_documents(spark, sf_dir: str) -> str:
+    """Documents spooled as an in-order stream (ts synthesized from
+    doc_id, one doc per second) for the fuzzy-dedup leg."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spool = tempfile.mkdtemp(prefix="docs_stream_")
+    try:
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.timestamp_seconds("doc_id").alias("ts"), "text")
+        )
+        docs.repartitionByRange(8, "ts").write.mode("overwrite").parquet(spool)
+        parts = sorted(glob.glob(f"{spool}/part-*"))
+        base = time.time() - len(parts) - 1
+        for i, p in enumerate(parts):
+            os.utime(p, (base + i, base + i))
+    except BaseException:
+        shutil.rmtree(spool, ignore_errors=True)
+        raise
+    return spool
+
+
+def _streaming_minhash_dedup(spark, sf_dir: str) -> tuple[int, float]:
+    """Streaming leg 5: MinHash-LSH fuzzy dedup band verdicts over an
+    unbounded document stream — the FIFTH stateful machinery class:
+    custom Python state keyed by LSH band buckets with WATERMARK-BOUNDED
+    eviction (EventTimeTimeout), i.e. fuzzy dedup where exact streaming
+    dedup (dropDuplicatesWithinWatermark) structurally cannot reach.
+    The signature chain (normalize → shingle → minhash → band) runs as
+    JVM expressions inside the micro-batch; only bucket matching is
+    Python state. State is bounded to the `delay` horizon of docs per
+    bucket."""
+    from renoir_spark.streaming import dedup_minhash_stream
+
+    def build(ctx, spool):
+        src = (
+            spark.readStream
+            .schema("doc_id long, ts timestamp, text string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(spool)
+        )
+        # state_groups sized to ~8x the leg's 8 state partitions (the
+        # documented dial): measured 18 s per-bucket-key / 6.5 s at 1024
+        # groups / 4.4 s at 64 for the identical 20k-verdict drain
+        return dedup_minhash_stream(
+            ctx.from_df(src), "text", "doc_id", ts_col="ts",
+            delay="600 seconds", threshold=0.7, state_groups=64,
+        )
+
+    return _run_streaming_leg(spark, sf_dir, build, spooler=_spool_documents)
 
 
 def _streaming_hot_items(spark, sf_dir: str) -> tuple[int, float]:

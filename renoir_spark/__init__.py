@@ -19,11 +19,13 @@ from .stream import Stream
 from .streaming import (
     count_window_fold_stream,
     dedup_exact_stream,
+    dedup_minhash_stream,
     event_time_agg,
     foreach_batch,
     interval_join_stream,
     keyed_map_with_state,
     last_k_window_stream,
+    minhash_survivors,
     run_to_completion,
     session_agg,
     transaction_window_stream,
@@ -60,6 +62,8 @@ __all__ = [
     "session_agg",
     "interval_join_stream",
     "dedup_exact_stream",
+    "dedup_minhash_stream",
+    "minhash_survivors",
     "keyed_map_with_state",
     "count_window_fold_stream",
     "last_k_window_stream",

@@ -152,6 +152,235 @@ def dedup_exact_stream(stream, text_col: str, *, ts_col: str, delay: str = "10 m
     return stream._new(out.drop("__ck"))
 
 
+_DELAY_UNITS = {
+    "millisecond": 1_000, "milliseconds": 1_000,
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
+
+def _delay_us(delay: str) -> int:
+    n, unit = delay.strip().split()
+    return int(float(n) * _DELAY_UNITS[unit.lower()])
+
+
+def dedup_minhash_stream(
+    stream,
+    text_col: str,
+    id_col: str,
+    *,
+    ts_col: str,
+    delay: str = "10 minutes",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    state_groups: int = 1024,
+):
+    """Streaming MinHash-LSH near-duplicate detection — the unbounded
+    form of :func:`~renoir_spark.datapipe.dedup_minhash`'s greedy rule:
+    a document is a duplicate iff some EARLIER document (event time,
+    ties by id — the streaming analog of batch's smaller-id rule)
+    within the watermark horizon shares an LSH band bucket AND passes
+    exact shingle-Jaccard >= ``threshold``.
+
+    Emits one VERDICT row per (document, band):
+    ``(id, ts, bidx, matched)`` — reduce to per-document survivors with
+    :func:`minhash_survivors`. The two stages cannot live in one query:
+    Spark (correctly) rejects stateful operators downstream of
+    ``applyInPandasWithState`` because custom state logic may emit rows
+    behind the global watermark — so the verdict stream is spooled
+    through a :meth:`~renoir_spark.stream.Stream.materialize`-style
+    parquet handoff (or ``foreachBatch``) and the per-doc OR runs as its
+    own query. This is the same phase pattern as the s01 bench leg.
+
+    Spark-first shape: the signature chain (normalize → shingles →
+    minhash → band hashes) is the SAME Column expression pipeline as the
+    batch operator — only candidate matching moves into
+    ``applyInPandasWithState``. Matching is per ``(bidx, bhash)`` band
+    bucket, but the STATE KEY is ``hash(bidx, bhash) % state_groups``
+    with a per-bucket dict inside each group — semantics are identical
+    (a row is only compared against ITS bucket's entries), while the
+    per-key Python-call overhead stops scaling with bucket cardinality:
+    band buckets are mostly singletons, and one pandas call per bucket
+    measured 18 s for a 5k-doc drain vs 6 s with 1024 coarse groups
+    (same output). ``state_groups`` is the parallelism-vs-call-overhead
+    dial: keep it a few × the state-store partition count. Bucket state
+    holds the docs of the last ``delay`` of event time (id, ts, shingle
+    set), evicted by watermark, with an ``EventTimeTimeout`` to clear
+    idle groups. Rows are processed in (ts, id) order within a
+    micro-batch, and a doc enters state even when itself a duplicate —
+    exactly the batch greedy rule (a dropped doc still drowns later
+    copies).
+
+    Scale: state is O(arrival rate x delay) overall, spread over
+    ``state_groups`` keys; the shingle sets DO ride the band explode
+    here (``bands`` copies) because verification needs them inside the
+    state store — the batch operator's re-attach trick has no streaming
+    analog. Verification work per row is |bucket| set intersections,
+    the same in-bucket cost as the batch equi-join. Reference parity:
+    renoir's keyed stateful map (src/operator/mod.rs:2740-2746) + the
+    watermark-frontier eviction contract
+    (src/operator/start/watermark_frontier.rs:7-60).
+    """
+    import json as _json
+
+    import pandas as pd
+
+    from .datapipe import (
+        MINHASH_P,
+        _mh_params,
+        md5_int31,
+        norm_text,
+        shingles_from,
+    )
+
+    df = stream.df
+    if not df.isStreaming:
+        raise ValueError(
+            "dedup_minhash_stream needs an unbounded stream; use "
+            "Stream.dedup_minhash for bounded data"
+        )
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    delay_us = _delay_us(delay)
+
+    staged = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            to_col(ts_col).cast("timestamp").alias("__ts"),
+            F.col(text_col).alias("__text"),
+        )
+        .withColumn("__norm", norm_text("__text"))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+        .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), shingle_n))
+        .withColumn("__hs", F.transform(F.col("__sh"), lambda s: md5_int31(s)))
+    )
+    mh = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__hs"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
+                )
+            )
+            for a, b in _mh_params(num_hashes)
+        ]
+    )
+    sig = staged.select("__id", "__ts", "__sh", mh.alias("__mh"))
+    band_hash = [
+        md5_int31(
+            F.concat_ws("-", *[
+                F.element_at(F.col("__mh"), b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ])
+        ).alias(f"__b{b}")
+        for b in range(bands)
+    ]
+    buckets = (
+        sig.select(
+            "__id", "__ts", "__sh",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("bidx"), band_hash[b].alias("bhash"))
+                for b in range(bands)
+            ])).alias("__b"),
+        )
+        .select(
+            "__id", "__ts", "__sh",
+            F.col("__b.bidx").alias("bidx"),
+            F.col("__b.bhash").alias("bhash"),
+        )
+        .withColumn(
+            "__g", F.pmod(F.hash("bidx", "bhash"), F.lit(state_groups))
+        )
+        .withWatermark("__ts", delay)
+    )
+
+    id_t = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_t}, ts timestamp, bidx int, matched boolean"
+
+    def _fn(key, pdf_iter, state):
+        # state: {"bidx:bhash": [[id, ts_us, [shingles…]], …]}
+        store = _json.loads(state.get[0]) if state.exists else {}
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # watermark eviction: a doc only drowns copies arriving within
+        # `delay` of it (the dropDuplicatesWithinWatermark contract)
+        if wm_us > 0:
+            store = {
+                bk: kept
+                for bk, es in store.items()
+                if (kept := [e for e in es if e[1] >= wm_us - delay_us])
+            }
+        out = []
+        if not state.hasTimedOut:
+            pdfs = [p for p in pdf_iter]
+            pdf = pd.concat(pdfs, ignore_index=True) if pdfs else None
+            if pdf is not None and len(pdf):
+                pdf = pdf.sort_values(["__ts", "__id"])
+                for rec in pdf.to_dict("records"):
+                    sh = set(rec["__sh"])
+                    bk = f'{rec["bidx"]}:{rec["bhash"]}'
+                    entries = store.setdefault(bk, [])
+                    # same IEEE comparison as the batch operator:
+                    # size(intersect)/size(union) >= threshold
+                    matched = any(
+                        len(sh | e_sh) > 0
+                        and len(sh & e_sh) / len(sh | e_sh) >= threshold
+                        for e_sh in (set(e[2]) for e in entries)
+                    )
+                    ts_us = int(rec["__ts"].value // 1000)
+                    out.append((rec["__id"], rec["__ts"], rec["bidx"], matched))
+                    entries.append((rec["__id"], ts_us, sorted(sh)))
+        if store:
+            state.update((_json.dumps(store),))
+            max_ts_ms = max(e[1] for es in store.values() for e in es) // 1000
+            state.setTimeoutTimestamp(
+                max(max_ts_ms + delay_us // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=[id_col, "ts", "bidx", "matched"])
+
+    grouped = buckets.groupBy("__g")
+    return stream._new(
+        grouped.applyInPandasWithState(
+            _fn, out_schema, "s string", "append", "EventTimeTimeout"
+        )
+    )
+
+
+def minhash_survivors(
+    verdicts,
+    id_col: str,
+    *,
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+):
+    """Per-document reduction over :func:`dedup_minhash_stream` verdict
+    rows: a doc survives iff NO band matched. Streaming input (the
+    spooled verdict stream re-sourced) uses a watermarked append-mode
+    aggregation grouped on ``(id, ts)`` — all of a doc's band verdicts
+    carry its event timestamp, so the group closes when the watermark
+    passes it; bounded input (a drained verdict frame) reduces with a
+    plain groupBy. Output: one ``(id, ts)`` row per surviving doc."""
+    df = verdicts.df
+    agg = F.max("matched").alias("__m")
+    if df.isStreaming:
+        out = (
+            df.withWatermark(ts_col, delay)
+            .groupBy(id_col, ts_col)
+            .agg(agg)
+        )
+    else:
+        out = df.groupBy(id_col, ts_col).agg(agg)
+    return verdicts._new(out.filter(~F.col("__m")).drop("__m"))
+
+
 def interval_join_stream(
     left,
     right,

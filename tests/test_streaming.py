@@ -543,3 +543,151 @@ def test_streaming_heavy_hitters_bounded_state(ctx, tmp_path):
     # the heavy key is present with a tight estimate
     hot_rows = [r for rs in final.values() for r in rs if r.key == "hot"]
     assert hot_rows and hot_rows[0].est >= 40 - hot_rows[0].max_err
+
+
+# ------------------------------------------------------------------ #
+# streaming MinHash fuzzy dedup (two-phase: band verdicts + per-doc OR)
+# ------------------------------------------------------------------ #
+
+_MH_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog in the park today"),
+    (1, "completely unrelated text about stars planets and galaxies far away"),
+    # near-dup of 0 (one word changed -> shingle jaccard >= 0.7... actually
+    # verified against the batch operator below, not assumed)
+    (2, "the quick brown fox jumps over the lazy dog in the park tonight"),
+    (3, "bananas apples oranges pears and grapes make a fine fruit salad"),
+    # exact-content dup of 1 up to whitespace
+    (4, "completely  unrelated text about stars planets and galaxies far away"),
+    # near-dup of 3
+    (5, "bananas apples oranges pears and grapes make a fine fruit bowl"),
+]
+
+
+def _mh_stream_survivors(ctx, pushes, *, delay="1 hour", threshold=0.5):
+    from renoir_spark.streaming import (
+        dedup_minhash_stream,
+        minhash_survivors,
+        run_to_completion,
+    )
+
+    ch = ctx.stream_channel("doc_id long, ts timestamp, text string")
+    for rows in pushes:
+        ch.push(rows)
+    s = ch.stream(max_files_per_trigger=1)  # one micro-batch per push
+    verdicts = dedup_minhash_stream(
+        s, "text", "doc_id", ts_col="ts", delay=delay,
+        num_hashes=12, bands=4, shingle_n=3, threshold=threshold,
+    )
+    rows = run_to_completion(verdicts.df, output_mode="append")
+    bounded = ctx.from_df(
+        ctx.spark.createDataFrame(rows, verdicts.df.schema)
+    )
+    out = minhash_survivors(bounded, "doc_id").collect_vec()
+    return {r.doc_id for r in out}, rows
+
+
+def test_streaming_minhash_dedup_matches_batch_greedy(ctx):
+    """Two-phase streaming MinHash dedup == batch dedup_minhash greedy
+    rule when event-time order matches id order and the delay covers the
+    whole stream. Same signature chain, same bands, same exact-Jaccard
+    verification — parity is over the REAL operator, not a mock."""
+    t0 = _ts(1000)
+    pushes = [
+        [(i, t0, txt) for i, txt in _MH_DOCS[:3]],
+        [(i, t0, txt) for i, txt in _MH_DOCS[3:]],
+    ]
+    got, rows = _mh_stream_survivors(ctx, pushes)
+    # every doc produced one verdict per band
+    assert len(rows) == len(_MH_DOCS) * 4
+
+    batch = ctx.from_df(
+        ctx.spark.createDataFrame(
+            [(i, txt) for i, txt in _MH_DOCS], "doc_id long, text string"
+        )
+    ).dedup_minhash(
+        "text", "doc_id", num_hashes=12, bands=4, shingle_n=3, threshold=0.5,
+    )
+    want = {r.doc_id for r in batch.collect_vec()}
+    assert got == want
+    # sanity: the dataset actually contains duplicates to drop
+    assert want != {i for i, _ in _MH_DOCS}
+
+
+def test_streaming_minhash_dropped_doc_still_drowns_later_copies(ctx):
+    """The batch greedy rule is transitive-blind: B (dup of A) is
+    dropped but still drowns C (dup of B). The streaming state must keep
+    dropped docs too."""
+    a = "one two three four five six seven eight nine ten eleven twelve"
+    pushes = [
+        [(0, _ts(1000), a)],
+        [(1, _ts(1001), a)],  # dup of 0 -> dropped
+        [(2, _ts(1002), a)],  # dup of 1 (and 0) -> dropped
+    ]
+    got, _ = _mh_stream_survivors(ctx, pushes)
+    assert got == {0}
+
+
+def test_streaming_minhash_state_evicted_past_watermark_delay(ctx):
+    """A duplicate arriving AFTER the watermark delay horizon survives:
+    the band state is bounded by `delay`, not by history (the
+    dropDuplicatesWithinWatermark contract for fuzzy dedup)."""
+    a = "one two three four five six seven eight nine ten eleven twelve"
+    filler = "totally different filler text to advance the watermark frontier now"
+    pushes = [
+        [(0, _ts(1000), a)],
+        [(1, _ts(1400), filler)],   # advances watermark past 1000+delay
+        [(2, _ts(1800), a)],        # same content, far outside horizon
+    ]
+    got, _ = _mh_stream_survivors(ctx, pushes, delay="10 seconds")
+    assert got == {0, 1, 2}
+
+
+def test_streaming_minhash_survivors_streaming_phase2(ctx, tmp_path):
+    """Phase 2 itself runs as a STREAMING query over the spooled
+    verdicts (watermarked append-mode agg grouped on (id, ts)) — the
+    materialize handoff pattern the operator documents. A trailing
+    flush doc advances the watermark so every real group closes before
+    the availableNow drain ends (append-mode groups need wm > ts)."""
+    from renoir_spark.streaming import (
+        dedup_minhash_stream,
+        foreach_batch,
+        minhash_survivors,
+        run_to_completion,
+    )
+
+    flush = (99, _ts(9000), "flush row far in the future to advance the watermark")
+    pushes = [
+        [(i, _ts(1000 + i), txt) for i, txt in _MH_DOCS[:3]],
+        [(i, _ts(1000 + i), txt) for i, txt in _MH_DOCS[3:]],
+        [flush],
+    ]
+    ch = ctx.stream_channel("doc_id long, ts timestamp, text string")
+    for rows in pushes:
+        ch.push(rows)
+    verdicts = dedup_minhash_stream(
+        ch.stream(max_files_per_trigger=1), "text", "doc_id",
+        ts_col="ts", delay="1 hour", threshold=0.5,
+    )
+    spool = str(tmp_path / "verdicts")
+    os.makedirs(spool, exist_ok=True)
+
+    def _sink(batch_df, _bid):
+        if batch_df.count():
+            # one file per micro-batch: a doc's band verdicts travel together
+            batch_df.coalesce(1).write.mode("append").parquet(spool)
+
+    foreach_batch(verdicts.df, _sink)
+    resumed = ctx.stream_parquet_unbounded(
+        spool, "doc_id long, ts timestamp, bidx int, matched boolean",
+        max_files_per_trigger=1,
+    )
+    out = minhash_survivors(resumed, "doc_id", delay="5 seconds")
+    got = {r.doc_id for r in run_to_completion(out.df, output_mode="append")}
+
+    batch_out = minhash_survivors(
+        ctx.stream_parquet(spool), "doc_id"
+    ).collect_vec()
+    # every real group closed (wm passed all real ts); the flush doc's own
+    # group may or may not have closed — compare on the real docs only
+    assert got - {flush[0]} == {r.doc_id for r in batch_out} - {flush[0]}
+    assert {i for i, _ in _MH_DOCS} - got  # something was actually dropped
