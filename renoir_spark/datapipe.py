@@ -2542,3 +2542,219 @@ SELECT qid, {id_col}, cos, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def ann_cosine_ivf_sq8(
+    stream,
+    queries,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    rerank: int = 12,
+    dim: int = 64,
+):
+    """IVF + SQ8 — the classic two-level ANN stack (FAISS ``IVFx,SQ8``;
+    public knowledge): IVF cells bound the SEARCH VOLUME
+    (``nprobe/n_cells`` of the corpus per query), SQ8 codes bound the
+    SCAN COST of what remains (1 byte/dim, 4x smaller than fp32), and an
+    exact fp32 rerank of the top ``rerank`` candidates removes the
+    quantization error from the final ranking. Pure composition of
+    :func:`ann_cosine_ivf` (same seeded Voronoi assignment, same probe
+    rule) and :func:`ann_cosine_sq8` (same per-dim [min,max] codec, same
+    round-to-6 + id tie-break candidate selection) — and the DuckDB
+    mirror :func:`sql_ann_cosine_ivf_sq8` composes the same two CTE
+    chains, so the check stays bit-exact.
+
+    Scale: one stats pass (map-side-combined aggregate, broadcast
+    back), one encode+assign pass over the corpus (cell id via the
+    Arrow block-matrix product, codes via JVM expressions — no shuffle),
+    then ONE shuffle on the cell id to meet the broadcast probed
+    queries; candidates rerank against the fp32 corpus through a
+    broadcast id join. The persisted artifact at production scale is
+    (id, cell, codes) — bucketed by cell it serves every query batch
+    without re-encoding."""
+    units = _ivf_seed_units(stream.df, vec_col, id_col, n_cells)
+    dtypes = dict(stream.df.dtypes)
+    id_t = dtypes[id_col]
+    qid_t = dict(queries.df.dtypes)[id_col]
+    vec_t = dtypes[vec_col]
+
+    stats = stream.df.agg(
+        F.array(
+            *[F.min(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+        ).alias("__mins"),
+        F.array(
+            *[F.max(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+        ).alias("__maxs"),
+    ).select(
+        "__mins",
+        F.zip_with("__maxs", "__mins", lambda mx, mn: mx - mn).alias("__scales"),
+    )
+
+    assigned = _ivf_assign(
+        stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec")),
+        units, id_schema=f"{id_col} {id_t}",
+    ).crossJoin(F.broadcast(stats))
+    diff = F.zip_with(
+        F.col("cvec"), F.col("__mins"), lambda x, mn: x.cast("double") - mn
+    )
+    codes = F.zip_with(
+        diff,
+        F.col("__scales"),
+        lambda d, s: F.when(s == F.lit(0.0), F.lit(0.0)).otherwise(
+            F.floor(d / s * F.lit(255.0) + F.lit(0.5)).cast("double")
+        ),
+    )
+    enc = assigned.select(
+        id_col, "__cell", "__mins", "__scales", codes.alias("__codes")
+    )
+    half = F.zip_with(
+        F.col("__codes"), F.col("__scales"), lambda cd, s: cd / F.lit(255.0) * s
+    )
+    xhat = F.zip_with(half, F.col("__mins"), lambda h, mn: mn + h)
+
+    def _probe_cells(batches):
+        import numpy as np
+        import pandas as pd
+
+        UT = np.array(units, dtype=np.float64).T
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array([list(map(float, v)) for v in pdf["qvec"]], dtype=np.float64)
+            d = -np.round(_ivf_dots_block(mat, UT), 9)
+            top = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            idx = np.repeat(np.arange(len(pdf)), nprobe)
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].values[idx],
+                    "qvec": pdf["qvec"].values[idx],
+                    "__cell": top.ravel(),
+                }
+            )
+
+    q = queries.df.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    ).mapInPandas(_probe_cells, f"qid {qid_t}, qvec {vec_t}, __cell long")
+
+    approx = F.round(
+        _dot(F.col("qvec"), F.col("__xhat"))
+        / (_norm2(F.col("qvec")) * _norm2(F.col("__xhat"))),
+        6,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("__approx").desc(), id_col)
+    cand = (
+        enc.select(id_col, "__cell", xhat.alias("__xhat"))
+        .join(F.broadcast(q), "__cell")
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", "qvec", id_col, approx.alias("__approx"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= rerank)
+        .select("qid", "qvec", id_col)
+    )
+
+    cos = F.round(
+        _dot(F.col("qvec"), F.col("cvec"))
+        / (_norm2(F.col("qvec")) * _norm2(F.col("cvec"))),
+        6,
+    )
+    scored = (
+        stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+        .join(F.broadcast(cand), id_col)
+        .select("qid", id_col, cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return stream._new(
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sql_ann_cosine_ivf_sq8(
+    table_expr: str,
+    query_pred: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    rerank: int = 12,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`ann_cosine_ivf_sq8`: q50's cell
+    assignment/probe CTEs composed with q99's quantization CTEs."""
+    nrm = SQL_NORM.format(a=vec_col)
+    dot_cu = SQL_DOT.format(a="t.v", b="cells.u")
+    dot_qu = SQL_DOT.format(a="q.qvec", b="cells.u")
+    dot_qx = SQL_DOT.format(a="q.qvec", b="x.xv")
+    nq = SQL_NORM.format(a="q.qvec")
+    nx = SQL_NORM.format(a="x.xv")
+    dot_qc = SQL_DOT.format(a="cand.qvec", b="c.cvec")
+    nq2 = SQL_NORM.format(a="cand.qvec")
+    nc = SQL_NORM.format(a="c.cvec")
+    return f"""
+WITH cells AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell,
+         list_transform({vec_col}, x -> x::DOUBLE / {nrm}) AS u
+  FROM (SELECT * FROM {table_expr} ORDER BY {id_col} LIMIT {n_cells})
+), c AS (
+  SELECT id, cvec, cell FROM (
+    SELECT t.id, t.v AS cvec, cells.cell,
+           row_number() OVER (
+             PARTITION BY t.id
+             ORDER BY -round({dot_cu}, 9), cells.cell
+           ) AS rn
+    FROM (SELECT {id_col} AS id, {vec_col} AS v FROM {table_expr}) t, cells
+  ) WHERE rn = 1
+), stats AS (
+  SELECT i, min(cvec[i]::DOUBLE) AS mn, max(cvec[i]::DOUBLE) AS mx
+  FROM c, range(1, {dim + 1}) t(i)
+  GROUP BY i
+), st AS (
+  SELECT list(mn ORDER BY i) AS mins,
+         list(mx - mn ORDER BY i) AS scales
+  FROM stats
+), xhat AS (
+  SELECT c.id, c.cell,
+         list_transform(
+           list_zip(
+             list_transform(list_zip(c.cvec, st.mins, st.scales),
+               p -> CASE WHEN p[3] = 0 THEN 0.0
+                    ELSE floor((p[1]::DOUBLE - p[2]) / p[3] * 255.0 + 0.5)
+                    END),
+             st.scales, st.mins),
+           p -> p[3] + (p[1] / 255.0) * p[2]) AS xv
+  FROM c, st
+), probed AS (
+  SELECT qid, qvec, cell FROM (
+    SELECT q.qid, q.qvec, cells.cell,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY -round({dot_qu}, 9), cells.cell
+           ) AS rn
+    FROM (SELECT {id_col} AS qid, {vec_col} AS qvec
+          FROM {table_expr} WHERE {query_pred}) q, cells
+  ) WHERE rn <= {nprobe}
+), cand AS (
+  SELECT qid, qvec, id FROM (
+    SELECT q.qid, q.qvec, x.id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round({dot_qx} / ({nq} * {nx}), 6) DESC, x.id) AS rn
+    FROM xhat x JOIN probed q USING (cell)
+    WHERE x.id <> q.qid
+  ) WHERE rn <= {rerank}
+), scored AS (
+  SELECT cand.qid, c.id AS {id_col},
+         round({dot_qc} / ({nq2} * {nc}), 6) AS cos
+  FROM cand JOIN c ON c.id = cand.id
+)
+SELECT qid, {id_col}, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, {id_col}) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

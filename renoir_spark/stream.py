@@ -1348,6 +1348,7 @@ class Stream:
         from .datapipe import (
             ann_cosine_brute,
             ann_cosine_ivf,
+            ann_cosine_ivf_sq8,
             ann_cosine_lsh,
             ann_cosine_sq8,
         )
@@ -1360,6 +1361,8 @@ class Stream:
             return ann_cosine_ivf(self, queries, **kw)
         if method == "sq8":
             return ann_cosine_sq8(self, queries, **kw)
+        if method == "ivf_sq8":
+            return ann_cosine_ivf_sq8(self, queries, **kw)
         raise ValueError(f"unknown ann method {method!r}")
 
     # ------------------------------------------------------------------ #

@@ -911,6 +911,7 @@ from .datapipe import (  # noqa: E402  (oracle generators share constants)
     sql_ann_cosine_brute,
     sql_ann_cosine_ivf,
     sql_ann_cosine_lsh,
+    sql_ann_cosine_ivf_sq8,
     sql_ann_cosine_sq8,
     sql_dedup_against,
     sql_approx_distinct_kmv,
@@ -3104,6 +3105,25 @@ def q99_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q99 = sql_ann_cosine_sq8("embeddings", "vec_id < 8", k=3, rerank=12)
 
 
+def qa01_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 composed ANN (the classic two-level stack): Voronoi
+    cells bound search volume (nprobe/n_cells of the corpus), byte
+    codes bound scan cost (4x), exact fp32 rerank of the top-12. The
+    oracle composes q50's assignment/probe CTEs with q99's codec CTEs
+    — bit-exact regardless of either approximation."""
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings")
+    queries = _t(ctx, sf_dir, "embeddings").filter("vec_id < 8")
+    return emb.ann_cosine(
+        queries, method="ivf_sq8", k=3, n_cells=16, nprobe=4, rerank=12
+    ).df
+
+
+ORACLE_QA01 = sql_ann_cosine_ivf_sq8(
+    "embeddings", "vec_id < 8", k=3, n_cells=16, nprobe=4, rerank=12
+)
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3204,6 +3224,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97_heavy_hitters": q97_heavy_hitters,
     "q98_unigram_logprob": q98_unigram_logprob,
     "q99_ann_sq8": q99_ann_sq8,
+    "qa01_ann_ivf_sq8": qa01_ann_ivf_sq8,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3308,4 +3329,5 @@ ORACLE: Dict[str, str] = {
     "q97_heavy_hitters": ORACLE_Q97,
     "q98_unigram_logprob": ORACLE_Q98,
     "q99_ann_sq8": ORACLE_Q99,
+    "qa01_ann_ivf_sq8": ORACLE_QA01,
 }

@@ -63,3 +63,45 @@ def test_sq8_corpus_smaller_than_rerank_and_k(ctx):
     ).collect_vec()
     # 1 query, corpus of 3 minus self = 2 neighbors
     assert sorted(r.vec_id for r in out) == [1, 2]
+
+
+def test_ivf_sq8_full_probe_and_rerank_equals_brute(ctx, sf_dir):
+    """With nprobe == n_cells (probe everything) and rerank >= corpus,
+    both approximation levels are disabled and the composed stack must
+    reproduce brute force bit-for-bit."""
+    emb = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet")
+    queries = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id < 4"
+    )
+    brute = sorted(
+        map(_key, emb.ann_cosine(queries, method="brute", k=3).collect_vec())
+    )
+    stacked = sorted(
+        map(
+            _key,
+            emb.ann_cosine(
+                queries, method="ivf_sq8", k=3,
+                n_cells=8, nprobe=8, rerank=10**6,
+            ).collect_vec(),
+        )
+    )
+    assert stacked == brute and len(stacked) == 12
+
+
+def test_ivf_sq8_candidates_subset_of_ivf(ctx, sf_dir):
+    """Same cells, same probes: the composed stack's results can only
+    come from the cells plain IVF searches — its neighbor set per query
+    is a subset of IVF's candidate cells' population (sanity that the
+    SQ8 stage only reorders within the probed volume)."""
+    emb = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet")
+    queries = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id < 4"
+    )
+    ivf = emb.ann_cosine(
+        queries, method="ivf", k=50, n_cells=16, nprobe=4
+    ).collect_vec()
+    ivf_pop = {(r.qid, r.vec_id) for r in ivf}
+    stacked = emb.ann_cosine(
+        queries, method="ivf_sq8", k=3, n_cells=16, nprobe=4, rerank=50,
+    ).collect_vec()
+    assert {(r.qid, r.vec_id) for r in stacked} <= ivf_pop
