@@ -328,6 +328,67 @@ def minhash_signature(col, num_hashes: int = 12, shingle_n: int = 3) -> Column:
     )
 
 
+def minhash_bands_expr(
+    df,
+    text_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+):
+    """Shared normalize → shingle → minhash → band-hash Column chain:
+    appends ``__sh`` (distinct shingles) and ``__bands``
+    (array<struct(bidx, bhash)>) to ``df``, dropping the intermediates.
+    ONE implementation feeds both the batch candidate machinery
+    (:func:`minhash_pairs`) and the streaming operator
+    (:func:`~renoir_spark.streaming.dedup_minhash_stream`), so
+    batch/stream parity is by construction, not by copy discipline.
+
+    Every expensive intermediate is staged as a REAL column: a transform
+    lambda re-evaluates any embedded expression per element (no
+    common-subexpression elimination across a ``transform``), so the
+    tokenize → shingle → md5 → minhash chain must move through attribute
+    references — each step computed once per row (measured 50× on the
+    shingle chain)."""
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    staged = (
+        df.withColumn("__norm", norm_text(text_col))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+        .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), shingle_n))
+        .withColumn("__hs", F.transform(F.col("__sh"), lambda s: md5_int31(s)))
+    )
+    mh = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__hs"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
+                )
+            )
+            for a, b in _mh_params(num_hashes)
+        ]
+    )
+    sig = staged.withColumn("__mh", mh)
+    band_hash = [
+        md5_int31(
+            F.concat_ws("-", *[
+                F.element_at(F.col("__mh"), b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ])
+        ).alias(f"__b{b}")
+        for b in range(bands)
+    ]
+    return sig.withColumn(
+        "__bands",
+        F.array(*[
+            F.struct(F.lit(b).alias("bidx"), band_hash[b].alias("bhash"))
+            for b in range(bands)
+        ]),
+    ).drop("__norm", "__toks", "__hs", "__mh")
+
+
 def minhash_pairs(
     stream,
     text_col: str,
@@ -366,44 +427,15 @@ def minhash_pairs(
     shipping of KB-sized shingle arrays dwarfs a 16-byte-row pair
     dedup shuffle.
     """
-    rows_per_band = num_hashes // bands
-    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
-
-    # Stage every expensive intermediate as a REAL column: a transform
-    # lambda re-evaluates any embedded expression per element, so the
-    # tokenize → shingle → md5 → minhash chain must move through
-    # attribute references (each step computed once per row).
-    staged = (
-        stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
-        .withColumn("__norm", norm_text("__text"))
-        .withColumn("__toks", F.split(F.col("__norm"), " "))
-        .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), shingle_n))
-        .withColumn("__hs", F.transform(F.col("__sh"), lambda s: md5_int31(s)))
-    )
-    mh = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__hs"),
-                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
-                )
-            )
-            for a, b in _mh_params(num_hashes)
-        ]
-    )
-    sig = staged.select("__id", "__sh", mh.alias("__mh"))
-    band_hash = [
-        md5_int31(
-            F.concat_ws("-", *[
-                F.element_at(F.col("__mh"), b * rows_per_band + r + 1).cast("string")
-                for r in range(rows_per_band)
-            ])
-        ).alias(f"__b{b}")
-        for b in range(bands)
-    ]
-    sig = sig.select("__id", "__sh", F.array(
-        *[F.struct(F.lit(b).alias("bidx"), band_hash[b].alias("bhash")) for b in range(bands)]
-    ).alias("__bands")).persist()
+    # signature chain shared with the streaming operator — staging
+    # discipline documented on minhash_bands_expr
+    sig = minhash_bands_expr(
+        stream.df.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        ),
+        "__text",
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    ).select("__id", "__sh", "__bands").persist()
 
     buckets = sig.select(
         "__id", F.explode("__bands").alias("__b")
@@ -2202,27 +2234,6 @@ def ann_cosine_ivf(
     # _ivf_seed_units / _ivf_dots_block / _ivf_assign, also used by
     # dedup_embedding_ivf.)
     units = _ivf_seed_units(stream.df, vec_col, id_col, n_cells)
-
-    def _probe_cells(batches):
-        import numpy as np
-        import pandas as pd
-
-        UT = np.array(units, dtype=np.float64).T
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.array([list(map(float, v)) for v in pdf["qvec"]], dtype=np.float64)
-            d = -np.round(_ivf_dots_block(mat, UT), 9)
-            top = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
-            idx = np.repeat(np.arange(len(pdf)), nprobe)
-            yield pd.DataFrame(
-                {
-                    "qid": pdf["qid"].values[idx],
-                    "qvec": pdf["qvec"].values[idx],
-                    "__cell": top.ravel(),
-                }
-            )
-
     dtypes = dict(stream.df.dtypes)
     vec_t = dtypes[vec_col]
     id_t = dtypes[id_col]  # derive — a hardcoded `long` breaks string ids
@@ -2231,9 +2242,13 @@ def ann_cosine_ivf(
         units, id_schema=f"{id_col} {id_t}",
     )
     qid_t = dict(queries.df.dtypes)[id_col]
-    q = queries.df.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
-    ).mapInPandas(_probe_cells, f"qid {qid_t}, qvec {vec_t}, __cell long")
+    q = _ivf_probe(
+        queries.df.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+        ),
+        units, nprobe=nprobe,
+        out_schema=f"qid {qid_t}, qvec {vec_t}, __cell long",
+    )
 
     cos = F.round(
         _dot(F.col("qvec"), F.col("cvec"))
@@ -2368,6 +2383,120 @@ SELECT qid, {id_col}, cos, rank FROM (
 """
 
 
+def _ivf_probe(qdf, units, *, nprobe: int, out_schema: str):
+    """Arrow-vectorized query→cells probe shared by :func:`ann_cosine_ivf`
+    and :func:`ann_cosine_ivf_sq8`: each query row fans out to its
+    ``nprobe`` nearest cells (rounded argmax-dot against unit centroids,
+    stable ties → lowest cell — same rule as the oracle's ORDER BY).
+    ``qdf`` must carry exactly (qid, qvec)."""
+
+    def _probe_cells(batches):
+        import numpy as np
+        import pandas as pd
+
+        UT = np.array(units, dtype=np.float64).T
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array([list(map(float, v)) for v in pdf["qvec"]], dtype=np.float64)
+            d = -np.round(_ivf_dots_block(mat, UT), 9)
+            top = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            idx = np.repeat(np.arange(len(pdf)), nprobe)
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].values[idx],
+                    "qvec": pdf["qvec"].values[idx],
+                    "__cell": top.ravel(),
+                }
+            )
+
+    return qdf.mapInPandas(_probe_cells, out_schema)
+
+
+def _sq8_stats(df, vec_col: str, dim: int):
+    """One-row SQ8 grid (``__mins``, ``__scales`` = max - min per dim):
+    a map-side-combined aggregate — 2×dim partial extrema per partition,
+    one 1-row result to broadcast back into the encode scan. No driver
+    collect."""
+    return df.agg(
+        F.array(
+            *[F.min(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+        ).alias("__mins"),
+        F.array(
+            *[F.max(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+        ).alias("__maxs"),
+    ).select(
+        "__mins",
+        F.zip_with("__maxs", "__mins", lambda mx, mn: mx - mn).alias("__scales"),
+    )
+
+
+def _sq8_codes(vec: Column) -> Column:
+    """SQ8 encode ``floor((x - mn) / s * 255 + 0.5)`` (0 when s = 0)
+    against the broadcast ``__mins``/``__scales`` columns — the exact
+    IEEE op order the SQL mirrors inline."""
+    diff = F.zip_with(vec, F.col("__mins"), lambda x, mn: x.cast("double") - mn)
+    return F.zip_with(
+        diff,
+        F.col("__scales"),
+        lambda d, s: F.when(s == F.lit(0.0), F.lit(0.0)).otherwise(
+            F.floor(d / s * F.lit(255.0) + F.lit(0.5)).cast("double")
+        ),
+    )
+
+
+def _sq8_xhat() -> Column:
+    """Dequantize ``__codes``: ``mn + (code / 255) * s`` (same op order
+    as the SQL mirrors)."""
+    half = F.zip_with(
+        F.col("__codes"), F.col("__scales"), lambda cd, s: cd / F.lit(255.0) * s
+    )
+    return F.zip_with(half, F.col("__mins"), lambda h, mn: mn + h)
+
+
+def _sq8_candidates(enc, q, *, id_col: str, rerank: int, join):
+    """Approximate-ranking stage shared by the SQ8 family: score the
+    dequantized corpus against the (broadcast) queries — ``join``
+    decides the meet (crossJoin for the full compressed scan, __cell
+    equi-join for the IVF-probed variant) — and keep the top ``rerank``
+    per query by (rounded cos desc, id)."""
+    approx = F.round(
+        _dot(F.col("qvec"), F.col("__xhat"))
+        / (_norm2(F.col("qvec")) * _norm2(F.col("__xhat"))),
+        6,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("__approx").desc(), id_col)
+    return (
+        join(enc, F.broadcast(q))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", "qvec", id_col, approx.alias("__approx"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= rerank)
+        .select("qid", "qvec", id_col)
+    )
+
+
+def _exact_rerank_topk(stream, cand, *, vec_col: str, id_col: str, k: int):
+    """Exact fp32 re-score of a (qid, qvec, id) candidate list (broadcast
+    into an id equi-join with the corpus) + final per-query top-k — the
+    closing stage of every rerank-style ANN method."""
+    cos = F.round(
+        _dot(F.col("qvec"), F.col("cvec"))
+        / (_norm2(F.col("qvec")) * _norm2(F.col("cvec"))),
+        6,
+    )
+    scored = (
+        stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+        .join(F.broadcast(cand), id_col)
+        .select("qid", id_col, cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return stream._new(
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_cosine_sq8(
     stream,
     queries,
@@ -2408,74 +2537,24 @@ def ann_cosine_sq8(
     corpus. Quantizing on a per-dimension grid keeps the codec
     data-parallel: no codebook training loop (contrast IVF/PQ), so a
     cold corpus encodes in a single pass."""
-    # one-row grid: per-dim min / (max - min), map-side combined
-    stats = stream.df.agg(
-        F.array(
-            *[F.min(F.col(vec_col)[i].cast("double")) for i in range(dim)]
-        ).alias("__mins"),
-        F.array(
-            *[F.max(F.col(vec_col)[i].cast("double")) for i in range(dim)]
-        ).alias("__maxs"),
-    ).select(
-        "__mins",
-        F.zip_with("__maxs", "__mins", lambda mx, mn: mx - mn).alias("__scales"),
+    stats = _sq8_stats(stream.df, vec_col, dim)
+    enc = (
+        stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col, "__mins", "__scales",
+            _sq8_codes(F.col("cvec")).alias("__codes"),
+        )
     )
-
-    c = stream.df.select(
-        F.col(id_col), F.col(vec_col).alias("cvec")
-    ).crossJoin(F.broadcast(stats))
-    diff = F.zip_with(
-        F.col("cvec"), F.col("__mins"), lambda x, mn: x.cast("double") - mn
-    )
-    codes = F.zip_with(
-        diff,
-        F.col("__scales"),
-        lambda d, s: F.when(s == F.lit(0.0), F.lit(0.0)).otherwise(
-            F.floor(d / s * F.lit(255.0) + F.lit(0.5)).cast("double")
-        ),
-    )
-    enc = c.select(id_col, "__mins", "__scales", codes.alias("__codes"))
-
-    # dequantize: xhat = mn + (code / 255) * scale  (same op order as SQL)
-    half = F.zip_with(
-        F.col("__codes"), F.col("__scales"), lambda cd, s: cd / F.lit(255.0) * s
-    )
-    xhat = F.zip_with(half, F.col("__mins"), lambda h, mn: mn + h)
-
     q = queries.df.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
-    approx = F.round(
-        _dot(F.col("qvec"), F.col("__xhat"))
-        / (_norm2(F.col("qvec")) * _norm2(F.col("__xhat"))),
-        6,
+    cand = _sq8_candidates(
+        enc.select(id_col, _sq8_xhat().alias("__xhat")), q,
+        id_col=id_col, rerank=rerank,
+        join=lambda c, bq: c.crossJoin(bq),
     )
-    wq = Window.partitionBy("qid").orderBy(F.col("__approx").desc(), id_col)
-    cand = (
-        enc.select(id_col, xhat.alias("__xhat"))
-        .crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col("qid"))
-        .select("qid", "qvec", id_col, approx.alias("__approx"))
-        .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= rerank)
-        .select("qid", "qvec", id_col)
-    )
-
-    cos = F.round(
-        _dot(F.col("qvec"), F.col("cvec"))
-        / (_norm2(F.col("qvec")) * _norm2(F.col("cvec"))),
-        6,
-    )
-    scored = (
-        stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec"))
-        .join(F.broadcast(cand), id_col)
-        .select("qid", id_col, cos.alias("cos"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
-    return stream._new(
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _exact_rerank_topk(stream, cand, vec_col=vec_col, id_col=id_col, k=k)
 
 
 def sql_ann_cosine_sq8(
@@ -2582,95 +2661,31 @@ def ann_cosine_ivf_sq8(
     qid_t = dict(queries.df.dtypes)[id_col]
     vec_t = dtypes[vec_col]
 
-    stats = stream.df.agg(
-        F.array(
-            *[F.min(F.col(vec_col)[i].cast("double")) for i in range(dim)]
-        ).alias("__mins"),
-        F.array(
-            *[F.max(F.col(vec_col)[i].cast("double")) for i in range(dim)]
-        ).alias("__maxs"),
-    ).select(
-        "__mins",
-        F.zip_with("__maxs", "__mins", lambda mx, mn: mx - mn).alias("__scales"),
+    stats = _sq8_stats(stream.df, vec_col, dim)
+    enc = (
+        _ivf_assign(
+            stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec")),
+            units, id_schema=f"{id_col} {id_t}",
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col, "__cell", "__mins", "__scales",
+            _sq8_codes(F.col("cvec")).alias("__codes"),
+        )
     )
-
-    assigned = _ivf_assign(
-        stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec")),
-        units, id_schema=f"{id_col} {id_t}",
-    ).crossJoin(F.broadcast(stats))
-    diff = F.zip_with(
-        F.col("cvec"), F.col("__mins"), lambda x, mn: x.cast("double") - mn
-    )
-    codes = F.zip_with(
-        diff,
-        F.col("__scales"),
-        lambda d, s: F.when(s == F.lit(0.0), F.lit(0.0)).otherwise(
-            F.floor(d / s * F.lit(255.0) + F.lit(0.5)).cast("double")
+    q = _ivf_probe(
+        queries.df.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
         ),
+        units, nprobe=nprobe,
+        out_schema=f"qid {qid_t}, qvec {vec_t}, __cell long",
     )
-    enc = assigned.select(
-        id_col, "__cell", "__mins", "__scales", codes.alias("__codes")
+    cand = _sq8_candidates(
+        enc.select(id_col, "__cell", _sq8_xhat().alias("__xhat")), q,
+        id_col=id_col, rerank=rerank,
+        join=lambda c, bq: c.join(bq, "__cell"),
     )
-    half = F.zip_with(
-        F.col("__codes"), F.col("__scales"), lambda cd, s: cd / F.lit(255.0) * s
-    )
-    xhat = F.zip_with(half, F.col("__mins"), lambda h, mn: mn + h)
-
-    def _probe_cells(batches):
-        import numpy as np
-        import pandas as pd
-
-        UT = np.array(units, dtype=np.float64).T
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.array([list(map(float, v)) for v in pdf["qvec"]], dtype=np.float64)
-            d = -np.round(_ivf_dots_block(mat, UT), 9)
-            top = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
-            idx = np.repeat(np.arange(len(pdf)), nprobe)
-            yield pd.DataFrame(
-                {
-                    "qid": pdf["qid"].values[idx],
-                    "qvec": pdf["qvec"].values[idx],
-                    "__cell": top.ravel(),
-                }
-            )
-
-    q = queries.df.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
-    ).mapInPandas(_probe_cells, f"qid {qid_t}, qvec {vec_t}, __cell long")
-
-    approx = F.round(
-        _dot(F.col("qvec"), F.col("__xhat"))
-        / (_norm2(F.col("qvec")) * _norm2(F.col("__xhat"))),
-        6,
-    )
-    wq = Window.partitionBy("qid").orderBy(F.col("__approx").desc(), id_col)
-    cand = (
-        enc.select(id_col, "__cell", xhat.alias("__xhat"))
-        .join(F.broadcast(q), "__cell")
-        .filter(F.col(id_col) != F.col("qid"))
-        .select("qid", "qvec", id_col, approx.alias("__approx"))
-        .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= rerank)
-        .select("qid", "qvec", id_col)
-    )
-
-    cos = F.round(
-        _dot(F.col("qvec"), F.col("cvec"))
-        / (_norm2(F.col("qvec")) * _norm2(F.col("cvec"))),
-        6,
-    )
-    scored = (
-        stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec"))
-        .join(F.broadcast(cand), id_col)
-        .select("qid", id_col, cos.alias("cos"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
-    return stream._new(
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _exact_rerank_topk(stream, cand, vec_col=vec_col, id_col=id_col, k=k)
 
 
 def sql_ann_cosine_ivf_sq8(

@@ -1343,8 +1343,10 @@ class Stream:
     def ann_cosine(self, queries: "Stream", *, method: str = "brute", **kw) -> "Stream":
         """Cosine top-k similarity search over an embedding column:
         ``method='brute'`` (broadcast baseline), ``'lsh'`` (sign-plane
-        buckets), ``'ivf'`` (Voronoi cells + nprobe) or ``'sq8'``
-        (byte-quantized scan + exact rerank). See datapipe.ann_cosine_*."""
+        buckets), ``'ivf'`` (Voronoi cells + nprobe), ``'sq8'``
+        (byte-quantized scan + exact rerank) or ``'ivf_sq8'`` (the
+        composed two-level stack: cells bound search volume, codes bound
+        scan bytes). See datapipe.ann_cosine_*."""
         from .datapipe import (
             ann_cosine_brute,
             ann_cosine_ivf,

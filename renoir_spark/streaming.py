@@ -153,17 +153,30 @@ def dedup_exact_stream(stream, text_col: str, *, ts_col: str, delay: str = "10 m
 
 
 _DELAY_UNITS = {
-    "millisecond": 1_000, "milliseconds": 1_000,
-    "second": 1_000_000, "seconds": 1_000_000,
-    "minute": 60_000_000, "minutes": 60_000_000,
-    "hour": 3_600_000_000, "hours": 3_600_000_000,
-    "day": 86_400_000_000, "days": 86_400_000_000,
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
 }
 
 
 def _delay_us(delay: str) -> int:
-    n, unit = delay.strip().split()
-    return int(float(n) * _DELAY_UNITS[unit.lower()])
+    """Parse a Spark-style interval string ('10 minutes',
+    '1 minute 30 seconds') to microseconds — the same value-unit pair
+    grammar ``withWatermark`` accepts."""
+    toks = delay.strip().lower().split()
+    if not toks or len(toks) % 2:
+        raise ValueError(f"cannot parse watermark delay {delay!r}")
+    total = 0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        try:
+            total += int(float(n) * _DELAY_UNITS[unit.rstrip("s")])
+        except (KeyError, ValueError) as exc:
+            raise ValueError(f"cannot parse watermark delay {delay!r}") from exc
+    return total
 
 
 def dedup_minhash_stream(
@@ -213,7 +226,10 @@ def dedup_minhash_stream(
     idle groups. Rows are processed in (ts, id) order within a
     micro-batch, and a doc enters state even when itself a duplicate —
     exactly the batch greedy rule (a dropped doc still drowns later
-    copies).
+    copies). Matching is restricted to STRICTLY-EARLIER ``(ts, id)``
+    state entries, so an out-of-order arrival (legal within the delay)
+    can only degrade to keeping both copies — it can never retroactively
+    drop the event-time winner whose verdict already shipped.
 
     Scale: state is O(arrival rate x delay) overall, spread over
     ``state_groups`` keys; the shingle sets DO ride the band explode
@@ -229,13 +245,7 @@ def dedup_minhash_stream(
 
     import pandas as pd
 
-    from .datapipe import (
-        MINHASH_P,
-        _mh_params,
-        md5_int31,
-        norm_text,
-        shingles_from,
-    )
+    from .datapipe import minhash_bands_expr
 
     df = stream.df
     if not df.isStreaming:
@@ -243,50 +253,20 @@ def dedup_minhash_stream(
             "dedup_minhash_stream needs an unbounded stream; use "
             "Stream.dedup_minhash for bounded data"
         )
-    rows_per_band = num_hashes // bands
-    if rows_per_band * bands != num_hashes:
-        raise ValueError("bands must divide num_hashes")
     delay_us = _delay_us(delay)
 
-    staged = (
+    sig = minhash_bands_expr(
         df.select(
             F.col(id_col).alias("__id"),
             to_col(ts_col).cast("timestamp").alias("__ts"),
             F.col(text_col).alias("__text"),
-        )
-        .withColumn("__norm", norm_text("__text"))
-        .withColumn("__toks", F.split(F.col("__norm"), " "))
-        .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), shingle_n))
-        .withColumn("__hs", F.transform(F.col("__sh"), lambda s: md5_int31(s)))
+        ),
+        "__text",
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
     )
-    mh = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__hs"),
-                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
-                )
-            )
-            for a, b in _mh_params(num_hashes)
-        ]
-    )
-    sig = staged.select("__id", "__ts", "__sh", mh.alias("__mh"))
-    band_hash = [
-        md5_int31(
-            F.concat_ws("-", *[
-                F.element_at(F.col("__mh"), b * rows_per_band + r + 1).cast("string")
-                for r in range(rows_per_band)
-            ])
-        ).alias(f"__b{b}")
-        for b in range(bands)
-    ]
     buckets = (
         sig.select(
-            "__id", "__ts", "__sh",
-            F.explode(F.array(*[
-                F.struct(F.lit(b).alias("bidx"), band_hash[b].alias("bhash"))
-                for b in range(bands)
-            ])).alias("__b"),
+            "__id", "__ts", "__sh", F.explode("__bands").alias("__b")
         )
         .select(
             "__id", "__ts", "__sh",
@@ -320,20 +300,33 @@ def dedup_minhash_stream(
             pdf = pd.concat(pdfs, ignore_index=True) if pdfs else None
             if pdf is not None and len(pdf):
                 pdf = pdf.sort_values(["__ts", "__id"])
+                sets_cache: dict = {}  # bk -> [set per entry], built once
                 for rec in pdf.to_dict("records"):
                     sh = set(rec["__sh"])
                     bk = f'{rec["bidx"]}:{rec["bhash"]}'
                     entries = store.setdefault(bk, [])
-                    # same IEEE comparison as the batch operator:
-                    # size(intersect)/size(union) >= threshold
-                    matched = any(
-                        len(sh | e_sh) > 0
-                        and len(sh & e_sh) / len(sh | e_sh) >= threshold
-                        for e_sh in (set(e[2]) for e in entries)
-                    )
+                    if bk not in sets_cache:
+                        sets_cache[bk] = [set(e[2]) for e in entries]
                     ts_us = int(rec["__ts"].value // 1000)
+                    me = (ts_us, rec["__id"])
+                    # same IEEE comparison as the batch operator:
+                    # size(intersect)/size(union) >= threshold. Only
+                    # STRICTLY-EARLIER (ts, id) entries can drown this
+                    # row: an out-of-order arrival (legal within the
+                    # watermark delay) must never flip who survives —
+                    # the later doc keeps its already-emitted verdict,
+                    # so matching against it would drop BOTH copies'
+                    # event-time winner. Degrades to keeping both
+                    # (false negative), never to dropping the earlier.
+                    matched = any(
+                        (e[1], e[0]) < me
+                        and len(sh | e_sh) > 0
+                        and len(sh & e_sh) / len(sh | e_sh) >= threshold
+                        for e, e_sh in zip(entries, sets_cache[bk])
+                    )
                     out.append((rec["__id"], rec["__ts"], rec["bidx"], matched))
                     entries.append((rec["__id"], ts_us, sorted(sh)))
+                    sets_cache[bk].append(sh)
         if store:
             state.update((_json.dumps(store),))
             max_ts_ms = max(e[1] for es in store.values() for e in es) // 1000

@@ -691,3 +691,38 @@ def test_streaming_minhash_survivors_streaming_phase2(ctx, tmp_path):
     # group may or may not have closed — compare on the real docs only
     assert got - {flush[0]} == {r.doc_id for r in batch_out} - {flush[0]}
     assert {i for i, _ in _MH_DOCS} - got  # something was actually dropped
+
+
+def test_streaming_minhash_out_of_order_never_drops_event_time_winner(ctx):
+    """An out-of-order arrival (later push, EARLIER event time, within
+    the watermark delay) must not be drowned by the later-ts doc whose
+    verdict already shipped: matching is restricted to strictly-earlier
+    (ts, id) state, so disorder degrades to keeping both — it can never
+    invert who survives."""
+    a = "one two three four five six seven eight nine ten eleven twelve"
+    pushes = [
+        [(1, _ts(2000), a)],  # later event time arrives FIRST
+        [(0, _ts(1995), a)],  # event-time winner arrives second
+    ]
+    got, rows = _mh_stream_survivors(ctx, pushes, delay="1 hour")
+    assert got == {0, 1}  # both kept; doc 0 was NOT matched against doc 1
+    # and the in-order run of the same data drops the later doc
+    got2, _ = _mh_stream_survivors(
+        ctx, [[(0, _ts(1995), a)], [(1, _ts(2000), a)]], delay="1 hour"
+    )
+    assert got2 == {0}
+
+
+def test_delay_us_parses_spark_interval_grammar():
+    from renoir_spark.streaming import _delay_us
+
+    assert _delay_us("10 minutes") == 600_000_000
+    assert _delay_us("1 minute 30 seconds") == 90_000_000
+    assert _delay_us("2 weeks") == 2 * 604_800_000_000
+    assert _delay_us("1 hour") == 3_600_000_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _delay_us("10 fortnights")
+    with _pytest.raises(ValueError):
+        _delay_us("10")
