@@ -32,6 +32,7 @@ CASES = {
     "nexmark.py": [f"{SF}/events.parquet", "all"],
     "data_prep_pipeline.py": [f"{SF}/documents.parquet"],
     "corpus_analytics.py": [SF, "4"],
+    "similarity_search.py": [SF, "3"],
 }
 
 

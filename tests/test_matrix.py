@@ -56,6 +56,9 @@ SWEEP = [
     # the chunked prefix scan: chunk boundaries move with the layout but
     # the carries must reconstruct the identical prefix sums
     "q95_running_sum",
+    # the composed IVF+SQ8 stack: Arrow-block cell assignment + the
+    # order-independent quantization grid under any layout
+    "qa01_ann_ivf_sq8",
     # per-partition Misra-Gries candidates change with the layout
     # (1 partition sees the whole stream, 8 see slices) but the exact
     # recount + exactness check must return the identical top-k
