@@ -1307,7 +1307,11 @@ def dedup_embedding(
         "__bkt", F.col("__id").alias("idb"),
         F.col("__v").alias("vb"), F.col("__nrm").alias("nb"),
     )
-    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    cos = F.when(
+        F.col("na") * F.col("nb") == F.lit(0.0), F.lit(0.0)
+    ).otherwise(
+        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    )
     dup_ids = (
         a.join(b, "__bkt")
         .filter(F.col("ida") < F.col("idb"))
@@ -1347,7 +1351,8 @@ WITH sig AS (
 ), dups AS (
   SELECT DISTINCT b.id AS idb
   FROM sig a JOIN sig b ON a.bkt = b.bkt AND a.id < b.id
-  WHERE round({dot} / (a.nrm * b.nrm), 6) >= {threshold}
+  WHERE (CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+              ELSE round({dot} / (a.nrm * b.nrm), 6) END) >= {threshold}
 )
 SELECT {cols} FROM {table_expr}
 WHERE {id_col} NOT IN (SELECT idb FROM dups)
@@ -1402,7 +1407,11 @@ def dedup_embedding_ivf(
         "__cell", F.col("__id").alias("idb"),
         F.col("__v").alias("vb"), F.col("__nrm").alias("nb"),
     )
-    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    cos = F.when(
+        F.col("na") * F.col("nb") == F.lit(0.0), F.lit(0.0)
+    ).otherwise(
+        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    )
     dup_ids = (
         a.join(b, "__cell")
         .filter(F.col("ida") < F.col("idb"))
@@ -1428,11 +1437,12 @@ def sql_dedup_embedding_ivf(
     """DuckDB mirror of :func:`dedup_embedding_ivf`: the same seeded
     unit centroids and rounded argmax-dot assignment as
     :func:`sql_ann_cosine_ivf`, then the in-cell pair rule."""
-    nrm_seed = SQL_NORM.format(a=vec_col)
+    nrm_seed = SQL_UNIT_DIV.format(nrm=SQL_NORM.format(a=vec_col))
     dot_cu = SQL_DOT.format(a="t.v", b="cells.u")
-    dot = SQL_DOT.format(a="a.v", b="b.v")
-    na = SQL_NORM.format(a="a.v")
-    nb = SQL_NORM.format(a="b.v")
+    cos = SQL_COS.format(
+        dot=SQL_DOT.format(a="a.v", b="b.v"),
+        na=SQL_NORM.format(a="a.v"), nb=SQL_NORM.format(a="b.v"),
+    )
     return f"""
 WITH cells AS (
   SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell,
@@ -1450,7 +1460,7 @@ WITH cells AS (
 ), dups AS (
   SELECT DISTINCT b.id AS idb
   FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
-  WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
+  WHERE {cos} >= {threshold}
 )
 SELECT {cols} FROM {table_expr}
 WHERE {id_col} NOT IN (SELECT idb FROM dups)
@@ -1918,6 +1928,18 @@ def _norm2(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
+def _cosine(a: Column, b: Column) -> Column:
+    """Zero-safe rounded cosine, shared by the whole ANN/dedup family:
+    0.0 when either norm is 0 (a zero vector is similar to nothing).
+    Without the guard ANSI Spark raises DIVIDE_BY_ZERO while DuckDB
+    yields inf/nan — found by the hypothesis sweep, pinned by the SQL
+    mirrors using the same CASE (``SQL_COS``)."""
+    na, nb = _norm2(a), _norm2(b)
+    return F.when(na * nb == F.lit(0.0), F.lit(0.0)).otherwise(
+        F.round(_dot(a, b) / (na * nb), 6)
+    )
+
+
 def _ivf_seed_units(df, vec_col: str, id_col: str, n_cells: int) -> list:
     """Deterministic seeded centroids: the ``n_cells`` smallest-id
     vectors, unit-normalized (bounded driver collect — renoir's
@@ -1982,6 +2004,14 @@ SQL_NORM = (
     "sqrt(list_reduce(list_transform({a}, x -> x::DOUBLE * x::DOUBLE),"
     " (x, y) -> x + y))"
 )
+# zero-safe cosine — mirrors datapipe._cosine exactly
+SQL_COS = (
+    "CASE WHEN {na} * {nb} = 0 THEN 0.0"
+    " ELSE round({dot} / ({na} * {nb}), 6) END"
+)
+# unit-normalize guard for seeded centroids — mirrors the `or 1.0`
+# in _ivf_seed_units
+SQL_UNIT_DIV = "(CASE WHEN {nrm} = 0 THEN 1.0 ELSE {nrm} END)"
 
 
 def ann_cosine_brute(
@@ -2005,11 +2035,7 @@ def ann_cosine_brute(
     c = stream.df.select(
         F.col(id_col).alias(id_col), F.col(vec_col).alias("cvec")
     )
-    cos = F.round(
-        _dot(F.col("qvec"), F.col("cvec"))
-        / (_norm2(F.col("qvec")) * _norm2(F.col("cvec"))),
-        6,
-    )
+    cos = _cosine(F.col("qvec"), F.col("cvec"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("qid"))
@@ -2033,12 +2059,13 @@ def sql_ann_cosine_brute(
     dot = SQL_DOT.format(a="q.qvec", b=f"c.{vec_col}")
     nq = SQL_NORM.format(a="q.qvec")
     nc = SQL_NORM.format(a=f"c.{vec_col}")
+    cos = SQL_COS.format(dot=dot, na=nq, nb=nc)
     return f"""
 WITH q AS (
   SELECT {id_col} AS qid, {vec_col} AS qvec FROM {table_expr} WHERE {query_pred}
 ), scored AS (
   SELECT q.qid, c.{id_col},
-         round({dot} / ({nq} * {nc}), 6) AS cos
+         {cos} AS cos
   FROM {table_expr} c, q
   WHERE c.{id_col} <> q.qid
 )
@@ -2180,11 +2207,7 @@ def ann_cosine_lsh(
             # a pair matching in several tables must score ONCE
             .dropDuplicates(["qid", id_col])
         )
-    cos = F.round(
-        _dot(F.col("qvec"), F.col("cvec"))
-        / (_norm2(F.col("qvec")) * _norm2(F.col("cvec"))),
-        6,
-    )
+    cos = _cosine(F.col("qvec"), F.col("cvec"))
     scored = cand.select("qid", id_col, cos.alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
     return stream._new(
@@ -2250,11 +2273,7 @@ def ann_cosine_ivf(
         out_schema=f"qid {qid_t}, qvec {vec_t}, __cell long",
     )
 
-    cos = F.round(
-        _dot(F.col("qvec"), F.col("cvec"))
-        / (_norm2(F.col("qvec")) * _norm2(F.col("cvec"))),
-        6,
-    )
+    cos = _cosine(F.col("qvec"), F.col("cvec"))
     scored = (
         c.join(F.broadcast(q), "__cell")
         .filter(F.col(id_col) != F.col("qid"))
@@ -2281,12 +2300,13 @@ def sql_ann_cosine_ivf(
     unit-normalized centroids (computed in SQL from the same ORDER BY
     id LIMIT n prefix), the same rounded argmax-dot assignment, the same
     nprobe probing."""
-    nrm = SQL_NORM.format(a=vec_col)
+    nrm = SQL_UNIT_DIV.format(nrm=SQL_NORM.format(a=vec_col))
     dot_cu = SQL_DOT.format(a="t.v", b="cells.u")
     dot_qu = SQL_DOT.format(a="q.qvec", b="cells.u")
     dot = SQL_DOT.format(a="q.qvec", b="c.cvec")
     nq = SQL_NORM.format(a="q.qvec")
     nc = SQL_NORM.format(a="c.cvec")
+    cos = SQL_COS.format(dot=dot, na=nq, nb=nc)
     return f"""
 WITH cells AS (
   SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell,
@@ -2313,7 +2333,7 @@ WITH cells AS (
   ) WHERE rn <= {nprobe}
 ), scored AS (
   SELECT q.qid, c.id AS {id_col},
-         round({dot} / ({nq} * {nc}), 6) AS cos
+         {cos} AS cos
   FROM c JOIN probed q USING (cell)
   WHERE c.id <> q.qid
 )
@@ -2360,6 +2380,7 @@ def sql_ann_cosine_lsh(
     dot = SQL_DOT.format(a="q.qvec", b="c.cvec")
     nq = SQL_NORM.format(a="q.qvec")
     nc = SQL_NORM.format(a="c.cvec")
+    cos = SQL_COS.format(dot=dot, na=nq, nb=nc)
     return f"""
 WITH q AS (
   SELECT {id_col} AS qid, {vec_col} AS qvec,
@@ -2371,7 +2392,7 @@ WITH q AS (
   FROM {table_expr}
 ), scored AS (
   SELECT q.qid, c.{id_col},
-         round({dot} / ({nq} * {nc}), 6) AS cos
+         {cos} AS cos
   FROM c JOIN q ON ({join_cond})
   WHERE c.{id_col} <> q.qid
 )
@@ -2460,11 +2481,7 @@ def _sq8_candidates(enc, q, *, id_col: str, rerank: int, join):
     decides the meet (crossJoin for the full compressed scan, __cell
     equi-join for the IVF-probed variant) — and keep the top ``rerank``
     per query by (rounded cos desc, id)."""
-    approx = F.round(
-        _dot(F.col("qvec"), F.col("__xhat"))
-        / (_norm2(F.col("qvec")) * _norm2(F.col("__xhat"))),
-        6,
-    )
+    approx = _cosine(F.col("qvec"), F.col("__xhat"))
     wq = Window.partitionBy("qid").orderBy(F.col("__approx").desc(), id_col)
     return (
         join(enc, F.broadcast(q))
@@ -2480,11 +2497,7 @@ def _exact_rerank_topk(stream, cand, *, vec_col: str, id_col: str, k: int):
     """Exact fp32 re-score of a (qid, qvec, id) candidate list (broadcast
     into an id equi-join with the corpus) + final per-query top-k — the
     closing stage of every rerank-style ANN method."""
-    cos = F.round(
-        _dot(F.col("qvec"), F.col("cvec"))
-        / (_norm2(F.col("qvec")) * _norm2(F.col("cvec"))),
-        6,
-    )
+    cos = _cosine(F.col("qvec"), F.col("cvec"))
     scored = (
         stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec"))
         .join(F.broadcast(cand), id_col)
@@ -2571,12 +2584,14 @@ def sql_ann_cosine_sq8(
     [min, max] grid, the same ``floor([0,255])`` codec (identical IEEE
     op order: ``(x - mn) / s * 255 + 0.5``), the same round-to-6 +
     id tie-break candidate selection, the same exact rerank."""
-    dot_qx = SQL_DOT.format(a="q.qvec", b="x.xv")
-    nq = SQL_NORM.format(a="q.qvec")
-    nx = SQL_NORM.format(a="x.xv")
-    dot_qc = SQL_DOT.format(a="cand.qvec", b="c.v")
-    nq2 = SQL_NORM.format(a="cand.qvec")
-    nc = SQL_NORM.format(a="c.v")
+    approx = SQL_COS.format(
+        dot=SQL_DOT.format(a="q.qvec", b="x.xv"),
+        na=SQL_NORM.format(a="q.qvec"), nb=SQL_NORM.format(a="x.xv"),
+    )
+    cos = SQL_COS.format(
+        dot=SQL_DOT.format(a="cand.qvec", b="c.v"),
+        na=SQL_NORM.format(a="cand.qvec"), nb=SQL_NORM.format(a="c.v"),
+    )
     return f"""
 WITH c AS (
   SELECT {id_col} AS id, {vec_col} AS v FROM {table_expr}
@@ -2606,13 +2621,13 @@ WITH c AS (
   SELECT qid, qvec, id FROM (
     SELECT q.qid, q.qvec, x.id,
            row_number() OVER (PARTITION BY q.qid
-             ORDER BY round({dot_qx} / ({nq} * {nx}), 6) DESC, x.id) AS rn
+             ORDER BY {approx} DESC, x.id) AS rn
     FROM xhat x, q
     WHERE x.id <> q.qid
   ) WHERE rn <= {rerank}
 ), scored AS (
   SELECT cand.qid, c.id AS {id_col},
-         round({dot_qc} / ({nq2} * {nc}), 6) AS cos
+         {cos} AS cos
   FROM cand JOIN c ON c.id = cand.id
 )
 SELECT qid, {id_col}, cos, rank FROM (
@@ -2702,15 +2717,17 @@ def sql_ann_cosine_ivf_sq8(
 ) -> str:
     """DuckDB mirror of :func:`ann_cosine_ivf_sq8`: q50's cell
     assignment/probe CTEs composed with q99's quantization CTEs."""
-    nrm = SQL_NORM.format(a=vec_col)
+    nrm = SQL_UNIT_DIV.format(nrm=SQL_NORM.format(a=vec_col))
     dot_cu = SQL_DOT.format(a="t.v", b="cells.u")
     dot_qu = SQL_DOT.format(a="q.qvec", b="cells.u")
-    dot_qx = SQL_DOT.format(a="q.qvec", b="x.xv")
-    nq = SQL_NORM.format(a="q.qvec")
-    nx = SQL_NORM.format(a="x.xv")
-    dot_qc = SQL_DOT.format(a="cand.qvec", b="c.cvec")
-    nq2 = SQL_NORM.format(a="cand.qvec")
-    nc = SQL_NORM.format(a="c.cvec")
+    approx = SQL_COS.format(
+        dot=SQL_DOT.format(a="q.qvec", b="x.xv"),
+        na=SQL_NORM.format(a="q.qvec"), nb=SQL_NORM.format(a="x.xv"),
+    )
+    cos = SQL_COS.format(
+        dot=SQL_DOT.format(a="cand.qvec", b="c.cvec"),
+        na=SQL_NORM.format(a="cand.qvec"), nb=SQL_NORM.format(a="c.cvec"),
+    )
     return f"""
 WITH cells AS (
   SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell,
@@ -2758,13 +2775,13 @@ WITH cells AS (
   SELECT qid, qvec, id FROM (
     SELECT q.qid, q.qvec, x.id,
            row_number() OVER (PARTITION BY q.qid
-             ORDER BY round({dot_qx} / ({nq} * {nx}), 6) DESC, x.id) AS rn
+             ORDER BY {approx} DESC, x.id) AS rn
     FROM xhat x JOIN probed q USING (cell)
     WHERE x.id <> q.qid
   ) WHERE rn <= {rerank}
 ), scored AS (
   SELECT cand.qid, c.id AS {id_col},
-         round({dot_qc} / ({nq2} * {nc}), 6) AS cos
+         {cos} AS cos
   FROM cand JOIN c ON c.id = cand.id
 )
 SELECT qid, {id_col}, cos, rank FROM (

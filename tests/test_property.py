@@ -287,3 +287,83 @@ def test_running_sum_chunked_equals_window(ctx, rows, parts):
          for r in s.running_sum("o", skew_proof=False,
                                 cum=F.col("v")).collect_vec()}
     assert a == b
+
+
+@SLOW
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-20, max_value=20),
+            min_size=3, max_size=3,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+def test_ann_sq8_full_rerank_equals_brute_random(ctx, vecs):
+    """SQ8 with rerank >= corpus must equal brute force on ANY corpus —
+    including negative values, constant dimensions (scale-0 codec
+    branch) and duplicate vectors (tie-break by id on equal cosines)."""
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    corpus = ctx.stream_iter(rows, "vec_id long, embedding array<double>")
+    queries = ctx.stream_iter(rows[:2], "vec_id long, embedding array<double>")
+
+    def key(r):
+        d = r.asDict()
+        return (d["qid"], d["vec_id"], d["cos"], d["rank"])
+
+    brute = sorted(
+        map(key, corpus.ann_cosine(queries, method="brute", k=3).collect_vec())
+    )
+    sq8 = sorted(
+        map(
+            key,
+            corpus.ann_cosine(
+                queries, method="sq8", k=3, rerank=10**6, dim=3
+            ).collect_vec(),
+        )
+    )
+    assert sq8 == brute
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0, max_size=8,
+        ).map(" ".join),
+        min_size=1, max_size=8,
+    )
+)
+def test_streaming_minhash_parity_random(ctx, docs):
+    """Streaming MinHash dedup == batch greedy rule on random corpora
+    (including empty texts, exact duplicates, sub-shingle-length docs)
+    when event-time order matches id order and the delay covers all."""
+    from datetime import datetime, timezone
+
+    from renoir_spark.streaming import (
+        dedup_minhash_stream,
+        minhash_survivors,
+        run_to_completion,
+    )
+
+    t0 = datetime.fromtimestamp(1000, tz=timezone.utc).replace(tzinfo=None)
+    ch = ctx.stream_channel("doc_id long, ts timestamp, text string")
+    half = max(1, len(docs) // 2)
+    ch.push([(i, t0, t) for i, t in enumerate(docs[:half])])
+    if docs[half:]:
+        ch.push([(i + half, t0, t) for i, t in enumerate(docs[half:])])
+    verdicts = dedup_minhash_stream(
+        ch.stream(max_files_per_trigger=1), "text", "doc_id",
+        ts_col="ts", delay="1 hour", threshold=0.5,
+    )
+    rows = run_to_completion(verdicts.df, output_mode="append")
+    bounded = ctx.from_df(ctx.spark.createDataFrame(rows, verdicts.df.schema))
+    got = {r.doc_id for r in minhash_survivors(bounded, "doc_id").collect_vec()}
+
+    batch = ctx.from_df(
+        ctx.spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+    ).dedup_minhash("text", "doc_id", threshold=0.5)
+    assert got == {r.doc_id for r in batch.collect_vec()}

@@ -105,3 +105,41 @@ def test_ivf_sq8_candidates_subset_of_ivf(ctx, sf_dir):
         queries, method="ivf_sq8", k=3, n_cells=16, nprobe=4, rerank=50,
     ).collect_vec()
     assert {(r.qid, r.vec_id) for r in stacked} <= ivf_pop
+
+
+def test_zero_vectors_cosine_is_zero_all_methods(ctx):
+    """Zero-norm vectors: cosine is DEFINED as 0.0 family-wide (a zero
+    vector is similar to nothing) — ANSI Spark would otherwise raise
+    DIVIDE_BY_ZERO and DuckDB would emit inf/nan. Found by the
+    hypothesis sweep; the SQL mirrors pin the same CASE."""
+    rows = [
+        (0, [0.0, 0.0, 0.0]),
+        (1, [1.0, 2.0, 2.0]),
+        (2, [0.0, 0.0, 0.0]),
+        (3, [2.0, 4.0, 4.0]),
+    ]
+    corpus = ctx.stream_iter(rows, "vec_id long, embedding array<double>")
+    queries = ctx.stream_iter(rows[:2], "vec_id long, embedding array<double>")
+    for method, kw in [
+        ("brute", {}),
+        ("lsh", {"n_planes": 4, "dim": 3}),
+        ("ivf", {"n_cells": 2, "nprobe": 2}),
+        ("sq8", {"rerank": 8, "dim": 3}),
+        ("ivf_sq8", {"n_cells": 2, "nprobe": 2, "rerank": 8, "dim": 3}),
+    ]:
+        out = corpus.ann_cosine(queries, method=method, k=3, **kw).collect_vec()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.qid, {})[r.vec_id] = r.cos
+        # zero-vector query: every cosine is 0.0
+        assert all(c == 0.0 for c in by_q.get(0, {}).values()), method
+        # real query: parallel vector scores 1.0, zero vectors 0.0
+        q1 = by_q.get(1, {})
+        if 3 in q1:
+            assert q1[3] == 1.0, method
+        assert all(q1[v] == 0.0 for v in (0, 2) if v in q1), method
+
+    # embedding dedup survives zero vectors: the two zero vectors score
+    # cos 0.0 against everything (kept), 3 is parallel to 1 (dropped)
+    d1 = corpus.dedup_embedding(threshold=0.95, n_planes=4, dim=3)
+    assert {r.vec_id for r in d1.collect_vec()} == {0, 1, 2}
