@@ -500,6 +500,54 @@ def sql_sample_weighted(table_expr: str, id_col: str, weight_sql: str, *,
     return f"SELECT * FROM {table_expr} WHERE {h} < {w} * {MINHASH_P}"
 
 
+def sample_weighted_k(stream, id_col: str, weight_expr, k: int, *,
+                      salt: str = "wk0"):
+    """Exact-k weighted sample WITHOUT replacement — the Efraimidis-
+    Spirakis A-Res scheme (public knowledge): each row gets key
+    ``u^(1/w)`` with ``u`` uniform in (0, 1], the k largest keys win, so
+    inclusion probability is proportional to weight and the sample size
+    is EXACT (contrast :func:`sample_weighted`, whose output size is a
+    random variable). The standard corpus-mixing primitive when a
+    budget is fixed ("exactly 1M docs, quality-weighted").
+
+    Determinism discipline: ``u`` derives from the salted id hash (no
+    rand(): retry/layout-stable), keys rank as the monotone-equivalent
+    ``ln(u)/w`` ROUNDED to 6 decimals with an id tie-break — the q93
+    float rule, so a libm-vs-JVM ulp in ``ln`` cannot flip the oracle
+    comparison. Rows with NULL or non-positive weight never sample.
+
+    Scale: one map-side key projection, then global top-k — Spark plans
+    ``orderBy().limit(k)`` as TakeOrdered (per-partition partial top-k +
+    driver merge of k x partitions rows), no full sort shuffle.
+    """
+    df = stream.df
+    h = md5_int31(F.concat_ws("|", F.lit(salt), to_col(id_col).cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(MINHASH_P + 1))
+    w0 = to_col(weight_expr).cast("double")
+    key = F.round(F.log(u) / w0, 6)
+    out = (
+        df.filter(w0 > F.lit(0.0))
+        .withColumn("__k", key)
+        .orderBy(F.col("__k").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__k")
+    )
+    return stream._new(out)
+
+
+def sql_sample_weighted_k(table_expr: str, id_col: str, weight_sql: str,
+                          k: int, *, salt: str = "wk0") -> str:
+    h = sql_md5_int31(f"concat_ws('|', '{salt}', {id_col}::VARCHAR)")
+    u = f"(({h}) + 1)::DOUBLE / {float(MINHASH_P + 1)}"
+    w = f"({weight_sql})::DOUBLE"
+    return f"""
+SELECT * EXCLUDE (__k) FROM (
+  SELECT *, round(ln({u}) / {w}, 6) AS __k
+  FROM {table_expr} WHERE {w} > 0
+) ORDER BY __k DESC, {id_col} ASC LIMIT {k}
+"""
+
+
 def sample_stratified(stream, id_col: str, strata: Sequence[str], quota: int,
                       *, salt: str = "s0"):
     """Deterministic per-stratum quota sample: within each stratum keep

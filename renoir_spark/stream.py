@@ -1254,6 +1254,14 @@ class Stream:
 
         return _sw(self, id_col, weight_expr, **kw)
 
+    def sample_weighted_k(self, id_col: str, weight_expr, k: int,
+                          **kw) -> "Stream":
+        """Exact-k weighted sample without replacement (A-Res) —
+        prep.sample_weighted_k."""
+        from .prep import sample_weighted_k as _swk
+
+        return _swk(self, id_col, weight_expr, k, **kw)
+
     def sample_stratified(self, id_col: str, strata, quota: int,
                           **kw) -> "Stream":
         """Deterministic per-stratum quota sample — prep.sample_stratified."""

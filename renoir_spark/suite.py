@@ -2257,6 +2257,7 @@ from .prep import (  # noqa: E402  (oracle generators share constants)
     sql_sample_fraction,
     sql_sample_stratified,
     sql_sample_weighted,
+    sql_sample_weighted_k,
     sql_unigram_logprob,
     sql_word_entropy,
     sql_tfidf_top_terms,
@@ -3124,6 +3125,29 @@ ORACLE_QA01 = sql_ann_cosine_ivf_sq8(
 )
 
 
+def qa02_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sample without replacement (Efraimidis-Spirakis
+    A-Res) — ``Stream.sample_weighted_k``: exactly 100 docs, inclusion
+    probability proportional to length score, no rand() (salted-hash
+    uniforms), keys rounded to 6 decimals with id tie-break (the q93
+    float discipline) so the oracle comparison is ulp-proof. Plans as
+    TakeOrdered: per-partition partial top-k, no full sort shuffle."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .sample_weighted_k("doc_id", F.col("n_chars") / 400.0, 100)
+        .map("doc_id", "n_chars")
+        .df
+    )
+
+
+ORACLE_QA02 = f"""
+SELECT doc_id, n_chars FROM (
+{sql_sample_weighted_k("documents", "doc_id", "n_chars / 400.0", 100)}
+)
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3225,6 +3249,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_unigram_logprob": q98_unigram_logprob,
     "q99_ann_sq8": q99_ann_sq8,
     "qa01_ann_ivf_sq8": qa01_ann_ivf_sq8,
+    "qa02_sample_weighted_k": qa02_sample_weighted_k,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3330,4 +3355,5 @@ ORACLE: Dict[str, str] = {
     "q98_unigram_logprob": ORACLE_Q98,
     "q99_ann_sq8": ORACLE_Q99,
     "qa01_ann_ivf_sq8": ORACLE_QA01,
+    "qa02_sample_weighted_k": ORACLE_QA02,
 }

@@ -59,6 +59,9 @@ SWEEP = [
     # the composed IVF+SQ8 stack: Arrow-block cell assignment + the
     # order-independent quantization grid under any layout
     "qa01_ann_ivf_sq8",
+    # A-Res top-k: per-partition partial top-k merges must pick the
+    # identical sample under any layout (rounded-key + id tie-break)
+    "qa02_sample_weighted_k",
     # per-partition Misra-Gries candidates change with the layout
     # (1 partition sees the whole stream, 8 see slices) but the exact
     # recount + exactness check must return the identical top-k

@@ -385,3 +385,35 @@ def test_sample_weighted_null_weight_never_keeps(ctx):
     s = ctx.stream_iter([(1, None), (2, 1.0)], "id long, w double")
     got = {r.id for r in s.sample_weighted("id", "w").collect_vec()}
     assert got == {2}
+
+
+def test_sample_weighted_k_exact_count_and_weight_rules(ctx):
+    """A-Res exact-k: exactly k rows; NULL/zero/negative weights never
+    sample; k >= eligible rows returns all eligible; deterministic
+    across partition layouts (no rand())."""
+    rows = [(i, [0.5, None, 0.0, -1.0, 2.0][i % 5]) for i in range(50)]
+    s = ctx.stream_iter(rows, "doc_id long, w double")
+    out = s.sample_weighted_k("doc_id", "w", 10)
+    got = sorted(r.doc_id for r in out.collect_vec())
+    assert len(got) == 10
+    assert all(i % 5 in (0, 4) for i in got)  # only positive weights
+
+    # k larger than the eligible population -> all eligible rows
+    all_out = s.sample_weighted_k("doc_id", "w", 10**6).collect_vec()
+    assert sorted(r.doc_id for r in all_out) == [
+        i for i in range(50) if i % 5 in (0, 4)
+    ]
+
+    # layout-independent: same sample after an adversarial repartition
+    got2 = sorted(
+        r.doc_id
+        for r in ctx.from_df(s.df.repartition(7))
+        .sample_weighted_k("doc_id", "w", 10)
+        .collect_vec()
+    )
+    assert got2 == got
+
+    # weight monotonicity (statistical sanity on a deterministic draw):
+    # weight-2.0 rows should win far more of the 10 slots than weight-.5
+    heavy = sum(1 for i in got if i % 5 == 4)
+    assert heavy >= 6
