@@ -501,7 +501,7 @@ def sql_sample_weighted(table_expr: str, id_col: str, weight_sql: str, *,
 
 
 def sample_weighted_k(stream, id_col: str, weight_expr, k: int, *,
-                      salt: str = "wk0"):
+                      strata: Sequence[str] = (), salt: str = "wk0"):
     """Exact-k weighted sample WITHOUT replacement — the Efraimidis-
     Spirakis A-Res scheme (public knowledge): each row gets key
     ``u^(1/w)`` with ``u`` uniform in (0, 1], the k largest keys win, so
@@ -516,30 +516,55 @@ def sample_weighted_k(stream, id_col: str, weight_expr, k: int, *,
     float rule, so a libm-vs-JVM ulp in ``ln`` cannot flip the oracle
     comparison. Rows with NULL or non-positive weight never sample.
 
+    ``strata`` turns it into the per-group form — exactly ``k``
+    weighted winners PER stratum ("k docs per domain, quality-weighted"
+    — the fixed-budget mixing primitive).
+
     Scale: one map-side key projection, then global top-k — Spark plans
     ``orderBy().limit(k)`` as TakeOrdered (per-partition partial top-k +
-    driver merge of k x partitions rows), no full sort shuffle.
+    driver merge of k x partitions rows), no full sort shuffle. The
+    stratified form is one shuffle on the strata key + a window rank,
+    the :func:`sample_stratified` shape.
     """
     df = stream.df
     h = md5_int31(F.concat_ws("|", F.lit(salt), to_col(id_col).cast("string")))
     u = (h + F.lit(1)).cast("double") / F.lit(float(MINHASH_P + 1))
     w0 = to_col(weight_expr).cast("double")
     key = F.round(F.log(u) / w0, 6)
-    out = (
-        df.filter(w0 > F.lit(0.0))
-        .withColumn("__k", key)
-        .orderBy(F.col("__k").desc(), F.col(id_col).asc())
-        .limit(k)
-        .drop("__k")
-    )
+    eligible = df.filter(w0 > F.lit(0.0)).withColumn("__k", key)
+    if strata:
+        w = Window.partitionBy(*strata).orderBy(
+            F.col("__k").desc(), F.col(id_col).asc()
+        )
+        out = (
+            eligible.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__k", "__rn")
+        )
+    else:
+        out = (
+            eligible.orderBy(F.col("__k").desc(), F.col(id_col).asc())
+            .limit(k)
+            .drop("__k")
+        )
     return stream._new(out)
 
 
 def sql_sample_weighted_k(table_expr: str, id_col: str, weight_sql: str,
-                          k: int, *, salt: str = "wk0") -> str:
+                          k: int, *, strata: str = "", salt: str = "wk0") -> str:
     h = sql_md5_int31(f"concat_ws('|', '{salt}', {id_col}::VARCHAR)")
     u = f"(({h}) + 1)::DOUBLE / {float(MINHASH_P + 1)}"
     w = f"({weight_sql})::DOUBLE"
+    if strata:
+        return f"""
+SELECT * EXCLUDE (__k, __rn) FROM (
+  SELECT *, round(ln({u}) / {w}, 6) AS __k,
+         row_number() OVER (PARTITION BY {strata}
+                            ORDER BY round(ln({u}) / {w}, 6) DESC,
+                                     {id_col} ASC) AS __rn
+  FROM {table_expr} WHERE {w} > 0
+) WHERE __rn <= {k}
+"""
     return f"""
 SELECT * EXCLUDE (__k) FROM (
   SELECT *, round(ln({u}) / {w}, 6) AS __k

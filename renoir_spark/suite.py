@@ -3148,6 +3148,28 @@ SELECT doc_id, n_chars FROM (
 """
 
 
+def qa03_sample_weighted_k_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum A-Res: exactly 20 length-weighted winners PER
+    language — the fixed-budget corpus-mixing primitive ("k docs per
+    domain, quality-weighted"), one shuffle on the strata key."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .sample_weighted_k(
+            "doc_id", F.col("n_chars") / 400.0, 20, strata=["lang"]
+        )
+        .map("doc_id", "lang", "n_chars")
+        .df
+    )
+
+
+ORACLE_QA03 = f"""
+SELECT doc_id, lang, n_chars FROM (
+{sql_sample_weighted_k("documents", "doc_id", "n_chars / 400.0", 20, strata="lang")}
+)
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3250,6 +3272,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_ann_sq8": q99_ann_sq8,
     "qa01_ann_ivf_sq8": qa01_ann_ivf_sq8,
     "qa02_sample_weighted_k": qa02_sample_weighted_k,
+    "qa03_sample_weighted_k_stratified": qa03_sample_weighted_k_stratified,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3356,4 +3379,5 @@ ORACLE: Dict[str, str] = {
     "q99_ann_sq8": ORACLE_Q99,
     "qa01_ann_ivf_sq8": ORACLE_QA01,
     "qa02_sample_weighted_k": ORACLE_QA02,
+    "qa03_sample_weighted_k_stratified": ORACLE_QA03,
 }

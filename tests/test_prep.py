@@ -417,3 +417,26 @@ def test_sample_weighted_k_exact_count_and_weight_rules(ctx):
     # weight-2.0 rows should win far more of the 10 slots than weight-.5
     heavy = sum(1 for i in got if i % 5 == 4)
     assert heavy >= 6
+
+
+def test_sample_weighted_k_stratified_quota_per_group(ctx):
+    """Stratified A-Res: exactly k winners per stratum (fewer when the
+    stratum is smaller), only positive-weight rows eligible, and the
+    global and per-stratum forms agree on a single-stratum input."""
+    rows = [(i, "g%d" % (i % 3), float(i % 7 + 1)) for i in range(60)]
+    s = ctx.stream_iter(rows, "doc_id long, g string, w double")
+    out = s.sample_weighted_k("doc_id", "w", 5, strata=["g"]).collect_vec()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.doc_id)
+    assert set(by_g) == {"g0", "g1", "g2"}
+    assert all(len(v) == 5 for v in by_g.values())
+
+    one = [(i, "only", float(i + 1)) for i in range(10)]
+    s1 = ctx.stream_iter(one, "doc_id long, g string, w double")
+    a = sorted(r.doc_id for r in s1.sample_weighted_k("doc_id", "w", 4).collect_vec())
+    b = sorted(
+        r.doc_id
+        for r in s1.sample_weighted_k("doc_id", "w", 4, strata=["g"]).collect_vec()
+    )
+    assert a == b
