@@ -6,7 +6,7 @@ in ``renoir_spark/suite.py`` (one entry per operator family from
 SURVEY.md §2, each with a DuckDB-equivalent oracle).
 
 The driver's correctness harness hashes only the FIRST 50 keys of
-``sorted(queries())``.  The suite declares 102 queries, so a plain
+``sorted(queries())``.  The suite declares 104 queries, so a plain
 alphabetical listing would leave whole operator families (NEXMark, as-of
 join, rollup/quantiles/count-distinct, the prep/multimodal layer, cluster
 dedup) without a driver row.  ``DRIVER_SET`` below is therefore a curated

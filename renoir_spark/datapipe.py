@@ -2790,3 +2790,64 @@ SELECT qid, {id_col}, cos, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def decontaminate_embedding(stream, reference, vec_col: str,
+                            ref_vec_col: Optional[str] = None, *,
+                            threshold: float = 0.8):
+    """Embedding-space decontamination: drop every corpus row whose
+    vector is cosine-similar (``>= threshold``) to ANY reference vector
+    — the semantic complement of :func:`dedup_against` (which needs an
+    exact n-gram/text match). Standard use: reference = benchmark/eval
+    embeddings, corpus = training candidates; paraphrased eval leakage
+    that exact decontamination misses is caught here.
+
+    Scale shape: the reference collapses to ONE row holding an
+    array-of-vectors (benchmark sets are executor-memory-sized by
+    definition), broadcast to every task; the corpus-side test is a
+    per-row higher-order ``EXISTS`` over that array — ZERO shuffles of
+    the corpus and no row multiplication. The broadcast-join
+    alternative would expand each corpus row |refs| times and then
+    need a re-grouping shuffle to compute the max; this plan touches
+    each corpus row exactly once, map-side. Cosine is the shared
+    zero-safe rounded :func:`_cosine`, so the DuckDB oracle
+    (``sql_decontaminate_embedding``) mirrors it bit-exactly.
+
+    Reference parity: composes renoir's broadcast + filter shape
+    (src/operator/mod.rs broadcast, src/operator/filter.rs); the
+    embedding-similarity gate is beyond-reference (SemDeDup-style
+    decontamination, public knowledge).
+    """
+    rcol = ref_vec_col or vec_col
+    refs = reference.df.agg(F.collect_list(to_col(rcol)).alias("__refs"))
+    vec = to_col(vec_col)
+    hit = F.exists(
+        F.col("__refs"), lambda r: _cosine(vec, r) >= F.lit(float(threshold))
+    )
+    # NULL-vec pin: Spark's EXISTS yields NULL for a NULL vector (its
+    # cosine is NULL), which `~hit` would silently DROP, while the SQL
+    # mirror's NOT EXISTS keeps the row (the NULL predicate just empties
+    # the subquery). coalesce(false) makes both engines keep it.
+    out = (
+        stream.df.crossJoin(F.broadcast(refs))
+        .filter(~F.coalesce(hit, F.lit(False)))
+        .drop("__refs")
+    )
+    return stream._new(out)
+
+
+def sql_decontaminate_embedding(table_expr: str, ref_expr: str,
+                                vec_col: str, ref_vec_col: str,
+                                cols: str, *, threshold: float) -> str:
+    cos = SQL_COS.format(
+        dot=SQL_DOT.format(a=f"t.{vec_col}", b=f"r.{ref_vec_col}"),
+        na=SQL_NORM.format(a=f"t.{vec_col}"),
+        nb=SQL_NORM.format(a=f"r.{ref_vec_col}"),
+    )
+    return f"""
+SELECT {cols} FROM {table_expr} t
+WHERE NOT EXISTS (
+  SELECT 1 FROM {ref_expr} r
+  WHERE {cos} >= {float(threshold)}
+)
+"""

@@ -1310,3 +1310,84 @@ def bpe_segment(stream, text_col: str, merge_rows: Sequence, *,
         f"`{f.name}` {f.dataType.simpleString()}" for f in stream.df.schema.fields
     ) + f", `{alias}` array<string>"
     return stream._new(base.mapInPandas(_apply, schema).select(*out_cols))
+
+
+def upsample_epochs(stream, id_col: str, group_col: str,
+                    epochs: Dict[str, float], *, salt: str = "epoch",
+                    default_epochs: float = 1.0):
+    """Fractional-epoch corpus mixing — "2.5 epochs of code, 0.5 of
+    web": every row in group ``g`` is emitted ``floor(e_g)`` times plus
+    one extra copy kept with probability ``frac(e_g)``, decided by the
+    salted hash of ``(id, copy_index)`` — deterministic, retry-stable,
+    and layout-independent (the same doc gets the same copies on every
+    run and any partitioning). The output gains an ``epoch_ix`` column
+    (0-based copy index) so downstream shuffles/packing see distinct
+    rows. ``e < 1`` degrades gracefully into fractional downsampling;
+    ``e = 0`` removes the group.
+
+    This is the UPSAMPLING complement of :func:`rebalance_mix` (which
+    only downsamples toward target shares): LLM data mixes are quoted
+    in epochs per source, and >1 epochs of a small high-quality domain
+    cannot be expressed as a keep-fraction.
+
+    Scale shape: the epoch map rides as a literal; the plan is a pure
+    map-side ``explode(sequence(0, floor(e)))`` + hash filter — ZERO
+    shuffles, no count pass, output size = sum_g(n_g * e_g) exactly in
+    expectation. The fractional gate compares the 31-bit hash against
+    ``frac * P`` as a DOUBLE on both engines (no long-cast, whose
+    truncate-vs-round divergence between Spark and DuckDB would bite
+    exactly at the boundary).
+    """
+    for g, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"upsample_epochs: negative epochs for {g!r}: {e}")
+    if default_epochs < 0:
+        raise ValueError("upsample_epochs: negative default_epochs")
+    df = stream.df
+    emap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in epochs]),
+        F.array(*[F.lit(float(v)) for v in epochs.values()]),
+    )
+    e = F.coalesce(emap[to_col(group_col)], F.lit(float(default_epochs)))
+    h = md5_int31(
+        F.concat_ws("|", F.lit(salt), to_col(id_col).cast("string"),
+                    F.col("epoch_ix").cast("string"))
+    )
+    out = (
+        df.withColumn("__e", e)
+        .withColumn(
+            # long sequence: DuckDB's unnest(range(...)) is BIGINT and
+            # the driver compare is pandas-dtype-faithful
+            "epoch_ix",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.floor("__e"))),
+        )
+        .filter(
+            (F.col("epoch_ix") < F.floor("__e"))
+            | (h < F.round(F.col("__e") - F.floor("__e"), 9) * F.lit(float(MINHASH_P)))
+        )
+        .drop("__e")
+    )
+    return stream._new(out)
+
+
+def sql_upsample_epochs(table_expr: str, id_col: str, group_col: str,
+                        epochs: Dict[str, float], cols: str, *,
+                        salt: str = "epoch",
+                        default_epochs: float = 1.0) -> str:
+    pairs = ", ".join(f"('{k}', {float(v)})" for k, v in epochs.items())
+    h = sql_md5_int31(
+        f"concat_ws('|', '{salt}', {id_col}::VARCHAR, epoch_ix::VARCHAR)"
+    )
+    return f"""
+WITH em(g, e) AS (VALUES {pairs}),
+b AS (
+  SELECT t.*, CAST(coalesce(em.e, {float(default_epochs)}) AS DOUBLE) AS __e
+  FROM {table_expr} t LEFT JOIN em ON t.{group_col} = em.g
+), x AS (
+  SELECT b.*, unnest(range(0, CAST(floor(__e) AS INT) + 1)) AS epoch_ix
+  FROM b
+)
+SELECT {cols}, epoch_ix FROM x
+WHERE epoch_ix < floor(__e)
+   OR {h} < round(__e - floor(__e), 9) * {MINHASH_P}
+"""

@@ -1070,6 +1070,16 @@ class Stream:
 
         return _dab(self, reference, text_col, ref_text_col, **kw)
 
+    def decontaminate_embedding(self, reference: "Stream", vec_col: str,
+                                ref_vec_col: Optional[str] = None,
+                                **kw) -> "Stream":
+        """Embedding-space decontamination: drop rows cosine-similar to
+        any reference vector (broadcast array, map-side EXISTS, zero
+        shuffles). See datapipe.decontaminate_embedding."""
+        from .datapipe import decontaminate_embedding as _de
+
+        return _de(self, reference, vec_col, ref_vec_col, **kw)
+
     def dedup_minhash(self, text_col: str, id_col: str, **kw) -> "Stream":
         """MinHash-LSH near-duplicate dedup — banded bucket-join, never
         all-pairs. See datapipe.dedup_minhash."""
@@ -1288,6 +1298,14 @@ class Stream:
         from .prep import rebalance_mix as _rm
 
         return _rm(self, id_col, group_col, targets, **kw)
+
+    def upsample_epochs(self, id_col: str, group_col: str, epochs,
+                        **kw) -> "Stream":
+        """Fractional-epoch corpus mixing (deterministic per-group
+        replication, map-side explode) — prep.upsample_epochs."""
+        from .prep import upsample_epochs as _ue
+
+        return _ue(self, id_col, group_col, epochs, **kw)
 
     def pack_sequences(self, id_col: str, ntok_col: str, **kw) -> "Stream":
         """Concat-and-chunk sequence packing — prep.pack_sequences."""

@@ -3170,6 +3170,68 @@ SELECT doc_id, lang, n_chars FROM (
 """
 
 
+def qa04_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination — ``Stream.decontaminate_embedding``:
+    drop corpus vectors cosine-similar (>= 0.25) to any of the 8
+    "benchmark" reference vectors. The refs collapse to ONE broadcast
+    array row; the corpus test is a map-side higher-order EXISTS —
+    zero shuffles, no row multiplication. The oracle is a NOT EXISTS
+    over the same zero-safe rounded cosine."""
+    from .datapipe import decontaminate_embedding
+
+    ctx = _ctx(spark)
+    refs = _t(ctx, sf_dir, "embeddings").filter("vec_id < 8")
+    corpus = _t(ctx, sf_dir, "embeddings").filter("vec_id >= 8")
+    return (
+        decontaminate_embedding(corpus, refs, "embedding", threshold=0.25)
+        .map("vec_id", "label")
+        .df
+    )
+
+
+def _oracle_qa04() -> str:
+    from .datapipe import sql_decontaminate_embedding
+
+    return sql_decontaminate_embedding(
+        "(SELECT * FROM embeddings WHERE vec_id >= 8)",
+        "(SELECT * FROM embeddings WHERE vec_id < 8)",
+        "embedding", "embedding", "t.vec_id, t.label", threshold=0.25,
+    )
+
+
+ORACLE_QA04 = _oracle_qa04()
+
+
+def qa05_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch corpus mixing — ``Stream.upsample_epochs``:
+    2.3 epochs of en, 0.5 of de, 1.0 (default) elsewhere. Pure
+    map-side explode + salted-hash gate: zero shuffles, deterministic
+    copies, ``epoch_ix`` disambiguates duplicates downstream."""
+    from .prep import upsample_epochs
+
+    ctx = _ctx(spark)
+    return (
+        upsample_epochs(
+            _t(ctx, sf_dir, "documents"), "doc_id", "lang",
+            {"en": 2.3, "de": 0.5},
+        )
+        .map("doc_id", "lang", "epoch_ix")
+        .df
+    )
+
+
+def _oracle_qa05() -> str:
+    from .prep import sql_upsample_epochs
+
+    return sql_upsample_epochs(
+        "documents", "doc_id", "lang", {"en": 2.3, "de": 0.5},
+        "doc_id, lang",
+    )
+
+
+ORACLE_QA05 = _oracle_qa05()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3273,6 +3335,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa01_ann_ivf_sq8": qa01_ann_ivf_sq8,
     "qa02_sample_weighted_k": qa02_sample_weighted_k,
     "qa03_sample_weighted_k_stratified": qa03_sample_weighted_k_stratified,
+    "qa04_decontaminate_embedding": qa04_decontaminate_embedding,
+    "qa05_upsample_epochs": qa05_upsample_epochs,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3380,4 +3444,6 @@ ORACLE: Dict[str, str] = {
     "qa01_ann_ivf_sq8": ORACLE_QA01,
     "qa02_sample_weighted_k": ORACLE_QA02,
     "qa03_sample_weighted_k_stratified": ORACLE_QA03,
+    "qa04_decontaminate_embedding": ORACLE_QA04,
+    "qa05_upsample_epochs": ORACLE_QA05,
 }

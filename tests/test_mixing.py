@@ -1,0 +1,115 @@
+"""Edge semantics of the round-4 mixing/decontamination additions:
+embedding-space decontamination (NULL vectors, empty references) and
+fractional-epoch upsampling (exact-integer epochs, layout invariance,
+negative guards)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ #
+# decontaminate_embedding
+# ------------------------------------------------------------------ #
+
+def _emb_stream(ctx, spark, rows):
+    return ctx.from_df(
+        spark.createDataFrame(rows, "id long, v array<double>")
+    )
+
+
+def test_decontaminate_embedding_drops_similar_keeps_rest(ctx, spark):
+    corpus = _emb_stream(ctx, spark, [
+        (1, [1.0, 0.0]),      # identical to ref -> dropped
+        (2, [0.9, 0.1]),      # cos ~0.994 -> dropped
+        (3, [0.0, 1.0]),      # orthogonal -> kept
+        (4, [-1.0, 0.0]),     # opposite -> kept
+    ])
+    refs = _emb_stream(ctx, spark, [(100, [1.0, 0.0])])
+    out = corpus.decontaminate_embedding(refs, "v", threshold=0.9)
+    assert sorted(r.id for r in out.df.collect()) == [3, 4]
+
+
+def test_decontaminate_embedding_null_vec_kept(ctx, spark):
+    # Spark EXISTS yields NULL for a NULL vector; without the coalesce
+    # pin `~hit` silently drops the row while the SQL oracle's NOT
+    # EXISTS keeps it. The operator pins "NULL vec = no match".
+    corpus = _emb_stream(ctx, spark, [(1, None), (2, [1.0, 0.0])])
+    refs = _emb_stream(ctx, spark, [(100, [1.0, 0.0])])
+    out = corpus.decontaminate_embedding(refs, "v", threshold=0.5)
+    assert sorted(r.id for r in out.df.collect()) == [1]
+
+
+def test_decontaminate_embedding_empty_reference_keeps_all(ctx, spark):
+    corpus = _emb_stream(ctx, spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    refs = _emb_stream(ctx, spark, [(100, [1.0, 0.0])]).filter("id < 0")
+    out = corpus.decontaminate_embedding(refs, "v", threshold=0.0)
+    assert sorted(r.id for r in out.df.collect()) == [1, 2]
+
+
+def test_decontaminate_embedding_zero_vector_never_matches(ctx, spark):
+    # zero-safe cosine: a zero vector is similar to nothing, even at
+    # threshold 0 (cos = 0.0 >= 0.0 WOULD match; the corpus zero vec
+    # matches every ref at threshold 0 and is dropped — but a zero REF
+    # must not drag in the whole corpus at negative thresholds).
+    corpus = _emb_stream(ctx, spark, [(1, [1.0, 0.0])])
+    refs = _emb_stream(ctx, spark, [(100, [0.0, 0.0])])
+    out = corpus.decontaminate_embedding(refs, "v", threshold=0.5)
+    assert [r.id for r in out.df.collect()] == [1]
+
+
+# ------------------------------------------------------------------ #
+# upsample_epochs
+# ------------------------------------------------------------------ #
+
+def _docs(ctx, spark):
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    return ctx.from_df(spark.createDataFrame(rows, "id long, g string"))
+
+
+def test_upsample_epochs_integer_epochs_exact(ctx, spark):
+    s = _docs(ctx, spark)
+    out = s.upsample_epochs("id", "g", {"a": 3.0, "b": 0.0}).df
+    by_g = {r["g"]: r["n"] for r in
+            out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    # a: exactly 3 copies each; b: removed; c: default 1.0 epoch
+    assert by_g == {"a": 300, "c": 100}
+    # copies are distinct (epoch_ix 0..2 per id)
+    assert out.filter("g = 'a'").select("id", "epoch_ix").distinct().count() == 300
+
+
+def test_upsample_epochs_fractional_rate(ctx, spark):
+    s = _docs(ctx, spark)
+    out = s.upsample_epochs("id", "g", {"a": 2.5}).df.filter("g = 'a'")
+    n = out.count()
+    # 100 ids * 2.5 expected; hash gate is uniform — generous bounds
+    assert 230 <= n <= 270
+    # every id has at least the 2 guaranteed copies
+    mins = out.groupBy("id").count().agg(F.min("count")).first()[0]
+    assert mins >= 2
+
+
+def test_upsample_epochs_layout_invariant(ctx, spark):
+    s = _docs(ctx, spark)
+    a = s.upsample_epochs("id", "g", {"a": 1.7, "b": 0.4})
+    b = ctx.from_df(s.df.repartition(7)).upsample_epochs(
+        "id", "g", {"a": 1.7, "b": 0.4}
+    )
+    rows_a = sorted((r.id, r.g, r.epoch_ix) for r in a.df.collect())
+    rows_b = sorted((r.id, r.g, r.epoch_ix) for r in b.df.collect())
+    assert rows_a == rows_b
+
+
+def test_upsample_epochs_negative_raises(ctx, spark):
+    s = _docs(ctx, spark)
+    with pytest.raises(ValueError):
+        s.upsample_epochs("id", "g", {"a": -1.0})
+    with pytest.raises(ValueError):
+        s.upsample_epochs("id", "g", {}, default_epochs=-0.5)
+
+
+def test_upsample_epochs_null_group_gets_default(ctx, spark):
+    rows = [(1, None), (2, "a")]
+    s = ctx.from_df(spark.createDataFrame(rows, "id long, g string"))
+    out = s.upsample_epochs("id", "g", {"a": 2.0}, default_epochs=1.0).df
+    got = sorted((r.id, r.epoch_ix) for r in out.collect())
+    assert got == [(1, 0), (2, 0), (2, 1)]
