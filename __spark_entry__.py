@@ -64,13 +64,13 @@ DRIVER_SET = [
     "q51_multimodal_decode",
     "q52_salted_join",
     "q61_nexmark_hot_items",
-    "q96_dedup_against_bloom",
+    "qa04_decontaminate_embedding",
     "q97_heavy_hitters",
     "q65_nexmark_winning_bids",
     "q66_nexmark_avg_category",
     "q68_nexmark_item_suggestion",
     "q69_dedup_against",
-    "q70_pii_redact",
+    "qa05_upsample_epochs",
     "q71_quality_gopher",
     "q78_bm25",
     "q80_prep_pipeline",
