@@ -77,7 +77,7 @@ DRIVER_SET = [
     "q81_train_val_test_split",
     "q83_dedup_cluster",
     "q84_duplicate_spans",
-    "q85_chunk_dedup",
+    "qa06_ann_index_roundtrip",
     "q86_asof_join",
     "q87_group_quantiles",
     "q88_dedup_embedding_ivf",

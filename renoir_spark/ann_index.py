@@ -1,0 +1,202 @@
+"""Persisted ANN index — the "build once, query many" form of the
+IVF + SQ8 stack (`datapipe.ann_cosine_ivf_sq8`).
+
+`ann_cosine_*` re-derives centroids, quantization grid, and codes on
+every call; at 100 TB that re-encoding dominates the query cost, so
+production similarity serving persists the index artifact and amortizes
+the corpus scan across every subsequent query batch. This module writes
+exactly the artifact the datapipe docstrings promise — ``(id, cell,
+codes, vec)`` bucketed by cell — and serves query batches against it
+with PARTITION PRUNING doing the work of the inverted file: a query
+batch probing ``p`` distinct cells reads only those ``p`` parquet
+partitions, never the corpus.
+
+Layout at ``path`` (all parquet, self-describing):
+
+    meta/   one row: id_col, vec_col, n_cells, nprobe-independent dims
+    grid/   one row: __mins, __scales (the SQ8 per-dim [min,max] grid)
+    cells/  n_cells rows: cell id + unit centroid
+    codes/  corpus: id, vec (fp32 for the exact rerank), __codes
+            (SQ8, 2-byte ints 0..255 — parquet bit-packs to ~1 B/dim),
+            hive-partitioned by __cell
+
+Query results are IDENTICAL to ``ann_cosine(method="ivf_sq8")`` with
+the same parameters: the same seeded centroids (smallest-id vectors of
+the build corpus), the same codec, the same rounded-cos + id tie-break
+candidate rule, the same exact fp32 rerank — so the existing
+``sql_ann_cosine_ivf_sq8`` DuckDB oracle verifies the full
+save → load → query round trip bit-exactly (suite query qa06).
+
+Scale notes (100 TB): build is one bounded driver collect (n_cells
+seed rows), one map-side-combined stats aggregate, and ONE
+encode+assign pass over the corpus (Arrow block-matrix cell assignment
++ JVM codec expressions, no shuffle) feeding a partitioned write.
+Query never touches unprobed partitions: the probed-cell set (at most
+|queries| × nprobe ints) is collected to the driver and pushed as a
+partition filter into the codes scan — the reader lists only those
+directories. The rerank joins the candidate list (|queries| × rerank
+rows, broadcast) against the SAME pruned scan, so fp32 vectors of
+unprobed cells are never read either.
+
+Reference parity: renoir has no persisted-index operator; this is part
+of the beyond-reference similarity-search layer (SURVEY.md §2.12) in
+the idiom of FAISS's IVF,SQ8 index files (public knowledge),
+re-expressed as parquet + partition pruning instead of a custom format.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import functions as F
+
+from .datapipe import (
+    _exact_rerank_topk,
+    _ivf_assign,
+    _ivf_probe,
+    _ivf_seed_units,
+    _sq8_candidates,
+    _sq8_codes,
+    _sq8_stats,
+    _sq8_xhat,
+)
+
+
+class AnnIndex:
+    """Handle over a persisted IVF+SQ8 index directory. Construct via
+    :func:`ann_index_build` or :func:`ann_index_load`."""
+
+    def __init__(self, spark, path: str, meta: dict, units: list):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+        self.units = units
+
+    # -------------------------------------------------------------- #
+    def query(self, queries, *, k: int = 3, nprobe: int = 4,
+              rerank: int = 12):
+        """Top-k cosine neighbors from the persisted index for every
+        row of ``queries`` (a Stream carrying the index's id/vec
+        columns). Returns a Stream of (qid, id, cos, rank) — identical
+        to ``ann_cosine(method="ivf_sq8")`` over the build corpus with
+        the same parameters."""
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        qdt = dict(queries.df.dtypes)
+        q = _ivf_probe(
+            queries.df.select(
+                F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+            ),
+            self.units, nprobe=nprobe,
+            out_schema=f"qid {qdt[id_col]}, qvec {qdt[vec_col]}, __cell long",
+        )
+        # Bounded driver collect (≤ |queries| × nprobe ints): the probed
+        # cells become a LITERAL partition filter, so the codes scan
+        # lists only those hive directories — this is the index lookup.
+        probed = sorted({r["__cell"] for r in q.select("__cell").distinct().collect()})
+        # Explicit schema: no directory-listing inference (an index
+        # built over an empty corpus has no data files), and the
+        # partition column reads back long, not the discovered int.
+        codes_schema = (
+            f"{id_col} {self.meta['id_type']}, "
+            f"{vec_col} {self.meta['vec_type']}, "
+            "__codes array<smallint>, __cell long"
+        )
+        codes = (
+            self.spark.read.schema(codes_schema)
+            .parquet(f"{self.path}/codes")
+            .filter(F.col("__cell").isin([int(c) for c in probed]))
+        )
+        grid = self.spark.read.schema(
+            "__mins array<double>, __scales array<double>"
+        ).parquet(f"{self.path}/grid")
+        enc = (
+            codes.crossJoin(F.broadcast(grid))
+            .select(
+                id_col, "__cell",
+                F.col(vec_col).alias("cvec"),
+                _sq8_xhat().alias("__xhat"),
+            )
+        )
+        cand = _sq8_candidates(
+            enc.select(id_col, "__cell", "__xhat"), q,
+            id_col=id_col, rerank=rerank,
+            join=lambda c, bq: c.join(bq, "__cell"),
+        )
+        corpus = queries._new(
+            enc.select(F.col(id_col), F.col("cvec").alias(vec_col))
+        )
+        return _exact_rerank_topk(corpus, cand, vec_col=vec_col,
+                                  id_col=id_col, k=k)
+
+
+def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id", n_cells: int = 16,
+                    dim: int = 64) -> AnnIndex:
+    """Build and persist the IVF+SQ8 index for ``stream`` at ``path``.
+    One corpus pass: Arrow cell assignment + JVM SQ8 encode, written
+    hive-partitioned by cell. See the module docstring for the layout
+    and scale shape."""
+    spark = stream.df.sparkSession
+    df = stream.df
+    dtypes = dict(df.dtypes)
+    units = _ivf_seed_units(df, vec_col, id_col, n_cells)
+    stats = _sq8_stats(df, vec_col, dim)
+
+    enc = (
+        _ivf_assign(
+            df.select(F.col(id_col), F.col(vec_col).alias("cvec")),
+            units, id_schema=f"{id_col} {dtypes[id_col]}",
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.col("cvec").alias(vec_col),
+            # 0..255 fits smallint (2 B vs 8 B double in memory;
+            # parquet bit-packs further) — exact integers, so the
+            # round trip through smallint is lossless.
+            F.transform(
+                _sq8_codes(F.col("cvec")), lambda c: c.cast("smallint")
+            ).alias("__codes"),
+            "__cell",
+        )
+    )
+    enc.write.mode("overwrite").partitionBy("__cell").parquet(f"{path}/codes")
+    stats.write.mode("overwrite").parquet(f"{path}/grid")
+    spark.createDataFrame(
+        [(i, u) for i, u in enumerate(units)], "cell long, unit array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/cells")
+    meta = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_cells": n_cells,
+        "dim": dim,
+        "id_type": dtypes[id_col],
+        "vec_type": dtypes[vec_col],
+    }
+    spark.createDataFrame(
+        [(id_col, vec_col, n_cells, dim, dtypes[id_col], dtypes[vec_col])],
+        "id_col string, vec_col string, n_cells long, dim long, "
+        "id_type string, vec_type string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    return AnnIndex(spark, path, meta, units)
+
+
+def ann_index_load(spark, path: str) -> AnnIndex:
+    """Open a persisted index: reads the 1-row meta and the n_cells
+    centroid rows (bounded driver collects); the codes stay on disk
+    until a query probes them."""
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = {
+        "id_col": m["id_col"],
+        "vec_col": m["vec_col"],
+        "n_cells": int(m["n_cells"]),
+        "dim": int(m["dim"]),
+        "id_type": m["id_type"],
+        "vec_type": m["vec_type"],
+    }
+    rows = (
+        spark.read.schema("cell long, unit array<double>")
+        .parquet(f"{path}/cells").orderBy("cell").collect()
+    )
+    units = [[float(x) for x in r["unit"]] for r in rows]
+    return AnnIndex(spark, path, meta, units)

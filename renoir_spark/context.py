@@ -316,6 +316,13 @@ class StreamContext:
         """Escape hatch renoir doesn't have: full Spark SQL."""
         return Stream(self, self.spark.sql(query))
 
+    def ann_index(self, path: str):
+        """Open a persisted IVF+SQ8 ANN index (built by
+        ``Stream.ann_index_build``) — see ann_index module."""
+        from .ann_index import ann_index_load
+
+        return ann_index_load(self.spark, path)
+
     def execute(self) -> None:
         """renoir ``execute_blocking`` (src/environment.rs:97-105) is a
         no-op here: Spark actions (collect/write) trigger execution."""

@@ -1393,6 +1393,16 @@ class Stream:
             return ann_cosine_ivf_sq8(self, queries, **kw)
         raise ValueError(f"unknown ann method {method!r}")
 
+    def ann_index_build(self, path: str, **kw):
+        """Persist the IVF+SQ8 index for this corpus at ``path`` (one
+        encode+assign pass, hive-partitioned by cell) and return an
+        ``AnnIndex`` handle whose ``query()`` serves batches with
+        partition pruning — identical results to
+        ``ann_cosine(method='ivf_sq8')``. See ann_index module."""
+        from .ann_index import ann_index_build as _aib
+
+        return _aib(self, path, **kw)
+
     # ------------------------------------------------------------------ #
     # event time (SURVEY.md §2.8) and streaming handoff
     # ------------------------------------------------------------------ #

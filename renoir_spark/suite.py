@@ -3232,6 +3232,38 @@ def _oracle_qa05() -> str:
 ORACLE_QA05 = _oracle_qa05()
 
 
+def qa06_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index round trip — ``Stream.ann_index_build`` →
+    ``StreamContext.ann_index`` → ``AnnIndex.query``: the IVF+SQ8
+    artifact (codes hive-partitioned by cell) is written, re-opened
+    cold, and served with partition pruning. Results are identical to
+    the direct ``ann_cosine(method='ivf_sq8')``, so the composed
+    IVF+SQ8 DuckDB oracle verifies the whole save → load → query path
+    bit-exactly."""
+    import tempfile
+
+    from .ann_index import ann_index_load
+
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings")
+    queries = _t(ctx, sf_dir, "embeddings").filter("vec_id < 6")
+    path = tempfile.mkdtemp(prefix="renoir_ann_idx_")
+    emb.ann_index_build(path, n_cells=16)
+    idx = ann_index_load(spark, path)
+    return idx.query(queries, k=3, nprobe=3, rerank=10).df
+
+
+def _oracle_qa06() -> str:
+    from .datapipe import sql_ann_cosine_ivf_sq8
+
+    return sql_ann_cosine_ivf_sq8(
+        "embeddings", "vec_id < 6", k=3, n_cells=16, nprobe=3, rerank=10
+    )
+
+
+ORACLE_QA06 = _oracle_qa06()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3337,6 +3369,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa03_sample_weighted_k_stratified": qa03_sample_weighted_k_stratified,
     "qa04_decontaminate_embedding": qa04_decontaminate_embedding,
     "qa05_upsample_epochs": qa05_upsample_epochs,
+    "qa06_ann_index_roundtrip": qa06_ann_index_roundtrip,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3446,4 +3479,5 @@ ORACLE: Dict[str, str] = {
     "qa03_sample_weighted_k_stratified": ORACLE_QA03,
     "qa04_decontaminate_embedding": ORACLE_QA04,
     "qa05_upsample_epochs": ORACLE_QA05,
+    "qa06_ann_index_roundtrip": ORACLE_QA06,
 }

@@ -1,0 +1,70 @@
+"""Persisted ANN index (ann_index module): build/load/query round trip,
+equivalence with the direct IVF+SQ8 operator, and the partition-pruning
+contract (a probe touches only its cells' parquet directories)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def idx_path(ctx, sf_dir, tmp_path_factory):
+    emb = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("annidx") / "idx")
+    emb.ann_index_build(path, n_cells=16)
+    return path
+
+
+def test_index_query_equals_direct_ivf_sq8(ctx, sf_dir, idx_path):
+    emb = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet")
+    queries = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id < 8"
+    )
+    idx = ctx.ann_index(idx_path)
+    got = sorted(map(tuple, idx.query(queries, k=3, nprobe=4, rerank=12).df.collect()))
+    want = sorted(map(tuple, emb.ann_cosine(
+        queries, method="ivf_sq8", k=3, n_cells=16, nprobe=4, rerank=12
+    ).df.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_index_partition_pruning(ctx, sf_dir, idx_path):
+    # one query, nprobe=2: the codes scan must carry a 2-value
+    # partition filter — the partition filter IS the inverted-file
+    # lookup (the reader lists only those hive directories).
+    import re
+
+    queries = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id = 3"
+    )
+    idx = ctx.ann_index(idx_path)
+    res = idx.query(queries, k=2, nprobe=2, rerank=6)
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "__cell" in pf.group(1), plan
+    in_list = re.search(r"IN \(([^)]*)\)", pf.group(1))
+    assert in_list and len(in_list.group(1).split(",")) == 2, pf.group(1)
+    total = [d for d in os.listdir(f"{idx_path}/codes") if d.startswith("__cell=")]
+    assert len(total) == 16
+
+
+def test_index_artifact_layout_and_codes_dtype(ctx, spark, sf_dir, idx_path):
+    for part in ["meta", "grid", "cells", "codes"]:
+        assert os.path.isdir(f"{idx_path}/{part}")
+    codes = spark.read.parquet(f"{idx_path}/codes")
+    dt = dict(codes.dtypes)
+    assert dt["__codes"] == "array<smallint>"
+    lo, hi = codes.select(
+        F.min(F.array_min("__codes")), F.max(F.array_max("__codes"))
+    ).first()
+    assert 0 <= lo and hi <= 255
+    cells = spark.read.parquet(f"{idx_path}/cells")
+    assert cells.count() == 16
+
+
+def test_index_load_cold_session_meta(ctx, spark, sf_dir, idx_path):
+    idx = ctx.ann_index(idx_path)
+    assert idx.meta["id_col"] == "vec_id"
+    assert idx.meta["vec_col"] == "embedding"
+    assert idx.meta["n_cells"] == 16 and len(idx.units) == 16
