@@ -1537,6 +1537,34 @@ class Stream:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
 
+    def write_parquet_sorted(self, path: str, sort_by: Sequence[str], *,
+                             num_files: Optional[int] = None,
+                             **options) -> None:
+        """Range-sorted parquet layout (beyond-reference scale
+        primitive): rows are range-partitioned on ``sort_by`` and
+        sorted within each partition before writing, so every output
+        file covers a NARROW, NON-OVERLAPPING key range. Parquet
+        footers carry per-column min/max statistics, so a later scan
+        with a predicate on the sort key skips whole files and row
+        groups the range proves empty — the sorted-layout
+        data-skipping pattern (what Delta/Iceberg table sort orders
+        buy, on plain parquet). Complements ``partition_by`` (listing-
+        level pruning on LOW-cardinality columns) for HIGH-cardinality
+        keys like timestamps where a directory per value is absurd.
+
+        At 100 TB: one range-exchange at write time (the range
+        boundaries come from Spark's reservoir sample of the key
+        distribution, so skew spreads evenly) buys every subsequent
+        time/key-windowed scan a footer-level prune. ``num_files``
+        sizes the output files; default = current shuffle parallelism.
+        Disjointness of the per-file ranges is asserted from the real
+        footers in tests/test_storage.py."""
+        cols = [to_col(c) for c in sort_by]
+        df = (self.df.repartitionByRange(num_files, *cols) if num_files
+              else self.df.repartitionByRange(*cols))
+        (df.sortWithinPartitions(*cols)
+           .write.mode("overwrite").options(**options).parquet(path))
+
     def write_table_bucketed(self, table: str, *, by: Sequence[str],
                              num_buckets: int,
                              sort_by: Optional[Sequence[str]] = None,

@@ -136,3 +136,43 @@ def test_materialize_barrier_roundtrip(ctx, tmp_path):
     plan = _executed(m.df)
     assert "FileScan" in plan and "Range" not in plan
     assert m.fold(t=F.sum("sq")).collect_vec()[0].t == sum(i * i for i in range(1000))
+
+
+def test_sorted_write_files_cover_disjoint_ranges(ctx, tmp_path):
+    # write_parquet_sorted: every output file's footer min/max on the
+    # sort key must be non-overlapping across files — the property
+    # that lets a key-range predicate skip whole files.
+    import glob
+
+    import pyarrow.parquet as pq
+
+    li = ctx.stream_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = str(tmp_path / "li_sorted")
+    li.write_parquet_sorted(out, ["l_orderkey"], num_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["l_orderkey"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # range partitioner actually split
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary keys may touch)
+
+
+def test_sorted_write_roundtrip_and_pushdown(ctx, spark, tmp_path):
+    li = ctx.stream_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = str(tmp_path / "li_sorted2")
+    li.write_parquet_sorted(out, ["l_orderkey"], num_files=4)
+    back = spark.read.parquet(out).filter("l_orderkey = 1")
+    want = li.df.filter("l_orderkey = 1")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, want.collect()))
+    plan = _executed(back)
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "l_orderkey" in scan.split("PushedFilters")[-1]
