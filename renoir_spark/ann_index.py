@@ -82,6 +82,17 @@ class AnnIndex:
         the same parameters."""
         id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
         qdt = dict(queries.df.dtypes)
+        if not self.units:
+            # index built over an empty corpus: no cells to probe (the
+            # probe kernel cannot shape a 0-centroid matrix) — the
+            # result is empty with the contract schema
+            return queries._new(
+                self.spark.createDataFrame(
+                    [],
+                    f"qid {qdt[id_col]}, {id_col} {self.meta['id_type']}, "
+                    "cos double, rank long",
+                )
+            )
         q = _ivf_probe(
             queries.df.select(
                 F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
@@ -140,7 +151,15 @@ def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
     df = stream.df
     dtypes = dict(df.dtypes)
     units = _ivf_seed_units(df, vec_col, id_col, n_cells)
-    stats = _sq8_stats(df, vec_col, dim)
+    # run the stats aggregate ONCE and pin its 1-row result on the
+    # driver: the same row feeds both the encode broadcast and the
+    # grid/ write — without this the unpersisted aggregate would scan
+    # the corpus twice (once under enc.write, once for grid)
+    srow = _sq8_stats(df, vec_col, dim).collect()[0]
+    stats = spark.createDataFrame(
+        [(srow["__mins"], srow["__scales"])],
+        "__mins array<double>, __scales array<double>",
+    )
 
     enc = (
         _ivf_assign(

@@ -2818,6 +2818,14 @@ def decontaminate_embedding(stream, reference, vec_col: str,
     embedding-similarity gate is beyond-reference (SemDeDup-style
     decontamination, public knowledge).
     """
+    if not threshold > 0:
+        # the zero-safe cosine reports 0.0 for zero-norm vectors as a
+        # "similar to nothing" sentinel; a threshold <= 0 would invert
+        # that into "similar to everything" (a single zero-norm
+        # reference would drop the whole corpus) — reject it
+        raise ValueError(
+            f"decontaminate_embedding: threshold must be > 0, got {threshold}"
+        )
     rcol = ref_vec_col or vec_col
     refs = reference.df.agg(F.collect_list(to_col(rcol)).alias("__refs"))
     vec = to_col(vec_col)

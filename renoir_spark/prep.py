@@ -1344,11 +1344,16 @@ def upsample_epochs(stream, id_col: str, group_col: str,
     if default_epochs < 0:
         raise ValueError("upsample_epochs: negative default_epochs")
     df = stream.df
-    emap = F.map_from_arrays(
-        F.array(*[F.lit(k) for k in epochs]),
-        F.array(*[F.lit(float(v)) for v in epochs.values()]),
-    )
-    e = F.coalesce(emap[to_col(group_col)], F.lit(float(default_epochs)))
+    if epochs:
+        emap = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in epochs]),
+            F.array(*[F.lit(float(v)) for v in epochs.values()]),
+        )
+        e = F.coalesce(emap[to_col(group_col)], F.lit(float(default_epochs)))
+    else:
+        # empty map literal has VOID key type and cannot be probed —
+        # "default epochs for every group" is just the constant
+        e = F.lit(float(default_epochs))
     h = md5_int31(
         F.concat_ws("|", F.lit(salt), to_col(id_col).cast("string"),
                     F.col("epoch_ix").cast("string"))
@@ -1374,16 +1379,24 @@ def sql_upsample_epochs(table_expr: str, id_col: str, group_col: str,
                         epochs: Dict[str, float], cols: str, *,
                         salt: str = "epoch",
                         default_epochs: float = 1.0) -> str:
-    pairs = ", ".join(f"('{k}', {float(v)})" for k, v in epochs.items())
     h = sql_md5_int31(
         f"concat_ws('|', '{salt}', {id_col}::VARCHAR, epoch_ix::VARCHAR)"
     )
-    return f"""
+    if epochs:
+        pairs = ", ".join(f"('{k}', {float(v)})" for k, v in epochs.items())
+        b = f"""
 WITH em(g, e) AS (VALUES {pairs}),
 b AS (
   SELECT t.*, CAST(coalesce(em.e, {float(default_epochs)}) AS DOUBLE) AS __e
   FROM {table_expr} t LEFT JOIN em ON t.{group_col} = em.g
-), x AS (
+)"""
+    else:
+        b = f"""
+WITH b AS (
+  SELECT t.*, CAST({float(default_epochs)} AS DOUBLE) AS __e
+  FROM {table_expr} t
+)"""
+    return f"""{b}, x AS (
   SELECT b.*, unnest(range(0, CAST(floor(__e) AS INT) + 1)) AS epoch_ix
   FROM b
 )

@@ -3240,6 +3240,8 @@ def qa06_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the direct ``ann_cosine(method='ivf_sq8')``, so the composed
     IVF+SQ8 DuckDB oracle verifies the whole save → load → query path
     bit-exactly."""
+    import hashlib
+    import os
     import tempfile
 
     from .ann_index import ann_index_load
@@ -3247,7 +3249,13 @@ def qa06_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = _ctx(spark)
     emb = _t(ctx, sf_dir, "embeddings")
     queries = _t(ctx, sf_dir, "embeddings").filter("vec_id < 6")
-    path = tempfile.mkdtemp(prefix="renoir_ann_idx_")
+    # deterministic per-sf_dir path, overwritten on rebuild — repeated
+    # harness invocations (oracle tests, bench legs, driver hashing)
+    # must not accumulate index copies in the temp dir
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "renoir_ann_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
     emb.ann_index_build(path, n_cells=16)
     idx = ann_index_load(spark, path)
     return idx.query(queries, k=3, nprobe=3, rerank=10).df

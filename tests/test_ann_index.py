@@ -68,3 +68,14 @@ def test_index_load_cold_session_meta(ctx, spark, sf_dir, idx_path):
     assert idx.meta["id_col"] == "vec_id"
     assert idx.meta["vec_col"] == "embedding"
     assert idx.meta["n_cells"] == 16 and len(idx.units) == 16
+
+
+def test_empty_corpus_index_queries_empty(ctx, spark, tmp_path):
+    emb = ctx.stream_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    empty = emb.filter("vec_id < 0")
+    path = str(tmp_path / "emptyidx")
+    empty.ann_index_build(path, n_cells=16)
+    idx = ctx.ann_index(path)
+    res = idx.query(emb.filter("vec_id < 4"), k=3, nprobe=2, rerank=6).df
+    assert res.count() == 0
+    assert res.columns == ["qid", "vec_id", "cos", "rank"]

@@ -42,19 +42,23 @@ def test_decontaminate_embedding_null_vec_kept(ctx, spark):
 def test_decontaminate_embedding_empty_reference_keeps_all(ctx, spark):
     corpus = _emb_stream(ctx, spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
     refs = _emb_stream(ctx, spark, [(100, [1.0, 0.0])]).filter("id < 0")
-    out = corpus.decontaminate_embedding(refs, "v", threshold=0.0)
+    out = corpus.decontaminate_embedding(refs, "v", threshold=0.1)
     assert sorted(r.id for r in out.df.collect()) == [1, 2]
 
 
 def test_decontaminate_embedding_zero_vector_never_matches(ctx, spark):
-    # zero-safe cosine: a zero vector is similar to nothing, even at
-    # threshold 0 (cos = 0.0 >= 0.0 WOULD match; the corpus zero vec
-    # matches every ref at threshold 0 and is dropped — but a zero REF
-    # must not drag in the whole corpus at negative thresholds).
+    # zero-safe cosine: a zero-norm REFERENCE is "similar to nothing"
+    # (cos pinned to 0.0), so at any positive threshold it drops no
+    # corpus rows. Thresholds <= 0 would invert that sentinel into
+    # "similar to everything" and are rejected outright.
     corpus = _emb_stream(ctx, spark, [(1, [1.0, 0.0])])
     refs = _emb_stream(ctx, spark, [(100, [0.0, 0.0])])
     out = corpus.decontaminate_embedding(refs, "v", threshold=0.5)
     assert [r.id for r in out.df.collect()] == [1]
+    with pytest.raises(ValueError):
+        corpus.decontaminate_embedding(refs, "v", threshold=0.0)
+    with pytest.raises(ValueError):
+        corpus.decontaminate_embedding(refs, "v", threshold=-0.3)
 
 
 # ------------------------------------------------------------------ #
@@ -113,3 +117,15 @@ def test_upsample_epochs_null_group_gets_default(ctx, spark):
     out = s.upsample_epochs("id", "g", {"a": 2.0}, default_epochs=1.0).df
     got = sorted((r.id, r.epoch_ix) for r in out.collect())
     assert got == [(1, 0), (2, 0), (2, 1)]
+
+
+def test_upsample_epochs_empty_dict_uses_default(ctx, spark, duck):
+    from renoir_spark.prep import sql_upsample_epochs
+
+    s = _docs(ctx, spark)
+    out = s.upsample_epochs("id", "g", {}, default_epochs=2.0).df
+    assert out.count() == 600  # every row exactly twice
+    # and the SQL mirror parses and agrees on the shape
+    sql = sql_upsample_epochs("(SELECT 1 AS id, 'a' AS g)", "id", "g", {},
+                              "id, g", default_epochs=2.0)
+    assert len(duck.execute(sql).fetchall()) == 2
