@@ -323,6 +323,13 @@ class StreamContext:
 
         return ann_index_load(self.spark, path)
 
+    def dedup_index(self, path: str):
+        """Open a persisted MinHash-LSH dedup index (built by
+        ``Stream.dedup_index_build``) — see dedup_index module."""
+        from .dedup_index import dedup_index_load
+
+        return dedup_index_load(self.spark, path)
+
     def execute(self) -> None:
         """renoir ``execute_blocking`` (src/environment.rs:97-105) is a
         no-op here: Spark actions (collect/write) trigger execution."""

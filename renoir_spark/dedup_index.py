@@ -1,0 +1,409 @@
+"""Persisted MinHash-LSH dedup index — incremental near-duplicate
+deduplication of NEW data against an already-ingested corpus.
+
+``dedup_minhash`` / ``dedup_against`` recompute the full corpus
+signature chain on every call; at 100 TB that re-shingling dominates —
+a production ingest pipeline dedups each incoming increment against the
+accumulated corpus WITHOUT touching the corpus text again. This module
+persists exactly the two relations the LSH machinery needs:
+
+    meta/      one row: id_col, text_col, num_hashes, bands, shingle_n,
+               bucket_dirs, id_type
+    buckets/   corpus LSH postings: (bidx, bhash, id), hive-partitioned
+               by ``__bk = bhash % bucket_dirs`` — an incoming batch
+               collects its own ≤ bucket_dirs distinct ``__bk`` values
+               (bounded driver collect) and pushes them as a LITERAL
+               partition filter, so a small increment reads only the
+               bucket directories it can possibly match
+    shingles/  (id, sh array<string>) for the exact-Jaccard verify,
+               hive-partitioned by ``__sk = md5_int31(id) %
+               bucket_dirs`` — pruned the same way from the (small)
+               verified-candidate id set
+
+The signature chain is the SHARED :func:`~renoir_spark.datapipe.
+minhash_bands_expr` (same constants, same staging discipline), so a
+batch matched against the index produces byte-identical candidates to
+running :func:`~renoir_spark.datapipe.minhash_pairs` over the union —
+which is what the DuckDB oracle mirror (:func:`sql_dedup_index_batch`)
+verifies bit-exactly.
+
+Scale notes (100 TB): build is ONE pass over the corpus text (the same
+normalize → shingle → minhash → band chain every other minhash operator
+pays once) feeding two partitioned writes; nothing is collected.
+``dedup_batch`` shuffles only (bidx, bhash, id) triples of the BATCH
+against the pruned posting scan — corpus text and corpus shingle arrays
+are read only for the verified-candidate sliver, via the ``__sk``
+partition filter. ``append`` makes the index incremental: survivors'
+postings/shingles land in the same hive layout (append mode), so the
+next increment dedups against corpus + all previous increments with no
+rebuild. Bucket skew (identical-content floods sharing one bhash) is
+absorbed by AQE skew-join on the candidate equi-join, as in
+:func:`minhash_pairs`.
+
+Reference parity: renoir has no persisted-index operator; this is the
+beyond-reference dedup layer (SURVEY.md §2.12) in the idiom of
+production corpus builds (incremental LSH ingest, public knowledge —
+e.g. the Lee et al. 2022 / RefinedWeb dedup pipelines), re-expressed as
+parquet + hive partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .datapipe import (
+    MINHASH_P,
+    _mh_params,
+    _sql_minhash_ctes,
+    _SQL_JACCARD,
+    md5_int31,
+    minhash_bands_expr,
+    sql_md5_int31,
+    sql_word_shingles,
+)
+
+
+def _batch_sig(batch, text_col: str, id_col: str, meta: dict):
+    """Shared normalize → shingle → band chain for an incoming batch,
+    as (__id, __sh, __bands) with the index's parameters."""
+    return minhash_bands_expr(
+        batch.df.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        ),
+        "__text",
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+        shingle_n=meta["shingle_n"],
+    ).select("__id", "__sh", "__bands")
+
+
+def _bucket_rows(sig, meta: dict):
+    """Explode a signature relation into posting rows
+    (bidx, bhash, __bk, id)."""
+    return (
+        sig.select("__id", F.explode("__bands").alias("__b"))
+        .select(
+            F.col("__b.bidx").alias("bidx"),
+            F.col("__b.bhash").alias("bhash"),
+            (F.col("__b.bhash") % F.lit(meta["bucket_dirs"])).alias("__bk"),
+            F.col("__id"),
+        )
+    )
+
+
+class DedupIndex:
+    """Handle over a persisted MinHash-LSH dedup index directory.
+    Construct via :func:`dedup_index_build` or :func:`dedup_index_load`.
+    """
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    # -------------------------------------------------------------- #
+    def _read_buckets(self, bk_values):
+        schema = (
+            f"bidx int, bhash long, id {self.meta['id_type']}, __bk long"
+        )
+        df = self.spark.read.schema(schema).parquet(f"{self.path}/buckets")
+        # literal partition filter from a BOUNDED collect (≤ bucket_dirs
+        # ints): the reader lists only the touched hive directories —
+        # this is what makes a small increment cheap against a 100 TB
+        # index. An explicit schema keeps the read well-typed even when
+        # the index is empty (no data files to infer from).
+        return df.filter(F.col("__bk").isin([int(b) for b in bk_values]))
+
+    def _read_shingles(self, sk_values):
+        schema = f"id {self.meta['id_type']}, sh array<string>, __sk long"
+        df = self.spark.read.schema(schema).parquet(f"{self.path}/shingles")
+        return df.filter(F.col("__sk").isin([int(s) for s in sk_values]))
+
+    # -------------------------------------------------------------- #
+    def match_batch(self, batch, *, threshold: float = 0.7):
+        """Verified near-duplicate PAIRS between ``batch`` rows and
+        indexed corpus rows: a Stream of (batch_id, corpus_id, jac)
+        with ``jac >= threshold``. Batch-internal duplicates are NOT
+        reported — that is :func:`~renoir_spark.datapipe.dedup_minhash`
+        over the batch itself."""
+        id_col = self.meta["id_col"]
+        text_col = self.meta["text_col"]
+        sig = _batch_sig(batch, text_col, id_col, self.meta).persist()
+        bb = _bucket_rows(sig, self.meta)
+        bks = sorted(
+            r["__bk"] for r in bb.select("__bk").distinct().collect()
+        )
+        if not bks:
+            # empty batch (or all-NULL text): nothing can match; avoid
+            # an isin([]) scan over the index entirely
+            empty = self.spark.createDataFrame(
+                [],
+                f"batch_id {self.meta['id_type']}, "
+                f"corpus_id {self.meta['id_type']}, jac double",
+            )
+            return batch._new(empty)._retain(sig)
+        cand = (
+            bb.join(
+                self._read_buckets(bks).select("bidx", "bhash", "id"),
+                ["bidx", "bhash"],
+            )
+            # deliberate pre-verify distinct — same trade as
+            # minhash_pairs: a pair matching in several bands must not
+            # ride the shingle re-attach joins multiple times
+            .select(F.col("__id").alias("__bid"), F.col("id").alias("__cid"))
+            .distinct()
+        )
+        sks = sorted(
+            r["__sk"]
+            for r in cand.select(
+                (md5_int31(F.col("__cid").cast("string"))
+                 % F.lit(self.meta["bucket_dirs"])).alias("__sk")
+            ).distinct().collect()
+        )
+        corpus_sh = (
+            self._read_shingles(sks).select(
+                F.col("id").alias("__cid"), F.col("sh").alias("shb")
+            )
+            if sks
+            else self.spark.createDataFrame(
+                [], f"__cid {self.meta['id_type']}, shb array<string>"
+            )
+        )
+        jac = (
+            F.size(F.array_intersect("sha", "shb"))
+            / F.size(F.array_union("sha", "shb"))
+        )
+        pairs = (
+            cand.join(
+                sig.select(F.col("__id").alias("__bid"),
+                           F.col("__sh").alias("sha")),
+                "__bid",
+            )
+            .join(corpus_sh, "__cid")
+            .withColumn("__j", jac)
+            .filter(F.col("__j") >= F.lit(threshold))
+            .select(
+                F.col("__bid").alias("batch_id"),
+                F.col("__cid").alias("corpus_id"),
+                F.col("__j").alias("jac"),
+            )
+        )
+        return batch._new(pairs)._retain(sig)
+
+    def dedup_batch(self, batch, *, threshold: float = 0.7):
+        """Rows of ``batch`` that are NOT a near-duplicate (exact
+        shingle-Jaccard ≥ threshold, LSH-candidates only) of any indexed
+        corpus row. The incremental-ingest step: dedup the increment,
+        then :meth:`append` the survivors."""
+        id_col = self.meta["id_col"]
+        pairs = self.match_batch(batch, threshold=threshold)
+        dup_ids = pairs.df.select(
+            F.col("batch_id").alias(id_col)
+        ).distinct()
+        out = batch.df.join(dup_ids, id_col, "left_anti")
+        return batch._new(out)._retain(*pairs._retained)
+
+    def append(self, batch) -> None:
+        """Ingest ``batch`` into the index: its postings and shingles
+        land in the same hive layout (append mode), so subsequent
+        :meth:`dedup_batch` calls see corpus + this increment with no
+        rebuild. Caller contract: append SURVIVORS (post-dedup) — the
+        index does not re-verify what it ingests."""
+        id_col = self.meta["id_col"]
+        text_col = self.meta["text_col"]
+        sig = _batch_sig(batch, text_col, id_col, self.meta).persist()
+        _bucket_rows(sig, self.meta).select(
+            "bidx", "bhash", F.col("__id").alias("id"), "__bk"
+        ).write.mode("append").partitionBy("__bk").parquet(
+            f"{self.path}/buckets"
+        )
+        sig.select(
+            F.col("__id").alias("id"),
+            F.col("__sh").alias("sh"),
+            (md5_int31(F.col("__id").cast("string"))
+             % F.lit(self.meta["bucket_dirs"])).alias("__sk"),
+        ).write.mode("append").partitionBy("__sk").parquet(
+            f"{self.path}/shingles"
+        )
+        sig.unpersist()
+
+
+def dedup_index_build(stream, path: str, *, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 12,
+                      bands: int = 4, shingle_n: int = 3,
+                      bucket_dirs: int = 64) -> DedupIndex:
+    """Build and persist the LSH dedup index for ``stream`` at ``path``
+    — one signature pass over the corpus feeding two partitioned writes.
+    ``bucket_dirs`` dials the pruning granularity: more directories
+    prune harder for small increments but cost more files; 64 keeps a
+    10-doc increment reading ≲ 40/64 of the posting table while staying
+    far from small-file territory at any corpus size."""
+    spark = stream.df.sparkSession
+    dtypes = dict(stream.df.dtypes)
+    meta = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "bucket_dirs": bucket_dirs,
+        "id_type": dtypes[id_col],
+    }
+    idx = DedupIndex(spark, path, meta)
+    spark.createDataFrame(
+        [(id_col, text_col, num_hashes, bands, shingle_n, bucket_dirs,
+          dtypes[id_col])],
+        "id_col string, text_col string, num_hashes long, bands long, "
+        "shingle_n long, bucket_dirs long, id_type string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    # reset the data roots to empty (idempotent rebuilds), then the
+    # corpus ingest is just an append into the fresh layout
+    _overwrite_empty(spark, f"{path}/buckets",
+                     f"bidx int, bhash long, id {dtypes[id_col]}, __bk long",
+                     "__bk")
+    _overwrite_empty(spark, f"{path}/shingles",
+                     f"id {dtypes[id_col]}, sh array<string>, __sk long",
+                     "__sk")
+    idx.append(stream)
+    return idx
+
+
+def _overwrite_empty(spark, path: str, schema: str, part_col: str) -> None:
+    """Reset a hive-partitioned data root to empty with the right
+    schema (idempotent rebuilds; explicit-schema reads keep working)."""
+    spark.createDataFrame([], schema).write.mode("overwrite").partitionBy(
+        part_col
+    ).parquet(path)
+
+
+def dedup_index_load(spark, path: str) -> DedupIndex:
+    """Open a persisted dedup index: one 1-row meta read; postings and
+    shingles stay on disk until a batch probes them."""
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = {
+        "id_col": m["id_col"],
+        "text_col": m["text_col"],
+        "num_hashes": int(m["num_hashes"]),
+        "bands": int(m["bands"]),
+        "shingle_n": int(m["shingle_n"]),
+        "bucket_dirs": int(m["bucket_dirs"]),
+        "id_type": m["id_type"],
+    }
+    return DedupIndex(spark, path, meta)
+
+
+# --------------------------------------------------------------------- #
+# DuckDB oracle mirror
+# --------------------------------------------------------------------- #
+
+def _sql_index_chain(text: str, id_col: str, *, num_hashes: int,
+                     bands: int, shingle_n: int):
+    """Tag-parameterized CTE builders shared by the one-shot and
+    incremental oracle mirrors: ``chain(tag, expr)`` ends in
+    ``buckets_{tag} (id, sh, bidx, bhash)``."""
+    rows_per_band = num_hashes // bands
+    mh_exprs = ", ".join(
+        f"list_min([({a}*h + {b}) % {MINHASH_P} for h in hs]) AS mh{i}"
+        for i, (a, b) in enumerate(_mh_params(num_hashes))
+    )
+    band_exprs = ", ".join(
+        sql_md5_int31(
+            "("
+            + " || '-' || ".join(
+                f"mh{bb * rows_per_band + r}::VARCHAR"
+                for r in range(rows_per_band)
+            )
+            + ")"
+        )
+        + f" AS b{bb}"
+        for bb in range(bands)
+    )
+
+    def band_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT id, sh, {bb} AS bidx, b{bb} AS bhash FROM {src}"
+            for bb in range(bands)
+        )
+
+    def chain(tag: str, table_expr: str) -> str:
+        return f"""base_{tag} AS (
+  SELECT {id_col} AS id, {sql_word_shingles(text, shingle_n)} AS sh
+  FROM {table_expr}
+), hashed_{tag} AS (
+  SELECT id, sh, [{sql_md5_int31('s')} for s in sh] AS hs FROM base_{tag}
+), sig_{tag} AS (
+  SELECT id, sh, {mh_exprs} FROM hashed_{tag}
+), bandsig_{tag} AS (
+  SELECT id, sh, {band_exprs} FROM sig_{tag}
+), buckets_{tag} AS (
+  {band_rows(f'bandsig_{tag}')}
+)"""
+
+    return chain
+
+
+def sql_dedup_index_batch(corpus_expr: str, batch_expr: str, text: str,
+                          id_col: str, cols: str, *,
+                          num_hashes: int = 12, bands: int = 4,
+                          shingle_n: int = 3,
+                          threshold: float = 0.7) -> str:
+    """DuckDB mirror of ``DedupIndex.dedup_batch``: batch rows that
+    share an LSH band bucket with a corpus row AND verify at shingle
+    Jaccard ≥ threshold are dropped. Same constants, same hash, same
+    shingle fallback as the Spark chain — cross-corpus candidates only
+    (no batch-internal pairs), exactly the index semantics."""
+    chain = _sql_index_chain(text, id_col, num_hashes=num_hashes,
+                             bands=bands, shingle_n=shingle_n)
+    return f"""
+WITH {chain('c', corpus_expr)}, {chain('b', batch_expr)}, cand AS (
+  SELECT DISTINCT b.id AS idb, c.id AS idc, b.sh AS sha, c.sh AS shb
+  FROM buckets_b b JOIN buckets_c c
+    ON b.bidx = c.bidx AND b.bhash = c.bhash
+), dups AS (
+  SELECT DISTINCT idb FROM cand
+  WHERE {_SQL_JACCARD} >= {threshold}
+)
+SELECT {cols} FROM {batch_expr}
+WHERE {id_col} NOT IN (SELECT idb FROM dups)
+"""
+
+
+def sql_dedup_index_incremental(corpus_expr: str, batch1_expr: str,
+                                batch2_expr: str, text: str, id_col: str,
+                                cols: str, *, num_hashes: int = 12,
+                                bands: int = 4, shingle_n: int = 3,
+                                threshold: float = 0.7) -> str:
+    """DuckDB mirror of the full incremental-ingest round trip:
+    ``build(corpus)`` → ``surv1 = dedup_batch(batch1)`` →
+    ``append(surv1)`` → ``dedup_batch(batch2)``. Batch-2 survivors are
+    batch-2 rows near-duplicate of NEITHER the corpus NOR a batch-1
+    survivor — composed in ONE flat WITH (the batch-1 survivor postings
+    are just ``buckets_b1`` filtered by ``dups1``, no nested re-derive).
+    """
+    chain = _sql_index_chain(text, id_col, num_hashes=num_hashes,
+                             bands=bands, shingle_n=shingle_n)
+    return f"""
+WITH {chain('c', corpus_expr)}, {chain('b1', batch1_expr)},
+{chain('b2', batch2_expr)}, cand1 AS (
+  SELECT DISTINCT b.id AS idb, b.sh AS sha, c.sh AS shb
+  FROM buckets_b1 b JOIN buckets_c c
+    ON b.bidx = c.bidx AND b.bhash = c.bhash
+), dups1 AS (
+  SELECT DISTINCT idb FROM cand1
+  WHERE {_SQL_JACCARD} >= {threshold}
+), ref2 AS (
+  SELECT id, sh, bidx, bhash FROM buckets_c
+  UNION ALL
+  SELECT id, sh, bidx, bhash FROM buckets_b1
+  WHERE id NOT IN (SELECT idb FROM dups1)
+), cand2 AS (
+  SELECT DISTINCT b.id AS idb, b.sh AS sha, c.sh AS shb
+  FROM buckets_b2 b JOIN ref2 c
+    ON b.bidx = c.bidx AND b.bhash = c.bhash
+), dups2 AS (
+  SELECT DISTINCT idb FROM cand2
+  WHERE {_SQL_JACCARD} >= {threshold}
+)
+SELECT {cols} FROM {batch2_expr}
+WHERE {id_col} NOT IN (SELECT idb FROM dups2)
+"""

@@ -1403,6 +1403,17 @@ class Stream:
 
         return _aib(self, path, **kw)
 
+    def dedup_index_build(self, path: str, **kw):
+        """Persist the MinHash-LSH dedup index for this corpus at
+        ``path`` (one signature pass, hive-partitioned postings +
+        shingles) and return a ``DedupIndex`` whose ``dedup_batch`` /
+        ``append`` make near-duplicate dedup INCREMENTAL — new data
+        dedups against the accumulated corpus without recomputing its
+        signatures. See dedup_index module."""
+        from .dedup_index import dedup_index_build as _dib
+
+        return _dib(self, path, **kw)
+
     # ------------------------------------------------------------------ #
     # event time (SURVEY.md §2.8) and streaming handoff
     # ------------------------------------------------------------------ #

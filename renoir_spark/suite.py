@@ -3272,6 +3272,97 @@ def _oracle_qa06() -> str:
 ORACLE_QA06 = _oracle_qa06()
 
 
+def _tmp_index_path(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-sf_dir temp path (overwritten on rebuild) —
+    repeated harness invocations must not accumulate index copies."""
+    import hashlib
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        prefix + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+
+
+def qa07_dedup_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted MinHash-LSH dedup index — ``Stream.dedup_index_build``
+    over 4/5 of the documents, then ``DedupIndex.dedup_batch`` dedups
+    the held-out 1/5 against it: the incremental-ingest primitive (new
+    data vs an already-indexed 100 TB corpus, postings read under a
+    literal hive-partition filter, corpus text never re-shingled).
+    The cross-corpus LSH + Jaccard-verify DuckDB mirror
+    (``sql_dedup_index_batch``) verifies the save → load → match path
+    bit-exactly."""
+    from .dedup_index import dedup_index_load
+
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    path = _tmp_index_path("renoir_dedup_idx_", sf_dir)
+    corpus.dedup_index_build(path, text_col="text", id_col="doc_id",
+                             bucket_dirs=16)
+    idx = dedup_index_load(spark, path)
+    return (
+        idx.dedup_batch(batch, threshold=0.7)
+        .df.select("doc_id", "lang", "n_chars")
+    )
+
+
+def _oracle_qa07() -> str:
+    from .dedup_index import sql_dedup_index_batch
+
+    return sql_dedup_index_batch(
+        "(SELECT * FROM documents WHERE doc_id % 5 != 0)",
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
+        "text", "doc_id", "doc_id, lang, n_chars",
+    )
+
+
+ORACLE_QA07 = _oracle_qa07()
+
+
+def qa08_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest round trip on the persisted dedup index:
+    build over the corpus, dedup increment 1, ``append`` its survivors,
+    then dedup increment 2 — whose rows must now be checked against
+    corpus AND the appended survivors, proving the append path feeds
+    subsequent matches. One flat-WITH DuckDB mirror
+    (``sql_dedup_index_incremental``) verifies the whole sequence."""
+    from .dedup_index import dedup_index_load
+
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    b1 = docs.filter("doc_id % 10 = 0")
+    b2 = docs.filter("doc_id % 10 = 5")
+    path = _tmp_index_path("renoir_dedup_idx_inc_", sf_dir)
+    corpus.dedup_index_build(path, text_col="text", id_col="doc_id",
+                             bucket_dirs=16)
+    idx = dedup_index_load(spark, path)
+    surv1 = idx.dedup_batch(b1, threshold=0.7)
+    idx.append(surv1)
+    return (
+        idx.dedup_batch(b2, threshold=0.7)
+        .df.select("doc_id", "n_chars")
+    )
+
+
+def _oracle_qa08() -> str:
+    from .dedup_index import sql_dedup_index_incremental
+
+    return sql_dedup_index_incremental(
+        "(SELECT * FROM documents WHERE doc_id % 5 != 0)",
+        "(SELECT * FROM documents WHERE doc_id % 10 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 10 = 5)",
+        "text", "doc_id", "doc_id, n_chars",
+    )
+
+
+ORACLE_QA08 = _oracle_qa08()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3378,6 +3469,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa04_decontaminate_embedding": qa04_decontaminate_embedding,
     "qa05_upsample_epochs": qa05_upsample_epochs,
     "qa06_ann_index_roundtrip": qa06_ann_index_roundtrip,
+    "qa07_dedup_index_batch": qa07_dedup_index_batch,
+    "qa08_dedup_index_incremental": qa08_dedup_index_incremental,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3488,4 +3581,6 @@ ORACLE: Dict[str, str] = {
     "qa04_decontaminate_embedding": ORACLE_QA04,
     "qa05_upsample_epochs": ORACLE_QA05,
     "qa06_ann_index_roundtrip": ORACLE_QA06,
+    "qa07_dedup_index_batch": ORACLE_QA07,
+    "qa08_dedup_index_incremental": ORACLE_QA08,
 }

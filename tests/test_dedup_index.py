@@ -1,0 +1,145 @@
+"""Persisted MinHash-LSH dedup index (renoir_spark/dedup_index.py):
+build → load → dedup_batch / match_batch / append, plus the
+partition-pruning plan contract that makes small increments cheap
+against a large index. Bit-exact result parity vs DuckDB is covered by
+tests/test_oracle.py (qa07, qa08); these are the behavioral edges."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(ctx, spark, rows):
+    return ctx.from_df(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "spark plans shuffle exchanges between stages for wide ops"),
+    (3, "completely unrelated content about cooking pasta al dente"),
+]
+# 10 = near-copy of 1, 11 = fresh, 12 = near-copy of 2
+BATCH = [
+    (10, "the quick brown fox jumps over the lazy dog again and again!"),
+    (11, "entirely novel document with its own words and phrasing here"),
+    (12, "spark plans shuffle exchanges between stages for wide ops"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx_path(ctx, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("didx") / "index")
+    _docs(ctx, spark, CORPUS).dedup_index_build(
+        path, text_col="text", id_col="doc_id", bucket_dirs=8
+    )
+    return path
+
+
+def test_dedup_batch_drops_near_dups_keeps_fresh(ctx, spark, idx_path):
+    idx = ctx.dedup_index(idx_path)
+    surv = idx.dedup_batch(_docs(ctx, spark, BATCH), threshold=0.7)
+    assert sorted(r.doc_id for r in surv.df.collect()) == [11]
+
+
+def test_match_batch_pairs(ctx, spark, idx_path):
+    idx = ctx.dedup_index(idx_path)
+    pairs = idx.match_batch(_docs(ctx, spark, BATCH), threshold=0.7).df
+    got = {(r.batch_id, r.corpus_id) for r in pairs.collect()}
+    assert got == {(10, 1), (12, 2)}
+    exact = next(r for r in pairs.collect() if r.batch_id == 12)
+    assert exact.jac == 1.0
+
+
+def test_cold_load_meta(ctx, idx_path):
+    idx = ctx.dedup_index(idx_path)
+    m = idx.meta
+    assert m["id_col"] == "doc_id" and m["text_col"] == "text"
+    assert m["num_hashes"] == 12 and m["bands"] == 4
+    assert m["bucket_dirs"] == 8 and m["id_type"] == "bigint"
+
+
+def test_empty_batch(ctx, spark, idx_path):
+    idx = ctx.dedup_index(idx_path)
+    empty = _docs(ctx, spark, CORPUS).filter("doc_id < 0")
+    assert idx.match_batch(empty).df.count() == 0
+    assert idx.dedup_batch(empty).df.count() == 0
+
+
+def test_empty_corpus_index_keeps_all(ctx, spark, tmp_path):
+    path = str(tmp_path / "emptyidx")
+    _docs(ctx, spark, CORPUS).filter("doc_id < 0").dedup_index_build(
+        path, text_col="text", id_col="doc_id", bucket_dirs=8
+    )
+    idx = ctx.dedup_index(path)
+    surv = idx.dedup_batch(_docs(ctx, spark, BATCH))
+    assert sorted(r.doc_id for r in surv.df.collect()) == [10, 11, 12]
+
+
+def test_append_makes_increment_visible(ctx, spark, tmp_path):
+    path = str(tmp_path / "incidx")
+    _docs(ctx, spark, CORPUS).dedup_index_build(
+        path, text_col="text", id_col="doc_id", bucket_dirs=8
+    )
+    idx = ctx.dedup_index(path)
+    batch = _docs(ctx, spark, BATCH)
+    surv = idx.dedup_batch(batch, threshold=0.7)
+    idx.append(surv)
+    # the same batch re-deduped now hits its own appended survivor too
+    surv2 = idx.dedup_batch(batch, threshold=0.7)
+    assert surv2.df.count() == 0
+    # and a copy of the appended doc 11 is caught (exact copy — this
+    # pins append visibility, not LSH recall, which band count dials)
+    redo = _docs(ctx, spark, [
+        (20, "entirely novel document with its own words and phrasing here"),
+    ])
+    assert idx.dedup_batch(redo, threshold=0.7).df.count() == 0
+
+
+def test_rebuild_is_idempotent(ctx, spark, tmp_path):
+    path = str(tmp_path / "rebuild")
+    corpus = _docs(ctx, spark, CORPUS)
+    corpus.dedup_index_build(path, text_col="text", id_col="doc_id",
+                             bucket_dirs=8)
+    ctx.dedup_index(path).append(_docs(ctx, spark, BATCH))
+    # rebuild resets the data roots — the appended batch must be gone
+    corpus.dedup_index_build(path, text_col="text", id_col="doc_id",
+                             bucket_dirs=8)
+    surv = ctx.dedup_index(path).dedup_batch(_docs(ctx, spark, BATCH))
+    assert sorted(r.doc_id for r in surv.df.collect()) == [11]
+
+
+def test_posting_scan_partition_pruned(ctx, spark, idx_path):
+    """The index read under a batch probe must carry the batch's __bk
+    set as a PartitionFilter — directory-level pruning, not a row
+    filter over every posting file."""
+    idx = ctx.dedup_index(idx_path)
+    plan = _executed(
+        idx.match_batch(_docs(ctx, spark, BATCH[:1]), threshold=0.7).df
+    )
+    scans = [l for l in plan.splitlines()
+             if "FileScan" in l and "/buckets" in l]
+    assert scans, plan
+    for s in scans:
+        assert "PartitionFilters" in s
+        assert "__bk" in s.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_string_ids(ctx, spark, tmp_path):
+    """id dtype flows from the corpus through meta to every read schema
+    (the ANN-index string-id lesson, applied here by construction)."""
+    path = str(tmp_path / "strid")
+    rows = [(f"doc-{i}", t) for i, t in CORPUS]
+    s = ctx.from_df(spark.createDataFrame(rows, "doc_id string, text string"))
+    s.dedup_index_build(path, text_col="text", id_col="doc_id",
+                        bucket_dirs=8)
+    idx = ctx.dedup_index(path)
+    assert idx.meta["id_type"] == "string"
+    brows = [(f"b-{i}", t) for i, t in BATCH]
+    b = ctx.from_df(spark.createDataFrame(brows, "doc_id string, text string"))
+    surv = idx.dedup_batch(b, threshold=0.7)
+    assert sorted(r.doc_id for r in surv.df.collect()) == ["b-11"]
