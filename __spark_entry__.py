@@ -6,13 +6,13 @@ in ``renoir_spark/suite.py`` (one entry per operator family from
 SURVEY.md §2, each with a DuckDB-equivalent oracle).
 
 The driver's correctness harness hashes only the FIRST 50 keys of
-``sorted(queries())``.  The suite declares 107 queries, so a plain
+``sorted(queries())``.  The suite declares 108 queries, so a plain
 alphabetical listing would leave whole operator families (NEXMark, as-of
 join, rollup/quantiles/count-distinct, the prep/multimodal layer, cluster
 dedup) without a driver row.  ``DRIVER_SET`` below is therefore a curated
 50-slot set — one representative per family — exposed under ``dNN_``
 keys so it sorts BEFORE the remaining ``q``-keyed entries; the driver
-hashes exactly these 50, while all 107 queries stay exposed here and are
+hashes exactly these 50, while all 108 queries stay exposed here and are
 bit-exactly verified against DuckDB in ``tests/test_oracle.py``.
 """
 
@@ -28,7 +28,8 @@ from renoir_spark import suite
 #   core folds/scans: q01 q10 q24 · joins: q03 q04 q22 q52 q86 · plumbing:
 #   q05 q12 q19 · element-wise: q09 q42 · windows: q11 q13 q14 q16 q23 q36
 #   q40 · iteration: q26 q49 q89 · NEXMark: q61 q65 q66 q68 ·
-#   dedup: q34 q69 q83 q84 q88 qa08 · decontamination: qa04 · text/prep:
+#   dedup: q34 q69 q83 q88 qa08 · decontamination: qa04 · data
+#   selection: qa09 · text/prep:
 #   q30 q48 q71 q78 q80 q81 q98 · mixing: qa05 · ANN: q50 · index
 #   persistence: qa06 · multimodal: q51 · agg extensions: q87 q90 q91
 #   q97 · argmax: q08
@@ -37,8 +38,8 @@ from renoir_spark import suite
 #  ANN-index-roundtrip families qa04/qa05/qa06, then q28 out for the
 #  incremental dedup-index round trip qa08 — its MinHash-LSH banding
 #  machinery stays driver-covered via q83's cluster dedup AND qa08's
-#  build path; every rotated-out query stays oracle-verified in
-#  tests/test_oracle.py.)
+#  build path — and q84 out for DSIR importance resampling qa09; every
+#  rotated-out query stays oracle-verified in tests/test_oracle.py.)
 DRIVER_SET = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -81,7 +82,7 @@ DRIVER_SET = [
     "q80_prep_pipeline",
     "q81_train_val_test_split",
     "q83_dedup_cluster",
-    "q84_duplicate_spans",
+    "qa09_dsir_select",
     "qa06_ann_index_roundtrip",
     "q86_asof_join",
     "q87_group_quantiles",

@@ -1404,3 +1404,209 @@ SELECT {cols}, epoch_ix FROM x
 WHERE epoch_ix < floor(__e)
    OR {h} < round(__e - floor(__e), 9) * {MINHASH_P}
 """
+
+
+# --------------------------------------------------------------------- #
+# DSIR — data selection via importance resampling
+# --------------------------------------------------------------------- #
+
+def _dsir_occ(df, text_col: str, id_col: str, *, n_buckets: int,
+              ngram: int):
+    """Per-document hashed n-gram feature occurrences: (doc id, bucket)
+    with one row per gram OCCURRENCE (multiplicity kept), buckets =
+    md5_int31(gram) % n_buckets over all 1..ngram word grams."""
+    base = df.select(
+        to_col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
+    def _grams_of(n):
+        # closure factory: a default-arg lambda would read as binary to
+        # PySpark's higher-order-function arity inspection
+        return F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("__toks"), i + j)
+                       for j in range(n)]
+            ),
+        )
+
+    gram_arrays = [
+        F.col("__toks") if n == 1 else _grams_of(n)
+        for n in range(1, ngram + 1)
+    ]
+    grams = F.concat(*gram_arrays) if len(gram_arrays) > 1 else gram_arrays[0]
+    return (
+        base.withColumn("__grams", grams)
+        .select("__id", F.explode("__grams").alias("__g"))
+        .select("__id", (md5_int31(F.col("__g")) % F.lit(n_buckets)).alias("__b"))
+    )
+
+
+def dsir_weights(stream, target, text_col: str, id_col: str, *,
+                 n_buckets: int = 4096, ngram: int = 2, lam: float = 1.0,
+                 target_text_col: str = None, alias: str = "dsir_logw"):
+    """Per-document DSIR log importance weight — Data Selection via
+    Importance Resampling (Xie et al. 2023, public knowledge): hashed
+    n-gram bucket counts define a target distribution ``p_t`` (over the
+    ``target`` corpus) and a raw distribution ``p_r`` (over this
+    stream); each raw document scores ``Σ_g ln(p_t[b(g)] / p_r[b(g)])``
+    over its gram occurrences, with add-``lam`` smoothing on both
+    distributions. High scores = looks like the target domain. Rounded
+    to 6 decimals; documents with no tokens are omitted (the
+    :func:`word_entropy` convention).
+
+    Plan shape: both distribution passes are wordcount-shaped (one
+    bucket shuffle each, ≤ ``n_buckets`` result rows); the per-(doc,
+    bucket) counts join the bucket model on a build side bounded by
+    ``n_buckets`` (broadcast under AQE); per-doc terms are summed in
+    canonical sorted order (sort_array + left fold ≡ DuckDB
+    list_sum(list_sort(...))) — the q93 float discipline. Nothing here
+    is corpus × corpus, and the model never exceeds ``n_buckets`` rows
+    no matter the corpus size.
+    """
+    tcol = target_text_col or text_col
+    raw_occ = _dsir_occ(stream.df, text_col, id_col,
+                        n_buckets=n_buckets, ngram=ngram)
+    tgt_occ = _dsir_occ(target.df, tcol, id_col,
+                        n_buckets=n_buckets, ngram=ngram)
+    raw_ct = raw_occ.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt_ct = tgt_occ.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    raw_n = raw_ct.agg(F.sum("__cr").alias("__nr"))
+    tgt_n = tgt_ct.agg(
+        F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt")
+    )
+    lamB = float(lam) * n_buckets
+    model = (
+        raw_ct.join(tgt_ct, "__b", "left")
+        .crossJoin(F.broadcast(raw_n))
+        .crossJoin(F.broadcast(tgt_n))
+        .select(
+            "__b",
+            (
+                F.log((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(float(lam)))
+                      / (F.col("__nt") + F.lit(lamB)))
+                - F.log((F.col("__cr") + F.lit(float(lam)))
+                        / (F.col("__nr") + F.lit(lamB)))
+            ).alias("__lr"),
+        )
+    )
+    cdb = raw_occ.groupBy("__id", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    out = (
+        # the model is ≤ n_buckets rows BY CONSTRUCTION — broadcast it
+        # explicitly rather than relying on AQE's runtime conversion
+        cdb.join(F.broadcast(model), "__b")
+        .select("__id", (F.col("__c") * F.col("__lr")).alias("__t"))
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("__t")).alias("__ts"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                F.aggregate("__ts", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias(alias),
+        )
+    )
+    return stream._new(out)
+
+
+def dsir_select(stream, target, text_col: str, id_col: str, k: int, *,
+                n_buckets: int = 4096, ngram: int = 2, lam: float = 1.0,
+                target_text_col: str = None, salt: str = "dsir0"):
+    """DSIR selection: resample ``k`` documents from this stream WITHOUT
+    replacement, with inclusion probability ∝ exp(log importance
+    weight) — the Gumbel-top-k equivalence (key = logw − ln(−ln u),
+    public knowledge), which stays in log space so thousand-term
+    documents can't overflow ``exp``. ``u`` derives from the salted id
+    hash (deterministic, retry-stable) and the key is rounded to 6
+    decimals with an id tie-break — the A-Res discipline of
+    :func:`sample_weighted_k`. Documents with no tokens never sample.
+
+    Returns the selected rows with their ``dsir_logw`` attached.
+
+    Scale: :func:`dsir_weights`' bounded-model passes + one broadcast-
+    sized join of the weight relation back to the stream + global
+    top-k (TakeOrdered: per-partition partial top-k, no full sort).
+    """
+    w = dsir_weights(stream, target, text_col, id_col,
+                     n_buckets=n_buckets, ngram=ngram, lam=lam,
+                     target_text_col=target_text_col)
+    df = stream.df.join(w.df, id_col)
+    h = md5_int31(F.concat_ws("|", F.lit(salt), to_col(id_col).cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(MINHASH_P + 1))
+    key = F.round(F.col("dsir_logw") - F.log(-F.log(u)), 6)
+    out = (
+        df.withColumn("__k", key)
+        .orderBy(F.col("__k").desc(), to_col(id_col).asc())
+        .limit(k)
+        .drop("__k")
+    )
+    return stream._new(out)
+
+
+def _sql_dsir_occ(table_expr: str, text: str, id_col: str, *,
+                  n_buckets: int, ngram: int, tag: str) -> str:
+    toks = sql_tokens(text)
+    gram_lists = []
+    for n in range(1, ngram + 1):
+        if n == 1:
+            gram_lists.append("toks")
+        else:
+            gram_lists.append(
+                f"CASE WHEN len(toks) >= {n} THEN "
+                f"[array_to_string(toks[i:i+{n - 1}], ' ') "
+                f"for i in range(1, len(toks) - {n - 2})] ELSE [] END"
+            )
+    grams = (
+        " || ".join(gram_lists) if len(gram_lists) > 1 else gram_lists[0]
+    )
+    return f"""toked_{tag} AS (
+  SELECT {id_col} AS __id, {toks} AS toks FROM {table_expr}
+), occ_{tag} AS (
+  SELECT __id, ({sql_md5_int31('g')}) % {n_buckets} AS b
+  FROM (SELECT __id, unnest({grams}) AS g FROM toked_{tag})
+)"""
+
+
+def sql_dsir_weights(raw_expr: str, target_expr: str, text: str,
+                     id_col: str, *, n_buckets: int = 4096,
+                     ngram: int = 2, lam: float = 1.0,
+                     alias: str = "dsir_logw") -> str:
+    """DuckDB mirror of :func:`dsir_weights` (same hash, same buckets,
+    same smoothing, same canonical-order sum)."""
+    lamB = float(lam) * n_buckets
+    return f"""
+WITH {_sql_dsir_occ(raw_expr, text, id_col, n_buckets=n_buckets,
+                    ngram=ngram, tag='r')},
+{_sql_dsir_occ(target_expr, text, id_col, n_buckets=n_buckets,
+               ngram=ngram, tag='t')},
+raw_ct AS (SELECT b, count(*) AS cr FROM occ_r GROUP BY b),
+tgt_ct AS (SELECT b, count(*) AS ct FROM occ_t GROUP BY b),
+raw_n AS (SELECT sum(cr) AS nr FROM raw_ct),
+tgt_n AS (SELECT coalesce(sum(ct), 0) AS nt FROM tgt_ct),
+model AS (
+  SELECT raw_ct.b,
+         ln((coalesce(ct, 0) + {float(lam)}) / (nt + {lamB}))
+         - ln((cr + {float(lam)}) / (nr + {lamB})) AS lr
+  FROM raw_ct LEFT JOIN tgt_ct ON raw_ct.b = tgt_ct.b, raw_n, tgt_n
+),
+cdb AS (SELECT __id, b, count(*) AS c FROM occ_r GROUP BY 1, 2)
+SELECT __id AS {id_col},
+       round(list_sum(list_sort(list(c * lr))), 6) AS {alias}
+FROM cdb JOIN model ON cdb.b = model.b
+GROUP BY 1
+"""
+
+
+def sql_dsir_select(raw_expr: str, target_expr: str, text: str,
+                    id_col: str, k: int, cols: str, *,
+                    n_buckets: int = 4096, ngram: int = 2,
+                    lam: float = 1.0, salt: str = "dsir0") -> str:
+    """DuckDB mirror of :func:`dsir_select`."""
+    w = sql_dsir_weights(raw_expr, target_expr, text, id_col,
+                         n_buckets=n_buckets, ngram=ngram, lam=lam)
+    h = sql_md5_int31(f"concat_ws('|', '{salt}', t.{id_col}::VARCHAR)")
+    u = f"(({h}) + 1)::DOUBLE / {float(MINHASH_P + 1)}"
+    return f"""
+SELECT {cols}, dsir_logw FROM {raw_expr} t
+JOIN ({w}) w ON t.{id_col} = w.{id_col}
+ORDER BY round(dsir_logw - ln(-ln({u})), 6) DESC, t.{id_col} ASC
+LIMIT {k}
+"""

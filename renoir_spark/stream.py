@@ -1307,6 +1307,22 @@ class Stream:
 
         return _ue(self, id_col, group_col, epochs, **kw)
 
+    def dsir_weights(self, target, text_col: str, id_col: str,
+                     **kw) -> "Stream":
+        """Per-doc DSIR log importance weight (hashed n-gram target vs
+        raw distributions; Xie et al. 2023) — prep.dsir_weights."""
+        from .prep import dsir_weights as _dw
+
+        return _dw(self, target, text_col, id_col, **kw)
+
+    def dsir_select(self, target, text_col: str, id_col: str, k: int,
+                    **kw) -> "Stream":
+        """Importance-resample k docs toward a target domain (Gumbel
+        top-k in log space, deterministic) — prep.dsir_select."""
+        from .prep import dsir_select as _ds
+
+        return _ds(self, target, text_col, id_col, k, **kw)
+
     def pack_sequences(self, id_col: str, ntok_col: str, **kw) -> "Stream":
         """Concat-and-chunk sequence packing — prep.pack_sequences."""
         from .prep import pack_sequences as _ps

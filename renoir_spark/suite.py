@@ -3363,6 +3363,35 @@ def _oracle_qa08() -> str:
 ORACLE_QA08 = _oracle_qa08()
 
 
+def qa09_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023 shape): hashed-bigram
+    bucket distributions over a TARGET domain (the English slice) vs
+    the RAW corpus give per-doc log importance weights; Gumbel-top-k in
+    log space resamples 40 docs ∝ exp(weight), deterministically
+    (salted id hash). Model passes are wordcount-shaped and bounded by
+    n_buckets regardless of corpus size."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents")
+    target = docs.filter("lang = 'en'")
+    return (
+        docs.dsir_select(target, "text", "doc_id", 40, n_buckets=1024)
+        .df.select("doc_id", "lang", "n_chars", "dsir_logw")
+    )
+
+
+def _oracle_qa09() -> str:
+    from .prep import sql_dsir_select
+
+    return sql_dsir_select(
+        "documents", "(SELECT * FROM documents WHERE lang = 'en')",
+        "text", "doc_id", 40, "t.doc_id, t.lang, t.n_chars",
+        n_buckets=1024,
+    )
+
+
+ORACLE_QA09 = _oracle_qa09()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3471,6 +3500,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa06_ann_index_roundtrip": qa06_ann_index_roundtrip,
     "qa07_dedup_index_batch": qa07_dedup_index_batch,
     "qa08_dedup_index_incremental": qa08_dedup_index_incremental,
+    "qa09_dsir_select": qa09_dsir_select,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3583,4 +3613,5 @@ ORACLE: Dict[str, str] = {
     "qa06_ann_index_roundtrip": ORACLE_QA06,
     "qa07_dedup_index_batch": ORACLE_QA07,
     "qa08_dedup_index_incremental": ORACLE_QA08,
+    "qa09_dsir_select": ORACLE_QA09,
 }
