@@ -6,13 +6,13 @@ in ``renoir_spark/suite.py`` (one entry per operator family from
 SURVEY.md §2, each with a DuckDB-equivalent oracle).
 
 The driver's correctness harness hashes only the FIRST 50 keys of
-``sorted(queries())``.  The suite declares 108 queries, so a plain
+``sorted(queries())``.  The suite declares 109 queries, so a plain
 alphabetical listing would leave whole operator families (NEXMark, as-of
 join, rollup/quantiles/count-distinct, the prep/multimodal layer, cluster
 dedup) without a driver row.  ``DRIVER_SET`` below is therefore a curated
 50-slot set — one representative per family — exposed under ``dNN_``
 keys so it sorts BEFORE the remaining ``q``-keyed entries; the driver
-hashes exactly these 50, while all 108 queries stay exposed here and are
+hashes exactly these 50, while all 109 queries stay exposed here and are
 bit-exactly verified against DuckDB in ``tests/test_oracle.py``.
 """
 
@@ -29,7 +29,7 @@ from renoir_spark import suite
 #   q05 q12 q19 · element-wise: q09 q42 · windows: q11 q13 q14 q16 q23 q36
 #   q40 · iteration: q26 q49 q89 · NEXMark: q61 q65 q66 q68 ·
 #   dedup: q34 q69 q83 q88 qa08 · decontamination: qa04 · data
-#   selection: qa09 · text/prep:
+#   selection: qa09 · classifier filter: qa10 · text/prep:
 #   q30 q48 q71 q78 q80 q81 q98 · mixing: qa05 · ANN: q50 · index
 #   persistence: qa06 · multimodal: q51 · agg extensions: q87 q90 q91
 #   q97 · argmax: q08
@@ -38,8 +38,10 @@ from renoir_spark import suite
 #  ANN-index-roundtrip families qa04/qa05/qa06, then q28 out for the
 #  incremental dedup-index round trip qa08 — its MinHash-LSH banding
 #  machinery stays driver-covered via q83's cluster dedup AND qa08's
-#  build path — and q84 out for DSIR importance resampling qa09; every
-#  rotated-out query stays oracle-verified in tests/test_oracle.py.)
+#  build path — q84 out for DSIR importance resampling qa09, and q66
+#  out for the in-engine NB classifier filter qa10 (NEXMark keeps
+#  q61/q65/q68); every rotated-out query stays oracle-verified in
+#  tests/test_oracle.py.)
 DRIVER_SET = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -73,7 +75,7 @@ DRIVER_SET = [
     "qa04_decontaminate_embedding",
     "q97_heavy_hitters",
     "q65_nexmark_winning_bids",
-    "q66_nexmark_avg_category",
+    "qa10_nb_classifier",
     "q68_nexmark_item_suggestion",
     "q69_dedup_against",
     "qa05_upsample_epochs",

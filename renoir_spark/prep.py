@@ -1610,3 +1610,145 @@ JOIN ({w}) w ON t.{id_col} = w.{id_col}
 ORDER BY round(dsir_logw - ln(-ln({u})), 6) DESC, t.{id_col} ASC
 LIMIT {k}
 """
+
+
+# --------------------------------------------------------------------- #
+# Naive-Bayes classifier filter (train + score inside the engine)
+# --------------------------------------------------------------------- #
+
+def nb_classify(stream, labeled, text_col: str, id_col: str,
+                label_col: str, *, n_buckets: int = 4096,
+                ngram: int = 1, pred_alias: str = "pred",
+                score_alias: str = "score"):
+    """Multinomial Naive Bayes over hashed n-gram buckets — TRAINED on
+    the ``labeled`` stream and SCORING this stream, entirely inside the
+    engine (the classifier-filter pattern of CCNet / the GPT-3 quality
+    filter, public knowledge, with an oracle-checkable model instead of
+    an external fasttext binary). Per class ``c``: prior ``ln(docs_c /
+    docs)``; likelihood ``ln((ct[c,b] + 1) / (N_c + n_buckets))`` with
+    add-1 smoothing over bucket counts. Each scored document gets the
+    argmax class and its score (rounded to 6 decimals; ties break to
+    the lexicographically smallest class). Documents with no tokens are
+    omitted (the :func:`word_entropy` convention); labeled rows with a
+    NULL label are ignored.
+
+    Scale: training is one wordcount-shaped pass over the labeled set
+    (model ≤ n_buckets × |classes| rows — bounded, explicit broadcast);
+    scoring expands per-(doc, bucket) counts by |classes| (a broadcast
+    cross of the tiny class relation), sums terms in canonical sorted
+    order (the q93 float discipline), and takes the per-doc argmax with
+    ONE window shuffle on the doc id. Nothing is corpus × corpus.
+    """
+    ldf = labeled.df.filter(to_col(label_col).isNotNull())
+    lab_occ = _dsir_occ(ldf, text_col, id_col,
+                        n_buckets=n_buckets, ngram=ngram)
+    lab_ids = ldf.select(
+        to_col(id_col).alias("__id"), to_col(label_col).alias("__cls")
+    )
+    occ_c = lab_occ.join(lab_ids, "__id")
+    ct = occ_c.groupBy("__cls", "__b").agg(F.count(F.lit(1)).alias("__ct"))
+    nc = occ_c.groupBy("__cls").agg(F.count(F.lit(1)).alias("__nc"))
+    docs_c = lab_ids.groupBy("__cls").agg(F.count(F.lit(1)).alias("__dc"))
+    total = lab_ids.agg(F.count(F.lit(1)).alias("__dt"))
+    classes = (
+        docs_c.crossJoin(F.broadcast(total))
+        .join(nc, "__cls", "left")
+        .select(
+            "__cls",
+            F.log(F.col("__dc").cast("double") / F.col("__dt")).alias("__prior"),
+            F.coalesce(F.col("__nc"), F.lit(0)).alias("__nc"),
+        )
+    )
+    cdb = (
+        _dsir_occ(stream.df, text_col, id_col,
+                  n_buckets=n_buckets, ngram=ngram)
+        .groupBy("__id", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    terms = (
+        # classes is |classes| rows; ct is ≤ n_buckets × |classes| —
+        # both bounded by construction, both explicitly broadcast
+        cdb.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(ct), ["__cls", "__b"], "left")
+        .select(
+            "__id", "__cls", "__prior",
+            (F.col("__c")
+             * F.log((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1))
+                     .cast("double")
+                     / (F.col("__nc") + F.lit(n_buckets)).cast("double"))
+             ).alias("__t"),
+        )
+    )
+    scored = (
+        terms.groupBy("__id", "__cls", "__prior")
+        .agg(F.sort_array(F.collect_list("__t")).alias("__ts"))
+        .select(
+            "__id", "__cls",
+            F.round(
+                F.col("__prior")
+                + F.aggregate("__ts", F.lit(0.0), lambda a, x: a + x), 6,
+            ).alias("__s"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__s").desc(), F.col("__cls").asc()
+    )
+    out = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cls").alias(pred_alias),
+            F.col("__s").alias(score_alias),
+        )
+    )
+    return stream._new(out)
+
+
+def sql_nb_classify(score_expr: str, labeled_expr: str, text: str,
+                    id_col: str, label_col: str, *,
+                    n_buckets: int = 4096, ngram: int = 1,
+                    pred_alias: str = "pred",
+                    score_alias: str = "score") -> str:
+    """DuckDB mirror of :func:`nb_classify` (same hash, same buckets,
+    same smoothing, same canonical-order sum, same tie-break)."""
+    return f"""
+WITH {_sql_dsir_occ(f"(SELECT * FROM {labeled_expr} l WHERE l.{label_col} IS NOT NULL)",
+                    text, id_col, n_buckets=n_buckets, ngram=ngram,
+                    tag='l')},
+{_sql_dsir_occ(score_expr, text, id_col, n_buckets=n_buckets,
+               ngram=ngram, tag='s')},
+lab_ids AS (
+  SELECT {id_col} AS __id, {label_col} AS cls FROM {labeled_expr}
+  WHERE {label_col} IS NOT NULL
+),
+occ_c AS (SELECT o.__id, cls, b FROM occ_l o JOIN lab_ids USING (__id)),
+ct AS (SELECT cls, b, count(*) AS ct FROM occ_c GROUP BY 1, 2),
+nc AS (SELECT cls, count(*) AS nc FROM occ_c GROUP BY 1),
+docs_c AS (SELECT cls, count(*) AS dc FROM lab_ids GROUP BY 1),
+total AS (SELECT count(*) AS dt FROM lab_ids),
+classes AS (
+  SELECT docs_c.cls, ln(dc::DOUBLE / dt) AS prior,
+         coalesce(nc, 0) AS nc
+  FROM docs_c LEFT JOIN nc ON docs_c.cls = nc.cls, total
+),
+cdb AS (SELECT __id, b, count(*) AS c FROM occ_s GROUP BY 1, 2),
+terms AS (
+  SELECT __id, classes.cls, prior,
+         c * ln((coalesce(ct, 0) + 1)::DOUBLE / (nc + {n_buckets})) AS t
+  FROM cdb CROSS JOIN classes
+  LEFT JOIN ct ON ct.cls = classes.cls AND ct.b = cdb.b
+),
+scored AS (
+  SELECT __id, cls,
+         round(prior + list_sum(list_sort(list(t))), 6) AS s
+  FROM terms GROUP BY 1, 2, prior
+),
+ranked AS (
+  SELECT __id, cls, s,
+         row_number() OVER (PARTITION BY __id
+                            ORDER BY s DESC, cls ASC) AS rn
+  FROM scored
+)
+SELECT __id AS {id_col}, cls AS {pred_alias}, s AS {score_alias}
+FROM ranked WHERE rn = 1
+"""

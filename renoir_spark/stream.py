@@ -1323,6 +1323,14 @@ class Stream:
 
         return _ds(self, target, text_col, id_col, k, **kw)
 
+    def nb_classify(self, labeled, text_col: str, id_col: str,
+                    label_col: str, **kw) -> "Stream":
+        """Train a multinomial Naive Bayes on ``labeled`` and score
+        this stream (argmax class + score) — prep.nb_classify."""
+        from .prep import nb_classify as _nb
+
+        return _nb(self, labeled, text_col, id_col, label_col, **kw)
+
     def pack_sequences(self, id_col: str, ntok_col: str, **kw) -> "Stream":
         """Concat-and-chunk sequence packing — prep.pack_sequences."""
         from .prep import pack_sequences as _ps

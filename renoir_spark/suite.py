@@ -3392,6 +3392,37 @@ def _oracle_qa09() -> str:
 ORACLE_QA09 = _oracle_qa09()
 
 
+def qa10_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine classifier filter (CCNet / quality-classifier shape):
+    train a multinomial Naive Bayes over hashed unigram buckets on the
+    labeled 2/3 of the documents (label = lang) and score the held-out
+    1/3 — argmax class + rounded score per doc, ties to the smallest
+    class. Training is wordcount-shaped; the ≤ n_buckets × |classes|
+    model broadcasts into the scoring join."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents")
+    labeled = docs.filter("doc_id % 3 != 0")
+    score = docs.filter("doc_id % 3 = 0")
+    return (
+        score.nb_classify(labeled, "text", "doc_id", "lang",
+                          n_buckets=1024)
+        .df.select("doc_id", "pred", "score")
+    )
+
+
+def _oracle_qa10() -> str:
+    from .prep import sql_nb_classify
+
+    return sql_nb_classify(
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 3 != 0)",
+        "text", "doc_id", "lang", n_buckets=1024,
+    )
+
+
+ORACLE_QA10 = _oracle_qa10()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3501,6 +3532,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa07_dedup_index_batch": qa07_dedup_index_batch,
     "qa08_dedup_index_incremental": qa08_dedup_index_incremental,
     "qa09_dsir_select": qa09_dsir_select,
+    "qa10_nb_classifier": qa10_nb_classifier,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3614,4 +3646,5 @@ ORACLE: Dict[str, str] = {
     "qa07_dedup_index_batch": ORACLE_QA07,
     "qa08_dedup_index_incremental": ORACLE_QA08,
     "qa09_dsir_select": ORACLE_QA09,
+    "qa10_nb_classifier": ORACLE_QA10,
 }
