@@ -152,6 +152,11 @@ class DedupIndex:
             # ride the shingle re-attach joins multiple times
             .select(F.col("__id").alias("__bid"), F.col("id").alias("__cid"))
             .distinct()
+            # persisted because TWO consumers need it: the __sk
+            # partition-key collect below AND the final pair plan — an
+            # unpersisted cand would run the posting join + distinct
+            # twice (the sig-persist rationale, one stage later)
+            .persist()
         )
         sks = sorted(
             r["__sk"]
@@ -188,7 +193,7 @@ class DedupIndex:
                 F.col("__j").alias("jac"),
             )
         )
-        return batch._new(pairs)._retain(sig)
+        return batch._new(pairs)._retain(sig, cand)
 
     def dedup_batch(self, batch, *, threshold: float = 0.7):
         """Rows of ``batch`` that are NOT a near-duplicate (exact

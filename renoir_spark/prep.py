@@ -1410,23 +1410,32 @@ WHERE epoch_ix < floor(__e)
 # DSIR — data selection via importance resampling
 # --------------------------------------------------------------------- #
 
-def _dsir_occ(df, text_col: str, id_col: str, *, n_buckets: int,
+def _dsir_occ(df, text_col: str, id_col, *, n_buckets: int,
               ngram: int):
     """Per-document hashed n-gram feature occurrences: (doc id, bucket)
     with one row per gram OCCURRENCE (multiplicity kept), buckets =
-    md5_int31(gram) % n_buckets over all 1..ngram word grams."""
-    base = df.select(
-        to_col(id_col).alias("__id"), tokens(text_col).alias("__toks")
-    )
+    md5_int31(gram) % n_buckets over all 1..ngram word grams.
+    ``id_col=None`` emits a constant id — for distribution-only sides
+    (e.g. the DSIR target corpus) that need no id column at all."""
+    idc = F.lit(0) if id_col is None else to_col(id_col)
+    base = df.select(idc.alias("__id"), tokens(text_col).alias("__toks"))
+
     def _grams_of(n):
         # closure factory: a default-arg lambda would read as binary to
-        # PySpark's higher-order-function arity inspection
-        return F.transform(
+        # PySpark's higher-order-function arity inspection. The
+        # size-guard mirrors shingles_from / the SQL CASE: a doc with
+        # fewer than n tokens contributes NO n-grams (an unguarded
+        # descending sequence feeds element_at invalid indices and
+        # aborts the job on any one-word document).
+        joined = F.transform(
             F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
             lambda i: F.concat_ws(
                 " ", *[F.element_at(F.col("__toks"), i + j)
                        for j in range(n)]
             ),
+        )
+        return F.when(F.size("__toks") >= n, joined).otherwise(
+            F.array().cast("array<string>")
         )
 
     gram_arrays = [
@@ -1466,7 +1475,9 @@ def dsir_weights(stream, target, text_col: str, id_col: str, *,
     tcol = target_text_col or text_col
     raw_occ = _dsir_occ(stream.df, text_col, id_col,
                         n_buckets=n_buckets, ngram=ngram)
-    tgt_occ = _dsir_occ(target.df, tcol, id_col,
+    # the target side only feeds a bucket distribution — no id needed,
+    # so an external reference corpus without id_col works as target
+    tgt_occ = _dsir_occ(target.df, tcol, None,
                         n_buckets=n_buckets, ngram=ngram)
     raw_ct = raw_occ.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
     tgt_ct = tgt_occ.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))

@@ -113,3 +113,43 @@ def test_model_is_broadcast_not_shuffled(ctx, spark):
     df = s.dsir_weights(target, "text", "doc_id", n_buckets=512).df
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_short_docs_contribute_unigrams_only(ctx, spark):
+    """One-word documents must flow through ngram=2 featurization (an
+    unguarded sequence/element_at chain aborts the job on them) and
+    agree with the SQL mirror's CASE-guarded gram list."""
+    rows = ROWS + [(7, "hello", "other"), (8, " ", "other")]
+    s = ctx.from_df(
+        spark.createDataFrame(rows, "doc_id long, text string, dom string")
+    )
+    target = s.filter("dom = 'target'")
+    got = sorted((r.doc_id, r.dsir_logw) for r in
+                 s.dsir_weights(target, "text", "doc_id",
+                                n_buckets=512).df.collect())
+
+    import duckdb
+
+    from renoir_spark.prep import sql_dsir_weights
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, dom VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)", rows)
+    want = sorted(con.execute(sql_dsir_weights(
+        "d", "(SELECT * FROM d WHERE dom = 'target')", "text",
+        "doc_id", n_buckets=512)).fetchall())
+    assert got == want
+    assert 7 in {g[0] for g in got}  # the one-word doc IS scored
+
+
+def test_target_without_id_column(ctx, spark):
+    """An external reference corpus used as target needs only its text
+    column — the target side feeds a bucket distribution, never ids."""
+    s = _docs(ctx, spark, ROWS)
+    ref = ctx.from_df(spark.createDataFrame(
+        [("machine learning text",), ("importance resampling notes",)],
+        "content string",
+    ))
+    w = s.dsir_weights(ref, "text", "doc_id", n_buckets=512,
+                       target_text_col="content").df
+    assert w.count() == 5

@@ -96,11 +96,20 @@ def test_driver_set_contract():
     # all 50 driver slots are the curated dNN_ set, each with an oracle
     assert [k[:3] for k in first50] == [f"d{i:02d}" for i in range(1, 51)]
     assert all(k in os_ for k in first50)
-    # the curated set spans every family the judge called out
+    # the curated set spans every family the judge called out, plus the
+    # families added by the round-4 rotations (embedding
+    # decontamination, epoch upsampling, persisted ANN + dedup indexes,
+    # DSIR data selection, in-engine classifier filter; pii/
+    # duplicate_spans/minhash-greedy rotated out stay oracle-verified,
+    # with quality gating covered by gopher and LSH banding by
+    # dedup_cluster)
     joined = " ".join(first50)
     for fam in ("nexmark", "asof", "rollup", "quantiles", "count_distinct",
-                "multimodal", "dedup_cluster", "duplicate_spans", "sssp",
-                "pii", "bm25", "prep_pipeline", "dedup_embedding_ivf"):
+                "multimodal", "dedup_cluster", "sssp", "gopher",
+                "bm25", "prep_pipeline", "dedup_embedding_ivf",
+                "decontaminate_embedding", "upsample_epochs",
+                "ann_index", "dedup_index_incremental", "dsir",
+                "nb_classifier"):
         assert fam in joined, fam
     # every suite query is still exposed (under d- or q-key), exactly once
     exposed = {k.split("_", 1)[1] if k.startswith("d") else k for k in qs}
