@@ -367,3 +367,103 @@ def test_streaming_minhash_parity_random(ctx, docs):
         )
     ).dedup_minhash("text", "doc_id", threshold=0.5)
     assert got == {r.doc_id for r in batch.collect_vec()}
+
+
+# ------------------------------------------------------------------ #
+# round-4 operators: randomized Spark-vs-DuckDB differential sweeps
+# ------------------------------------------------------------------ #
+
+_TOKENS = ["data", "spark", "merge", "the", "a", "é", "日本", "x!",
+           "loss", "train"]
+
+_doc_text = st.lists(
+    st.sampled_from(_TOKENS), min_size=0, max_size=8
+).map(" ".join)
+
+
+def _duck_docs(rows):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, g VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)", rows)
+    return con
+
+
+@SLOW
+@given(
+    texts=st.lists(_doc_text, min_size=2, max_size=14),
+    threshold=st.sampled_from([0.5, 0.7, 0.9]),
+)
+def test_dedup_index_matches_sql_mirror(ctx, tmp_path_factory, texts,
+                                        threshold):
+    """Persisted-index batch dedup == the flat cross-corpus SQL mirror
+    on arbitrary corpora (unicode tokens, empty docs, exact dups)."""
+    from renoir_spark.dedup_index import sql_dedup_index_batch
+
+    rows = [(i, t, "x") for i, t in enumerate(texts)]
+    spark = ctx.spark
+    s = ctx.from_df(
+        spark.createDataFrame(rows, "doc_id long, text string, g string")
+    )
+    corpus, batch = s.filter("doc_id % 2 = 0"), s.filter("doc_id % 2 = 1")
+    path = str(tmp_path_factory.mktemp("pidx") / "i")
+    corpus.dedup_index_build(path, text_col="text", id_col="doc_id",
+                             bucket_dirs=4)
+    surv = ctx.dedup_index(path).dedup_batch(batch, threshold=threshold)
+    got = sorted(r.doc_id for r in surv.df.collect())
+
+    con = _duck_docs(rows)
+    want = sorted(r[0] for r in con.execute(sql_dedup_index_batch(
+        "(SELECT * FROM d WHERE doc_id % 2 = 0)",
+        "(SELECT * FROM d WHERE doc_id % 2 = 1)",
+        "text", "doc_id", "doc_id", threshold=threshold)).fetchall())
+    assert got == want
+
+
+@SLOW
+@given(texts=st.lists(_doc_text, min_size=1, max_size=14))
+def test_dsir_weights_match_sql_mirror(ctx, texts):
+    from renoir_spark.prep import sql_dsir_weights
+
+    rows = [(i, t, "t" if i % 3 == 0 else "r") for i, t in enumerate(texts)]
+    s = ctx.from_df(
+        ctx.spark.createDataFrame(rows, "doc_id long, text string, g string")
+    )
+    got = sorted(
+        (r.doc_id, r.dsir_logw)
+        for r in s.dsir_weights(s.filter("g = 't'"), "text", "doc_id",
+                                n_buckets=64).df.collect()
+    )
+    con = _duck_docs(rows)
+    want = sorted(con.execute(sql_dsir_weights(
+        "d", "(SELECT * FROM d WHERE g = 't')", "text", "doc_id",
+        n_buckets=64)).fetchall())
+    assert got == want
+
+
+@SLOW
+@given(
+    texts=st.lists(_doc_text, min_size=2, max_size=14),
+    labels=st.lists(st.sampled_from(["a", "b", "c"]), min_size=2,
+                    max_size=14),
+)
+def test_nb_classify_matches_sql_mirror(ctx, texts, labels):
+    from renoir_spark.prep import sql_nb_classify
+
+    rows = [(i, t, labels[i % len(labels)]) for i, t in enumerate(texts)]
+    s = ctx.from_df(
+        ctx.spark.createDataFrame(rows, "doc_id long, text string, g string")
+    )
+    got = sorted(
+        (r.doc_id, r.pred, r.score)
+        for r in s.filter("doc_id % 2 = 1")
+        .nb_classify(s.filter("doc_id % 2 = 0"), "text", "doc_id", "g",
+                     n_buckets=64).df.collect()
+    )
+    con = _duck_docs(rows)
+    want = sorted(con.execute(sql_nb_classify(
+        "(SELECT * FROM d WHERE doc_id % 2 = 1)",
+        "(SELECT * FROM d WHERE doc_id % 2 = 0)",
+        "text", "doc_id", "g", n_buckets=64)).fetchall())
+    assert got == want
