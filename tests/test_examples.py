@@ -33,6 +33,7 @@ CASES = {
     "data_prep_pipeline.py": [f"{SF}/documents.parquet"],
     "corpus_analytics.py": [SF, "4"],
     "similarity_search.py": [SF, "3"],
+    "incremental_ingest.py": [SF, "2"],
 }
 
 

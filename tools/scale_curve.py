@@ -45,6 +45,9 @@ QUERIES_DEFAULT = [
     "q86_asof_join",
     "q88_dedup_embedding_ivf",
     "q94_longest_dup_span",
+    "qa07_dedup_index_batch",
+    "qa09_dsir_select",
+    "qa10_nb_classifier",
 ]
 
 
