@@ -241,16 +241,112 @@ class DedupIndex:
         sig.unpersist()
 
 
+class ExactDedupIndex:
+    """Handle over a persisted EXACT dedup index: one relation of
+    normalized-content sha2 keys, hive-partitioned by a key-hash bucket
+    — the cheapest incremental dedup (``dedup_against`` semantics,
+    persisted). Same method surface as :class:`DedupIndex`; matched
+    pairs report ``jac = 1.0``."""
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    # -------------------------------------------------------------- #
+    def _batch_keys(self, batch):
+        from .datapipe import norm_text
+
+        id_col = self.meta["id_col"]
+        text_col = self.meta["text_col"]
+        k = F.sha2(norm_text(text_col), 256)
+        return batch.df.select(
+            F.col(id_col).alias("__id"), k.alias("__key"),
+            (md5_int31(k) % F.lit(self.meta["bucket_dirs"])).alias("__bk"),
+        )
+
+    def _read_keys(self, bk_values):
+        schema = f"id {self.meta['id_type']}, key string, __bk long"
+        df = self.spark.read.schema(schema).parquet(f"{self.path}/keys")
+        return df.filter(F.col("__bk").isin([int(b) for b in bk_values]))
+
+    def match_batch(self, batch, *, threshold: float = 0.7):
+        """Exact matches between batch and indexed rows as
+        (batch_id, corpus_id, jac=1.0). ``threshold`` is accepted for
+        surface parity and ignored (exact match is all-or-nothing);
+        NULL-text rows never match (SQL semantics — NULL keys join
+        nothing)."""
+        bk = self._batch_keys(batch).persist()
+        bks = sorted(
+            r["__bk"] for r in bk.select("__bk").distinct().collect()
+            if r["__bk"] is not None
+        )
+        if not bks:
+            empty = self.spark.createDataFrame(
+                [],
+                f"batch_id {self.meta['id_type']}, "
+                f"corpus_id {self.meta['id_type']}, jac double",
+            )
+            return batch._new(empty)._retain(bk)
+        pairs = (
+            bk.join(
+                self._read_keys(bks).select(
+                    F.col("key").alias("__key"),
+                    F.col("id").alias("__cid"),
+                ),
+                "__key",
+            )
+            .select(
+                F.col("__id").alias("batch_id"),
+                F.col("__cid").alias("corpus_id"),
+                F.lit(1.0).alias("jac"),
+            )
+        )
+        return batch._new(pairs)._retain(bk)
+
+    def dedup_batch(self, batch, *, threshold: float = 0.7):
+        """Batch rows whose normalized content does NOT appear in the
+        index — ``dedup_against`` against the persisted key relation,
+        reading only the batch's touched key-bucket directories."""
+        id_col = self.meta["id_col"]
+        pairs = self.match_batch(batch, threshold=threshold)
+        dup_ids = pairs.df.select(
+            F.col("batch_id").alias(id_col)
+        ).distinct()
+        out = batch.df.join(dup_ids, id_col, "left_anti")
+        return batch._new(out)._retain(*pairs._retained)
+
+    def append(self, batch) -> None:
+        """Ingest ``batch`` keys (append mode, clustered on the hive
+        key — same file discipline as the MinHash index)."""
+        nd = self.meta["bucket_dirs"]
+        self._batch_keys(batch).select(
+            F.col("__id").alias("id"), F.col("__key").alias("key"), "__bk"
+        ).filter(F.col("__key").isNotNull()).repartition(
+            nd, "__bk"
+        ).write.mode("append").partitionBy("__bk").parquet(
+            f"{self.path}/keys"
+        )
+
+
 def dedup_index_build(stream, path: str, *, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 12,
                       bands: int = 4, shingle_n: int = 3,
-                      bucket_dirs: int = 64) -> DedupIndex:
-    """Build and persist the LSH dedup index for ``stream`` at ``path``
-    — one signature pass over the corpus feeding two partitioned writes.
+                      bucket_dirs: int = 64, mode: str = "minhash"):
+    """Build and persist a dedup index for ``stream`` at ``path`` — one
+    pass over the corpus feeding partitioned writes.
+
+    ``mode="minhash"`` (default): near-duplicate LSH index
+    (:class:`DedupIndex`). ``mode="exact"``: normalized-content sha2
+    key index (:class:`ExactDedupIndex`) — no shingles, one relation,
+    the cheapest incremental decontamination/dedup.
+
     ``bucket_dirs`` dials the pruning granularity: more directories
     prune harder for small increments but cost more files; 64 keeps a
     10-doc increment reading ≲ 40/64 of the posting table while staying
     far from small-file territory at any corpus size."""
+    if mode not in ("minhash", "exact"):
+        raise ValueError(f"dedup_index_build: unknown mode {mode!r}")
     spark = stream.df.sparkSession
     dtypes = dict(stream.df.dtypes)
     meta = {
@@ -261,22 +357,30 @@ def dedup_index_build(stream, path: str, *, text_col: str = "text",
         "shingle_n": shingle_n,
         "bucket_dirs": bucket_dirs,
         "id_type": dtypes[id_col],
+        "mode": mode,
     }
-    idx = DedupIndex(spark, path, meta)
     spark.createDataFrame(
         [(id_col, text_col, num_hashes, bands, shingle_n, bucket_dirs,
-          dtypes[id_col])],
+          dtypes[id_col], mode)],
         "id_col string, text_col string, num_hashes long, bands long, "
-        "shingle_n long, bucket_dirs long, id_type string",
+        "shingle_n long, bucket_dirs long, id_type string, mode string",
     ).write.mode("overwrite").parquet(f"{path}/meta")
     # reset the data roots to empty (idempotent rebuilds), then the
     # corpus ingest is just an append into the fresh layout
-    _overwrite_empty(spark, f"{path}/buckets",
-                     f"bidx int, bhash long, id {dtypes[id_col]}, __bk long",
-                     "__bk")
-    _overwrite_empty(spark, f"{path}/shingles",
-                     f"id {dtypes[id_col]}, sh array<string>, __sk long",
-                     "__sk")
+    if mode == "exact":
+        idx = ExactDedupIndex(spark, path, meta)
+        _overwrite_empty(spark, f"{path}/keys",
+                         f"id {dtypes[id_col]}, key string, __bk long",
+                         "__bk")
+    else:
+        idx = DedupIndex(spark, path, meta)
+        _overwrite_empty(
+            spark, f"{path}/buckets",
+            f"bidx int, bhash long, id {dtypes[id_col]}, __bk long",
+            "__bk")
+        _overwrite_empty(spark, f"{path}/shingles",
+                         f"id {dtypes[id_col]}, sh array<string>, __sk long",
+                         "__sk")
     idx.append(stream)
     return idx
 
@@ -289,10 +393,11 @@ def _overwrite_empty(spark, path: str, schema: str, part_col: str) -> None:
     ).parquet(path)
 
 
-def dedup_index_load(spark, path: str) -> DedupIndex:
-    """Open a persisted dedup index: one 1-row meta read; postings and
-    shingles stay on disk until a batch probes them."""
+def dedup_index_load(spark, path: str):
+    """Open a persisted dedup index (either mode): one 1-row meta read;
+    the data relations stay on disk until a batch probes them."""
     m = spark.read.parquet(f"{path}/meta").collect()[0]
+    row = m.asDict()
     meta = {
         "id_col": m["id_col"],
         "text_col": m["text_col"],
@@ -301,8 +406,10 @@ def dedup_index_load(spark, path: str) -> DedupIndex:
         "shingle_n": int(m["shingle_n"]),
         "bucket_dirs": int(m["bucket_dirs"]),
         "id_type": m["id_type"],
+        "mode": row.get("mode", "minhash"),
     }
-    return DedupIndex(spark, path, meta)
+    cls = ExactDedupIndex if meta["mode"] == "exact" else DedupIndex
+    return cls(spark, path, meta)
 
 
 # --------------------------------------------------------------------- #
@@ -419,4 +526,35 @@ WITH {chain('c', corpus_expr)}, {chain('b1', batch1_expr)},
 )
 SELECT {cols} FROM {batch2_expr}
 WHERE {id_col} NOT IN (SELECT idb FROM dups2)
+"""
+
+
+def sql_dedup_index_exact_incremental(corpus_expr: str, batch1_expr: str,
+                                      batch2_expr: str, text: str,
+                                      id_col: str, cols: str) -> str:
+    """DuckDB mirror of the EXACT-mode incremental round trip:
+    ``build(corpus, mode='exact')`` → ``surv1 = dedup_batch(batch1)`` →
+    ``append(surv1)`` → ``dedup_batch(batch2)``. NOT EXISTS (not
+    NOT IN) so a NULL-text row survives on both engines — the left_anti
+    semantics of the Spark side."""
+    from .datapipe import sql_norm_text
+
+    k = sql_norm_text(text)
+    return f"""
+WITH ck AS (
+  SELECT {k} AS k FROM {corpus_expr}
+), b1 AS (
+  SELECT {id_col} AS id, {k} AS k FROM {batch1_expr}
+), s1 AS (
+  SELECT * FROM b1 b
+  WHERE NOT EXISTS (SELECT 1 FROM ck WHERE ck.k = b.k)
+), ref2 AS (
+  SELECT k FROM ck UNION ALL SELECT k FROM s1 WHERE k IS NOT NULL
+), b2 AS (
+  SELECT {id_col} AS id, {k} AS k FROM {batch2_expr}
+), s2 AS (
+  SELECT id FROM b2 b
+  WHERE NOT EXISTS (SELECT 1 FROM ref2 r WHERE r.k = b.k)
+)
+SELECT {cols} FROM {batch2_expr} WHERE {id_col} IN (SELECT id FROM s2)
 """

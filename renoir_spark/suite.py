@@ -3423,6 +3423,43 @@ def _oracle_qa10() -> str:
 ORACLE_QA10 = _oracle_qa10()
 
 
+def qa11_dedup_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-mode persisted dedup index (normalized-content sha2 keys,
+    hive-partitioned by key-hash bucket) through the full incremental
+    round trip: build over the corpus, dedup increment 1, append its
+    survivors, dedup increment 2 — the cheapest production
+    decontamination loop (``dedup_against`` semantics, persisted). The
+    NOT-EXISTS DuckDB mirror verifies the sequence bit-exactly."""
+    from .dedup_index import dedup_index_load
+
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    b1 = docs.filter("doc_id % 10 = 0")
+    b2 = docs.filter("doc_id % 10 = 5")
+    path = _tmp_index_path("renoir_dedup_idx_ex_", sf_dir)
+    corpus.dedup_index_build(path, text_col="text", id_col="doc_id",
+                             bucket_dirs=16, mode="exact")
+    idx = dedup_index_load(spark, path)
+    surv1 = idx.dedup_batch(b1)
+    idx.append(surv1)
+    return idx.dedup_batch(b2).df.select("doc_id", "n_chars")
+
+
+def _oracle_qa11() -> str:
+    from .dedup_index import sql_dedup_index_exact_incremental
+
+    return sql_dedup_index_exact_incremental(
+        "(SELECT * FROM documents WHERE doc_id % 5 != 0)",
+        "(SELECT * FROM documents WHERE doc_id % 10 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 10 = 5)",
+        "text", "doc_id", "doc_id, n_chars",
+    )
+
+
+ORACLE_QA11 = _oracle_qa11()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3533,6 +3570,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa08_dedup_index_incremental": qa08_dedup_index_incremental,
     "qa09_dsir_select": qa09_dsir_select,
     "qa10_nb_classifier": qa10_nb_classifier,
+    "qa11_dedup_index_exact": qa11_dedup_index_exact,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3647,4 +3685,5 @@ ORACLE: Dict[str, str] = {
     "qa08_dedup_index_incremental": ORACLE_QA08,
     "qa09_dsir_select": ORACLE_QA09,
     "qa10_nb_classifier": ORACLE_QA10,
+    "qa11_dedup_index_exact": ORACLE_QA11,
 }

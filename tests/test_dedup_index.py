@@ -143,3 +143,63 @@ def test_string_ids(ctx, spark, tmp_path):
     b = ctx.from_df(spark.createDataFrame(brows, "doc_id string, text string"))
     surv = idx.dedup_batch(b, threshold=0.7)
     assert sorted(r.doc_id for r in surv.df.collect()) == ["b-11"]
+
+
+# ------------------------------------------------------------------ #
+# exact mode
+# ------------------------------------------------------------------ #
+
+def test_exact_mode_roundtrip(ctx, spark, tmp_path):
+    path = str(tmp_path / "exidx")
+    _docs(ctx, spark, CORPUS).dedup_index_build(
+        path, text_col="text", id_col="doc_id", bucket_dirs=8,
+        mode="exact")
+    idx = ctx.dedup_index(path)
+    assert idx.meta["mode"] == "exact"
+    assert type(idx).__name__ == "ExactDedupIndex"
+    # 12 is an exact copy of corpus doc 2; 10 is only a NEAR copy of 1
+    surv = idx.dedup_batch(_docs(ctx, spark, BATCH))
+    assert sorted(r.doc_id for r in surv.df.collect()) == [10, 11]
+    pairs = idx.match_batch(_docs(ctx, spark, BATCH)).df.collect()
+    assert [(r.batch_id, r.corpus_id, r.jac) for r in pairs] == [(12, 2, 1.0)]
+    # append survivors: an exact copy of appended doc 10 is now caught
+    idx.append(surv)
+    redo = _docs(ctx, spark, [(20, BATCH[0][1])])
+    assert idx.dedup_batch(redo).df.count() == 0
+
+
+def test_exact_mode_null_text_survives(ctx, spark, tmp_path):
+    path = str(tmp_path / "exnull")
+    _docs(ctx, spark, CORPUS).dedup_index_build(
+        path, text_col="text", id_col="doc_id", bucket_dirs=8,
+        mode="exact")
+    idx = ctx.dedup_index(path)
+    b = ctx.from_df(spark.createDataFrame(
+        [(30, None)], "doc_id long, text string"))
+    assert [r.doc_id for r in idx.dedup_batch(b).df.collect()] == [30]
+    assert idx.match_batch(b).df.count() == 0
+
+
+def test_exact_mode_key_scan_partition_pruned(ctx, spark, tmp_path):
+    path = str(tmp_path / "exprune")
+    _docs(ctx, spark, CORPUS).dedup_index_build(
+        path, text_col="text", id_col="doc_id", bucket_dirs=8,
+        mode="exact")
+    idx = ctx.dedup_index(path)
+    plan = _executed(
+        idx.match_batch(_docs(ctx, spark, BATCH[:1])).df
+    )
+    # (path substrings are truncated in plan strings — match the scan
+    # by its partition filter, the only parquet scan in this plan)
+    scans = [l for l in plan.splitlines()
+             if "FileScan" in l and "PartitionFilters" in l]
+    assert scans, plan
+    for s in scans:
+        assert "__bk" in s.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_unknown_mode_rejected(ctx, spark, tmp_path):
+    with pytest.raises(ValueError):
+        _docs(ctx, spark, CORPUS).dedup_index_build(
+            str(tmp_path / "bad"), text_col="text", id_col="doc_id",
+            mode="fuzzy")
