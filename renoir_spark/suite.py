@@ -3249,12 +3249,14 @@ def qa06_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = _ctx(spark)
     emb = _t(ctx, sf_dir, "embeddings")
     queries = _t(ctx, sf_dir, "embeddings").filter("vec_id < 6")
-    # deterministic per-sf_dir path, overwritten on rebuild — repeated
-    # harness invocations (oracle tests, bench legs, driver hashing)
-    # must not accumulate index copies in the temp dir
+    # deterministic per-(sf_dir, process) path, overwritten on rebuild
+    # — repeated harness invocations (oracle tests, bench legs, driver
+    # hashing) must not accumulate index copies, and concurrent harness
+    # processes must not race on one directory
     path = os.path.join(
         tempfile.gettempdir(),
-        "renoir_ann_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "renoir_ann_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_{os.getpid()}",
     )
     emb.ann_index_build(path, n_cells=16)
     idx = ann_index_load(spark, path)
@@ -3273,15 +3275,18 @@ ORACLE_QA06 = _oracle_qa06()
 
 
 def _tmp_index_path(prefix: str, sf_dir: str) -> str:
-    """Deterministic per-sf_dir temp path (overwritten on rebuild) —
-    repeated harness invocations must not accumulate index copies."""
+    """Deterministic per-(sf_dir, process) temp path (overwritten on
+    rebuild) — repeated harness invocations within a process must not
+    accumulate index copies, and CONCURRENT harness processes (pytest +
+    driver + matrix subprocess) must not race on one directory."""
     import hashlib
     import os
     import tempfile
 
     return os.path.join(
         tempfile.gettempdir(),
-        prefix + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        prefix + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_{os.getpid()}",
     )
 
 

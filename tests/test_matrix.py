@@ -68,6 +68,13 @@ SWEEP = [
     "q97_heavy_hitters",
     # canonical-order float sums (the q93 discipline) for the LM terms
     "q98_unigram_logprob",
+    # late-round-4: the persisted-index probe (partition-pruned posting
+    # reads + clustered writes must survive any producer layout), the
+    # Gumbel top-k selection (rounded log-space keys + id tie-break),
+    # and the NB argmax window (canonical-order sums + class tie-break)
+    "qa08_dedup_index_incremental",
+    "qa09_dsir_select",
+    "qa10_nb_classifier",
 ]
 
 

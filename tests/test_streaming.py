@@ -726,3 +726,61 @@ def test_delay_us_parses_spark_interval_grammar():
         _delay_us("10 fortnights")
     with _pytest.raises(ValueError):
         _delay_us("10")
+
+
+# ------------------------------------------------------------------ #
+# streaming incremental ingest: foreachBatch + persisted dedup index
+# ------------------------------------------------------------------ #
+
+def test_streaming_incremental_ingest_foreach_batch(ctx, spark, tmp_path):
+    """The production ingest loop driven by Structured Streaming: each
+    micro-batch dedups against the persisted index (corpus + every
+    PRIOR micro-batch's survivors) and appends what it keeps — the
+    ordering contract foreachBatch guarantees (batches run serially).
+    maxFilesPerTrigger=1 forces one increment per micro-batch, so a
+    doc duplicated across increments must survive only in the first."""
+    from renoir_spark.streaming import foreach_batch
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "spark structured streaming drains files in order"),
+    ]
+    inc1 = [
+        (10, "a genuinely new document about training corpora"),
+        (11, "spark structured streaming drains files in order"),  # dup of 2
+    ]
+    inc2 = [
+        (20, "a genuinely new document about training corpora"),   # dup of 10
+        (21, "another fresh document unlike anything indexed yet"),
+    ]
+    corpus = ctx.from_df(
+        spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    )
+    idx_path = str(tmp_path / "sidx")
+    corpus.dedup_index_build(idx_path, text_col="text", id_col="doc_id",
+                             bucket_dirs=8)
+    idx = ctx.dedup_index(idx_path)
+
+    feed = str(tmp_path / "feed")
+    # one parquet file per increment, written in arrival order
+    spark.createDataFrame(inc1, "doc_id long, text string").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{feed}/f1")
+    spark.createDataFrame(inc2, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(f"{feed}/f2")
+
+    kept: list = []
+
+    def ingest(batch_df, batch_id):
+        b = ctx.from_df(batch_df)
+        surv = idx.dedup_batch(b, threshold=0.7)
+        idx.append(surv)
+        kept.extend(r.doc_id for r in surv.df.select("doc_id").collect())
+
+    s = ctx.stream_parquet_unbounded(
+        f"{feed}/*", "doc_id long, text string", max_files_per_trigger=1
+    )
+    foreach_batch(s.df, ingest)
+
+    # 11 duplicates the corpus; 20 duplicates increment-1 survivor 10
+    # (visible only because append ran between the micro-batches)
+    assert sorted(kept) == [10, 21]
