@@ -240,6 +240,28 @@ class DedupIndex:
         ).parquet(f"{self.path}/shingles")
         sig.unpersist()
 
+    def compact(self) -> None:
+        """Rewrite the data roots clustered (≈ one file per directory):
+        every append adds a file per touched directory, so a
+        long-running nightly loop accumulates files that tax each
+        probe's listing/open path — periodic compaction restores the
+        fresh-build layout without touching any text. Each relation is
+        rewritten through an in-memory pin (read fully, then
+        overwritten; the relations are postings/shingles, far smaller
+        than the corpus — at sizes where the pin is unwelcome, stage
+        via a temp path instead)."""
+        nd = self.meta["bucket_dirs"]
+        _rewrite_clustered(
+            self.spark, f"{self.path}/buckets",
+            f"bidx int, bhash long, id {self.meta['id_type']}, __bk long",
+            "__bk", nd,
+        )
+        _rewrite_clustered(
+            self.spark, f"{self.path}/shingles",
+            f"id {self.meta['id_type']}, sh array<string>, __sk long",
+            "__sk", nd,
+        )
+
 
 class ExactDedupIndex:
     """Handle over a persisted EXACT dedup index: one relation of
@@ -328,6 +350,15 @@ class ExactDedupIndex:
             f"{self.path}/keys"
         )
 
+    def compact(self) -> None:
+        """Rewrite the key relation clustered (≈ one file per
+        directory) — see :meth:`DedupIndex.compact`."""
+        _rewrite_clustered(
+            self.spark, f"{self.path}/keys",
+            f"id {self.meta['id_type']}, key string, __bk long",
+            "__bk", self.meta["bucket_dirs"],
+        )
+
 
 def dedup_index_build(stream, path: str, *, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 12,
@@ -391,6 +422,20 @@ def _overwrite_empty(spark, path: str, schema: str, part_col: str) -> None:
     spark.createDataFrame([], schema).write.mode("overwrite").partitionBy(
         part_col
     ).parquet(path)
+
+
+def _rewrite_clustered(spark, path: str, schema: str, part_col: str,
+                       dirs: int) -> None:
+    """Read a hive data root fully, pin it via an EAGER localCheckpoint
+    (the overwrite deletes the files being read — lazy lineage would
+    read-after-delete, and a persist's lineage fallback would silently
+    recompute from the deleted files; a checkpoint has no lineage, so
+    block loss fails loudly instead), then rewrite it clustered."""
+    rows = spark.read.schema(schema).parquet(path).localCheckpoint(eager=True)
+    rows.repartition(dirs, part_col).write.mode("overwrite").partitionBy(
+        part_col
+    ).parquet(path)
+    rows.unpersist()
 
 
 def dedup_index_load(spark, path: str):

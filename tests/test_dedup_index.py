@@ -203,3 +203,37 @@ def test_unknown_mode_rejected(ctx, spark, tmp_path):
         _docs(ctx, spark, CORPUS).dedup_index_build(
             str(tmp_path / "bad"), text_col="text", id_col="doc_id",
             mode="fuzzy")
+
+
+# ------------------------------------------------------------------ #
+# compaction
+# ------------------------------------------------------------------ #
+
+def _parquet_files(root):
+    import glob
+
+    return glob.glob(f"{root}/**/*.parquet", recursive=True)
+
+
+@pytest.mark.parametrize("mode", ["minhash", "exact"])
+def test_compact_shrinks_files_preserves_results(ctx, spark, tmp_path,
+                                                 mode):
+    path = str(tmp_path / f"cidx_{mode}")
+    _docs(ctx, spark, CORPUS).dedup_index_build(
+        path, text_col="text", id_col="doc_id", bucket_dirs=4, mode=mode)
+    idx = ctx.dedup_index(path)
+    # several appends accumulate one file per touched dir per append
+    for i in range(3):
+        idx.append(_docs(ctx, spark, [
+            (100 + i, f"filler increment number {i} with fresh words"),
+        ]))
+    before = idx.dedup_batch(_docs(ctx, spark, BATCH))
+    ids_before = sorted(r.doc_id for r in before.df.collect())
+    n_before = len(_parquet_files(path))
+
+    idx.compact()
+
+    n_after = len(_parquet_files(path))
+    assert n_after < n_before
+    after = ctx.dedup_index(path).dedup_batch(_docs(ctx, spark, BATCH))
+    assert sorted(r.doc_id for r in after.df.collect()) == ids_before
