@@ -139,6 +139,69 @@ class AnnIndex:
         return _exact_rerank_topk(corpus, cand, vec_col=vec_col,
                                   id_col=id_col, k=k)
 
+    # -------------------------------------------------------------- #
+    def append(self, stream) -> None:
+        """Ingest new vectors into the persisted index — the FAISS
+        ``add`` analog: centroids and the SQ8 grid stay FROZEN at their
+        build-time values (new vectors assign to existing cells and
+        encode against the build grid; out-of-grid components encode
+        beyond [0, 255] by the same unclamped formula the oracle runs),
+        and the codes land in the same hive layout in append mode.
+        Queries then see build ∪ appended. Rebuild when the appended
+        volume shifts the distribution enough that frozen centroids
+        stop balancing cells — the same re-train trade every IVF
+        deployment makes."""
+        if not self.units:
+            # no cells exist to assign to; an empty increment is a
+            # well-defined no-op (cold-start pipelines), actual data
+            # needs a rebuild
+            if stream.df.isEmpty():
+                return
+            raise ValueError(
+                "AnnIndex.append: cannot append into an index built "
+                "over an empty corpus (no cells to assign to) — rebuild"
+            )
+        stats = self.spark.read.schema(
+            "__mins array<double>, __scales array<double>"
+        ).parquet(f"{self.path}/grid")
+        _write_codes(
+            stream.df, self.path, self.units, stats,
+            id_col=self.meta["id_col"], vec_col=self.meta["vec_col"],
+            id_type=self.meta["id_type"], n_cells=self.meta["n_cells"],
+            mode="append",
+        )
+
+
+def _write_codes(df, path: str, units, stats, *, id_col: str,
+                 vec_col: str, id_type: str, n_cells: int,
+                 mode: str) -> None:
+    """One encode+assign pass → the codes relation, clustered on the
+    cell before the partitioned write (an unclustered write opens a
+    file per task per directory — the dedup-index small-file lesson)."""
+    enc = (
+        _ivf_assign(
+            df.select(F.col(id_col), F.col(vec_col).alias("cvec")),
+            units, id_schema=f"{id_col} {id_type}",
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.col("cvec").alias(vec_col),
+            # 0..255 fits smallint (2 B vs 8 B double in memory;
+            # parquet bit-packs further) — exact integers, so the
+            # round trip through smallint is lossless. Vectors OUTSIDE
+            # the frozen grid (append mode) encode to codes beyond
+            # [0, 255] by the same unclamped formula on both engines.
+            F.transform(
+                _sq8_codes(F.col("cvec")), lambda c: c.cast("smallint")
+            ).alias("__codes"),
+            "__cell",
+        )
+    )
+    enc.repartition(max(n_cells, 1), "__cell").write.mode(
+        mode
+    ).partitionBy("__cell").parquet(f"{path}/codes")
+
 
 def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
                     id_col: str = "vec_id", n_cells: int = 16,
@@ -161,25 +224,8 @@ def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
         "__mins array<double>, __scales array<double>",
     )
 
-    enc = (
-        _ivf_assign(
-            df.select(F.col(id_col), F.col(vec_col).alias("cvec")),
-            units, id_schema=f"{id_col} {dtypes[id_col]}",
-        )
-        .crossJoin(F.broadcast(stats))
-        .select(
-            id_col,
-            F.col("cvec").alias(vec_col),
-            # 0..255 fits smallint (2 B vs 8 B double in memory;
-            # parquet bit-packs further) — exact integers, so the
-            # round trip through smallint is lossless.
-            F.transform(
-                _sq8_codes(F.col("cvec")), lambda c: c.cast("smallint")
-            ).alias("__codes"),
-            "__cell",
-        )
-    )
-    enc.write.mode("overwrite").partitionBy("__cell").parquet(f"{path}/codes")
+    _write_codes(df, path, units, stats, id_col=id_col, vec_col=vec_col,
+                 id_type=dtypes[id_col], n_cells=n_cells, mode="overwrite")
     stats.write.mode("overwrite").parquet(f"{path}/grid")
     spark.createDataFrame(
         [(i, u) for i, u in enumerate(units)], "cell long, unit array<double>"

@@ -2714,10 +2714,19 @@ def sql_ann_cosine_ivf_sq8(
     nprobe: int = 4,
     rerank: int = 12,
     dim: int = 64,
+    seed_expr: Optional[str] = None,
+    stats_expr: Optional[str] = None,
 ) -> str:
     """DuckDB mirror of :func:`ann_cosine_ivf_sq8`: q50's cell
-    assignment/probe CTEs composed with q99's quantization CTEs."""
+    assignment/probe CTEs composed with q99's quantization CTEs.
+
+    ``seed_expr`` / ``stats_expr`` (default: ``table_expr``) decouple
+    where the cell centroids and the SQ8 grid come from — the
+    appended-index case (``AnnIndex.append``): seeds and grid are
+    frozen at BUILD time over the build corpus, while the scanned
+    corpus is build ∪ appended."""
     nrm = SQL_UNIT_DIV.format(nrm=SQL_NORM.format(a=vec_col))
+    seed_src = seed_expr or table_expr
     dot_cu = SQL_DOT.format(a="t.v", b="cells.u")
     dot_qu = SQL_DOT.format(a="q.qvec", b="cells.u")
     approx = SQL_COS.format(
@@ -2732,7 +2741,7 @@ def sql_ann_cosine_ivf_sq8(
 WITH cells AS (
   SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell,
          list_transform({vec_col}, x -> x::DOUBLE / {nrm}) AS u
-  FROM (SELECT * FROM {table_expr} ORDER BY {id_col} LIMIT {n_cells})
+  FROM (SELECT * FROM {seed_src} ORDER BY {id_col} LIMIT {n_cells})
 ), c AS (
   SELECT id, cvec, cell FROM (
     SELECT t.id, t.v AS cvec, cells.cell,
@@ -2742,9 +2751,11 @@ WITH cells AS (
            ) AS rn
     FROM (SELECT {id_col} AS id, {vec_col} AS v FROM {table_expr}) t, cells
   ) WHERE rn = 1
+), sc AS (
+  SELECT {vec_col} AS cvec FROM {stats_expr or table_expr}
 ), stats AS (
   SELECT i, min(cvec[i]::DOUBLE) AS mn, max(cvec[i]::DOUBLE) AS mx
-  FROM c, range(1, {dim + 1}) t(i)
+  FROM sc, range(1, {dim + 1}) t(i)
   GROUP BY i
 ), st AS (
   SELECT list(mn ORDER BY i) AS mins,

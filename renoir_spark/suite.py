@@ -3465,6 +3465,42 @@ def _oracle_qa11() -> str:
 ORACLE_QA11 = _oracle_qa11()
 
 
+def qa12_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index (the FAISS ``add`` analog): build the
+    IVF+SQ8 index over 3/4 of the embeddings, ``append`` the held-out
+    quarter (centroids + SQ8 grid stay frozen at build values; new
+    vectors assign to existing cells, out-of-grid components encode by
+    the same unclamped formula), then query — results must equal the
+    direct operator over the FULL corpus with seeds/grid pinned to the
+    build slice, which the generalized DuckDB mirror expresses via its
+    seed_expr/stats_expr parameters."""
+    from .ann_index import ann_index_load
+
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings")
+    build = _t(ctx, sf_dir, "embeddings").filter("vec_id % 4 != 0")
+    extra = _t(ctx, sf_dir, "embeddings").filter("vec_id % 4 = 0")
+    queries = _t(ctx, sf_dir, "embeddings").filter("vec_id < 6")
+    path = _tmp_index_path("renoir_ann_idx_app_", sf_dir)
+    build.ann_index_build(path, n_cells=16)
+    idx = ann_index_load(spark, path)
+    idx.append(extra)
+    return idx.query(queries, k=3, nprobe=3, rerank=10).df
+
+
+def _oracle_qa12() -> str:
+    from .datapipe import sql_ann_cosine_ivf_sq8
+
+    build = "(SELECT * FROM embeddings WHERE vec_id % 4 != 0)"
+    return sql_ann_cosine_ivf_sq8(
+        "embeddings", "vec_id < 6", k=3, n_cells=16, nprobe=3, rerank=10,
+        seed_expr=build, stats_expr=build,
+    )
+
+
+ORACLE_QA12 = _oracle_qa12()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3576,6 +3612,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa09_dsir_select": qa09_dsir_select,
     "qa10_nb_classifier": qa10_nb_classifier,
     "qa11_dedup_index_exact": qa11_dedup_index_exact,
+    "qa12_ann_index_append": qa12_ann_index_append,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3691,4 +3728,5 @@ ORACLE: Dict[str, str] = {
     "qa09_dsir_select": ORACLE_QA09,
     "qa10_nb_classifier": ORACLE_QA10,
     "qa11_dedup_index_exact": ORACLE_QA11,
+    "qa12_ann_index_append": ORACLE_QA12,
 }

@@ -79,3 +79,33 @@ def test_empty_corpus_index_queries_empty(ctx, spark, tmp_path):
     res = idx.query(emb.filter("vec_id < 4"), k=3, nprobe=2, rerank=6).df
     assert res.count() == 0
     assert res.columns == ["qid", "vec_id", "cos", "rank"]
+
+
+def test_append_vectors_visible_frozen_grid(ctx, spark, tmp_path):
+    """append assigns new vectors to existing cells against the frozen
+    build grid — an appended exact duplicate of a query must win
+    rank 1 with cos ≈ 1."""
+    emb = ctx.stream_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    build = emb.filter("vec_id % 4 != 0")
+    path = str(tmp_path / "appidx")
+    build.ann_index_build(path, n_cells=16)
+    idx = ctx.ann_index(path)
+    # clone vector 1 (a build member) under a fresh id and append it
+    from pyspark.sql import functions as F
+
+    clone = emb.filter("vec_id = 1").map(
+        vec_id=F.lit(999_999).cast("long"), embedding=F.col("embedding")
+    )
+    idx.append(clone)
+    res = idx.query(emb.filter("vec_id = 1"), k=1, nprobe=3, rerank=10).df
+    top = res.collect()[0]
+    assert top.vec_id == 999999 and abs(top.cos - 1.0) < 1e-9
+
+
+def test_append_into_empty_index_rejected(ctx, spark, tmp_path):
+    emb = ctx.stream_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "appempty")
+    emb.filter("vec_id < 0").ann_index_build(path, n_cells=16)
+    idx = ctx.ann_index(path)
+    with pytest.raises(ValueError):
+        idx.append(emb.filter("vec_id < 4"))
