@@ -240,6 +240,25 @@ class DedupIndex:
         ).parquet(f"{self.path}/shingles")
         sig.unpersist()
 
+    def stats(self) -> dict:
+        """Diagnostic scan of the index: indexed doc count, posting
+        rows, and data-file count (the compaction signal). Full scans
+        of the (postings-sized, not corpus-sized) relations — an
+        explicit maintenance call, not a query-path cost."""
+        sh = self.spark.read.schema(
+            f"id {self.meta['id_type']}, sh array<string>, __sk long"
+        ).parquet(f"{self.path}/shingles")
+        bk = self.spark.read.schema(
+            f"bidx int, bhash long, id {self.meta['id_type']}, __bk long"
+        ).parquet(f"{self.path}/buckets")
+        return {
+            "mode": "minhash",
+            "docs": sh.count(),
+            "postings": bk.count(),
+            "files": _count_files(self.spark, self.path,
+                                  ("buckets", "shingles")),
+        }
+
     def compact(self) -> None:
         """Rewrite the data roots clustered (≈ one file per directory):
         every append adds a file per touched directory, so a
@@ -350,6 +369,18 @@ class ExactDedupIndex:
             f"{self.path}/keys"
         )
 
+    def stats(self) -> dict:
+        """Diagnostic scan — see :meth:`DedupIndex.stats`."""
+        n = self.spark.read.schema(
+            f"id {self.meta['id_type']}, key string, __bk long"
+        ).parquet(f"{self.path}/keys").count()
+        return {
+            "mode": "exact",
+            "docs": n,
+            "postings": n,
+            "files": _count_files(self.spark, self.path, ("keys",)),
+        }
+
     def compact(self) -> None:
         """Rewrite the key relation clustered (≈ one file per
         directory) — see :meth:`DedupIndex.compact`."""
@@ -422,6 +453,25 @@ def _overwrite_empty(spark, path: str, schema: str, part_col: str) -> None:
     spark.createDataFrame([], schema).write.mode("overwrite").partitionBy(
         part_col
     ).parquet(path)
+
+
+def _count_files(spark, root: str, subs) -> int:
+    """Data-file count under the given data roots via the Hadoop
+    FileSystem API (works on any supported filesystem, not just
+    local)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for sub in subs:
+        p = jvm.org.apache.hadoop.fs.Path(f"{root}/{sub}")
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            continue
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                total += 1
+    return total
 
 
 def _rewrite_clustered(spark, path: str, schema: str, part_col: str,

@@ -237,3 +237,20 @@ def test_compact_shrinks_files_preserves_results(ctx, spark, tmp_path,
     assert n_after < n_before
     after = ctx.dedup_index(path).dedup_batch(_docs(ctx, spark, BATCH))
     assert sorted(r.doc_id for r in after.df.collect()) == ids_before
+
+
+@pytest.mark.parametrize("mode", ["minhash", "exact"])
+def test_stats(ctx, spark, tmp_path, mode):
+    path = str(tmp_path / f"stidx_{mode}")
+    _docs(ctx, spark, CORPUS).dedup_index_build(
+        path, text_col="text", id_col="doc_id", bucket_dirs=4, mode=mode)
+    idx = ctx.dedup_index(path)
+    s = idx.stats()
+    assert s["mode"] == mode and s["docs"] == 3 and s["files"] > 0
+    if mode == "minhash":
+        assert s["postings"] == 3 * 4  # docs × bands
+    idx.append(_docs(ctx, spark, [(50, "one more unique document text")]))
+    s2 = idx.stats()
+    assert s2["docs"] == 4 and s2["files"] > s["files"]
+    idx.compact()
+    assert ctx.dedup_index(path).stats()["docs"] == 4
