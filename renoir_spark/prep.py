@@ -1135,6 +1135,230 @@ FROM mk GROUP BY id
 """
 
 
+def drop_common_chunks(stream, id_col: str, text_col: str, *,
+                       chunk_words: int = 20, max_df: int = 2):
+    """Corpus-frequency boilerplate removal (the CCNet / RefinedWeb
+    line-dedup shape): texts are cut into fixed ``chunk_words``-word
+    chunks (swap the chunker for a newline split when documents carry
+    real line structure) and EVERY occurrence of any chunk that appears
+    in ``max_df`` or more distinct documents is dropped — headers,
+    navboxes, cookie banners, license blocks. Unlike
+    :func:`chunk_dedup` (first occurrence survives), boilerplate
+    removal keeps NO copy: a chunk repeated across the corpus is noise
+    in all of them.
+
+    Output: ``id_col``, ``clean_text`` (surviving chunks re-joined; ''
+    when everything was dropped), ``n_chunks``, ``n_dropped``.
+
+    Scale: chunk identity travels as the shared 31-bit md5 hash; the
+    document-frequency table is ONE hash-keyed aggregation
+    (``countDistinct`` over (hash, doc) — wordcount-shaped, map-side
+    partial on the distinct pairs), re-joined to the exploded chunks on
+    the same key (co-partitioned post-agg, AQE coalesces), then one
+    per-document reassembly groupBy. Linear in total tokens; no
+    all-pairs stage; the df table is orders of magnitude smaller than
+    the corpus (distinct chunks only).
+    """
+    w = chunk_words
+    staged = (
+        stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__toks", F.split(norm_text(F.col("__text")), " "))
+        .withColumn(
+            "__nch", F.ceil(F.size("__toks") / F.lit(float(w))).cast("int")
+        )
+        .withColumn(
+            "__chunks",
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nch") - 1),
+                lambda i: F.array_join(F.slice("__toks", i * w + 1, w), " "),
+            ),
+        )
+        .select("__id", F.posexplode("__chunks").alias("__idx", "__chunk"))
+        .withColumn("__gh", md5_int31(F.col("__chunk")))
+    )
+    dfreq = staged.groupBy("__gh").agg(
+        F.countDistinct("__id").alias("__df")
+    )
+    kept_struct = F.when(
+        F.col("__df") < max_df, F.struct(F.col("__idx"), F.col("__chunk"))
+    )
+    out = (
+        staged.join(dfreq, "__gh")
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["__chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("__df") >= max_df, 1).otherwise(0)
+            ).alias("n_dropped"),
+        )
+        .select(F.col("__id").alias(id_col), "clean_text", "n_chunks", "n_dropped")
+    )
+    return stream._new(out)
+
+
+def sql_drop_common_chunks(table_expr: str, id_col: str, text: str, *,
+                           chunk_words: int = 20, max_df: int = 2) -> str:
+    """DuckDB mirror of :func:`drop_common_chunks` (same chunker, same
+    hash, same document-frequency rule)."""
+    w = chunk_words
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, string_split({sql_norm_text(text)}, ' ') AS toks
+  FROM {table_expr}
+), ch AS (
+  SELECT id,
+         [array_to_string(toks[(i*{w}+1):(i*{w}+{w})], ' ')
+          for i in range(0, CAST(ceil(len(toks)::DOUBLE / {w}) AS INT))] AS chunks
+  FROM base
+), ex AS (
+  SELECT id, unnest(chunks) AS chunk,
+         generate_subscripts(chunks, 1) - 1 AS idx
+  FROM ch
+), dfreq AS (
+  SELECT {sql_md5_int31('chunk')} AS gh,
+         count(DISTINCT id) AS df
+  FROM ex GROUP BY 1
+), mk AS (
+  SELECT e.id, e.idx, e.chunk, d.df
+  FROM ex e JOIN dfreq d ON {sql_md5_int31('e.chunk')} = d.gh
+)
+SELECT id AS {id_col},
+       coalesce(string_agg(chunk, ' ' ORDER BY idx)
+                FILTER (WHERE df < {max_df}), '') AS clean_text,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN df >= {max_df} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+FROM mk GROUP BY id
+"""
+
+
+def cap_per_group(stream, id_col: str, group_col: str, cap: int, *,
+                  salt: str = "d0"):
+    """Deterministic per-group document cap (the per-DOMAIN cap every
+    web-scale pipeline applies so one hot site cannot dominate the
+    training mix): within each ``group_col`` value, rank rows by the
+    salted 31-bit hash of their id (ties broken by id) and keep rank
+    ``<= cap``. Hash-ordering makes the kept subset a uniform random
+    sample of the group that is REPRODUCIBLE across retries, stragglers
+    and re-runs (unlike ``rand()``), and independent of partition
+    layout.
+
+    Output: the input columns, capped.
+
+    Scale: ONE shuffle on the group key (row_number window). Hot groups
+    (a domain with 10^9 pages) are the known skew point — mitigate by
+    pre-filtering with a sampled per-group hash threshold (keep rows
+    with hash below ~``cap/|group|`` of the hash space, then exact-rank
+    the survivors) so the window only sorts ~cap rows per group; the
+    exact window here is the semantics both paths agree on.
+    """
+    df = stream.df
+    h = md5_int31(F.concat_ws("|", F.lit(salt), to_col(id_col).cast("string")))
+    win = Window.partitionBy(group_col).orderBy(
+        h.asc(), to_col(id_col).asc()
+    )
+    out = (
+        df.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    return stream._new(out)
+
+
+def sql_cap_per_group(table_expr: str, id_col: str, group_col: str,
+                      cap: int, *, salt: str = "d0") -> str:
+    h = sql_md5_int31(f"concat_ws('|', '{salt}', {id_col}::VARCHAR)")
+    return f"""
+SELECT * EXCLUDE (__rn) FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY {group_col} ORDER BY {h} ASC, {id_col} ASC) AS __rn
+  FROM {table_expr}
+) WHERE __rn <= {cap}
+"""
+
+
+def shard_by_tokens(stream, id_col: str, ntok_col: str, n_shards: int):
+    """Token-balanced training-shard assignment (the "write N equal
+    shards" step that precedes every training run): rows are ranked by
+    ``(ntok DESC, id ASC)`` and dealt serpentine across ``n_shards``
+    (block 0 deals shards 0..N-1, block 1 deals N-1..0, ...). On a
+    monotone-sorted sequence the serpentine deal is the classic
+    LPT-style balance: each adjacent block contributes its largest row
+    to the shard that previously got the smallest, so per-shard token
+    sums differ by at most one block's spread. Deterministic —
+    independent of partition layout.
+
+    Adds a ``shard`` column (0-based INT); rows otherwise pass through.
+
+    Scale: the global rank is the distributed zipWithIndex (range
+    partition on the sort key + per-partition numbering + broadcast
+    offsets — see ``_global_index``); no single-task global window. One
+    range exchange total; the downstream shard write repartitions on
+    ``shard`` so each output file is written by one task.
+    """
+    from .stream import _global_index
+
+    df = stream.df
+    order = [to_col(ntok_col).desc(), to_col(id_col).asc()]
+    indexed, cache = _global_index(df, order, idx="__sidx")
+    i0 = F.col("__sidx") - 1
+    block = F.floor(i0 / n_shards)
+    pos = (i0 % n_shards).cast("int")
+    shard = F.when(
+        block % 2 == 0, pos
+    ).otherwise(F.lit(n_shards - 1) - pos)
+    out = indexed.withColumn("shard", shard.cast("int")).drop("__sidx")
+    return stream._new(out)._retain(cache)
+
+
+def sql_shard_by_tokens(table_expr: str, id_col: str, ntok_col: str,
+                        n_shards: int) -> str:
+    """DuckDB mirror of :func:`shard_by_tokens` (same rank order, same
+    serpentine formula)."""
+    n = n_shards
+    return f"""
+SELECT * EXCLUDE (__i0),
+       CAST(CASE WHEN (__i0 // {n}) % 2 = 0 THEN __i0 % {n}
+                 ELSE {n - 1} - (__i0 % {n}) END AS INT) AS shard
+FROM (
+  SELECT *, row_number() OVER (ORDER BY {ntok_col} DESC, {id_col} ASC) - 1
+             AS __i0
+  FROM {table_expr}
+)
+"""
+
+
+def write_training_shards(stream, path: str, id_col: str, ntok_col: str,
+                          n_shards: int, *, fmt: str = "parquet"):
+    """Materialize token-balanced training shards: assign shards with
+    :func:`shard_by_tokens`, cluster rows onto their shard (one
+    repartition on the shard key, so each hive directory is written by
+    one task — no tiny-file spray), and write
+    ``path/shard=N/part-*.{fmt}``. Returns the per-shard manifest
+    (shard, n_docs, tok_sum) as a Stream for logging/verification.
+    """
+    sharded = shard_by_tokens(stream, id_col, ntok_col, n_shards)
+    df = sharded.df.repartition(n_shards, "shard")
+    (df.write.mode("overwrite").partitionBy("shard").format(fmt).save(path))
+    spark = df.sparkSession
+    manifest = (
+        spark.read.format(fmt).load(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(ntok_col).alias("tok_sum"))
+        .withColumn("shard", F.col("shard").cast("int"))
+    )
+    sharded.unpersist()
+    return stream._new(manifest)
+
+
 # --------------------------------------------------------------------- #
 # BPE tokenizer training (learned merges) + application
 # --------------------------------------------------------------------- #

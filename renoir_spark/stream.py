@@ -1126,6 +1126,38 @@ class Stream:
 
         return _cd(self, id_col, text_col, **kw)
 
+    def drop_common_chunks(self, id_col: str, text_col: str, **kw) -> "Stream":
+        """Corpus-frequency boilerplate removal: drop EVERY occurrence
+        of chunks shared by >= max_df distinct documents, reassemble.
+        See prep.drop_common_chunks."""
+        from .prep import drop_common_chunks as _dc
+
+        return _dc(self, id_col, text_col, **kw)
+
+    def cap_per_group(self, id_col: str, group_col: str, cap: int,
+                      **kw) -> "Stream":
+        """Deterministic per-group (per-domain) document cap by salted
+        hash rank. See prep.cap_per_group."""
+        from .prep import cap_per_group as _cp
+
+        return _cp(self, id_col, group_col, cap, **kw)
+
+    def shard_by_tokens(self, id_col: str, ntok_col: str,
+                        n_shards: int) -> "Stream":
+        """Token-balanced serpentine shard assignment (adds ``shard``).
+        See prep.shard_by_tokens."""
+        from .prep import shard_by_tokens as _sb
+
+        return _sb(self, id_col, ntok_col, n_shards)
+
+    def write_training_shards(self, path: str, id_col: str, ntok_col: str,
+                              n_shards: int, **kw) -> "Stream":
+        """Write token-balanced training shards partitioned by ``shard``;
+        returns the per-shard manifest. See prep.write_training_shards."""
+        from .prep import write_training_shards as _wt
+
+        return _wt(self, path, id_col, ntok_col, n_shards, **kw)
+
     def dedup_simhash(self, text_col: str, id_col: str, **kw) -> "Stream":
         """SimHash near-dup dedup — byte-band buckets + Hamming verify.
         See datapipe.dedup_simhash."""

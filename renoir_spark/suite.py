@@ -3501,6 +3501,100 @@ def _oracle_qa12() -> str:
 ORACLE_QA12 = _oracle_qa12()
 
 
+def qa13_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (CCNet/RefinedWeb line-dedup
+    shape): a fixed 8-word cookie-banner prefix is planted on every 4th
+    document; ``drop_common_chunks`` must remove EVERY occurrence of any
+    8-word chunk shared by >= 3 distinct documents (the banner, plus the
+    naturally repeated chunks of the small-vocabulary corpus), keeping
+    no copy — unlike chunk_dedup's first-occurrence rule."""
+    ctx = _ctx(spark)
+    banner = "accept all cookies to continue reading this site"
+    docs = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id"),
+        text=F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat_ws(" ", F.lit(banner), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return (
+        docs.drop_common_chunks("doc_id", "text", chunk_words=8, max_df=3).df
+    )
+
+
+def _oracle_qa13() -> str:
+    from .prep import sql_drop_common_chunks
+
+    banner = "accept all cookies to continue reading this site"
+    inp = f"""(
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN '{banner} ' || text
+              ELSE text END AS text
+  FROM documents
+)"""
+    return sql_drop_common_chunks(inp, "doc_id", "text",
+                                  chunk_words=8, max_df=3)
+
+
+ORACLE_QA13 = _oracle_qa13()
+
+
+def qa14_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most 30 documents per source,
+    chosen by salted-hash rank (a reproducible uniform sample of each
+    domain, independent of partition layout) — the anti-domination pass
+    every web-scale mix applies before training."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .cap_per_group("doc_id", "source", 30)
+        .map("doc_id", "source", "n_chars")
+        .df
+    )
+
+
+def _oracle_qa14() -> str:
+    from .prep import sql_cap_per_group
+
+    inner = sql_cap_per_group("documents", "doc_id", "source", 30)
+    return f"SELECT doc_id, source, n_chars FROM ({inner})"
+
+
+ORACLE_QA14 = _oracle_qa14()
+
+
+def qa15_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training-shard plan: rank documents by
+    (n_chars DESC, doc_id) and deal them serpentine across 8 shards
+    (the LPT-style balance every shard writer needs), then report the
+    per-shard manifest — doc count and token-weight sum. Balanced
+    shards differ by at most one block's spread."""
+    ctx = _ctx(spark)
+    return (
+        _t(ctx, sf_dir, "documents")
+        .shard_by_tokens("doc_id", "n_chars", 8)
+        .group_by_fold(
+            "shard",
+            n_docs=F.count(F.lit(1)),
+            tok_sum=F.sum("n_chars"),
+        )
+        .df.select("shard", "n_docs", "tok_sum")
+    )
+
+
+def _oracle_qa15() -> str:
+    from .prep import sql_shard_by_tokens
+
+    inner = sql_shard_by_tokens("documents", "doc_id", "n_chars", 8)
+    return f"""
+SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tok_sum
+FROM ({inner}) GROUP BY shard
+"""
+
+
+ORACLE_QA15 = _oracle_qa15()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3613,6 +3707,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa10_nb_classifier": qa10_nb_classifier,
     "qa11_dedup_index_exact": qa11_dedup_index_exact,
     "qa12_ann_index_append": qa12_ann_index_append,
+    "qa13_boilerplate_strip": qa13_boilerplate_strip,
+    "qa14_domain_cap": qa14_domain_cap,
+    "qa15_token_shards": qa15_token_shards,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3729,4 +3826,7 @@ ORACLE: Dict[str, str] = {
     "qa10_nb_classifier": ORACLE_QA10,
     "qa11_dedup_index_exact": ORACLE_QA11,
     "qa12_ann_index_append": ORACLE_QA12,
+    "qa13_boilerplate_strip": ORACLE_QA13,
+    "qa14_domain_cap": ORACLE_QA14,
+    "qa15_token_shards": ORACLE_QA15,
 }
