@@ -1265,6 +1265,165 @@ SELECT ida, idb, jaccard FROM (
 """
 
 
+def similar_pairs_exact(
+    stream,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+):
+    """All pairs with shingle-Jaccard ≥ threshold, EXACT — prefix
+    filtering (the AllPairs/PPJoin family, Bayardo et al. 2007), no
+    ``max_df`` cutoff and no LSH false negatives. Complements
+    :func:`similar_pairs_ngram` (approximate contract: drops stop
+    shingles) and :func:`dedup_minhash` (probabilistic recall): the
+    oracle for THIS operator is plain brute force, because the prefix
+    filter is lossless.
+
+    How: order every document's distinct hashed shingles by global
+    document frequency ascending (rare first, hash tie-break — one
+    total order shared by all docs); a doc with n shingles indexes only
+    its first ``n − ⌈t·n⌉ + 1`` (its *prefix*). If J(A,B) ≥ t the two
+    prefixes provably share a shingle, so generating candidates from
+    prefix posting lists loses nothing; candidates then verify with an
+    exact intersection of the full shingle sets.
+
+    Scale: rare-first ordering keeps prefix posting lists short — hot
+    boilerplate shingles land in suffixes and are never indexed, which
+    is what bounds pair generation WITHOUT the df cutoff the inverted-
+    index variant needs. A length filter (t·max ≤ min provably
+    necessary) prunes before the verify joins. All shuffle keys are
+    8-byte hashes or doc ids; full shingle arrays ride only the two
+    verify joins. Worst case (N identical docs) is O(N²) candidates —
+    but then the TRUE answer is O(N²) pairs; exactness has no silent
+    cap to hide behind. Output: (ida, idb, jaccard), ida < idb.
+    """
+    t = float(threshold)
+    staged = (
+        stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__norm", norm_text("__text"))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+        .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), shingle_n))
+        .select(
+            "__id",
+            F.explode(F.transform("__sh", lambda s: md5_int60(s))).alias("__h"),
+        )
+        .distinct()  # md5 collisions inside one doc would double-count
+    )
+    dfreq = staged.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    # rare-first total order: (df asc, hash asc) — identical in every doc
+    docs = (
+        staged.join(dfreq, "__h")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__h"))),
+                lambda s: s["__h"],
+            ).alias("__arr")
+        )
+        .withColumn("__n", F.size("__arr"))
+        # p = n − ⌈t·n⌉ + 1; the 1e-9 nudge keeps float fuzz from
+        # rounding ⌈t·n⌉ UP at exact-integer products (a too-small
+        # ceil only lengthens the prefix — safe; too-large loses pairs)
+        .withColumn(
+            "__p",
+            F.col("__n")
+            - F.ceil(F.lit(t) * F.col("__n") - F.lit(1e-9)).cast("int")
+            + 1,
+        )
+        .persist()  # consumed by the prefix explode AND both verify joins
+    )
+    post = (
+        docs.select(
+            "__id", "__n",
+            F.explode(F.slice("__arr", F.lit(1), F.col("__p"))).alias("__h"),
+        )
+        .groupBy("__h")
+        .agg(F.collect_list(F.struct("__id", "__n")).alias("__lst"))
+        .filter(F.size("__lst") >= 2)
+    )
+    lst = F.col("__lst")
+    pair_structs = F.flatten(
+        F.transform(
+            lst,
+            lambda x, i: F.transform(
+                F.slice(lst, i + 2, F.size(lst)),
+                lambda y: F.struct(
+                    F.least(x["__id"], y["__id"]).alias("ida"),
+                    F.greatest(x["__id"], y["__id"]).alias("idb"),
+                    F.least(x["__n"], y["__n"]).alias("__lo"),
+                    F.greatest(x["__n"], y["__n"]).alias("__hi"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        post.select(F.explode(pair_structs).alias("__pr"))
+        .select("__pr.*")
+        # length filter: J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·hi, and |A∩B| ≤ lo
+        .filter(F.col("__lo") + F.lit(1e-9) >= F.lit(t) * F.col("__hi"))
+        .select("ida", "idb")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("__aa", "__ab"))
+    out = (
+        cand.join(
+            docs.select(
+                F.col("__id").alias("ida"),
+                F.col("__arr").alias("__aa"),
+                F.col("__n").alias("na"),
+            ),
+            "ida",
+        )
+        .join(
+            docs.select(
+                F.col("__id").alias("idb"),
+                F.col("__arr").alias("__ab"),
+                F.col("__n").alias("nb"),
+            ),
+            "idb",
+        )
+        .withColumn("__i", inter)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("__i") / (F.col("na") + F.col("nb") - F.col("__i")), 6),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select("ida", "idb", "jaccard")
+    )
+    return stream._new(out)._retain(docs)
+
+
+def sql_similar_pairs_exact(
+    table_expr: str,
+    text: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """Brute-force DuckDB oracle for :func:`similar_pairs_exact` — the
+    whole point of the lossless prefix filter is that its truth set IS
+    the naive all-pairs answer (same hashed-distinct shingle sets, so
+    collisions agree)."""
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id,
+         list_distinct([{sql_md5_int60('s')}
+                        for s in {sql_word_shingles(text, shingle_n)}]) AS hs
+  FROM {table_expr}
+)
+SELECT ida, idb, jaccard FROM (
+  SELECT a.id AS ida, b.id AS idb,
+         round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+               (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))),
+               6) AS jaccard
+  FROM sh a JOIN sh b ON a.id < b.id
+) WHERE jaccard >= {threshold}
+"""
+
+
 # --------------------------------------------------------------------- #
 # embedding-cosine near-duplicate dedup
 # --------------------------------------------------------------------- #

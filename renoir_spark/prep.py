@@ -1360,6 +1360,170 @@ def write_training_shards(stream, path: str, id_col: str, ntok_col: str,
 
 
 # --------------------------------------------------------------------- #
+# URL canonicalization + URL-keyed dedup (web-crawl hygiene)
+# --------------------------------------------------------------------- #
+
+# tracking params stripped during canonicalization (matched against the
+# full "key=value" token; key-only flags match via the (=|$) tail)
+_TRACK_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=.*)?$"
+# ccTLD second-level public suffixes where the registered domain is
+# three labels (small deliberate subset of the public-suffix list —
+# swap in the full list for production crawls)
+_SUFFIX3_RE = (
+    r"([^.]+\.(?:co|org|ac|gov|com|net|ne|or)"
+    r"\.(?:uk|au|jp|in|kr|br|cn|mx|za))$"
+)
+
+
+def canonical_url(col) -> Column:
+    """Canonical form of a URL — the key web-crawl dedup joins on.
+    Rules (each mirrored bit-exactly by :func:`sql_canonical_url`):
+    lowercase scheme and host (never path/query — those are
+    case-sensitive); missing scheme defaults to http; default ports
+    (:80 http, :443 https) and a leading ``www.`` are stripped;
+    trailing path slashes dropped; tracking query params
+    (utm_*/fbclid/gclid/msclkid/mc_eid/igshid/ref) removed; surviving
+    params sorted; fragment discarded. NULL in → NULL out.
+
+    Pure JVM expression (regex + higher-order array ops) — no UDF, no
+    shuffle; whole-stage codegen keeps it in the scan stage.
+    """
+    u = F.trim(to_col(col))
+    scheme0 = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    scheme = F.when(scheme0 == "", F.lit("http")).otherwise(scheme0)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host0 = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    host = F.regexp_replace(host0, r"^www\.", "")
+    pathqf = F.regexp_replace(rest, r"^[^/?#]*", "")
+    path = F.regexp_replace(
+        F.regexp_extract(pathqf, r"^([^?#]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(pathqf, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACK_RE),
+    )
+    qsorted = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(F.lit("")),
+    )
+
+
+def sql_canonical_url(expr: str) -> str:
+    """DuckDB scalar mirror of :func:`canonical_url` (same regexes, same
+    param filter/sort; ``||`` used for NULL propagation — DuckDB's
+    ``concat`` swallows NULLs, Spark's propagates)."""
+    u = f"trim({expr})"
+    scheme0 = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    scheme = f"(CASE WHEN {scheme0} = '' THEN 'http' ELSE {scheme0} END)"
+    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    hostport = f"lower(regexp_extract({rest}, '^([^/?#]*)', 1))"
+    host0 = (
+        f"(CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '')"
+        f" WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '')"
+        f" ELSE {hostport} END)"
+    )
+    host = f"regexp_replace({host0}, '^www\\.', '')"
+    pathqf = f"regexp_replace({rest}, '^[^/?#]*', '')"
+    path = (
+        f"regexp_replace(regexp_extract({pathqf}, '^([^?#]*)', 1), '/+$', '')"
+    )
+    query = f"regexp_extract({pathqf}, '\\?([^#]*)', 1)"
+    params = (
+        f"list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACK_RE}'))"
+    )
+    qsorted = f"array_to_string(list_sort({params}), '&')"
+    return (
+        f"({scheme} || '://' || {host} || {path} || "
+        f"(CASE WHEN {qsorted} <> '' THEN '?' || {qsorted} ELSE '' END))"
+    )
+
+
+def url_host(col) -> Column:
+    """Lowercased host of a URL, any port and a leading ``www.``
+    stripped (the per-site grouping key for :func:`cap_per_group` —
+    unlike the canonical URL, which keeps NON-default ports because
+    they are a distinct origin)."""
+    u = F.trim(to_col(col))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    return F.regexp_replace(
+        F.regexp_replace(hostport, r":[0-9]+$", ""), r"^www\.", ""
+    )
+
+
+def sql_url_host(expr: str) -> str:
+    u = f"trim({expr})"
+    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    hostport = f"lower(regexp_extract({rest}, '^([^/?#]*)', 1))"
+    return (
+        f"regexp_replace(regexp_replace({hostport}, ':[0-9]+$', ''), "
+        f"'^www\\.', '')"
+    )
+
+
+def url_registered_domain(col) -> Column:
+    """Registrable-domain approximation: last two host labels, or three
+    when the suffix is a known second-level ccTLD (co.uk, com.au, ...).
+    The per-DOMAIN grouping key (finer-than-host crawls: blog.x.co.uk
+    and shop.x.co.uk both → x.co.uk)."""
+    h = url_host(col)
+    return F.when(
+        h.rlike(_SUFFIX3_RE), F.regexp_extract(h, _SUFFIX3_RE, 1)
+    ).otherwise(F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1))
+
+
+def sql_url_registered_domain(expr: str) -> str:
+    h = sql_url_host(expr)
+    return (
+        f"(CASE WHEN regexp_matches({h}, '{_SUFFIX3_RE}') "
+        f"THEN regexp_extract({h}, '{_SUFFIX3_RE}', 1) "
+        f"ELSE regexp_extract({h}, '([^.]+\\.[^.]+)$', 1) END)"
+    )
+
+
+def dedup_url(stream, id_col: str, url_col: str):
+    """Exact dedup on the canonical URL: for every canonical form keep
+    the minimum-id row (deterministic, layout-independent) and report
+    how many raw URLs collapsed onto it. THE first dedup pass of every
+    crawl pipeline — far cheaper than content dedup and catches the
+    bulk (protocol/case/tracking-param/fragment variants of one page).
+
+    Output: ``id_col``, ``canon_url``, ``n_dupes`` (raw rows collapsed,
+    including the kept one).
+
+    Scale: canonicalization is map-side; the only wide stage is ONE
+    shuffle on the canonical-url key (min-id + count aggregate). Keys
+    are page-cardinality — no skew beyond genuinely hot pages.
+    """
+    df = stream.df
+    canon = canonical_url(F.col(url_col))
+    out = (
+        df.select(to_col(id_col).alias("__id"), canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.min("__id").alias(id_col), F.count(F.lit(1)).alias("n_dupes"))
+        .select(id_col, "canon_url", "n_dupes")
+    )
+    return stream._new(out)
+
+
+def sql_dedup_url(table_expr: str, id_col: str, url_col: str) -> str:
+    canon = sql_canonical_url(url_col)
+    return f"""
+SELECT min({id_col}) AS {id_col}, {canon} AS canon_url,
+       count(*) AS n_dupes
+FROM {table_expr} GROUP BY 2
+"""
+
+
+# --------------------------------------------------------------------- #
 # BPE tokenizer training (learned merges) + application
 # --------------------------------------------------------------------- #
 

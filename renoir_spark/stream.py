@@ -1158,6 +1158,13 @@ class Stream:
 
         return _wt(self, path, id_col, ntok_col, n_shards, **kw)
 
+    def dedup_url(self, id_col: str, url_col: str) -> "Stream":
+        """Exact dedup on the canonical URL (min-id survivor + collapse
+        count). See prep.dedup_url / prep.canonical_url."""
+        from .prep import dedup_url as _du
+
+        return _du(self, id_col, url_col)
+
     def dedup_simhash(self, text_col: str, id_col: str, **kw) -> "Stream":
         """SimHash near-dup dedup — byte-band buckets + Hamming verify.
         See datapipe.dedup_simhash."""
@@ -1171,6 +1178,14 @@ class Stream:
         from .datapipe import similar_pairs_ngram as _sp
 
         return _sp(self, text_col, id_col, **kw)
+
+    def similar_pairs_exact(self, text_col: str, id_col: str, **kw) -> "Stream":
+        """EXACT threshold Jaccard similarity join via lossless prefix
+        filtering (AllPairs/PPJoin family) — no df cutoff, no LSH
+        false negatives. See datapipe.similar_pairs_exact."""
+        from .datapipe import similar_pairs_exact as _spe
+
+        return _spe(self, text_col, id_col, **kw)
 
     def dedup_embedding(self, **kw) -> "Stream":
         """Embedding-cosine near-dup dedup via sign-LSH buckets.

@@ -3595,6 +3595,97 @@ FROM ({inner}) GROUP BY shard
 ORACLE_QA15 = _oracle_qa15()
 
 
+def qa16_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (the first pass of every crawl pipeline):
+    documents gain synthetic URLs in three raw spellings of the same
+    page — uppercase scheme/host + www + tracking params, explicit
+    default port + fragment, schemeless (defaults to http, a DISTINCT
+    origin) — and ``dedup_url`` must collapse spelling variants onto
+    one canonical key, keeping the min doc_id and counting the
+    collapse. Exercises every canonicalization rule end-to-end against
+    the regex-identical DuckDB mirror."""
+    ctx = _ctx(spark)
+    page = (F.col("doc_id") % 50).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("HTTPS://WWW."), F.col("source"),
+                     F.lit(".Example.COM/page/"), page,
+                     F.lit("/?utm_source=x&b=2&a=1")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.com:443/page/"), page,
+                     F.lit("?a=1&b=2&fbclid=zz#frag")),
+        )
+        .otherwise(
+            F.concat(F.col("source"), F.lit(".example.com/page/"), page,
+                     F.lit("?b=2&a=1")),
+        )
+    )
+    docs = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id"), url=url
+    )
+    return docs.dedup_url("doc_id", "url").df
+
+
+def _oracle_qa16() -> str:
+    from .prep import sql_dedup_url
+
+    inp = """(
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 3 = 0 THEN
+             'HTTPS://WWW.' || source || '.Example.COM/page/' ||
+             (doc_id % 50)::VARCHAR || '/?utm_source=x&b=2&a=1'
+           WHEN doc_id % 3 = 1 THEN
+             'https://' || source || '.example.com:443/page/' ||
+             (doc_id % 50)::VARCHAR || '?a=1&b=2&fbclid=zz#frag'
+           ELSE
+             source || '.example.com/page/' ||
+             (doc_id % 50)::VARCHAR || '?b=2&a=1'
+         END AS url
+  FROM documents
+)"""
+    return sql_dedup_url(inp, "doc_id", "url")
+
+
+ORACLE_QA16 = _oracle_qa16()
+
+
+def qa17_ssjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (lossless prefix filter, PPJoin
+    family): all pairs with 5-gram-shingle Jaccard ≥ 0.5 among
+    documents ∪ perturbed copies — same planted-duplicate input as q34,
+    but the oracle is plain BRUTE FORCE: unlike the inverted-index
+    variant (df-cutoff contract) and MinHash (probabilistic recall),
+    the prefix filter must lose nothing."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    dups = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id") + 100000,
+        text=F.concat_ws(" ", F.col("text"), F.lit("zzz")),
+    )
+    return (
+        docs.merge(dups)
+        .shuffle()
+        .similar_pairs_exact("text", "doc_id", shingle_n=5, threshold=0.5)
+        .df
+    )
+
+
+def _oracle_qa17() -> str:
+    from .datapipe import sql_similar_pairs_exact
+
+    return sql_similar_pairs_exact(
+        _Q28_INPUT, "text", "doc_id", shingle_n=5, threshold=0.5
+    )
+
+
+ORACLE_QA17 = _oracle_qa17()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3710,6 +3801,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa13_boilerplate_strip": qa13_boilerplate_strip,
     "qa14_domain_cap": qa14_domain_cap,
     "qa15_token_shards": qa15_token_shards,
+    "qa16_url_dedup": qa16_url_dedup,
+    "qa17_ssjoin_exact": qa17_ssjoin_exact,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3829,4 +3922,6 @@ ORACLE: Dict[str, str] = {
     "qa13_boilerplate_strip": ORACLE_QA13,
     "qa14_domain_cap": ORACLE_QA14,
     "qa15_token_shards": ORACLE_QA15,
+    "qa16_url_dedup": ORACLE_QA16,
+    "qa17_ssjoin_exact": ORACLE_QA17,
 }

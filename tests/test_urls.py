@@ -1,0 +1,120 @@
+"""URL canonicalization + URL-keyed dedup (prep.canonical_url family).
+
+The suite oracle (qa16) covers corpus-scale parity; these tests pin the
+per-rule semantics on hostile URLs AND the cross-engine contract: the
+Spark expression and the DuckDB mirror must agree byte-for-byte on
+every case (scheme default, port stripping, www, tracking params,
+param sort, fragment, NULL propagation, registrable ccTLD domains)."""
+
+import duckdb
+import pytest
+
+from renoir_spark import prep
+
+URLS = [
+    "HTTPS://WWW.Example.COM:443/Docs/Page/?utm_source=feed&b=2&a=1&fbclid=xyz#frag",
+    "http://example.com:80/",
+    "http://example.com",
+    "https://blog.foo.co.uk/a//b///?z=1&y=2",
+    "example.com/path?ref=hp",
+    "https://example.com/path?",
+    "https://example.com/?utm_campaign=x&utm_medium=y",
+    "ftp://Files.Example.org:80/data",
+    "https://example.com/Case/Sensitive?Key=Val",
+    "  https://pad.example.com/x  ",
+    "https://example.com/a?dup=1&dup=1&c",
+    "http://www.example.com:8080/x",
+    None,
+    "",
+    "weird",
+]
+
+EXPECT_CANON = {
+    URLS[0]: "https://example.com/Docs/Page?a=1&b=2",
+    URLS[1]: "http://example.com",
+    URLS[3]: "https://blog.foo.co.uk/a//b?y=2&z=1",
+    URLS[4]: "http://example.com/path",
+    URLS[6]: "https://example.com",
+    URLS[7]: "ftp://files.example.org:80/data",   # non-http keeps :80
+    URLS[8]: "https://example.com/Case/Sensitive?Key=Val",
+    URLS[10]: "https://example.com/a?c&dup=1&dup=1",
+    URLS[11]: "http://example.com:8080/x",        # non-default port kept
+}
+
+
+@pytest.fixture(scope="module")
+def both(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(URLS)], "i long, u string"
+    )
+    sdf = df.select(
+        "i",
+        prep.canonical_url("u").alias("c"),
+        prep.url_host("u").alias("h"),
+        prep.url_registered_domain("u").alias("d"),
+    )
+    srows = {r.i: (r.c, r.h, r.d) for r in sdf.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)",
+                    [(i, u) for i, u in enumerate(URLS)])
+    drows = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"SELECT i, {prep.sql_canonical_url('u')}, "
+            f"{prep.sql_url_host('u')}, "
+            f"{prep.sql_url_registered_domain('u')} FROM t"
+        ).fetchall()
+    }
+    return srows, drows
+
+
+def test_engines_agree_on_every_case(both):
+    srows, drows = both
+    for i, u in enumerate(URLS):
+        assert srows[i] == drows[i], (u, srows[i], drows[i])
+
+
+def test_canonical_rules(both):
+    srows, _ = both
+    for i, u in enumerate(URLS):
+        if u in EXPECT_CANON:
+            assert srows[i][0] == EXPECT_CANON[u], u
+
+
+def test_null_propagates(both):
+    srows, _ = both
+    i = URLS.index(None)
+    assert srows[i] == (None, None, None)
+
+
+def test_registered_domain_cctld(both):
+    srows, _ = both
+    assert srows[3][2] == "foo.co.uk"      # 3-label ccTLD suffix
+    assert srows[0][2] == "example.com"    # plain 2-label
+
+
+def test_dedup_url_collapses_variants(ctx):
+    rows = [
+        (1, "HTTPS://WWW.Site.com/a/?utm_source=x"),
+        (2, "https://site.com:443/a#frag"),
+        (3, "https://site.com/a"),
+        (4, "https://site.com/b"),
+    ]
+    df = ctx.spark.createDataFrame(rows, "id long, url string")
+    out = prep.dedup_url(ctx.from_df(df), "id", "url").df.collect()
+    got = {r.canon_url: (r.id, r.n_dupes) for r in out}
+    assert got == {
+        "https://site.com/a": (1, 3),
+        "https://site.com/b": (4, 1),
+    }
+
+
+def test_canonical_url_is_shuffle_free(ctx):
+    df = ctx.stream_parquet("/root/testdata/sf0.001/documents.parquet").df
+    plan = (
+        df.select(prep.canonical_url("source").alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "pythonUDF" not in plan.lower()
