@@ -1523,6 +1523,110 @@ FROM {table_expr} GROUP BY 2
 """
 
 
+def filter_urls(
+    stream,
+    url_col: str,
+    *,
+    block_hosts: Sequence[str] = (),
+    block_domains: Sequence[str] = (),
+    block_patterns: Sequence[str] = (),
+    invert: bool = False,
+):
+    """URL blocklist filter (crawl hygiene, UT1-blocklist shape): drop
+    rows whose URL's host is in ``block_hosts``, whose registrable
+    domain is in ``block_domains`` (so ``spam.example`` blocks every
+    subdomain), or whose raw URL matches any regex in
+    ``block_patterns`` (Java∩RE2 dialect). ``invert=True`` keeps ONLY
+    the blocked rows (audit mode). Rows with a NULL URL are always
+    dropped — an unvettable page has no place in a training corpus.
+
+    Scale: pure map-side expression filter — the literal lists inline
+    into the plan, so this suits in-code lists up to a few thousand
+    entries. For production blocklists (UT1 adult alone is ~4M hosts)
+    use :func:`filter_urls_against`, which broadcasts a blocklist
+    relation instead.
+    """
+    u = to_col(url_col)
+    blocked = F.lit(False)
+    if block_hosts:
+        blocked = blocked | url_host(u).isin(*[str(h) for h in block_hosts])
+    if block_domains:
+        blocked = blocked | url_registered_domain(u).isin(
+            *[str(d) for d in block_domains]
+        )
+    for p in block_patterns:
+        blocked = blocked | u.rlike(p)
+    keep = blocked if invert else ~blocked
+    return stream._new(
+        stream.df.filter(u.isNotNull() & F.coalesce(keep, F.lit(False)))
+    )
+
+
+def sql_filter_urls(
+    table_expr: str,
+    url_col: str,
+    cols: str,
+    *,
+    block_hosts: Sequence[str] = (),
+    block_domains: Sequence[str] = (),
+    block_patterns: Sequence[str] = (),
+    invert: bool = False,
+) -> str:
+    """DuckDB mirror of :func:`filter_urls` (same host/domain regexes)."""
+    def _lit(s: str) -> str:
+        return "'" + str(s).replace("'", "''") + "'"
+
+    parts = ["FALSE"]
+    if block_hosts:
+        parts.append(
+            f"{sql_url_host(url_col)} IN ("
+            + ", ".join(_lit(h) for h in block_hosts) + ")"
+        )
+    if block_domains:
+        parts.append(
+            f"{sql_url_registered_domain(url_col)} IN ("
+            + ", ".join(_lit(d) for d in block_domains) + ")"
+        )
+    for p in block_patterns:
+        parts.append(f"regexp_matches({url_col}, {_lit(p)})")
+    blocked = "(" + " OR ".join(parts) + ")"
+    keep = blocked if invert else f"(NOT {blocked})"
+    return (
+        f"SELECT {cols} FROM {table_expr} "
+        f"WHERE {url_col} IS NOT NULL AND coalesce({keep}, FALSE)"
+    )
+
+
+def filter_urls_against(stream, blocklist, url_col: str, *, by: str = "domain"):
+    """URL blocklist filter against a RELATION of blocked keys (one
+    column named ``host`` or ``domain`` per ``by``): broadcast anti-join
+    — the corpus never shuffles, the blocklist ships once per executor.
+    The right shape for production-size lists (UT1-scale, millions of
+    hosts ≈ tens of MB hashed): Spark broadcasts relations far larger
+    than any sane ``isin`` literal. NULL URLs are dropped, matching
+    :func:`filter_urls`.
+    """
+    if by not in ("host", "domain"):
+        raise ValueError(f"by must be 'host' or 'domain', got {by!r}")
+    key = url_host(url_col) if by == "host" else url_registered_domain(url_col)
+    bdf = blocklist.df if hasattr(blocklist, "df") else blocklist
+    bcol = bdf.columns[0]
+    out = (
+        stream.df.filter(to_col(url_col).isNotNull())
+        .withColumn("__ukey", key)
+        .join(
+            # no distinct: anti-join is existence-only, so duplicate
+            # blocklist keys are harmless and deduping would add the
+            # relation's only exchange
+            F.broadcast(bdf.select(F.col(bcol).alias("__ukey"))),
+            "__ukey",
+            "left_anti",
+        )
+        .drop("__ukey")
+    )
+    return stream._new(out)
+
+
 # --------------------------------------------------------------------- #
 # BPE tokenizer training (learned merges) + application
 # --------------------------------------------------------------------- #

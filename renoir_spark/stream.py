@@ -1165,6 +1165,20 @@ class Stream:
 
         return _du(self, id_col, url_col)
 
+    def filter_urls(self, url_col: str, **kw) -> "Stream":
+        """URL blocklist filter (hosts / registrable domains / regex
+        patterns, map-side). See prep.filter_urls."""
+        from .prep import filter_urls as _fu
+
+        return _fu(self, url_col, **kw)
+
+    def filter_urls_against(self, blocklist, url_col: str, **kw) -> "Stream":
+        """URL blocklist filter against a blocklist relation via
+        broadcast anti-join. See prep.filter_urls_against."""
+        from .prep import filter_urls_against as _fua
+
+        return _fua(self, blocklist, url_col, **kw)
+
     def dedup_simhash(self, text_col: str, id_col: str, **kw) -> "Stream":
         """SimHash near-dup dedup — byte-band buckets + Hamming verify.
         See datapipe.dedup_simhash."""

@@ -3686,6 +3686,87 @@ def _oracle_qa17() -> str:
 ORACLE_QA17 = _oracle_qa17()
 
 
+_QA18_BLOCK = dict(
+    block_hosts=["tracker.web.example.com"],
+    block_domains=["spam-mirror.net"],
+    block_patterns=[r"[?&]session_id=", r"/ad(s|server)?/"],
+)
+
+
+def qa18_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist filter: documents gain synthetic URLs where some
+    land on a blocked HOST (exact), some on any subdomain of a blocked
+    registrable DOMAIN, some match a path/query regex, and NULL URLs
+    are always dropped. Survivors keep (doc_id, url, host)."""
+    ctx = _ctx(spark)
+    page = (F.col("doc_id") % 40).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("https://TRACKER.web.example.com/p/"), page),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.lit("http://"), F.col("source"),
+                     F.lit(".Spam-Mirror.NET/item/"), page),
+        )
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.lit("https://ok.example.org/view?session_id="), page),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.lit("https://ok.example.org/ads/banner/"), page),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.org/article/"), page),
+        )
+    )
+    docs = _t(ctx, sf_dir, "documents").map(doc_id=F.col("doc_id"), url=url)
+    from .prep import url_host
+
+    return (
+        docs.filter_urls("url", **_QA18_BLOCK)
+        .map("doc_id", "url", host=url_host("url"))
+        .df
+    )
+
+
+def _oracle_qa18() -> str:
+    from .prep import sql_filter_urls, sql_url_host
+
+    inp = """(
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 11 = 0 THEN NULL
+           WHEN doc_id % 7 = 0 THEN
+             'https://TRACKER.web.example.com/p/' || (doc_id % 40)::VARCHAR
+           WHEN doc_id % 7 = 1 THEN
+             'http://' || source || '.Spam-Mirror.NET/item/' ||
+             (doc_id % 40)::VARCHAR
+           WHEN doc_id % 7 = 2 THEN
+             'https://ok.example.org/view?session_id=' ||
+             (doc_id % 40)::VARCHAR
+           WHEN doc_id % 7 = 3 THEN
+             'https://ok.example.org/ads/banner/' || (doc_id % 40)::VARCHAR
+           ELSE
+             'https://' || source || '.example.org/article/' ||
+             (doc_id % 40)::VARCHAR
+         END AS url
+  FROM documents
+)"""
+    return sql_filter_urls(
+        inp, "url",
+        f"doc_id, url, {sql_url_host('url')} AS host",
+        **_QA18_BLOCK,
+    )
+
+
+ORACLE_QA18 = _oracle_qa18()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3803,6 +3884,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa15_token_shards": qa15_token_shards,
     "qa16_url_dedup": qa16_url_dedup,
     "qa17_ssjoin_exact": qa17_ssjoin_exact,
+    "qa18_url_blocklist": qa18_url_blocklist,
 }
 
 ORACLE: Dict[str, str] = {
@@ -3924,4 +4006,5 @@ ORACLE: Dict[str, str] = {
     "qa15_token_shards": ORACLE_QA15,
     "qa16_url_dedup": ORACLE_QA16,
     "qa17_ssjoin_exact": ORACLE_QA17,
+    "qa18_url_blocklist": ORACLE_QA18,
 }

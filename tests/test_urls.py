@@ -110,6 +110,75 @@ def test_dedup_url_collapses_variants(ctx):
     }
 
 
+BLOCK_ROWS = [
+    (1, "https://good.example.org/a"),
+    (2, "https://TRACKER.web.example.com/p/1"),     # blocked host (cased)
+    (3, "http://sub.spam-mirror.net/x"),            # blocked domain, subdomain
+    (4, "https://ok.example.org/v?session_id=9"),   # blocked pattern
+    (5, "https://ok.example.org/ads/banner/2"),     # blocked pattern
+    (6, None),                                      # NULL → always dropped
+    (7, "https://spam-mirror.net.evil.org/x"),      # NOT the blocked domain
+]
+BLOCK_KW = dict(
+    block_hosts=["tracker.web.example.com"],
+    block_domains=["spam-mirror.net"],
+    block_patterns=[r"[?&]session_id=", r"/ad(s|server)?/"],
+)
+
+
+def test_filter_urls_rules(ctx):
+    df = ctx.spark.createDataFrame(BLOCK_ROWS, "id long, url string")
+    kept = sorted(
+        r.id for r in prep.filter_urls(ctx.from_df(df), "url", **BLOCK_KW)
+        .df.collect()
+    )
+    assert kept == [1, 7]
+    audit = sorted(
+        r.id for r in prep.filter_urls(
+            ctx.from_df(df), "url", invert=True, **BLOCK_KW
+        ).df.collect()
+    )
+    assert audit == [2, 3, 4, 5]  # NULL is dropped in BOTH modes
+
+
+def test_filter_urls_matches_duckdb(ctx):
+    df = ctx.spark.createDataFrame(BLOCK_ROWS, "id long, url string")
+    got = sorted(
+        (r.id, r.url)
+        for r in prep.filter_urls(ctx.from_df(df), "url", **BLOCK_KW)
+        .df.collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", BLOCK_ROWS)
+    want = sorted(
+        tuple(r) for r in con.execute(
+            prep.sql_filter_urls("t", "url", "id, url", **BLOCK_KW)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_filter_urls_against_broadcast_anti(ctx):
+    df = ctx.spark.createDataFrame(BLOCK_ROWS, "id long, url string")
+    bl = ctx.spark.createDataFrame(
+        [("spam-mirror.net",), ("example.com",)], "domain string"
+    )
+    out = prep.filter_urls_against(ctx.from_df(df), bl, "url", by="domain")
+    kept = sorted(r.id for r in out.df.collect())
+    assert kept == [1, 4, 5, 7]   # 2 (example.com), 3, and NULL drop
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan  # corpus never shuffles
+
+
+def test_filter_urls_against_rejects_bad_key(ctx):
+    df = ctx.spark.createDataFrame(BLOCK_ROWS, "id long, url string")
+    bl = ctx.spark.createDataFrame([("x",)], "host string")
+    with pytest.raises(ValueError):
+        prep.filter_urls_against(ctx.from_df(df), bl, "url", by="path")
+
+
 def test_canonical_url_is_shuffle_free(ctx):
     df = ctx.stream_parquet("/root/testdata/sf0.001/documents.parquet").df
     plan = (
