@@ -40,12 +40,16 @@ from renoir_spark import suite
 #  machinery stays driver-covered via q83's cluster dedup AND qa08's
 #  build path — q84 out for DSIR importance resampling qa09, and q66
 #  out for the in-engine NB classifier filter qa10 (NEXMark keeps
-#  q61/q65/q68); every rotated-out query stays oracle-verified in
+#  q61/q65/q68); q04 out for canonical-URL dedup qa16 (the join family
+#  keeps q03/q22/q52/q86) and q34 out for the EXACT prefix-filtered
+#  set-similarity join qa17 (the similarity-join family's driver row is
+#  now the lossless variant; the inverted-index one stays
+#  oracle-verified); every rotated-out query stays oracle-verified in
 #  tests/test_oracle.py.)
 DRIVER_SET = [
     "q01_pricing_summary",
     "q03_shipping_priority",
-    "q04_left_join_counts",
+    "qa16_url_dedup",
     "q05_broadcast_chain",
     "q08_argmax_per_nation",
     "q09_wordcount",
@@ -62,7 +66,7 @@ DRIVER_SET = [
     "q26_pagerank",
     "qa08_dedup_index_incremental",
     "q30_lang_id",
-    "q34_ngram_jaccard",
+    "qa17_ssjoin_exact",
     "q36_transaction_window",
     "q40_window_map_pandas",
     "q42_keyed_rich_map",

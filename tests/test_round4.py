@@ -109,7 +109,7 @@ def test_driver_set_contract():
                 "bm25", "prep_pipeline", "dedup_embedding_ivf",
                 "decontaminate_embedding", "upsample_epochs",
                 "ann_index", "dedup_index_incremental", "dsir",
-                "nb_classifier"):
+                "nb_classifier", "url_dedup", "ssjoin_exact"):
         assert fam in joined, fam
     # every suite query is still exposed (under d- or q-key), exactly once
     exposed = {k.split("_", 1)[1] if k.startswith("d") else k for k in qs}
