@@ -6,13 +6,13 @@ in ``renoir_spark/suite.py`` (one entry per operator family from
 SURVEY.md §2, each with a DuckDB-equivalent oracle).
 
 The driver's correctness harness hashes only the FIRST 50 keys of
-``sorted(queries())``.  The suite declares 111 queries, so a plain
+``sorted(queries())``.  The suite declares 117 queries, so a plain
 alphabetical listing would leave whole operator families (NEXMark, as-of
 join, rollup/quantiles/count-distinct, the prep/multimodal layer, cluster
 dedup) without a driver row.  ``DRIVER_SET`` below is therefore a curated
 50-slot set — one representative per family — exposed under ``dNN_``
 keys so it sorts BEFORE the remaining ``q``-keyed entries; the driver
-hashes exactly these 50, while all 111 queries stay exposed here and are
+hashes exactly these 50, while all 117 queries stay exposed here and are
 bit-exactly verified against DuckDB in ``tests/test_oracle.py``.
 """
 
@@ -25,10 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from renoir_spark import suite
 
 # One representative per SURVEY.md §2 family (order = driver slot):
-#   core folds/scans: q01 q10 q24 · joins: q03 q04 q22 q52 q86 · plumbing:
+#   core folds/scans: q01 q10 q24 · joins: q03 q22 q52 q86 · plumbing:
 #   q05 q12 q19 · element-wise: q09 q42 · windows: q11 q13 q14 q16 q23 q36
-#   q40 · iteration: q26 q49 q89 · NEXMark: q61 q65 q66 q68 ·
-#   dedup: q34 q69 q83 q88 qa08 · decontamination: qa04 · data
+#   q40 · iteration: q26 q49 q89 · NEXMark: q61 q65 q68 ·
+#   dedup: qa16 qa17 q69 q83 q88 qa08 · decontamination: qa04 · data
 #   selection: qa09 · classifier filter: qa10 · text/prep:
 #   q30 q48 q71 q78 q80 q81 q98 · mixing: qa05 · ANN: q50 · index
 #   persistence: qa06 · multimodal: q51 · agg extensions: q87 q90 q91
