@@ -1474,7 +1474,13 @@ def url_registered_domain(col) -> Column:
     when the suffix is a known second-level ccTLD (co.uk, com.au, ...).
     The per-DOMAIN grouping key (finer-than-host crawls: blog.x.co.uk
     and shop.x.co.uk both → x.co.uk)."""
-    h = url_host(col)
+    return _registered_domain_of_host(url_host(col))
+
+
+def _registered_domain_of_host(h: Column) -> Column:
+    """Registrable domain from an ALREADY-EXTRACTED host column — lets
+    callers that need both host and domain pay the host regex chain
+    once."""
     return F.when(
         h.rlike(_SUFFIX3_RE), F.regexp_extract(h, _SUFFIX3_RE, 1)
     ).otherwise(F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1))
@@ -1523,6 +1529,19 @@ FROM {table_expr} GROUP BY 2
 """
 
 
+def _norm_block_entry(s: str) -> str:
+    """Normalize a host/domain blocklist entry to the key space
+    :func:`url_host` produces: lowercase, any ``:port`` and a leading
+    ``www.`` stripped. Real blocklists mix ``WWW.BadSite.com`` spellings
+    freely; without this the entry could never match and the page would
+    silently survive."""
+    import re as _re
+
+    s = str(s).strip().lower()
+    s = _re.sub(r":[0-9]+$", "", s)
+    return _re.sub(r"^www\.", "", s)
+
+
 def filter_urls(
     stream,
     url_col: str,
@@ -1536,9 +1555,12 @@ def filter_urls(
     rows whose URL's host is in ``block_hosts``, whose registrable
     domain is in ``block_domains`` (so ``spam.example`` blocks every
     subdomain), or whose raw URL matches any regex in
-    ``block_patterns`` (Java∩RE2 dialect). ``invert=True`` keeps ONLY
-    the blocked rows (audit mode). Rows with a NULL URL are always
-    dropped — an unvettable page has no place in a training corpus.
+    ``block_patterns`` (Java∩RE2 dialect). Host/domain entries are
+    normalized (case/port/``www.``) before matching, so raw-list
+    spellings like ``WWW.BadSite.com`` block what a user expects.
+    ``invert=True`` keeps ONLY the blocked rows (audit mode). Rows with
+    a NULL URL are always dropped — an unvettable page has no place in
+    a training corpus.
 
     Scale: pure map-side expression filter — the literal lists inline
     into the plan, so this suits in-code lists up to a few thousand
@@ -1547,12 +1569,13 @@ def filter_urls(
     relation instead.
     """
     u = to_col(url_col)
+    host = url_host(u)  # shared by both list checks: one regex chain
     blocked = F.lit(False)
     if block_hosts:
-        blocked = blocked | url_host(u).isin(*[str(h) for h in block_hosts])
+        blocked = blocked | host.isin(*[_norm_block_entry(h) for h in block_hosts])
     if block_domains:
-        blocked = blocked | url_registered_domain(u).isin(
-            *[str(d) for d in block_domains]
+        blocked = blocked | _registered_domain_of_host(host).isin(
+            *[_norm_block_entry(d) for d in block_domains]
         )
     for p in block_patterns:
         blocked = blocked | u.rlike(p)
@@ -1580,12 +1603,12 @@ def sql_filter_urls(
     if block_hosts:
         parts.append(
             f"{sql_url_host(url_col)} IN ("
-            + ", ".join(_lit(h) for h in block_hosts) + ")"
+            + ", ".join(_lit(_norm_block_entry(h)) for h in block_hosts) + ")"
         )
     if block_domains:
         parts.append(
             f"{sql_url_registered_domain(url_col)} IN ("
-            + ", ".join(_lit(d) for d in block_domains) + ")"
+            + ", ".join(_lit(_norm_block_entry(d)) for d in block_domains) + ")"
         )
     for p in block_patterns:
         parts.append(f"regexp_matches({url_col}, {_lit(p)})")
@@ -1598,19 +1621,32 @@ def sql_filter_urls(
 
 
 def filter_urls_against(stream, blocklist, url_col: str, *, by: str = "domain"):
-    """URL blocklist filter against a RELATION of blocked keys (one
-    column named ``host`` or ``domain`` per ``by``): broadcast anti-join
-    — the corpus never shuffles, the blocklist ships once per executor.
-    The right shape for production-size lists (UT1-scale, millions of
-    hosts ≈ tens of MB hashed): Spark broadcasts relations far larger
-    than any sane ``isin`` literal. NULL URLs are dropped, matching
-    :func:`filter_urls`.
+    """URL blocklist filter against a RELATION of blocked keys: a column
+    named ``host`` or ``domain`` (matching ``by``) must exist in the
+    blocklist — anything else raises, because keying an anti-join on
+    the wrong column blocks nothing and tells no one. Blocklist values
+    are normalized IN the plan (lowercase, ``:port`` and leading
+    ``www.`` stripped) so raw production lists match the canonical key
+    :func:`url_host` extracts. Broadcast anti-join — the corpus never
+    shuffles, the blocklist ships once per executor: the right shape
+    for production-size lists (UT1-scale, millions of hosts ≈ tens of
+    MB hashed), far beyond any sane ``isin`` literal. NULL URLs are
+    dropped, matching :func:`filter_urls`.
     """
     if by not in ("host", "domain"):
         raise ValueError(f"by must be 'host' or 'domain', got {by!r}")
     key = url_host(url_col) if by == "host" else url_registered_domain(url_col)
     bdf = blocklist.df if hasattr(blocklist, "df") else blocklist
-    bcol = bdf.columns[0]
+    if by not in bdf.columns:
+        raise ValueError(
+            f"blocklist has no {by!r} column (columns: {bdf.columns}); "
+            f"name the key column after the 'by' mode to make the join "
+            f"key explicit"
+        )
+    bkey = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col(by))), r":[0-9]+$", ""),
+        r"^www\.", "",
+    )
     out = (
         stream.df.filter(to_col(url_col).isNotNull())
         .withColumn("__ukey", key)
@@ -1618,7 +1654,7 @@ def filter_urls_against(stream, blocklist, url_col: str, *, by: str = "domain"):
             # no distinct: anti-join is existence-only, so duplicate
             # blocklist keys are harmless and deduping would add the
             # relation's only exchange
-            F.broadcast(bdf.select(F.col(bcol).alias("__ukey"))),
+            F.broadcast(bdf.select(bkey.alias("__ukey"))),
             "__ukey",
             "left_anti",
         )

@@ -179,6 +179,50 @@ def test_filter_urls_against_rejects_bad_key(ctx):
         prep.filter_urls_against(ctx.from_df(df), bl, "url", by="path")
 
 
+def test_filter_urls_against_rejects_mismatched_column(ctx):
+    # by='domain' against a relation whose key column is named 'host'
+    # (or worse, a multi-column UT1 dump with 'category' first) must
+    # raise, not silently anti-join on the wrong column
+    df = ctx.spark.createDataFrame(BLOCK_ROWS, "id long, url string")
+    bl = ctx.spark.createDataFrame([("x",)], "host string")
+    with pytest.raises(ValueError, match="no 'domain' column"):
+        prep.filter_urls_against(ctx.from_df(df), bl, "url", by="domain")
+
+
+def test_filter_urls_normalizes_literal_entries(ctx):
+    # raw-list spellings (case, www., port) must still block
+    df = ctx.spark.createDataFrame(BLOCK_ROWS, "id long, url string")
+    kept = sorted(
+        r.id for r in prep.filter_urls(
+            ctx.from_df(df), "url",
+            block_hosts=["WWW.Tracker.Web.Example.COM:443"],
+        ).df.collect()
+    )
+    assert 2 not in kept and 1 in kept
+    # DuckDB mirror normalizes identically
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", BLOCK_ROWS)
+    want = sorted(r[0] for r in con.execute(prep.sql_filter_urls(
+        "t", "url", "id",
+        block_hosts=["WWW.Tracker.Web.Example.COM:443"],
+    )).fetchall())
+    assert kept == want
+
+
+def test_filter_urls_against_normalizes_blocklist_side(ctx):
+    df = ctx.spark.createDataFrame(BLOCK_ROWS, "id long, url string")
+    bl = ctx.spark.createDataFrame(
+        [("WWW.Spam-Mirror.NET",)], "domain string"
+    )
+    kept = sorted(
+        r.id for r in prep.filter_urls_against(
+            ctx.from_df(df), bl, "url", by="domain"
+        ).df.collect()
+    )
+    assert 3 not in kept and 1 in kept
+
+
 def test_canonical_url_is_shuffle_free(ctx):
     df = ctx.stream_parquet("/root/testdata/sf0.001/documents.parquet").df
     plan = (
