@@ -1360,6 +1360,99 @@ def write_training_shards(stream, path: str, id_col: str, ntok_col: str,
 
 
 # --------------------------------------------------------------------- #
+# budget / quantile data selection
+# --------------------------------------------------------------------- #
+
+def take_token_budget(stream, ntok_col: str, budget: int, *, order):
+    """Greedy token-budget fill — "give me the best N-billion tokens":
+    rows are ranked by ``order`` (a Column/expr that must be a globally
+    UNIQUE ascending priority — wrap descending scores as ``-score``
+    and tie-break on the id) and kept while the INCLUSIVE running total
+    of ``ntok_col`` still fits in ``budget``; the first row that would
+    overflow (and everything after) is cut. Rows with a NULL token
+    count are dropped up front — they can't be budgeted. Output keeps
+    all columns plus ``cum_tokens``.
+
+    Scale: the global ordered prefix sum reuses the skew-proof chunked
+    scan under a constant key (KeyedStream.running_sum): range-partition
+    on the priority, partition-local JVM window, ≤P-row carry relation
+    — no single-partition global window anywhere.
+    """
+    pruned = stream._new(stream.df.filter(to_col(ntok_col).isNotNull()))
+    cum = pruned.key_by(__bk=F.lit(0)).running_sum(
+        order, cum_tokens=to_col(ntok_col)
+    )
+    out = stream._new(cum.df.filter(F.col("cum_tokens") <= budget).drop("__bk"))
+    out._retained.extend(cum._retained)  # running_sum's correctness persist
+    return out
+
+
+def sql_take_token_budget(
+    table_expr: str, ntok: str, budget: int, order_sql: str, cols: str
+) -> str:
+    """DuckDB mirror of :func:`take_token_budget` (HUGEINT window sum
+    cast back to BIGINT so the driver's pandas dtypes line up)."""
+    return f"""
+SELECT {cols}, cum_tokens FROM (
+  SELECT *, CAST(sum({ntok}) OVER (ORDER BY {order_sql}
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM {table_expr} WHERE {ntok} IS NOT NULL
+) WHERE cum_tokens <= {budget}
+"""
+
+
+def filter_by_score_quantile(
+    stream,
+    score_col: str,
+    lo: float,
+    hi: float,
+    *,
+    exact: bool = True,
+    accuracy: int = 10000,
+):
+    """Quantile-band selection (the CCNet move: keep the middle of the
+    quality distribution, drop both tails): keep rows whose score lies
+    inside the corpus's [``lo``, ``hi``] quantile band, bounds
+    inclusive. NULL scores are dropped.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (bit-identical to
+    DuckDB ``quantile_cont`` — the oracle-checkable path, but it
+    buffers values in the agg state); ``exact=False`` switches to the
+    Greenwald-Khanna ``approx_percentile`` sketch (bounded mergeable
+    state, ``accuracy`` dial) — same plan shape, 100 TB-sized state.
+    Either way the thresholds are a 1-row aggregate broadcast back over
+    the corpus (the fold_scan pattern): one full scan + one map-side
+    filter, no shuffle of the data itself.
+    """
+    v = to_col(score_col)
+    df = stream.df.filter(v.isNotNull())
+    ps = F.array(F.lit(float(lo)), F.lit(float(hi)))
+    agg = df.agg(
+        (
+            F.percentile(v, ps) if exact
+            else F.percentile_approx(v, ps, F.lit(accuracy))
+        ).alias("__qs")
+    )
+    out = (
+        df.crossJoin(F.broadcast(agg))
+        .filter((v >= F.col("__qs")[0]) & (v <= F.col("__qs")[1]))
+        .drop("__qs")
+    )
+    return stream._new(out)
+
+
+def sql_filter_by_score_quantile(
+    table_expr: str, score: str, lo: float, hi: float, cols: str
+) -> str:
+    base = f"(SELECT * FROM {table_expr} WHERE {score} IS NOT NULL)"
+    return f"""
+SELECT {cols} FROM {base} t
+WHERE {score} >= (SELECT quantile_cont({score}, {lo}) FROM {base})
+  AND {score} <= (SELECT quantile_cont({score}, {hi}) FROM {base})
+"""
+
+
+# --------------------------------------------------------------------- #
 # URL canonicalization + URL-keyed dedup (web-crawl hygiene)
 # --------------------------------------------------------------------- #
 

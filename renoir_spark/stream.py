@@ -1165,6 +1165,21 @@ class Stream:
 
         return _du(self, id_col, url_col)
 
+    def take_token_budget(self, ntok_col: str, budget: int, *, order) -> "Stream":
+        """Greedy token-budget fill in priority order (skew-proof global
+        prefix sum). See prep.take_token_budget."""
+        from .prep import take_token_budget as _tb
+
+        return _tb(self, ntok_col, budget, order=order)
+
+    def filter_by_score_quantile(self, score_col: str, lo: float, hi: float,
+                                 **kw) -> "Stream":
+        """Quantile-band selection (keep the middle of the score
+        distribution). See prep.filter_by_score_quantile."""
+        from .prep import filter_by_score_quantile as _fq
+
+        return _fq(self, score_col, lo, hi, **kw)
+
     def filter_urls(self, url_col: str, **kw) -> "Stream":
         """URL blocklist filter (hosts / registrable domains / regex
         patterns, map-side). See prep.filter_urls."""

@@ -3767,6 +3767,67 @@ def _oracle_qa18() -> str:
 ORACLE_QA18 = _oracle_qa18()
 
 
+def qa19_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget fill: rank documents by a quality proxy
+    (longest first, doc_id tie-break), keep them while the inclusive
+    running word-count total fits a 12,000-token budget. Exercises the
+    skew-proof chunked global prefix sum end-to-end against DuckDB's
+    window cumsum."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map(
+        "doc_id",
+        ntok=F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")),
+    )
+    order = F.struct(
+        (-F.col("ntok")).alias("p"), F.col("doc_id").alias("t")
+    )
+    return (
+        docs.take_token_budget("ntok", 12000, order=order)
+        .map("doc_id", "ntok", "cum_tokens")
+        .df
+    )
+
+
+def _oracle_qa19() -> str:
+    from .prep import sql_take_token_budget
+
+    inp = """(
+  SELECT doc_id,
+         len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+           AS ntok
+  FROM documents
+)"""
+    return sql_take_token_budget(
+        inp, "ntok", 12000, "-ntok, doc_id", "doc_id, ntok"
+    )
+
+
+ORACLE_QA19 = _oracle_qa19()
+
+
+def qa20_quantile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-band selection (CCNet shape): keep documents whose
+    length sits in the middle [0.25, 0.75] band of the corpus length
+    distribution — drop both tails in one scan + 1-row-broadcast
+    filter."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map(
+        "doc_id", score=F.length("text").cast("double")
+    )
+    return docs.filter_by_score_quantile("score", 0.25, 0.75).df
+
+
+def _oracle_qa20() -> str:
+    from .prep import sql_filter_by_score_quantile
+
+    inp = "(SELECT doc_id, length(text)::DOUBLE AS score FROM documents)"
+    return sql_filter_by_score_quantile(inp, "score", 0.25, 0.75,
+                                        "doc_id, score")
+
+
+ORACLE_QA20 = _oracle_qa20()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3885,6 +3946,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa16_url_dedup": qa16_url_dedup,
     "qa17_ssjoin_exact": qa17_ssjoin_exact,
     "qa18_url_blocklist": qa18_url_blocklist,
+    "qa19_token_budget": qa19_token_budget,
+    "qa20_quantile_band": qa20_quantile_band,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4007,4 +4070,6 @@ ORACLE: Dict[str, str] = {
     "qa16_url_dedup": ORACLE_QA16,
     "qa17_ssjoin_exact": ORACLE_QA17,
     "qa18_url_blocklist": ORACLE_QA18,
+    "qa19_token_budget": ORACLE_QA19,
+    "qa20_quantile_band": ORACLE_QA20,
 }

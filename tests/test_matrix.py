@@ -75,6 +75,12 @@ SWEEP = [
     "qa08_dedup_index_incremental",
     "qa09_dsir_select",
     "qa10_nb_classifier",
+    # session additions: the EXACT prefix-filtered ssjoin (rare-first
+    # order + prefix postings must emit identical pairs under any
+    # layout) and the budget fill (range-chunk boundaries move with the
+    # layout but carries must rebuild identical inclusive prefixes)
+    "qa17_ssjoin_exact",
+    "qa19_token_budget",
 ]
 
 
