@@ -532,7 +532,46 @@ def dedup_cluster_minhash(
         stream, text_col, id_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, threshold=threshold,
     )
-    p = pairs.df.select("ida", "idb").persist()
+    return _cluster_from_pairs(
+        stream, pairs.df, id_col, max_iter=max_iter,
+        retain=tuple(pairs._retained),
+    )
+
+
+def dedup_cluster_exact(
+    stream,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+):
+    """Cluster-level EXACT fuzzy dedup: verified pairs come from the
+    lossless prefix-filtered join (:func:`similar_pairs_exact`) instead
+    of MinHash banding, so the transitive clusters have NO probabilistic
+    misses — the gold-standard pipeline (and the truth set
+    tools/dedup_recall_harness.py measures LSH against). Same output
+    contract and the same min-label component loop as
+    :func:`dedup_cluster_minhash`; costs the exact join's extra
+    shuffles in exchange for recall 1.0.
+    """
+    pairs = similar_pairs_exact(
+        stream, text_col, id_col, shingle_n=shingle_n, threshold=threshold,
+    )
+    return _cluster_from_pairs(
+        stream, pairs.df, id_col, max_iter=max_iter,
+        retain=tuple(pairs._retained),
+    )
+
+
+def _cluster_from_pairs(stream, pairs_df, id_col: str, *, max_iter: int,
+                        retain=()):
+    """Shared transitive-closure stage: (ida, idb) verified-pair relation
+    → min-label connected components over the duplicate subgraph only →
+    every input row + cluster_id + is_canonical. One implementation so
+    the MinHash and exact cluster dedups cannot drift."""
+    p = pairs_df.select("ida", "idb").persist()
     edges0 = p.union(p.select(F.col("idb"), F.col("ida"))).toDF("src", "dst")
     # size the component loop to the DUPLICATE SUBGRAPH, not the corpus:
     # the count materializes the pair relation once (paid anyway by
@@ -581,7 +620,7 @@ def dedup_cluster_minhash(
         .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
         .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
     )
-    return stream._new(out)._retain(*pairs._retained, p, edges)
+    return stream._new(out)._retain(*retain, p, edges)
 
 
 def _sql_minhash_ctes(
@@ -684,10 +723,20 @@ def sql_dedup_cluster_minhash(
         table_expr, text, id_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
     )
-    return f"""
+    return (
+        f"""
 WITH RECURSIVE {ctes}, vp AS (
   SELECT ida, idb FROM cand WHERE {_SQL_JACCARD} >= {threshold}
-), edges AS (
+)"""
+        + _sql_cluster_tail(table_expr, id_col)
+    )
+
+
+def _sql_cluster_tail(table_expr: str, id_col: str) -> str:
+    """Shared recursive-reachability tail for the cluster dedup oracles:
+    expects a ``vp(ida, idb)`` CTE of verified pairs in scope (the WITH
+    must be declared RECURSIVE by the caller)."""
+    return f""", edges AS (
   SELECT ida AS src, idb AS dst FROM vp
   UNION
   SELECT idb AS src, ida AS dst FROM vp
@@ -703,6 +752,37 @@ SELECT d.{id_col} AS {id_col},
        coalesce(comp.cluster_id, d.{id_col}) = d.{id_col} AS is_canonical
 FROM {table_expr} d LEFT JOIN comp ON d.{id_col} = comp.v
 """
+
+
+def sql_dedup_cluster_exact(
+    table_expr: str,
+    text: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB mirror of :func:`dedup_cluster_exact`: brute-force pairs
+    (the lossless join's truth set IS brute force) + the shared
+    reachability tail."""
+    return (
+        f"""
+WITH RECURSIVE sh AS (
+  SELECT {id_col} AS id,
+         list_distinct([{sql_md5_int60('s')}
+                        for s in {sql_word_shingles(text, shingle_n)}]) AS hs
+  FROM {table_expr}
+), vp AS (
+  SELECT ida, idb FROM (
+    SELECT a.id AS ida, b.id AS idb,
+           round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+                 (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))),
+                 6) AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+  ) WHERE jaccard >= {threshold}
+)"""
+        + _sql_cluster_tail(table_expr, id_col)
+    )
 
 
 # --------------------------------------------------------------------- #

@@ -1208,6 +1208,14 @@ class Stream:
 
         return _sp(self, text_col, id_col, **kw)
 
+    def dedup_cluster_exact(self, text_col: str, id_col: str, **kw) -> "Stream":
+        """Cluster-level EXACT fuzzy dedup (lossless pairs → connected
+        components → canonical per cluster). See
+        datapipe.dedup_cluster_exact."""
+        from .datapipe import dedup_cluster_exact as _dce
+
+        return _dce(self, text_col, id_col, **kw)
+
     def similar_pairs_exact(self, text_col: str, id_col: str, **kw) -> "Stream":
         """EXACT threshold Jaccard similarity join via lossless prefix
         filtering (AllPairs/PPJoin family) — no df cutoff, no LSH

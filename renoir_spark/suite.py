@@ -3776,7 +3776,11 @@ def qa19_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = _ctx(spark)
     docs = _t(ctx, sf_dir, "documents").map(
         "doc_id",
-        ntok=F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")),
+        # cast: Spark size() is INT, DuckDB len() is BIGINT — the
+        # driver compares pandas dtypes
+        ntok=F.size(
+            F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+        ).cast("long"),
     )
     order = F.struct(
         (-F.col("ntok")).alias("p"), F.col("doc_id").alias("t")
@@ -3826,6 +3830,49 @@ def _oracle_qa20() -> str:
 
 
 ORACLE_QA20 = _oracle_qa20()
+
+
+def qa21_dedup_cluster_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level EXACT fuzzy dedup: the q83 pipeline shape with the
+    lossless prefix-filtered pair join instead of MinHash banding —
+    recall-1.0 transitive clusters, brute-force-pair oracle. Same
+    chained input (doc → ' zzz' copy → ' zzz yyy www' copy-of-copy) so
+    clusters only form through transitive closure."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    near = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id") + 100000,
+        text=F.concat_ws(" ", F.col("text"), F.lit("zzz")),
+    )
+    far = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id") + 200000,
+        text=F.concat_ws(" ", F.col("text"), F.lit("zzz yyy www")),
+    )
+    return (
+        docs.merge(near).merge(far)
+        .shuffle()
+        .dedup_cluster_exact("text", "doc_id", shingle_n=5, threshold=0.6)
+        .map("doc_id", "cluster_id", "is_canonical")
+        .df
+    )
+
+
+def _oracle_qa21() -> str:
+    from .datapipe import sql_dedup_cluster_exact
+
+    inp = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzz' FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zzz yyy www' FROM documents
+)"""
+    return sql_dedup_cluster_exact(
+        inp, "text", "doc_id", shingle_n=5, threshold=0.6
+    )
+
+
+ORACLE_QA21 = _oracle_qa21()
 
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3948,6 +3995,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa18_url_blocklist": qa18_url_blocklist,
     "qa19_token_budget": qa19_token_budget,
     "qa20_quantile_band": qa20_quantile_band,
+    "qa21_dedup_cluster_exact": qa21_dedup_cluster_exact,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4072,4 +4120,5 @@ ORACLE: Dict[str, str] = {
     "qa18_url_blocklist": ORACLE_QA18,
     "qa19_token_budget": ORACLE_QA19,
     "qa20_quantile_band": ORACLE_QA20,
+    "qa21_dedup_cluster_exact": ORACLE_QA21,
 }

@@ -34,6 +34,7 @@ CASES = {
     "corpus_analytics.py": [SF, "4"],
     "similarity_search.py": [SF, "3"],
     "incremental_ingest.py": [SF, "2"],
+    "crawl_hygiene.py": [f"{SF}/documents.parquet"],
 }
 
 

@@ -223,6 +223,73 @@ def test_filter_urls_against_normalizes_blocklist_side(ctx):
     assert 3 not in kept and 1 in kept
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HYP = True
+except ImportError:  # pragma: no cover
+    HYP = False
+
+if HYP:
+    SLOW = settings(max_examples=8, deadline=None, derandomize=True)
+
+    _label = st.text(
+        alphabet="abXY01-", min_size=1, max_size=5
+    ).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+    _pkey = st.sampled_from(
+        ["a", "B", "q", "utm_source", "utm_x", "fbclid", "gclid", "ref",
+         "refx", "xref"]
+    )
+
+    @st.composite
+    def _url(draw):
+        scheme = draw(st.sampled_from(
+            ["http://", "https://", "HTTP://", "HtTpS://", "ftp://", ""]
+        ))
+        www = draw(st.sampled_from(["", "www.", "WWW."]))
+        host = ".".join(draw(st.lists(_label, min_size=1, max_size=2)))
+        tld = draw(st.sampled_from([".com", ".ORG", ".co.uk", ".net"]))
+        port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+        segs = draw(st.lists(_label, min_size=0, max_size=3))
+        path = ("/" + "/".join(segs)) if segs else ""
+        path += draw(st.sampled_from(["", "/", "//"]))
+        params = draw(st.lists(
+            st.tuples(_pkey, st.sampled_from(["", "=1", "=V v"])),
+            min_size=0, max_size=4,
+        ))
+        query = "&".join(k + v.replace(" ", "%20") for k, v in params)
+        frag = draw(st.sampled_from(["", "#f", "#a/b?c=1"]))
+        return f"{scheme}{www}{host}{tld}{port}{path}" + (
+            f"?{query}" if query else ""
+        ) + frag
+
+    @SLOW
+    @given(urls=st.lists(_url(), min_size=1, max_size=12))
+    def test_canonical_url_property_cross_engine(ctx, urls):
+        """Randomized URL shapes: Spark and DuckDB canonicalize
+        byte-identically, and canonicalization is IDEMPOTENT (a
+        canonical URL is its own fixed point)."""
+        df = ctx.spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i long, u string"
+        )
+        out = df.select(
+            "i",
+            prep.canonical_url("u").alias("c"),
+            prep.canonical_url(prep.canonical_url("u")).alias("cc"),
+        ).collect()
+        got = {r.i: r.c for r in out}
+        for r in out:
+            assert r.cc == r.c, f"not idempotent: {urls[r.i]!r} -> {r.c!r} -> {r.cc!r}"
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(i BIGINT, u VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?,?)",
+                        [(i, u) for i, u in enumerate(urls)])
+        want = dict(con.execute(
+            f"SELECT i, {prep.sql_canonical_url('u')} FROM t"
+        ).fetchall())
+        assert got == want
+
+
 def test_canonical_url_is_shuffle_free(ctx):
     df = ctx.stream_parquet("/root/testdata/sf0.001/documents.parquet").df
     plan = (
