@@ -550,11 +550,11 @@ def dedup_cluster_exact(
     """Cluster-level EXACT fuzzy dedup: verified pairs come from the
     lossless prefix-filtered join (:func:`similar_pairs_exact`) instead
     of MinHash banding, so the transitive clusters have NO probabilistic
-    misses — the gold-standard pipeline (and the truth set
-    tools/dedup_recall_harness.py measures LSH against). Same output
-    contract and the same min-label component loop as
-    :func:`dedup_cluster_minhash`; costs the exact join's extra
-    shuffles in exchange for recall 1.0.
+    misses — the gold-standard pipeline whose pair recall is by
+    construction the 1.0 that tools/dedup_recall_harness.py measures
+    LSH banding AGAINST (its exact truth set). Same output contract and
+    the same min-label component loop as :func:`dedup_cluster_minhash`;
+    costs the exact join's extra shuffles in exchange for recall 1.0.
     """
     pairs = similar_pairs_exact(
         stream, text_col, id_col, shingle_n=shingle_n, threshold=threshold,
@@ -1372,9 +1372,15 @@ def similar_pairs_exact(
     Scale: rare-first ordering keeps prefix posting lists short — hot
     boilerplate shingles land in suffixes and are never indexed, which
     is what bounds pair generation WITHOUT the df cutoff the inverted-
-    index variant needs. A length filter (t·max ≤ min provably
-    necessary) prunes before the verify joins. All shuffle keys are
-    8-byte hashes or doc ids; full shingle arrays ride only the two
+    index variant needs. Two lossless expression filters prune before
+    the verify joins: the length filter (t·max ≤ min provably
+    necessary) and PPJoin's positional filter (the overlap still
+    reachable from this shared token must cover the t/(1+t)·(n_a+n_b)
+    requirement — sound per-occurrence because a true pair's earliest
+    shared token always passes). Both are map-side comparisons, no
+    extra shuffle; measured neutral at the suite's duplicate density,
+    they bound candidate volume on hot-pair corpora. All shuffle keys
+    are 8-byte hashes or doc ids; full shingle arrays ride only the two
     verify joins. Worst case (N identical docs) is O(N²) candidates —
     but then the TRUE answer is O(N²) pairs; exactness has no silent
     cap to hide behind. Output: (ida, idb, jaccard), ida < idb.
@@ -1417,10 +1423,15 @@ def similar_pairs_exact(
     post = (
         docs.select(
             "__id", "__n",
-            F.explode(F.slice("__arr", F.lit(1), F.col("__p"))).alias("__h"),
+            F.posexplode(F.slice("__arr", F.lit(1), F.col("__p")))
+            .alias("__pos0", "__h"),
         )
         .groupBy("__h")
-        .agg(F.collect_list(F.struct("__id", "__n")).alias("__lst"))
+        .agg(
+            F.collect_list(
+                F.struct("__id", "__n", (F.col("__pos0") + 1).alias("__pos"))
+            ).alias("__lst")
+        )
         .filter(F.size("__lst") >= 2)
     )
     lst = F.col("__lst")
@@ -1434,15 +1445,31 @@ def similar_pairs_exact(
                     F.greatest(x["__id"], y["__id"]).alias("idb"),
                     F.least(x["__n"], y["__n"]).alias("__lo"),
                     F.greatest(x["__n"], y["__n"]).alias("__hi"),
+                    # overlap upper bound at THIS shared token: 1 + what
+                    # can still match after it in each doc (PPJoin's
+                    # positional filter)
+                    (
+                        F.lit(1)
+                        + F.least(
+                            x["__n"] - x["__pos"], y["__n"] - y["__pos"]
+                        )
+                    ).alias("__ub"),
                 ),
             ),
         )
     )
+    # required overlap: J ≥ t ⇔ |A∩B| ≥ t/(1+t)·(|A|+|B|). Dropping an
+    # occurrence is lossless: a true pair's EARLIEST shared token is in
+    # both prefixes (prefixes are heads of the same total order) and its
+    # __ub bounds the full overlap from above, so that occurrence always
+    # passes — later occurrences it prunes are redundant duplicates.
+    alpha = F.lit(t / (1.0 + t)) * (F.col("__lo") + F.col("__hi"))
     cand = (
         post.select(F.explode(pair_structs).alias("__pr"))
         .select("__pr.*")
         # length filter: J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·hi, and |A∩B| ≤ lo
         .filter(F.col("__lo") + F.lit(1e-9) >= F.lit(t) * F.col("__hi"))
+        .filter(F.col("__ub") + F.lit(1e-9) >= alpha)
         .select("ida", "idb")
         .distinct()
     )
