@@ -1360,6 +1360,59 @@ def write_training_shards(stream, path: str, id_col: str, ntok_col: str,
 
 
 # --------------------------------------------------------------------- #
+# sentence segmentation
+# --------------------------------------------------------------------- #
+
+# a sentence = a run of non-terminators plus its trailing terminators;
+# no lookaround (Java∩RE2 — DuckDB's RE2 has no lookbehind)
+_SENT_RE = r"[^.!?]+[.!?]*"
+
+
+def split_sentences(stream, id_col: str, text_col: str, *, min_chars: int = 1):
+    """Sentence segmentation: one output row per sentence —
+    ``(id_col, sent_ix, sentence)`` with ``sent_ix`` 0-based over the
+    KEPT sentences. Splits on ``.!?`` runs (terminators stay attached),
+    trims each sentence, and drops any shorter than ``min_chars``. The
+    primitive under sentence-level dedup/decontamination pipelines
+    (pair with :func:`~renoir_spark.datapipe.dedup_exact`-style keys on
+    the sentence). NULL text emits no rows.
+
+    Scale: pure map-side regexp_extract_all + array ops + posexplode —
+    fuses into the scan, zero shuffles; downstream dedup pays the only
+    wide stage.
+    """
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(to_col(text_col), F.lit(_SENT_RE), 0),
+            lambda s: F.trim(s),
+        ),
+        lambda s: F.length(s) >= min_chars,
+    )
+    out = stream.df.select(
+        to_col(id_col).alias(id_col),
+        F.posexplode(sents).alias("sent_ix", "sentence"),
+    )
+    return stream._new(out)
+
+
+def sql_split_sentences(
+    table_expr: str, id_col: str, text: str, *, min_chars: int = 1
+) -> str:
+    """DuckDB mirror of :func:`split_sentences` (zipped unnest gives the
+    per-row ordinal)."""
+    sents = (
+        f"list_filter(list_transform(regexp_extract_all({text}, "
+        f"'{_SENT_RE}'), s -> trim(s)), s -> length(s) >= {min_chars})"
+    )
+    return f"""
+SELECT {id_col},
+       unnest(range(len({sents}))) AS sent_ix,
+       unnest({sents}) AS sentence
+FROM {table_expr} WHERE {text} IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------- #
 # budget / quantile data selection
 # --------------------------------------------------------------------- #
 

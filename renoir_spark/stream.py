@@ -1165,6 +1165,13 @@ class Stream:
 
         return _du(self, id_col, url_col)
 
+    def split_sentences(self, id_col: str, text_col: str, **kw) -> "Stream":
+        """Sentence segmentation: one row per (trimmed, length-gated)
+        sentence with a 0-based index. See prep.split_sentences."""
+        from .prep import split_sentences as _ss
+
+        return _ss(self, id_col, text_col, **kw)
+
     def take_token_budget(self, ntok_col: str, budget: int, *, order) -> "Stream":
         """Greedy token-budget fill in priority order (skew-proof global
         prefix sum). See prep.take_token_budget."""

@@ -3875,6 +3875,37 @@ def _oracle_qa21() -> str:
 ORACLE_QA21 = _oracle_qa21()
 
 
+def qa22_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation: documents gain deterministic terminators
+    (a period after every 'merge', an exclamation after every 'join'),
+    then split into (doc_id, sent_ix, sentence) rows — trimmed,
+    min_chars-gated, index over kept sentences. Pure map-side explode;
+    the oracle zips DuckDB's parallel unnests for the ordinal."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id"),
+        text=F.regexp_replace(
+            F.regexp_replace("text", "merge", "merge."), "join", "join!"
+        ),
+    )
+    return docs.split_sentences("doc_id", "text", min_chars=3).df
+
+
+def _oracle_qa22() -> str:
+    from .prep import sql_split_sentences
+
+    inp = """(
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, 'merge', 'merge.', 'g'),
+                        'join', 'join!', 'g') AS text
+  FROM documents
+)"""
+    return sql_split_sentences(inp, "doc_id", "text", min_chars=3)
+
+
+ORACLE_QA22 = _oracle_qa22()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -3996,6 +4027,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa19_token_budget": qa19_token_budget,
     "qa20_quantile_band": qa20_quantile_band,
     "qa21_dedup_cluster_exact": qa21_dedup_cluster_exact,
+    "qa22_split_sentences": qa22_split_sentences,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4121,4 +4153,5 @@ ORACLE: Dict[str, str] = {
     "qa19_token_budget": ORACLE_QA19,
     "qa20_quantile_band": ORACLE_QA20,
     "qa21_dedup_cluster_exact": ORACLE_QA21,
+    "qa22_split_sentences": ORACLE_QA22,
 }

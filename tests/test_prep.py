@@ -440,3 +440,48 @@ def test_sample_weighted_k_stratified_quota_per_group(ctx):
         for r in s1.sample_weighted_k("doc_id", "w", 4, strata=["g"]).collect_vec()
     )
     assert a == b
+
+
+def test_split_sentences_semantics(ctx):
+    """Terminators stay attached, multi-terminator runs close one
+    sentence, punctuation-only and sub-min_chars fragments drop, NULL
+    text emits nothing, sent_ix indexes KEPT sentences."""
+    rows = [
+        (1, "First one. Second?! Third has no end"),
+        (2, "..."),            # punctuation only: no sentence
+        (3, None),
+        (4, "  ab. x. abcd!"), # 'x.' shorter than min_chars=3
+        (5, ""),
+    ]
+    s = ctx.from_df(ctx.spark.createDataFrame(rows, "id long, text string"))
+    got = sorted(
+        (r.id, r.sent_ix, r.sentence)
+        for r in s.split_sentences("id", "text", min_chars=3).collect_vec()
+    )
+    assert got == [
+        (1, 0, "First one."),
+        (1, 1, "Second?!"),
+        (1, 2, "Third has no end"),
+        (4, 0, "ab."),
+        (4, 1, "abcd!"),
+    ]
+
+
+def test_split_sentences_matches_duckdb(ctx, duck):
+    """Cross-engine parity on the raw documents table (single-sentence
+    docs: no terminators in the synthetic text — the qa22 suite query
+    covers injected terminators)."""
+    from renoir_spark import prep
+
+    s = ctx.stream_parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.sent_ix, r.sentence)
+        for r in s.split_sentences("doc_id", "text").collect_vec()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            prep.sql_split_sentences("documents", "doc_id", "text")
+        ).fetchall()
+    )
+    assert got == want
