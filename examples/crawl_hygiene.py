@@ -28,7 +28,7 @@ def main(path: str) -> None:
     # crawl rows: synthesize a URL per document (three raw spellings of
     # the same page, like a real frontier emits) + a token count
     page = (F.col("doc_id") % 50).cast("string")
-    crawl = ctx.stream_parquet(path).map(
+    crawl = ctx.stream_parquet(path).token_count("text").map(
         "doc_id",
         "text",
         url=F.when(
@@ -43,7 +43,7 @@ def main(path: str) -> None:
             F.concat(F.lit("https://ads."), F.col("source"),
                      F.lit(".example.com/p/"), page),
         ),
-        ntok=F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")),
+        ntok=F.col("tok_ws"),  # the engine's token counter
     )
 
     # 1. blocklist: drop ad subdomains + tracking-session pages

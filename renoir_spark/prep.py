@@ -1435,9 +1435,9 @@ def take_token_budget(stream, ntok_col: str, budget: int, *, order):
     cum = pruned.key_by(__bk=F.lit(0)).running_sum(
         order, cum_tokens=to_col(ntok_col)
     )
-    out = stream._new(cum.df.filter(F.col("cum_tokens") <= budget).drop("__bk"))
-    out._retained.extend(cum._retained)  # running_sum's correctness persist
-    return out
+    # derive from cum so running_sum's correctness persist (and every
+    # upstream retained frame) is carried exactly once
+    return cum._new(cum.df.filter(F.col("cum_tokens") <= budget).drop("__bk"))
 
 
 def sql_take_token_budget(
@@ -1546,10 +1546,13 @@ def canonical_url(col) -> Column:
     )
     host = F.regexp_replace(host0, r"^www\.", "")
     pathqf = F.regexp_replace(rest, r"^[^/?#]*", "")
+    # fragment goes FIRST: a '?' inside the fragment (#a/b?c=1) must not
+    # resurrect fragment text as query params
+    pathq = F.regexp_extract(pathqf, r"^([^#]*)", 1)
     path = F.regexp_replace(
-        F.regexp_extract(pathqf, r"^([^?#]*)", 1), r"/+$", ""
+        F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", ""
     )
-    query = F.regexp_extract(pathqf, r"\?([^#]*)", 1)
+    query = F.regexp_extract(pathq, r"\?(.*)", 1)
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(_TRACK_RE),
@@ -1577,10 +1580,11 @@ def sql_canonical_url(expr: str) -> str:
     )
     host = f"regexp_replace({host0}, '^www\\.', '')"
     pathqf = f"regexp_replace({rest}, '^[^/?#]*', '')"
+    pathq = f"regexp_extract({pathqf}, '^([^#]*)', 1)"
     path = (
-        f"regexp_replace(regexp_extract({pathqf}, '^([^?#]*)', 1), '/+$', '')"
+        f"regexp_replace(regexp_extract({pathq}, '^([^?]*)', 1), '/+$', '')"
     )
-    query = f"regexp_extract({pathqf}, '\\?([^#]*)', 1)"
+    query = f"regexp_extract({pathq}, '\\?(.*)', 1)"
     params = (
         f"list_filter(string_split({query}, '&'), "
         f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACK_RE}'))"

@@ -3776,8 +3776,9 @@ def qa19_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = _ctx(spark)
     docs = _t(ctx, sf_dir, "documents").map(
         "doc_id",
-        # cast: Spark size() is INT, DuckDB len() is BIGINT — the
-        # driver compares pandas dtypes
+        # deliberately INLINES token_count's tok_ws formula so the
+        # oracle mirrors it literally (cast: Spark size() is INT,
+        # DuckDB len() is BIGINT — the driver compares pandas dtypes)
         ntok=F.size(
             F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
         ).cast("long"),

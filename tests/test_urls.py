@@ -27,6 +27,7 @@ URLS = [
     None,
     "",
     "weird",
+    "https://example.com/p#a/b?c=1",   # '?' INSIDE the fragment
 ]
 
 EXPECT_CANON = {
@@ -39,6 +40,8 @@ EXPECT_CANON = {
     URLS[8]: "https://example.com/Case/Sensitive?Key=Val",
     URLS[10]: "https://example.com/a?c&dup=1&dup=1",
     URLS[11]: "http://example.com:8080/x",        # non-default port kept
+    # fragment discarded ENTIRELY — its '?c=1' must not become a query
+    URLS[15]: "https://example.com/p",
 }
 
 
