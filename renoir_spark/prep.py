@@ -1391,6 +1391,10 @@ def split_sentences(stream, id_col: str, text_col: str, *, min_chars: int = 1):
     out = stream.df.select(
         to_col(id_col).alias(id_col),
         F.posexplode(sents).alias("sent_ix", "sentence"),
+    ).withColumn(
+        # posexplode emits INT; DuckDB's range ordinal is BIGINT — the
+        # driver compares pandas dtypes
+        "sent_ix", F.col("sent_ix").cast("long")
     )
     return stream._new(out)
 
