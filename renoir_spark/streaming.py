@@ -152,6 +152,30 @@ def dedup_exact_stream(stream, text_col: str, *, ts_col: str, delay: str = "10 m
     return stream._new(out.drop("__ck"))
 
 
+def dedup_url_stream(stream, url_col: str, *, ts_col: str,
+                     delay: str = "10 minutes"):
+    """Streaming canonical-URL dedup — the unbounded form of
+    ``Stream.dedup_url`` for a live crawl frontier: canonicalize the
+    URL (prep.canonical_url, pure map-side) and keep each canonical
+    page's FIRST arrival via ``dropDuplicatesWithinWatermark``. Same
+    bounded-state contract as :func:`dedup_exact_stream` (state is
+    O(arrival rate × delay)); crawl re-fetch variants of one page —
+    case/port/tracking-param/fragment spellings — arrive close
+    together, which is exactly the regime the watermark bound serves.
+    The emitted rows keep the RAW url plus ``canon_url``. Runs on
+    bounded frames too (plain dropDuplicates) for parity testing."""
+    from .prep import canonical_url
+
+    df = stream.df.withColumn("canon_url", canonical_url(url_col))
+    if df.isStreaming:
+        out = df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            ["canon_url"]
+        )
+    else:
+        out = df.dropDuplicates(["canon_url"])
+    return stream._new(out)
+
+
 _DELAY_UNITS = {
     "microsecond": 1,
     "millisecond": 1_000,

@@ -485,3 +485,47 @@ def test_split_sentences_matches_duckdb(ctx, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_split_sentences_property_cross_engine(ctx):
+    """Randomized terminator placement: Spark and DuckDB must split,
+    trim, gate, and index identically (derandomized hypothesis)."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:
+        import pytest as _pt
+        _pt.skip("hypothesis unavailable")
+    import duckdb
+
+    from renoir_spark import prep
+
+    piece = st.sampled_from(
+        ["word", "ab", "x", " ", ".", "!", "?", "?!", "..", "é ño", "a.b"]
+    )
+    texts = st.lists(
+        st.lists(piece, min_size=0, max_size=12).map(" ".join),
+        min_size=1, max_size=10,
+    )
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(docs=texts)
+    def run(docs):
+        df = ctx.spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "id long, text string"
+        )
+        got = sorted(
+            (r.id, r.sent_ix, r.sentence)
+            for r in prep.split_sentences(
+                ctx.from_df(df), "id", "text", min_chars=2
+            ).df.collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?,?)",
+                        [(i, t) for i, t in enumerate(docs)])
+        want = sorted(tuple(r) for r in con.execute(
+            prep.sql_split_sentences("t", "id", "text", min_chars=2)
+        ).fetchall())
+        assert got == want
+
+    run()

@@ -247,6 +247,36 @@ def test_streaming_dedup_exact_bounded_state(ctx):
     assert batch.df.count() == 3
 
 
+def test_streaming_dedup_url_across_batches(ctx):
+    """Streaming canonical-URL dedup: raw spellings of ONE page
+    (case/www/tracking-param/default-port/fragment variants) arriving
+    in different micro-batches collapse to the first arrival; a
+    distinct page and a distinct non-default-port origin both pass."""
+    from renoir_spark.streaming import dedup_url_stream
+
+    ch = ctx.stream_channel("doc_id long, ts timestamp, url string")
+    t0 = _ts(1000)
+    ch.push([
+        (0, t0, "HTTPS://WWW.Site.com/a/?utm_source=x"),
+        (1, t0, "https://site.com/b"),
+    ])
+    ch.push([
+        (2, t0, "https://site.com:443/a#frag"),   # same page as 0
+        (3, t0, "https://site.com:8080/a"),       # distinct origin
+    ])
+
+    s = ch.stream(max_files_per_trigger=1)
+    out = dedup_url_stream(s, "url", ts_col="ts", delay="1 hour")
+    got = run_to_completion(out.df, output_mode="append")
+    assert {r.doc_id for r in got} == {0, 1, 3}  # first arrival of /a wins
+    assert {r.canon_url for r in got} == {
+        "https://site.com/a", "https://site.com/b", "https://site.com:8080/a",
+    }
+
+    batch = dedup_url_stream(ch.stream_batch(), "url", ts_col="ts")
+    assert batch.df.count() == 3
+
+
 def test_streaming_transaction_window_commit_across_batches(ctx):
     """Streaming TransactionWindow (transaction.rs:52-122): commit rows
     (v > 0.9) close the window INCLUDING the committing element; key A's
