@@ -1416,6 +1416,76 @@ FROM {table_expr} WHERE {text} IS NOT NULL
 """
 
 
+def sentence_dedup(stream, id_col: str, text_col: str, *, min_chars: int = 1):
+    """Sentence-level exact dedup with document reassembly — the
+    natural-boundary sibling of :func:`chunk_dedup` (Dolma-style
+    paragraph/sentence dedup): split on real sentence boundaries
+    (:func:`split_sentences`), keep only the FIRST occurrence of every
+    distinct normalized sentence (minimum ``(doc, position)``), and
+    rebuild each document from its surviving sentences in order. The
+    dedup key is the NORMALIZED sentence (case/whitespace-folded) so
+    spelling variants of one boilerplate line collapse, while the
+    reassembled text keeps the original spelling of the kept copy.
+
+    Output: ``id_col``, ``clean_text``, ``n_sents``, ``n_dropped``.
+    Documents with no sentence (NULL/empty/punctuation-only text) emit
+    no row — they have nothing to reassemble.
+
+    Scale: identical shape to :func:`chunk_dedup` — sentence identity
+    travels as the shared 31-bit hash, ONE shuffle on it (row_number
+    window) plus the per-document reassembly groupBy.
+    """
+    split = split_sentences(stream, id_col, text_col, min_chars=min_chars)
+    staged = split.df.select(
+        F.col(id_col).alias("__id"),
+        F.col("sent_ix").alias("__idx"),
+        F.col("sentence").alias("__sent"),
+    ).withColumn("__gh", md5_int31(norm_text(F.col("__sent"))))
+    win = Window.partitionBy("__gh").orderBy("__id", "__idx")
+    marked = staged.withColumn("__rn", F.row_number().over(win))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("__idx"), F.col("__sent"))
+    )
+    out = (
+        marked.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["__sent"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_sents"),
+            F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .select(F.col("__id").alias(id_col), "clean_text", "n_sents", "n_dropped")
+    )
+    return stream._new(out)
+
+
+def sql_sentence_dedup(table_expr: str, id_col: str, text: str, *,
+                       min_chars: int = 1) -> str:
+    """DuckDB mirror of :func:`sentence_dedup` (same splitter, same
+    normalized-sentence hash)."""
+    split = sql_split_sentences(table_expr, id_col, text, min_chars=min_chars)
+    gh = sql_md5_int31(sql_norm_text("sentence"))
+    return f"""
+WITH split AS ({split}), marked AS (
+  SELECT {id_col} AS id, sent_ix, sentence,
+         row_number() OVER (PARTITION BY {gh}
+                            ORDER BY {id_col}, sent_ix) AS rn
+  FROM split
+)
+SELECT id AS {id_col},
+       coalesce(string_agg(sentence, ' ' ORDER BY sent_ix)
+                FILTER (WHERE rn = 1), '') AS clean_text,
+       count(*) AS n_sents,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM marked GROUP BY id
+"""
+
+
 # --------------------------------------------------------------------- #
 # budget / quantile data selection
 # --------------------------------------------------------------------- #

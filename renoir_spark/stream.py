@@ -1172,6 +1172,13 @@ class Stream:
 
         return _ss(self, id_col, text_col, **kw)
 
+    def sentence_dedup(self, id_col: str, text_col: str, **kw) -> "Stream":
+        """Sentence-level exact dedup with in-order document reassembly
+        (first occurrence wins). See prep.sentence_dedup."""
+        from .prep import sentence_dedup as _sd
+
+        return _sd(self, id_col, text_col, **kw)
+
     def take_token_budget(self, ntok_col: str, budget: int, *, order) -> "Stream":
         """Greedy token-budget fill in priority order (skew-proof global
         prefix sum). See prep.take_token_budget."""

@@ -3907,6 +3907,37 @@ def _oracle_qa22() -> str:
 ORACLE_QA22 = _oracle_qa22()
 
 
+def qa23_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level dedup with reassembly: the qa22 terminator
+    injection makes multi-sentence docs, and because the synthetic
+    corpus repeats phrasing across documents, whole sentences recur —
+    the first (doc_id, position) copy survives, every later copy is cut
+    and each document is rebuilt from what remains, in order."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map(
+        doc_id=F.col("doc_id"),
+        text=F.regexp_replace(
+            F.regexp_replace("text", "merge", "merge."), "join", "join!"
+        ),
+    )
+    return docs.sentence_dedup("doc_id", "text", min_chars=3).df
+
+
+def _oracle_qa23() -> str:
+    from .prep import sql_sentence_dedup
+
+    inp = """(
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, 'merge', 'merge.', 'g'),
+                        'join', 'join!', 'g') AS text
+  FROM documents
+)"""
+    return sql_sentence_dedup(inp, "doc_id", "text", min_chars=3)
+
+
+ORACLE_QA23 = _oracle_qa23()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4029,6 +4060,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa20_quantile_band": qa20_quantile_band,
     "qa21_dedup_cluster_exact": qa21_dedup_cluster_exact,
     "qa22_split_sentences": qa22_split_sentences,
+    "qa23_sentence_dedup": qa23_sentence_dedup,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4155,4 +4187,5 @@ ORACLE: Dict[str, str] = {
     "qa20_quantile_band": ORACLE_QA20,
     "qa21_dedup_cluster_exact": ORACLE_QA21,
     "qa22_split_sentences": ORACLE_QA22,
+    "qa23_sentence_dedup": ORACLE_QA23,
 }

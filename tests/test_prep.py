@@ -529,3 +529,23 @@ def test_split_sentences_property_cross_engine(ctx):
         assert got == want
 
     run()
+
+
+def test_sentence_dedup_first_occurrence_and_reassembly(ctx):
+    """First (doc, position) copy of a normalized sentence survives;
+    later copies (even case/whitespace variants) are cut; documents
+    rebuild in order; an all-duplicate doc reassembles to ''."""
+    rows = [
+        (1, "Common header. Unique body one. Tail!"),
+        (2, "COMMON   header. Unique body two."),   # variant of doc 1's header
+        (3, "common header."),                      # nothing of its own
+        (4, None),
+    ]
+    s = ctx.from_df(ctx.spark.createDataFrame(rows, "id long, text string"))
+    got = {r.id: (r.clean_text, r.n_sents, r.n_dropped)
+           for r in s.sentence_dedup("id", "text").collect_vec()}
+    assert got == {
+        1: ("Common header. Unique body one. Tail!", 3, 0),
+        2: ("Unique body two.", 2, 1),
+        3: ("", 1, 1),
+    }  # doc 4 (NULL) emits no row
