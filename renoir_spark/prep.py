@@ -657,6 +657,108 @@ def rebalance_mix(stream, id_col: str, group_col: str,
     return stream._new(out)
 
 
+def temperature_mix(stream, id_col: str, group_col: str, *,
+                    temperature: float = 2.0, salt: str = "tmix"):
+    """Temperature-based mix rebalancing (the multilingual-corpus move:
+    sample group g with probability ∝ n_g^(1/T)): derive the target
+    shares FROM the data — share_g = n_g^(1/T) / Σ n_j^(1/T) — then
+    downsample with the same keep-fraction/hash-filter machinery as
+    :func:`rebalance_mix`. T = 1 keeps the natural mix (no-op), T → ∞
+    approaches uniform shares; since this engine never upsamples, the
+    boosted (rarest) group keeps fraction 1 and the head groups are
+    cut toward it. Rows with a NULL group are dropped (no share to
+    derive).
+
+    Scale: one per-group count (tiny relation), driver-free share/scale
+    arithmetic over that relation (canonical-order sum of rounded
+    powers — the q93 float discipline, so both engines see identical
+    totals), then the map-side salted-hash filter. Deterministic and
+    retry-stable like every sampler here.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    inv_t = 1.0 / float(temperature)
+    df = stream.df
+    g = to_col(group_col)
+    # NULL groups are excluded from the DERIVATION too — their rows are
+    # dropped by the join below, and letting a tiny NULL group into the
+    # share/scale arithmetic would set the scale and gut every real one
+    counts = (
+        df.filter(g.isNotNull())
+        .groupBy(g.alias("__g"))
+        .agg(F.count("*").alias("__n"))
+    )
+    powered = counts.withColumn(
+        "__p", F.round(F.pow(F.col("__n").cast("double"), F.lit(inv_t)), 6)
+    )
+    tot = powered.agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list("__p")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("__tot")
+    )
+    shares = powered.crossJoin(F.broadcast(tot)).withColumn(
+        "__share", F.col("__p") / F.col("__tot")
+    )
+    scale = shares.agg(
+        F.min(
+            F.when(F.col("__share") > 0, F.col("__n") / F.col("__share"))
+        ).alias("__s")
+    )
+    fracs = (
+        shares.crossJoin(F.broadcast(scale))
+        .select(
+            "__g",
+            F.round(
+                F.least(
+                    F.lit(1.0), F.col("__share") * F.col("__s") / F.col("__n")
+                ),
+                9,
+            ).alias("__frac"),
+        )
+    )
+    h = md5_int31(F.concat_ws("|", F.lit(salt), to_col(id_col).cast("string")))
+    out = (
+        df.join(F.broadcast(fracs), g == F.col("__g"))
+        .withColumn("__h", h)
+        .filter(F.col("__h") < (F.col("__frac") * MINHASH_P).cast("long"))
+        .drop("__g", "__frac", "__h")
+    )
+    return stream._new(out)
+
+
+def sql_temperature_mix(table_expr: str, id_col: str, group_col: str,
+                        cols: str, *, temperature: float = 2.0,
+                        salt: str = "tmix") -> str:
+    """DuckDB mirror of :func:`temperature_mix` (same rounded powers,
+    canonical-order total, same hash gate)."""
+    inv_t = 1.0 / float(temperature)
+    h = sql_md5_int31(f"concat_ws('|', '{salt}', t.{id_col}::VARCHAR)")
+    return f"""
+WITH counts AS (
+  SELECT {group_col} AS g, count(*) AS n FROM {table_expr}
+  WHERE {group_col} IS NOT NULL GROUP BY 1
+), pw AS (
+  SELECT g, n, round(pow(n::DOUBLE, {inv_t!r}), 6) AS p FROM counts
+), tot AS (
+  SELECT round(list_sum(list_sort(list(p))), 6) AS s FROM pw
+), shares AS (
+  SELECT g, n, p / (SELECT s FROM tot) AS share FROM pw
+), scl AS (
+  SELECT min(n / share) AS sc FROM shares WHERE share > 0
+), fracs AS (
+  SELECT g, round(least(1.0, share * (SELECT sc FROM scl) / n), 9) AS frac
+  FROM shares
+)
+SELECT {cols} FROM {table_expr} t JOIN fracs ON t.{group_col} = fracs.g
+WHERE {h} < CAST(frac * {MINHASH_P} AS BIGINT)
+"""
+
+
 def sql_rebalance_mix(table_expr: str, id_col: str, group_col: str,
                       targets: Dict[str, float], *, salt: str = "mix") -> str:
     pairs = ", ".join(f"('{k}', {float(v)})" for k, v in targets.items())

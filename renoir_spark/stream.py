@@ -1172,6 +1172,13 @@ class Stream:
 
         return _ss(self, id_col, text_col, **kw)
 
+    def temperature_mix(self, id_col: str, group_col: str, **kw) -> "Stream":
+        """Temperature-based mix rebalancing (shares ∝ n^(1/T), derived
+        from the data). See prep.temperature_mix."""
+        from .prep import temperature_mix as _tm
+
+        return _tm(self, id_col, group_col, **kw)
+
     def sentence_dedup(self, id_col: str, text_col: str, **kw) -> "Stream":
         """Sentence-level exact dedup with in-order document reassembly
         (first occurrence wins). See prep.sentence_dedup."""

@@ -3938,6 +3938,29 @@ def _oracle_qa23() -> str:
 ORACLE_QA23 = _oracle_qa23()
 
 
+def qa24_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mix (T=3): per-source shares derived as n^(1/3) —
+    head sources downsampled toward the rarest, which keeps fraction 1.
+    Data-dependent targets distinguish this from q75's explicit-share
+    rebalance; the canonical-order power-sum keeps both engines
+    bit-identical."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "source")
+    return docs.temperature_mix("doc_id", "source", temperature=3.0).df
+
+
+def _oracle_qa24() -> str:
+    from .prep import sql_temperature_mix
+
+    return sql_temperature_mix(
+        "(SELECT doc_id, source FROM documents)", "doc_id", "source",
+        "doc_id, source", temperature=3.0,
+    )
+
+
+ORACLE_QA24 = _oracle_qa24()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4061,6 +4084,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa21_dedup_cluster_exact": qa21_dedup_cluster_exact,
     "qa22_split_sentences": qa22_split_sentences,
     "qa23_sentence_dedup": qa23_sentence_dedup,
+    "qa24_temperature_mix": qa24_temperature_mix,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4188,4 +4212,5 @@ ORACLE: Dict[str, str] = {
     "qa21_dedup_cluster_exact": ORACLE_QA21,
     "qa22_split_sentences": ORACLE_QA22,
     "qa23_sentence_dedup": ORACLE_QA23,
+    "qa24_temperature_mix": ORACLE_QA24,
 }

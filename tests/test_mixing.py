@@ -129,3 +129,34 @@ def test_upsample_epochs_empty_dict_uses_default(ctx, spark, duck):
     sql = sql_upsample_epochs("(SELECT 1 AS id, 'a' AS g)", "id", "g", {},
                               "id, g", default_epochs=2.0)
     assert len(duck.execute(sql).fetchall()) == 2
+
+
+def test_temperature_mix_directions(ctx):
+    """T=1 is the natural mix (keep everything); higher T cuts head
+    groups toward the rarest, which always keeps fraction 1; NULL-group
+    rows drop; T<=0 raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "big") for i in range(300)]
+        + [(i + 1000, "small") for i in range(30)]
+        + [(2000, None)]
+    )
+    s = ctx.from_df(ctx.spark.createDataFrame(rows, "doc_id long, g string"))
+
+    t1 = s.temperature_mix("doc_id", "g", temperature=1.0).collect_vec()
+    assert len([r for r in t1 if r.g == "big"]) == 300      # T=1: no cut
+    assert len([r for r in t1 if r.g == "small"]) == 30
+    assert all(r.g is not None for r in t1)                 # NULLs dropped
+
+    t5 = s.temperature_mix("doc_id", "g", temperature=5.0).collect_vec()
+    big5 = len([r for r in t5 if r.g == "big"])
+    small5 = len([r for r in t5 if r.g == "small"])
+    assert small5 == 30                                     # rarest intact
+    # shares at T=5: 300^0.2 vs 30^0.2 → big should be cut to ≈
+    # 30 * (300/30)^0.2 ≈ 47.6 — allow hash-filter variance
+    assert 30 < big5 < 120 and big5 < 300
+
+    with pytest.raises(ValueError):
+        s.temperature_mix("doc_id", "g", temperature=0.0)
