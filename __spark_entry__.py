@@ -6,13 +6,13 @@ in ``renoir_spark/suite.py`` (one entry per operator family from
 SURVEY.md §2, each with a DuckDB-equivalent oracle).
 
 The driver's correctness harness hashes only the FIRST 50 keys of
-``sorted(queries())``.  The suite declares 123 queries, so a plain
+``sorted(queries())``.  The suite declares 124 queries, so a plain
 alphabetical listing would leave whole operator families (NEXMark, as-of
 join, rollup/quantiles/count-distinct, the prep/multimodal layer, cluster
 dedup) without a driver row.  ``DRIVER_SET`` below is therefore a curated
 50-slot set — one representative per family — exposed under ``dNN_``
 keys so it sorts BEFORE the remaining ``q``-keyed entries; the driver
-hashes exactly these 50, while all 123 queries stay exposed here and are
+hashes exactly these 50, while all 124 queries stay exposed here and are
 bit-exactly verified against DuckDB in ``tests/test_oracle.py``.
 """
 

@@ -23,7 +23,7 @@ collects to the driver.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1585,6 +1585,95 @@ SELECT id AS {id_col},
        count(*) AS n_sents,
        CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM marked GROUP BY id
+"""
+
+
+def split_long_docs(stream, id_col: str, text_col: str, *,
+                    max_tokens: int, stride: Optional[int] = None):
+    """Sliding-window splitting of long documents into overlapping
+    training windows — the complement of :func:`pack_sequences` (which
+    concatenates SHORT docs up to the context length): a doc with n >
+    ``max_tokens`` whitespace tokens emits windows of exactly
+    ``max_tokens`` tokens starting every ``stride`` tokens (default:
+    ``max_tokens``, i.e. disjoint), with the LAST window clamped to end
+    at the document end (every window is full-length; the tail is
+    covered by overlap, never emitted short). Docs at or under the
+    limit emit themselves as one window. Output: ``id_col``,
+    ``win_ix``, ``win_start`` (1-based token offset), ``win_text``.
+    NULL text emits nothing.
+
+    Scale: pure expression arithmetic (sequence + slice + posexplode)
+    fused into the scan — zero shuffles; output row count is
+    ceil(n/stride)-ish per doc, the planner sees an ordinary generate.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be > 0, got {max_tokens}")
+    step = int(stride) if stride is not None else int(max_tokens)
+    if step <= 0 or step > max_tokens:
+        raise ValueError(
+            f"stride must be in [1, max_tokens], got {stride}"
+        )
+    m = int(max_tokens)
+    toks = F.split(norm_text(to_col(text_col)), " ")
+    n = F.size(toks)
+    nw = F.when(n <= m, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(m)) / F.lit(float(step))).cast("int") + 1
+    )
+    def _start(k):
+        # clamp BEFORE slicing: a short doc's n−m+1 is ≤ 0, and a
+        # negative Spark slice start would count from the END
+        return F.greatest(F.least(k * step + 1, n - F.lit(m) + 1), F.lit(1))
+
+    wins = F.transform(
+        F.sequence(F.lit(0), nw - 1),
+        lambda k: F.struct(
+            _start(k).alias("start"),
+            F.array_join(F.slice(toks, _start(k), m), " ").alias("txt"),
+        ),
+    )
+    out = (
+        stream.df.select(
+            to_col(id_col).alias(id_col),
+            F.posexplode(wins).alias("win_ix", "__w"),
+        )
+        .select(
+            id_col,
+            F.col("win_ix").cast("long").alias("win_ix"),
+            F.col("__w.start").cast("long").alias("win_start"),
+            F.col("__w.txt").alias("win_text"),
+        )
+    )
+    return stream._new(out)
+
+
+def sql_split_long_docs(table_expr: str, id_col: str, text: str, *,
+                        max_tokens: int, stride: Optional[int] = None) -> str:
+    """DuckDB mirror of :func:`split_long_docs` (same window starts,
+    same clamping)."""
+    m = int(max_tokens)
+    step = int(stride) if stride is not None else m
+    toks = f"string_split({sql_norm_text(text)}, ' ')"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table_expr}
+  WHERE {text} IS NOT NULL
+), wind AS (
+  SELECT id,
+         [{{'start': greatest(least(k*{step} + 1, len(toks) - {m} + 1), 1),
+            'txt': array_to_string(
+                toks[greatest(least(k*{step} + 1, len(toks) - {m} + 1), 1):
+                     greatest(least(k*{step} + 1, len(toks) - {m} + 1), 1)
+                     + {m} - 1], ' ')}}
+          for k in range(0, CASE WHEN len(toks) <= {m} THEN 1
+                         ELSE CAST(ceil((len(toks) - {m})::DOUBLE / {step})
+                              AS INT) + 1 END)] AS wins
+  FROM base
+)
+SELECT id AS {id_col},
+       CAST(unnest(range(len(wins))) AS BIGINT) AS win_ix,
+       CAST(unnest([w.start for w in wins]) AS BIGINT) AS win_start,
+       unnest([w.txt for w in wins]) AS win_text
+FROM wind
 """
 
 

@@ -1179,6 +1179,13 @@ class Stream:
 
         return _tm(self, id_col, group_col, **kw)
 
+    def split_long_docs(self, id_col: str, text_col: str, **kw) -> "Stream":
+        """Sliding-window splitting of long docs into overlapping
+        full-length training windows. See prep.split_long_docs."""
+        from .prep import split_long_docs as _sl
+
+        return _sl(self, id_col, text_col, **kw)
+
     def sentence_dedup(self, id_col: str, text_col: str, **kw) -> "Stream":
         """Sentence-level exact dedup with in-order document reassembly
         (first occurrence wins). See prep.sentence_dedup."""

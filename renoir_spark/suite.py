@@ -3961,6 +3961,30 @@ def _oracle_qa24() -> str:
 ORACLE_QA24 = _oracle_qa24()
 
 
+def qa25_long_doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document windowing: split every document into overlapping
+    20-token windows at stride 15, last window clamped to the document
+    end (always full-length) — the context-length preprocessing step
+    that pairs with q76's pack_sequences for short docs."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    return docs.split_long_docs(
+        "doc_id", "text", max_tokens=20, stride=15
+    ).df
+
+
+def _oracle_qa25() -> str:
+    from .prep import sql_split_long_docs
+
+    return sql_split_long_docs(
+        "(SELECT doc_id, text FROM documents)", "doc_id", "text",
+        max_tokens=20, stride=15,
+    )
+
+
+ORACLE_QA25 = _oracle_qa25()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4085,6 +4109,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa22_split_sentences": qa22_split_sentences,
     "qa23_sentence_dedup": qa23_sentence_dedup,
     "qa24_temperature_mix": qa24_temperature_mix,
+    "qa25_long_doc_windows": qa25_long_doc_windows,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4213,4 +4238,5 @@ ORACLE: Dict[str, str] = {
     "qa22_split_sentences": ORACLE_QA22,
     "qa23_sentence_dedup": ORACLE_QA23,
     "qa24_temperature_mix": ORACLE_QA24,
+    "qa25_long_doc_windows": ORACLE_QA25,
 }

@@ -549,3 +549,45 @@ def test_sentence_dedup_first_occurrence_and_reassembly(ctx):
         2: ("Unique body two.", 2, 1),
         3: ("", 1, 1),
     }  # doc 4 (NULL) emits no row
+
+
+def test_split_long_docs_windows(ctx):
+    """Window starts advance by stride with the LAST window clamped to
+    end at the doc end (always full-length); short docs emit one
+    window; NULL text emits nothing; bad dials raise."""
+    import pytest
+    import duckdb
+
+    from renoir_spark import prep
+
+    rows = [
+        (1, "a b c d e f g h i j"),                       # 10 toks
+        (2, "x y z"),
+        (3, None),
+        (5, " ".join(f"t{i}" for i in range(23))),        # 23 toks
+    ]
+    s = ctx.from_df(ctx.spark.createDataFrame(rows, "id long, text string"))
+    got = sorted(
+        (r.id, r.win_ix, r.win_start, r.win_text)
+        for r in prep.split_long_docs(
+            s, "id", "text", max_tokens=8, stride=5
+        ).df.collect()
+    )
+    assert [(g[0], g[2]) for g in got] == [
+        (1, 1), (1, 3),                  # 10 toks: start 6 clamps to 3
+        (2, 1),
+        (5, 1), (5, 6), (5, 11), (5, 16),  # 23 toks: last clamps to 16
+    ]
+    assert all(len(g[3].split()) == 8 for g in got if g[0] in (1, 5))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    want = sorted(tuple(r) for r in con.execute(
+        prep.sql_split_long_docs("t", "id", "text", max_tokens=8, stride=5)
+    ).fetchall())
+    assert got == want
+
+    with pytest.raises(ValueError):
+        prep.split_long_docs(s, "id", "text", max_tokens=0)
+    with pytest.raises(ValueError):
+        prep.split_long_docs(s, "id", "text", max_tokens=8, stride=9)
