@@ -81,6 +81,9 @@ SWEEP = [
     # layout but carries must rebuild identical inclusive prefixes)
     "qa17_ssjoin_exact",
     "qa19_token_budget",
+    # first-occurrence-wins ordering on the sentence hash must pick the
+    # same survivor under any layout
+    "qa23_sentence_dedup",
 ]
 
 

@@ -591,3 +591,46 @@ def test_split_long_docs_windows(ctx):
         prep.split_long_docs(s, "id", "text", max_tokens=0)
     with pytest.raises(ValueError):
         prep.split_long_docs(s, "id", "text", max_tokens=8, stride=9)
+
+
+def test_split_long_docs_coverage_property(ctx):
+    """Randomized (n, max, stride): every token index is covered by at
+    least one window, window starts strictly increase, and every window
+    of a long doc is exactly max tokens (derandomized hypothesis)."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:
+        import pytest as _pt
+        _pt.skip("hypothesis unavailable")
+
+    from renoir_spark import prep
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(
+        n=st.integers(min_value=1, max_value=60),
+        m=st.integers(min_value=2, max_value=16),
+        frac=st.floats(min_value=0.25, max_value=1.0),
+    )
+    def run(n, m, frac):
+        stride = max(1, int(m * frac))
+        text = " ".join(f"t{i}" for i in range(n))
+        df = ctx.spark.createDataFrame([(1, text)], "id long, text string")
+        wins = sorted(
+            (r.win_ix, r.win_start, r.win_text)
+            for r in prep.split_long_docs(
+                ctx.from_df(df), "id", "text",
+                max_tokens=m, stride=stride,
+            ).df.collect()
+        )
+        starts = [w[1] for w in wins]
+        assert starts == sorted(set(starts))            # strictly increasing
+        covered = set()
+        for _, s, txt in wins:
+            toks = txt.split()
+            if n > m:
+                assert len(toks) == m                   # always full-length
+            covered.update(range(s, s + len(toks)))
+        assert covered == set(range(1, n + 1))          # every token seen
+        assert wins[-1][1] + len(wins[-1][2].split()) - 1 == n  # tail hits end
+
+    run()
