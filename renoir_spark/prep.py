@@ -687,6 +687,9 @@ def temperature_mix(stream, id_col: str, group_col: str, *,
         df.filter(g.isNotNull())
         .groupBy(g.alias("__g"))
         .agg(F.count("*").alias("__n"))
+        # persist: tot, scale, AND fracs all consume this relation —
+        # unpersisted, each instance re-runs the full-corpus groupBy
+        .persist()
     )
     powered = counts.withColumn(
         "__p", F.round(F.pow(F.col("__n").cast("double"), F.lit(inv_t)), 6)
@@ -728,7 +731,7 @@ def temperature_mix(stream, id_col: str, group_col: str, *,
         .filter(F.col("__h") < (F.col("__frac") * MINHASH_P).cast("long"))
         .drop("__g", "__frac", "__h")
     )
-    return stream._new(out)
+    return stream._new(out)._retain(counts)
 
 
 def sql_temperature_mix(table_expr: str, id_col: str, group_col: str,
@@ -755,7 +758,7 @@ WITH counts AS (
   FROM shares
 )
 SELECT {cols} FROM {table_expr} t JOIN fracs ON t.{group_col} = fracs.g
-WHERE {h} < CAST(frac * {MINHASH_P} AS BIGINT)
+WHERE {h} < CAST(floor(frac * {MINHASH_P}) AS BIGINT)
 """
 
 
@@ -778,7 +781,7 @@ counts AS (
   FROM joined, s
 )
 SELECT t.* FROM {table_expr} t JOIN fracs f ON t.{group_col} = f.g
-WHERE {h} < CAST(f.frac * {MINHASH_P} AS BIGINT)
+WHERE {h} < CAST(floor(f.frac * {MINHASH_P}) AS BIGINT)
 """
 
 
@@ -1533,16 +1536,22 @@ def sentence_dedup(stream, id_col: str, text_col: str, *, min_chars: int = 1):
     Documents with no sentence (NULL/empty/punctuation-only text) emit
     no row — they have nothing to reassemble.
 
-    Scale: identical shape to :func:`chunk_dedup` — sentence identity
-    travels as the shared 31-bit hash, ONE shuffle on it (row_number
-    window) plus the per-document reassembly groupBy.
+    Scale: identical shape to :func:`chunk_dedup` — ONE shuffle on the
+    sentence key (row_number window) plus the per-document reassembly
+    groupBy. The key is the full sha2-256 of the normalized sentence
+    (collision-free in practice; a narrow hash would silently delete
+    distinct sentences at corpus scale), so the shuffle rows carry a
+    64-char key instead of 8 bytes — the price of exactness.
     """
     split = split_sentences(stream, id_col, text_col, min_chars=min_chars)
+    # sha2, not a narrow hash: "exact" dedup must not delete DISTINCT
+    # sentences on a 31-bit collision (birthday bound fires at ~65k
+    # distinct sentences); same full-width key role as dedup_exact
     staged = split.df.select(
         F.col(id_col).alias("__id"),
         F.col("sent_ix").alias("__idx"),
         F.col("sentence").alias("__sent"),
-    ).withColumn("__gh", md5_int31(norm_text(F.col("__sent"))))
+    ).withColumn("__gh", F.sha2(norm_text(F.col("__sent")), 256))
     win = Window.partitionBy("__gh").orderBy("__id", "__idx")
     marked = staged.withColumn("__rn", F.row_number().over(win))
     kept_struct = F.when(
@@ -1569,9 +1578,9 @@ def sentence_dedup(stream, id_col: str, text_col: str, *, min_chars: int = 1):
 def sql_sentence_dedup(table_expr: str, id_col: str, text: str, *,
                        min_chars: int = 1) -> str:
     """DuckDB mirror of :func:`sentence_dedup` (same splitter, same
-    normalized-sentence hash)."""
+    sha2-256 normalized-sentence key)."""
     split = sql_split_sentences(table_expr, id_col, text, min_chars=min_chars)
-    gh = sql_md5_int31(sql_norm_text("sentence"))
+    gh = f"sha256({sql_norm_text('sentence')})"
     return f"""
 WITH split AS ({split}), marked AS (
   SELECT {id_col} AS id, sent_ix, sentence,
@@ -1600,7 +1609,14 @@ def split_long_docs(stream, id_col: str, text_col: str, *,
     covered by overlap, never emitted short). Docs at or under the
     limit emit themselves as one window. Output: ``id_col``,
     ``win_ix``, ``win_start`` (1-based token offset), ``win_text``.
-    NULL text emits nothing.
+    NULL, empty, and whitespace-only text emit nothing.
+
+    The window text preserves the ORIGINAL spelling — this is training
+    text, not a dedup key, so no case folding (tokens are raw-text
+    whitespace splits, deliberately NOT the normalized :func:`tokens`
+    helper the hashing operators share); whitespace RUNS inside a
+    window collapse to single spaces, the unavoidable cost of
+    token-boundary reassembly.
 
     Scale: pure expression arithmetic (sequence + slice + posexplode)
     fused into the scan — zero shuffles; output row count is
@@ -1614,7 +1630,8 @@ def split_long_docs(stream, id_col: str, text_col: str, *,
             f"stride must be in [1, max_tokens], got {stride}"
         )
     m = int(max_tokens)
-    toks = F.split(norm_text(to_col(text_col)), " ")
+    raw = F.trim(to_col(text_col))
+    toks = F.split(raw, r"\s+")
     n = F.size(toks)
     nw = F.when(n <= m, F.lit(1)).otherwise(
         F.ceil((n - F.lit(m)) / F.lit(float(step))).cast("int") + 1
@@ -1632,7 +1649,9 @@ def split_long_docs(stream, id_col: str, text_col: str, *,
         ),
     )
     out = (
-        stream.df.select(
+        # NULL/empty/whitespace-only docs have no tokens to window
+        stream.df.filter(F.length(F.trim(to_col(text_col))) > 0)
+        .select(
             to_col(id_col).alias(id_col),
             F.posexplode(wins).alias("win_ix", "__w"),
         )
@@ -1652,11 +1671,11 @@ def sql_split_long_docs(table_expr: str, id_col: str, text: str, *,
     same clamping)."""
     m = int(max_tokens)
     step = int(stride) if stride is not None else m
-    toks = f"string_split({sql_norm_text(text)}, ' ')"
+    toks = f"string_split_regex(trim({text}), '\\s+')"
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {toks} AS toks FROM {table_expr}
-  WHERE {text} IS NOT NULL
+  WHERE {text} IS NOT NULL AND length(trim({text})) > 0
 ), wind AS (
   SELECT id,
          [{{'start': greatest(least(k*{step} + 1, len(toks) - {m} + 1), 1),

@@ -27,6 +27,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .util import named_cols, to_col
 from .window import _dur
@@ -148,8 +149,23 @@ def dedup_exact_stream(stream, text_col: str, *, ts_col: str, delay: str = "10 m
     if df.isStreaming:
         out = df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["__ck"])
     else:
-        out = df.dropDuplicates(["__ck"])
+        out = _first_arrival(df, "__ck", ts_col)
     return stream._new(out.drop("__ck"))
+
+
+def _first_arrival(df: DataFrame, key: str, ts_col: str) -> DataFrame:
+    """Deterministic bounded-path analog of the streaming first-arrival
+    keep: plain ``dropDuplicates`` keeps an ARBITRARY row per key
+    (partition-order dependent), so parity tests would only hold for
+    counts — rank by (event time, then every other column as the
+    tie-break) instead, so reruns and layouts pick the same row."""
+    others = [c for c in df.columns if c not in (key, ts_col)]
+    w = Window.partitionBy(key).orderBy(ts_col, *sorted(others))
+    return (
+        df.withColumn("__fa_rn", F.row_number().over(w))
+        .filter(F.col("__fa_rn") == 1)
+        .drop("__fa_rn")
+    )
 
 
 def dedup_url_stream(stream, url_col: str, *, ts_col: str,
@@ -172,7 +188,7 @@ def dedup_url_stream(stream, url_col: str, *, ts_col: str,
             ["canon_url"]
         )
     else:
-        out = df.dropDuplicates(["canon_url"])
+        out = _first_arrival(df, "canon_url", ts_col)
     return stream._new(out)
 
 

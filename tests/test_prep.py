@@ -562,9 +562,11 @@ def test_split_long_docs_windows(ctx):
 
     rows = [
         (1, "a b c d e f g h i j"),                       # 10 toks
-        (2, "x y z"),
+        (2, "x Y z"),                                     # casing preserved
         (3, None),
+        (4, "   "),                                       # whitespace-only
         (5, " ".join(f"t{i}" for i in range(23))),        # 23 toks
+        (6, ""),                                          # empty
     ]
     s = ctx.from_df(ctx.spark.createDataFrame(rows, "id long, text string"))
     got = sorted(
@@ -577,8 +579,9 @@ def test_split_long_docs_windows(ctx):
         (1, 1), (1, 3),                  # 10 toks: start 6 clamps to 3
         (2, 1),
         (5, 1), (5, 6), (5, 11), (5, 16),  # 23 toks: last clamps to 16
-    ]
+    ]  # NULL (3), whitespace-only (4), and empty (6) emit nothing
     assert all(len(g[3].split()) == 8 for g in got if g[0] in (1, 5))
+    assert got[2][3] == "x Y z"          # original casing preserved
     con = duckdb.connect()
     con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?,?)", rows)
