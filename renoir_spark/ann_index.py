@@ -17,7 +17,9 @@ Layout at ``path`` (all parquet, self-describing):
     grid/   one row: __mins, __scales (the SQ8 per-dim [min,max] grid)
     cells/  n_cells rows: cell id + unit centroid
     codes/  corpus: id, vec (fp32 for the exact rerank), __codes
-            (SQ8, 2-byte ints 0..255 — parquet bit-packs to ~1 B/dim),
+            (SQ8, ints 0..255 in-grid — parquet bit-packs to ~1 B/dim;
+            int not smallint so out-of-grid APPENDED vectors can't
+            overflow),
             hive-partitioned by __cell
 
 Query results are IDENTICAL to ``ann_cosine(method="ivf_sq8")`` with
@@ -110,7 +112,7 @@ class AnnIndex:
         codes_schema = (
             f"{id_col} {self.meta['id_type']}, "
             f"{vec_col} {self.meta['vec_type']}, "
-            "__codes array<smallint>, __cell long"
+            "__codes array<int>, __cell long"
         )
         codes = (
             self.spark.read.schema(codes_schema)
@@ -187,13 +189,15 @@ def _write_codes(df, path: str, units, stats, *, id_col: str,
         .select(
             id_col,
             F.col("cvec").alias(vec_col),
-            # 0..255 fits smallint (2 B vs 8 B double in memory;
-            # parquet bit-packs further) — exact integers, so the
-            # round trip through smallint is lossless. Vectors OUTSIDE
-            # the frozen grid (append mode) encode to codes beyond
-            # [0, 255] by the same unclamped formula on both engines.
+            # Codes are 0..255 for in-grid vectors; int (not smallint)
+            # because APPEND-mode vectors outside the frozen grid encode
+            # beyond [0, 255] by the same unclamped formula on both
+            # engines, and a far-out-of-grid component would silently
+            # wrap a smallint (ANSI off) and break oracle parity.
+            # Parquet bit-packs small values, so in-grid storage cost
+            # is unchanged.
             F.transform(
-                _sq8_codes(F.col("cvec")), lambda c: c.cast("smallint")
+                _sq8_codes(F.col("cvec")), lambda c: c.cast("int")
             ).alias("__codes"),
             "__cell",
         )

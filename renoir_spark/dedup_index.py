@@ -174,9 +174,13 @@ class DedupIndex:
                 [], f"__cid {self.meta['id_type']}, shb array<string>"
             )
         )
-        jac = (
-            F.size(F.array_intersect("sha", "shb"))
-            / F.size(F.array_union("sha", "shb"))
+        # zero-union guard (the _cosine/SQL_COS pattern): today
+        # shingles_from guarantees non-empty arrays, but relying on that
+        # distant invariant would turn a future empty-text change into
+        # an ANSI DIVIDE_BY_ZERO that fails the whole batch job
+        union_sz = F.size(F.array_union("sha", "shb"))
+        jac = F.when(union_sz == 0, F.lit(0.0)).otherwise(
+            F.size(F.array_intersect("sha", "shb")) / union_sz
         )
         pairs = (
             cand.join(

@@ -2147,6 +2147,11 @@ def bpe_train(stream, text_col: str, *, num_merges: int = 50,
             F.expr("split(__w, '')"), F.array(F.lit("</w>"))
         ).alias("__syms"),
     ).localCheckpoint(eager=True)
+    # loop hygiene (same contract as iteration._materialize): each eager
+    # checkpoint supersedes the previous one, so release the old blocks —
+    # otherwise a long-lived session accumulates num_merges /
+    # checkpoint_every cached relations per bpe_train call
+    prev_ckpt = vocab
 
     merges = []
     for rank in range(num_merges):
@@ -2191,7 +2196,14 @@ def bpe_train(stream, text_col: str, *, num_merges: int = 50,
         vocab = vocab.select("__f", merged.alias("__syms"))
         if (rank + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
+            # the new checkpoint holds the data (eager) — the prior
+            # round's blocks are unreachable now, release them
+            prev_ckpt.unpersist()
+            prev_ckpt = vocab
 
+    # the merge table lives on the driver; no plan references vocab
+    # after this point, so the final checkpoint's blocks go too
+    prev_ckpt.unpersist()
     out = spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
     )

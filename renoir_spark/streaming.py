@@ -159,8 +159,19 @@ def _first_arrival(df: DataFrame, key: str, ts_col: str) -> DataFrame:
     (partition-order dependent), so parity tests would only hold for
     counts — rank by (event time, then every other column as the
     tie-break) instead, so reruns and layouts pick the same row."""
-    others = [c for c in df.columns if c not in (key, ts_col)]
-    w = Window.partitionBy(key).orderBy(ts_col, *sorted(others))
+    # Tie-break only on ORDERABLE columns: a map<> (or other unorderable
+    # type) in the row would make the whole sort an AnalysisException,
+    # and sorting full wide rows is wasted work anyway — unorderable
+    # columns get ranked by a deterministic hash instead, which keeps
+    # the pick stable across reruns/layouts without ordering the value.
+    dtypes = dict(df.dtypes)
+    others = []
+    for c in sorted(c for c in df.columns if c not in (key, ts_col)):
+        if dtypes[c].startswith(("map<", "variant")):
+            others.append(F.xxhash64(F.col(c).cast("string")))
+        else:
+            others.append(F.col(c))
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), *others)
     return (
         df.withColumn("__fa_rn", F.row_number().over(w))
         .filter(F.col("__fa_rn") == 1)

@@ -54,7 +54,8 @@ def test_index_artifact_layout_and_codes_dtype(ctx, spark, sf_dir, idx_path):
         assert os.path.isdir(f"{idx_path}/{part}")
     codes = spark.read.parquet(f"{idx_path}/codes")
     dt = dict(codes.dtypes)
-    assert dt["__codes"] == "array<smallint>"
+    # int, not smallint: append-mode out-of-grid codes must not wrap
+    assert dt["__codes"] == "array<int>"
     lo, hi = codes.select(
         F.min(F.array_min("__codes")), F.max(F.array_max("__codes"))
     ).first()
@@ -100,6 +101,60 @@ def test_append_vectors_visible_frozen_grid(ctx, spark, tmp_path):
     res = idx.query(emb.filter("vec_id = 1"), k=1, nprobe=3, rerank=10).df
     top = res.collect()[0]
     assert top.vec_id == 999999 and abs(top.cos - 1.0) < 1e-9
+
+
+def test_append_far_out_of_grid_matches_oracle(ctx, spark, tmp_path):
+    """A vector tens of thousands of grid-widths outside the frozen
+    build grid encodes to SQ8 codes ≫ 32767 — exactly the value range
+    that silently wrapped when ``__codes`` was smallint. The widened
+    int codes must agree bit-for-bit with the DuckDB mirror (which
+    computes the unclamped formula in doubles) on the full qa12 shape:
+    build → append(out-of-grid) → query."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = ctx.stream_parquet(src)
+    huge = emb.filter("vec_id = 1").map(
+        vec_id=F.lit(888888).cast("long"),
+        embedding=F.transform(
+            "embedding", lambda x: (x * F.lit(40000.0) + F.lit(7000.0)).cast("float")
+        ),
+        label=F.col("label"),
+    )
+    aug_path = str(tmp_path / "emb_aug")
+    emb.df.unionByName(huge.df).write.parquet(aug_path)
+
+    idx_path = str(tmp_path / "oobidx")
+    emb.ann_index_build(idx_path, n_cells=16)
+    idx = ctx.ann_index(idx_path)
+    idx.append(ctx.stream_parquet(aug_path).filter("vec_id = 888888"))
+    queries = ctx.stream_parquet(aug_path).filter("vec_id IN (888888, 1, 2)")
+    got = idx.query(queries, k=3, nprobe=3, rerank=10).df
+
+    # appended codes really are out of smallint range (the edge is live)
+    codes = spark.read.parquet(f"{idx_path}/codes")
+    assert codes.select(F.max(F.array_max("__codes"))).first()[0] > 32767
+
+    from renoir_spark.datapipe import sql_ann_cosine_ivf_sq8
+
+    build = "(SELECT * FROM emb_aug WHERE vec_id != 888888)"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW emb_aug AS SELECT * FROM read_parquet('{aug_path}/*.parquet')"
+    )
+    sql = sql_ann_cosine_ivf_sq8(
+        "emb_aug", "vec_id IN (888888, 1, 2)", k=3, n_cells=16,
+        nprobe=3, rerank=10, seed_expr=build, stats_expr=build,
+    )
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    want = sorted(tuple(dict(zip(dcols, r))[c] for c in sorted(dcols))
+                  for r in res.fetchall())
+    have = sorted(tuple(r.asDict()[c] for c in sorted(got.columns))
+                  for r in got.collect())
+    assert sorted(got.columns) == sorted(dcols)
+    assert have == want and len(have) == 9
 
 
 def test_append_into_empty_index_rejected(ctx, spark, tmp_path):

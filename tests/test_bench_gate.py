@@ -1,0 +1,80 @@
+"""Per-query bench regression gate (bench.compare_to_baseline): the
+round-4 +24% common-suite drift was invisible because no gate compared
+entries against the committed baseline — these tests pin the gate's
+semantics (band + floor, justification suppression, sf matching) and
+that the repo's committed artifacts keep the gate runnable."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _base(queries, sf=0.1):
+    return {"metric": "suite_total", "sf": sf, "queries": queries}
+
+
+def test_flags_real_regression_worst_first():
+    base = _base({"q01": 1.0, "q02": 2.0})
+    regs = bench.compare_to_baseline(
+        {"q01": 1.9, "q02": 8.0}, base, 0.1, tolerance=1.5, floor=0.3
+    )
+    assert [e["query"] for e in regs] == ["q02", "q01"]
+    assert regs[0]["ratio"] == 4.0 and "justified" not in regs[0]
+
+
+def test_band_and_floor_absorb_jitter():
+    # 1.4x is inside the band; a 0.1 s -> 0.35 s move is inside the
+    # floor even though the ratio is 3.5x — sub-second queries jitter
+    base = _base({"q01": 1.0, "q02": 0.1})
+    regs = bench.compare_to_baseline(
+        {"q01": 1.4, "q02": 0.35}, base, 0.1, tolerance=1.5, floor=0.3
+    )
+    assert regs == []
+
+
+def test_justified_entries_are_annotated_not_failing():
+    base = _base({"q01": 1.0})
+    regs = bench.compare_to_baseline(
+        {"q01": 5.0}, base, 0.1, {"q01": "rewrote the join this round"},
+        tolerance=1.5, floor=0.3,
+    )
+    assert len(regs) == 1 and regs[0]["justified"]
+    assert not [e for e in regs if "justified" not in e]
+
+
+def test_new_queries_and_sf_mismatch_never_flag():
+    base = _base({"q01": 1.0}, sf=0.1)
+    # new query: no baseline entry
+    assert bench.compare_to_baseline({"q_new": 99.0}, base, 0.1) == []
+    # off-sf run: baseline not comparable
+    assert bench.compare_to_baseline({"q01": 99.0}, base, 0.001) == []
+    # no baseline at all (fresh clone)
+    assert bench.compare_to_baseline({"q01": 99.0}, None, 0.1) == []
+
+
+def test_committed_artifacts_keep_gate_runnable():
+    """The gate needs HEAD's bench_last.json (sf0.1, full suite) and a
+    well-formed justification map; a clobbered or partial baseline would
+    silently disarm every comparison."""
+    baseline = bench.load_committed_baseline(REPO)
+    assert baseline is not None and baseline["sf"] == 0.1
+    from renoir_spark import suite
+
+    missing = sorted(set(suite.QUERIES) - set(baseline["queries"]))
+    # new queries added since the last committed bench run are allowed
+    # (they can't flag), but the baseline must cover the bulk of the
+    # suite or the gate is blind
+    assert len(missing) < 0.2 * len(suite.QUERIES), missing
+
+    with open(os.path.join(REPO, "bench_justifications.json")) as f:
+        just = json.load(f)
+    assert isinstance(just, dict)
+    assert all(
+        isinstance(k, str) and isinstance(v, str) and v for k, v in just.items()
+    )

@@ -247,6 +247,28 @@ def test_streaming_dedup_exact_bounded_state(ctx):
     assert batch.df.count() == 3
 
 
+def test_dedup_bounded_path_with_map_column(ctx, spark):
+    """The bounded parity path of dedup_exact_stream ranks ties by the
+    row's other columns — a map<> column is unorderable and used to make
+    the whole sort an AnalysisException. It must rank by a deterministic
+    hash of the map instead, and still keep the first arrival."""
+    from renoir_spark.streaming import dedup_exact_stream
+
+    t0, t1 = _ts(1000), _ts(2000)
+    df = spark.createDataFrame(
+        [
+            (0, t1, "alpha beta", {"k": "late"}),
+            (1, t0, "Alpha   beta", {"k": "early"}),
+            (2, t0, "gamma", {"k": "solo"}),
+        ],
+        "doc_id long, ts timestamp, text string, meta map<string,string>",
+    )
+    out = dedup_exact_stream(
+        ctx.from_df(df), "text", ts_col="ts"
+    ).df.collect()
+    assert {r.doc_id for r in out} == {1, 2}  # earliest ts wins per key
+
+
 def test_streaming_dedup_url_across_batches(ctx):
     """Streaming canonical-URL dedup: raw spellings of ONE page
     (case/www/tracking-param/default-port/fragment variants) arriving
