@@ -25,27 +25,40 @@ from pyspark.sql import DataFrame, SparkSession
 from renoir_spark import suite
 
 # One representative per SURVEY.md §2 family (order = driver slot):
-#   core folds/scans: q01 q10 q24 · joins: q03 q22 q52 q86 · plumbing:
-#   q05 q12 q19 · element-wise: q09 q42 · windows: q11 q13 q14 q16 q23 q36
-#   q40 · iteration: q26 q49 q89 · NEXMark: q61 q65 q68 ·
-#   dedup: qa16 qa17 q69 q83 q88 qa08 · decontamination: qa04 · data
-#   selection: qa09 · classifier filter: qa10 · text/prep:
-#   q30 q48 q71 q78 q80 q81 q98 · mixing: qa05 · ANN: q50 · index
-#   persistence: qa06 · multimodal: q51 · agg extensions: q87 q90 q91
-#   q97 · argmax: q08
-# (round-4 rotations: q62/q63/q92 out for q96/q97/q98, then q96/q70/q85
-#  out for the embedding-decontamination, epoch-upsampling, and
-#  ANN-index-roundtrip families qa04/qa05/qa06, then q28 out for the
-#  incremental dedup-index round trip qa08 — its MinHash-LSH banding
-#  machinery stays driver-covered via q83's cluster dedup AND qa08's
-#  build path — q84 out for DSIR importance resampling qa09, and q66
-#  out for the in-engine NB classifier filter qa10 (NEXMark keeps
-#  q61/q65/q68); q04 out for canonical-URL dedup qa16 (the join family
-#  keeps q03/q22/q52/q86) and q34 out for the EXACT prefix-filtered
-#  set-similarity join qa17 (the similarity-join family's driver row is
-#  now the lossless variant; the inverted-index one stays
-#  oracle-verified); every rotated-out query stays oracle-verified in
-#  tests/test_oracle.py.)
+#   core folds/scans: q01 q10 q95 · joins: q03 q22 q52 q86 · plumbing:
+#   q05 · element-wise: q09 q42 · windows: q11 q13 q16 q23 q36 qa25 ·
+#   iteration: q26 q89 · NEXMark: q61 q68 · dedup: qa16 qa17 q69 q83
+#   q94 q96 qa08 qa21 qa23 · index persistence: qa06 qa11 qa12 ·
+#   decontamination: qa04 q96 · data selection: qa09 qa19 qa20 ·
+#   classifier filter: qa10 · text/prep: q30 q71 q78 q80 q81 q98 ·
+#   mixing: qa05 · ANN: q50 · multimodal: q51 · agg extensions: q87
+#   q91 q97 · argmax: q08
+# (round-5 rotation, per the round-4 verdict's ask #3 — ten
+#  never-driver-hashed queries in, ten redundant core shapes out, each
+#  outgoing family keeping at least one driver row and every rotated-out
+#  query staying bit-exact in tests/test_oracle.py:
+#    q12_zip → qa11_dedup_index_exact (positional zip redundant next to
+#      q09/q10; exact-mode persisted index gains its first driver row)
+#    q14_count_window → qa12_ann_index_append (windows keep
+#      q13/q16/q23/q36/qa25; frozen-grid ANN append now driver-hashed)
+#    q19_route → qa19_token_budget (route stays oracle-green;
+#      token-budget fill = the chunked-running-sum selection shape)
+#    q24_global_fold_scan → qa20_quantile_band (global scan redundant
+#      next to q10 + incoming q95; quantile-band selection in)
+#    q40_window_map_pandas → qa21_dedup_cluster_exact (window family
+#      still 5 rows; exact PPJoin cluster dedup in)
+#    q48_fingerprint_winnow → q94_longest_dup_span (both fingerprint/
+#      span text shapes; the suffix-automaton span dedup is the
+#      harder/newer one)
+#    q49_kmeans → qa23_sentence_dedup (iteration keeps q26 iterate +
+#      q89 delta_iterate; replay stays oracle-green)
+#    q65_nexmark_winning_bids → qa25_long_doc_windows (NEXMark keeps
+#      q61/q68)
+#    q88_dedup_embedding_ivf → q95_running_sum (ANN keeps q50,
+#      dedup family is 8 rows; skew-proof prefix scan in)
+#    q90_count_distinct → q96_dedup_against_bloom (agg extensions keep
+#      q87/q91/q97; broadcast-bloom decontamination in)
+#  Earlier rotations (rounds 3–4) are in git history of this file.)
 DRIVER_SET = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -55,30 +68,30 @@ DRIVER_SET = [
     "q09_wordcount",
     "q10_line_share",
     "q11_interval_join",
-    "q12_zip",
+    "qa11_dedup_index_exact",
     "q13_sessions",
-    "q14_count_window",
+    "qa12_ann_index_append",
     "q16_event_time_tumbling",
-    "q19_route",
+    "qa19_token_budget",
     "q22_outer_join",
     "q23_window_join",
-    "q24_global_fold_scan",
+    "qa20_quantile_band",
     "q26_pagerank",
     "qa08_dedup_index_incremental",
     "q30_lang_id",
     "qa17_ssjoin_exact",
     "q36_transaction_window",
-    "q40_window_map_pandas",
+    "qa21_dedup_cluster_exact",
     "q42_keyed_rich_map",
-    "q48_fingerprint_winnow",
-    "q49_kmeans",
+    "q94_longest_dup_span",
+    "qa23_sentence_dedup",
     "q50_ann_ivf",
     "q51_multimodal_decode",
     "q52_salted_join",
     "q61_nexmark_hot_items",
     "qa04_decontaminate_embedding",
     "q97_heavy_hitters",
-    "q65_nexmark_winning_bids",
+    "qa25_long_doc_windows",
     "qa10_nb_classifier",
     "q68_nexmark_item_suggestion",
     "q69_dedup_against",
@@ -92,9 +105,9 @@ DRIVER_SET = [
     "qa06_ann_index_roundtrip",
     "q86_asof_join",
     "q87_group_quantiles",
-    "q88_dedup_embedding_ivf",
+    "q95_running_sum",
     "q89_sssp",
-    "q90_count_distinct",
+    "q96_dedup_against_bloom",
     "q91_rollup",
     "q98_unigram_logprob",
 ]

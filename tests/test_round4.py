@@ -97,19 +97,24 @@ def test_driver_set_contract():
     assert [k[:3] for k in first50] == [f"d{i:02d}" for i in range(1, 51)]
     assert all(k in os_ for k in first50)
     # the curated set spans every family the judge called out, plus the
-    # families added by the round-4 rotations (embedding
-    # decontamination, epoch upsampling, persisted ANN + dedup indexes,
-    # DSIR data selection, in-engine classifier filter; pii/
-    # duplicate_spans/minhash-greedy rotated out stay oracle-verified,
-    # with quality gating covered by gopher and LSH banding by
-    # dedup_cluster)
+    # families added by the round-4/5 rotations (persisted index exact
+    # mode + ANN append, token-budget/quantile-band selection, exact
+    # cluster dedup, sentence dedup, long-doc windowing, suffix-automaton
+    # span dedup, skew-proof running sum, bloom decontamination; the
+    # round-5 rotated-out shapes — zip, route, count window, global
+    # fold_scan, window map, winnowing, kmeans replay, winning bids,
+    # embedding-IVF dedup, count-distinct — stay oracle-verified)
     joined = " ".join(first50)
-    for fam in ("nexmark", "asof", "rollup", "quantiles", "count_distinct",
+    for fam in ("nexmark", "asof", "rollup", "quantiles",
                 "multimodal", "dedup_cluster", "sssp", "gopher",
-                "bm25", "prep_pipeline", "dedup_embedding_ivf",
+                "bm25", "prep_pipeline",
                 "decontaminate_embedding", "upsample_epochs",
                 "ann_index", "dedup_index_incremental", "dsir",
-                "nb_classifier", "url_dedup", "ssjoin_exact"):
+                "nb_classifier", "url_dedup", "ssjoin_exact",
+                "dedup_index_exact", "ann_index_append", "token_budget",
+                "quantile_band", "dedup_cluster_exact", "sentence_dedup",
+                "long_doc_windows", "longest_dup_span", "running_sum",
+                "dedup_against_bloom"):
         assert fam in joined, fam
     # every suite query is still exposed (under d- or q-key), exactly once
     exposed = {k.split("_", 1)[1] if k.startswith("d") else k for k in qs}
