@@ -138,6 +138,7 @@ def main() -> None:
         n for n in suite.QUERIES if (not only or n in only.split(","))
     )
     timings: dict[str, float] = {}
+    streaming_state: dict[str, dict] = {}
     for r in range(runs):
         for name in names:
             fn = suite.QUERIES[name]
@@ -160,9 +161,17 @@ def main() -> None:
         ):
             if only and sname not in only.split(","):
                 continue
-            n, took = sfn(spark, sf_dir)
+            n, took, st = sfn(spark, sf_dir)
             timings[sname] = min(timings.get(sname, float("inf")), took)
-            print(f"# run{r} {sname}: {took:.3f}s ({n} rows)", file=sys.stderr)
+            if st:
+                # state-store telemetry (rows/bytes peak + watermark
+                # evictions) — the measured form of the bounded-state
+                # claim; identical across runs, keep the latest
+                streaming_state[sname] = st
+            print(f"# run{r} {sname}: {took:.3f}s ({n} rows, "
+                  f"state peak {st.get('state_rows_peak', 0)} rows / "
+                  f"{st.get('state_rows_removed', 0)} evicted)",
+                  file=sys.stderr)
             # streaming legs get the same isolation as batch queries
             spark.catalog.clearCache()
 
@@ -192,6 +201,7 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "regressions": regressions,
+            "streaming_state": streaming_state,
         }
     )
     print(line)
@@ -256,7 +266,8 @@ def _stream_source(spark, spool: str):
     )
 
 
-def _run_streaming_leg(spark, sf_dir: str, build, spooler=None) -> tuple[int, float]:
+def _run_streaming_leg(spark, sf_dir: str, build, spooler=None,
+                       ) -> tuple[int, float, dict]:
     """Timed availableNow drain of a streaming query built by
     ``build(ctx, spool)``. State-store partitions are fixed at the
     query's first run by shuffle.partitions; every micro-batch then pays
@@ -277,9 +288,12 @@ def _run_streaming_leg(spark, sf_dir: str, build, spooler=None) -> tuple[int, fl
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         out = build(ctx, spool)
+        telem: list = []
         t0 = time.perf_counter()
-        n = len(run_to_completion(out.df, output_mode="append"))
-        return n, round(time.perf_counter() - t0, 3)
+        n = len(run_to_completion(out.df, output_mode="append",
+                                  telemetry=telem))
+        took = round(time.perf_counter() - t0, 3)
+        return n, took, (telem[0] if telem else {})
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(spool, ignore_errors=True)
@@ -311,7 +325,7 @@ def _spool_documents(spark, sf_dir: str) -> str:
     return spool
 
 
-def _streaming_minhash_dedup(spark, sf_dir: str) -> tuple[int, float]:
+def _streaming_minhash_dedup(spark, sf_dir: str) -> tuple[int, float, dict]:
     """Streaming leg 5: MinHash-LSH fuzzy dedup band verdicts over an
     unbounded document stream — the FIFTH stateful machinery class:
     custom Python state keyed by LSH band buckets with WATERMARK-BOUNDED
@@ -341,7 +355,7 @@ def _streaming_minhash_dedup(spark, sf_dir: str) -> tuple[int, float]:
     return _run_streaming_leg(spark, sf_dir, build, spooler=_spool_documents)
 
 
-def _streaming_hot_items(spark, sf_dir: str) -> tuple[int, float]:
+def _streaming_hot_items(spark, sf_dir: str) -> tuple[int, float, dict]:
     """Streaming leg 1: NEXMark q5 (hot items, chained stateful aggs)
     over the events table as an UNBOUNDED source — micro-batch engine,
     state store, watermark advancement, and append-mode finalization all
@@ -356,7 +370,7 @@ def _streaming_hot_items(spark, sf_dir: str) -> tuple[int, float]:
     return _run_streaming_leg(spark, sf_dir, build)
 
 
-def _streaming_join(spark, sf_dir: str) -> tuple[int, float]:
+def _streaming_join(spark, sf_dir: str) -> tuple[int, float, dict]:
     """Streaming leg 2: stream-stream event-time band join (clicks ⋈
     purchases per user within 6 h) — exercises the OTHER stateful
     machinery class: dual watermark frontiers and join-state eviction
@@ -379,7 +393,7 @@ def _streaming_join(spark, sf_dir: str) -> tuple[int, float]:
     return _run_streaming_leg(spark, sf_dir, build)
 
 
-def _streaming_transaction_window(spark, sf_dir: str) -> tuple[int, float]:
+def _streaming_transaction_window(spark, sf_dir: str) -> tuple[int, float, dict]:
     """Streaming leg 3: TransactionWindow over unbounded purchases —
     the THIRD stateful-machinery class beside chained JVM aggs (s01) and
     join state (s02): arbitrary per-key PYTHON window state
@@ -410,7 +424,7 @@ def _streaming_transaction_window(spark, sf_dir: str) -> tuple[int, float]:
     return _run_streaming_leg(spark, sf_dir, build)
 
 
-def _streaming_sessions(spark, sf_dir: str) -> tuple[int, float]:
+def _streaming_sessions(spark, sf_dir: str) -> tuple[int, float, dict]:
     """Streaming leg 4: per-user 30-minute-gap session windows
     (``session_agg`` → native ``session_window``) — the FOURTH stateful
     machinery class: MERGING window state. Unlike fixed windows (s01),

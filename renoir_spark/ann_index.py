@@ -33,12 +33,16 @@ Scale notes (100 TB): build is one bounded driver collect (n_cells
 seed rows), one map-side-combined stats aggregate, and ONE
 encode+assign pass over the corpus (Arrow block-matrix cell assignment
 + JVM codec expressions, no shuffle) feeding a partitioned write.
-Query never touches unprobed partitions: the probed-cell set (at most
-|queries| × nprobe ints) is collected to the driver and pushed as a
-partition filter into the codes scan — the reader lists only those
-directories. The rerank joins the candidate list (|queries| × rerank
-rows, broadcast) against the SAME pruned scan, so fp32 vectors of
-unprobed cells are never read either.
+Query never touches unprobed partitions: up to PROBE_LITERAL_MAX
+probed cells are collected to the driver (bounded) and pushed as a
+LITERAL partition filter into the codes scan — the reader lists only
+those directories; a wider probe (big query batches × nprobe over
+many cells) switches to a broadcast semi-join on the partition column
+and dynamic partition pruning prunes the same listing at runtime, so
+no unbounded literal list ever reaches the plan (util.
+prune_partitions). The rerank joins the candidate list (|queries| ×
+rerank rows, broadcast) against the SAME pruned scan, so fp32 vectors
+of unprobed cells are never read either.
 
 Reference parity: renoir has no persisted-index operator; this is part
 of the beyond-reference similarity-search layer (SURVEY.md §2.12) in
@@ -62,6 +66,7 @@ from .datapipe import (
     _sq8_stats,
     _sq8_xhat,
 )
+from .util import prune_partitions
 
 
 class AnnIndex:
@@ -102,10 +107,13 @@ class AnnIndex:
             self.units, nprobe=nprobe,
             out_schema=f"qid {qdt[id_col]}, qvec {qdt[vec_col]}, __cell long",
         )
-        # Bounded driver collect (≤ |queries| × nprobe ints): the probed
-        # cells become a LITERAL partition filter, so the codes scan
-        # lists only those hive directories — this is the index lookup.
-        probed = sorted({r["__cell"] for r in q.select("__cell").distinct().collect()})
+        # The probed-cell set IS the index lookup: a bounded driver
+        # collect (≤ PROBE_LITERAL_MAX + 1 ints) decides between a
+        # LITERAL partition filter (small probes — the listing itself
+        # is pruned) and a broadcast semi-join whose dynamic partition
+        # pruning does the same prune at runtime (wide probes — a
+        # million-query batch over thousands of cells never inlines a
+        # huge literal list). See util.prune_partitions.
         # Explicit schema: no directory-listing inference (an index
         # built over an empty corpus has no data files), and the
         # partition column reads back long, not the discovered int.
@@ -114,10 +122,10 @@ class AnnIndex:
             f"{vec_col} {self.meta['vec_type']}, "
             "__codes array<int>, __cell long"
         )
-        codes = (
-            self.spark.read.schema(codes_schema)
-            .parquet(f"{self.path}/codes")
-            .filter(F.col("__cell").isin([int(c) for c in probed]))
+        codes, _ = prune_partitions(
+            self.spark.read.schema(codes_schema).parquet(f"{self.path}/codes"),
+            "__cell",
+            q.select("__cell"),
         )
         grid = self.spark.read.schema(
             "__mins array<double>, __scales array<double>"

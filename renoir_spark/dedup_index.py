@@ -11,10 +11,12 @@ persists exactly the two relations the LSH machinery needs:
                bucket_dirs, id_type
     buckets/   corpus LSH postings: (bidx, bhash, id), hive-partitioned
                by ``__bk = bhash % bucket_dirs`` — an incoming batch
-               collects its own ≤ bucket_dirs distinct ``__bk`` values
-               (bounded driver collect) and pushes them as a LITERAL
-               partition filter, so a small increment reads only the
-               bucket directories it can possibly match
+               collects up to PROBE_LITERAL_MAX of its distinct
+               ``__bk`` values (bounded driver collect) and pushes
+               them as a LITERAL partition filter; wider probes switch
+               to a broadcast semi-join pruned dynamically (DPP). A
+               small increment reads only the bucket directories it
+               can possibly match either way (util.prune_partitions)
     shingles/  (id, sh array<string>) for the exact-Jaccard verify,
                hive-partitioned by ``__sk = md5_int31(id) %
                bucket_dirs`` — pruned the same way from the (small)
@@ -61,6 +63,7 @@ from .datapipe import (
     sql_md5_int31,
     sql_word_shingles,
 )
+from .util import prune_partitions
 
 
 def _batch_sig(batch, text_col: str, id_col: str, meta: dict):
@@ -102,22 +105,23 @@ class DedupIndex:
         self.meta = meta
 
     # -------------------------------------------------------------- #
-    def _read_buckets(self, bk_values):
+    # The probe scans are pruned to the hive directories the batch can
+    # possibly touch (util.prune_partitions): ≤ PROBE_LITERAL_MAX
+    # distinct keys become a LITERAL partition filter from a bounded
+    # driver collect — what makes a small increment cheap against a
+    # 100 TB index — and wider probes switch to a broadcast semi-join
+    # pruned dynamically (DPP), so no unbounded literal ever reaches
+    # the plan. Explicit schemas keep the reads well-typed even when
+    # the index is empty (no data files to infer from).
+    def _buckets_read(self):
         schema = (
             f"bidx int, bhash long, id {self.meta['id_type']}, __bk long"
         )
-        df = self.spark.read.schema(schema).parquet(f"{self.path}/buckets")
-        # literal partition filter from a BOUNDED collect (≤ bucket_dirs
-        # ints): the reader lists only the touched hive directories —
-        # this is what makes a small increment cheap against a 100 TB
-        # index. An explicit schema keeps the read well-typed even when
-        # the index is empty (no data files to infer from).
-        return df.filter(F.col("__bk").isin([int(b) for b in bk_values]))
+        return self.spark.read.schema(schema).parquet(f"{self.path}/buckets")
 
-    def _read_shingles(self, sk_values):
+    def _shingles_read(self):
         schema = f"id {self.meta['id_type']}, sh array<string>, __sk long"
-        df = self.spark.read.schema(schema).parquet(f"{self.path}/shingles")
-        return df.filter(F.col("__sk").isin([int(s) for s in sk_values]))
+        return self.spark.read.schema(schema).parquet(f"{self.path}/shingles")
 
     # -------------------------------------------------------------- #
     def match_batch(self, batch, *, threshold: float = 0.7):
@@ -130,10 +134,10 @@ class DedupIndex:
         text_col = self.meta["text_col"]
         sig = _batch_sig(batch, text_col, id_col, self.meta).persist()
         bb = _bucket_rows(sig, self.meta)
-        bks = sorted(
-            r["__bk"] for r in bb.select("__bk").distinct().collect()
+        bucket_scan, bks = prune_partitions(
+            self._buckets_read(), "__bk", bb.select("__bk")
         )
-        if not bks:
+        if bks is not None and not bks:
             # empty batch (or all-NULL text): nothing can match; avoid
             # an isin([]) scan over the index entirely
             empty = self.spark.createDataFrame(
@@ -144,7 +148,7 @@ class DedupIndex:
             return batch._new(empty)._retain(sig)
         cand = (
             bb.join(
-                self._read_buckets(bks).select("bidx", "bhash", "id"),
+                bucket_scan.select("bidx", "bhash", "id"),
                 ["bidx", "bhash"],
             )
             # deliberate pre-verify distinct — same trade as
@@ -158,18 +162,18 @@ class DedupIndex:
             # twice (the sig-persist rationale, one stage later)
             .persist()
         )
-        sks = sorted(
-            r["__sk"]
-            for r in cand.select(
+        shingle_scan, sks = prune_partitions(
+            self._shingles_read(), "__sk",
+            cand.select(
                 (md5_int31(F.col("__cid").cast("string"))
                  % F.lit(self.meta["bucket_dirs"])).alias("__sk")
-            ).distinct().collect()
+            ),
         )
         corpus_sh = (
-            self._read_shingles(sks).select(
+            shingle_scan.select(
                 F.col("id").alias("__cid"), F.col("sh").alias("shb")
             )
-            if sks
+            if sks is None or sks
             else self.spark.createDataFrame(
                 [], f"__cid {self.meta['id_type']}, shb array<string>"
             )
@@ -310,10 +314,9 @@ class ExactDedupIndex:
             (md5_int31(k) % F.lit(self.meta["bucket_dirs"])).alias("__bk"),
         )
 
-    def _read_keys(self, bk_values):
+    def _keys_read(self):
         schema = f"id {self.meta['id_type']}, key string, __bk long"
-        df = self.spark.read.schema(schema).parquet(f"{self.path}/keys")
-        return df.filter(F.col("__bk").isin([int(b) for b in bk_values]))
+        return self.spark.read.schema(schema).parquet(f"{self.path}/keys")
 
     def match_batch(self, batch, *, threshold: float = 0.7):
         """Exact matches between batch and indexed rows as
@@ -322,11 +325,10 @@ class ExactDedupIndex:
         NULL-text rows never match (SQL semantics — NULL keys join
         nothing)."""
         bk = self._batch_keys(batch).persist()
-        bks = sorted(
-            r["__bk"] for r in bk.select("__bk").distinct().collect()
-            if r["__bk"] is not None
+        key_scan, bks = prune_partitions(
+            self._keys_read(), "__bk", bk.select("__bk")
         )
-        if not bks:
+        if bks is not None and not bks:
             empty = self.spark.createDataFrame(
                 [],
                 f"batch_id {self.meta['id_type']}, "
@@ -335,7 +337,7 @@ class ExactDedupIndex:
             return batch._new(empty)._retain(bk)
         pairs = (
             bk.join(
-                self._read_keys(bks).select(
+                key_scan.select(
                     F.col("key").alias("__key"),
                     F.col("id").alias("__cid"),
                 ),

@@ -7,11 +7,13 @@ partition preservation, UDF signature, batch shape — is real and tested at
 any scale.
 
 DECODERS ARE STUBBED: this container has no image/audio libraries, so each
-codec first tries the real library (PIL / soundfile) and otherwise falls
-back to a clearly-marked DETERMINISTIC FAKE derived from the bytes' md5 —
-stable across runs and engines, useless for real pixels. Swap
-``_decode_image_real`` / ``_decode_audio_real`` in when the libs exist; the
-dataflow around them does not change.
+default codec first tries the real library (PIL / soundfile) and otherwise
+falls back to a clearly-marked DETERMINISTIC FAKE derived from the bytes'
+md5 — stable across runs and engines, useless for real pixels. Production
+swap-in is a CONFIG CALL, not a refactor: ``register_codec("image", fn)``
+installs a real decoder into the codec registry and every decode stage
+built afterwards ships it to the executors; the dataflow around the codec
+does not change (contract-tested in tests/test_multimodal.py).
 
 Scale notes: ``binaryFile`` scans split per file (small-file storms should
 be packed into parquet with a binary column first — ``pack_binary`` below);
@@ -107,6 +109,66 @@ def _decode_audio(data: bytes) -> dict:
         }
 
 
+# ------------------------------------------------------------------ #
+# Codec registry — the production swap-in seam.
+#
+# The decode stages look codecs up HERE at plan-build time, so swapping
+# a real decoder in is one registration call, not a refactor:
+#
+#     from renoir_spark import multimodal
+#     multimodal.register_codec("image", my_pil_decoder)
+#
+# A codec is a plain picklable callable shipped to the executors inside
+# the Arrow stage's closure:
+#   image(data: bytes) -> {width:int, height:int, channels:int,
+#                          format:str, features:list[float]}
+#   audio(data: bytes) -> {sample_rate:int, n_samples:int,
+#                          duration_s:float, features:list[float]}
+#   frame(data: bytes, idx: int) -> list[float]   (per sampled frame)
+# The defaults are the library-or-deterministic-fake functions above —
+# honest stand-ins in a container without media libraries.
+# ------------------------------------------------------------------ #
+
+def _default_frame(data: bytes, idx: int) -> list:
+    return _md5_floats(data, _N_FEATURES, b"frm%d" % int(idx))
+
+
+_CODEC_KEYS = {
+    "image": ("width", "height", "channels", "format", "features"),
+    "audio": ("sample_rate", "n_samples", "duration_s", "features"),
+    "frame": None,
+}
+_DEFAULT_CODECS = {
+    "image": _decode_image,
+    "audio": _decode_audio,
+    "frame": _default_frame,
+}
+_codecs = dict(_DEFAULT_CODECS)
+
+
+def register_codec(kind: str, fn) -> None:
+    """Install a real decoder for ``kind`` ("image" | "audio" |
+    "frame"). Applies to decode stages built AFTER the call (the codec
+    is captured into the Arrow stage's closure at plan-build time)."""
+    if kind not in _DEFAULT_CODECS:
+        raise ValueError(
+            f"register_codec: unknown kind {kind!r} "
+            f"(expected one of {sorted(_DEFAULT_CODECS)})"
+        )
+    if not callable(fn):
+        raise TypeError("register_codec: codec must be callable")
+    _codecs[kind] = fn
+
+
+def get_codec(kind: str):
+    return _codecs[kind]
+
+
+def reset_codecs() -> None:
+    """Restore the default (library-or-fake) codecs."""
+    _codecs.update(_DEFAULT_CODECS)
+
+
 def decode_image(stream, content_col: str = "content", out_col: str = "image"):
     """binary → ``struct<width, height, channels, format, features>`` via
     Arrow-batched mapInPandas. No shuffle; partitioning preserved."""
@@ -118,9 +180,11 @@ def decode_image(stream, content_col: str = "content", out_col: str = "image"):
         f"`{f.name}` {f.dataType.simpleString()}" for f in stream.df.schema.fields
     ) + ", " + fields
 
+    codec = get_codec("image")  # captured at plan-build time
+
     def _batches(batches: Iterator) -> Iterator:
         for pdf in batches:
-            decoded = [_decode_image(bytes(b)) for b in pdf[content_col]]
+            decoded = [codec(bytes(b)) for b in pdf[content_col]]
             for k in ("width", "height", "channels", "format", "features"):
                 pdf[f"{out_col}_{k}"] = [d[k] for d in decoded]
             yield pdf
@@ -138,9 +202,11 @@ def decode_audio(stream, content_col: str = "content", out_col: str = "audio"):
         f"`{f.name}` {f.dataType.simpleString()}" for f in stream.df.schema.fields
     ) + ", " + fields
 
+    codec = get_codec("audio")  # captured at plan-build time
+
     def _batches(batches: Iterator) -> Iterator:
         for pdf in batches:
-            decoded = [_decode_audio(bytes(b)) for b in pdf[content_col]]
+            decoded = [codec(bytes(b)) for b in pdf[content_col]]
             for k in ("sample_rate", "n_samples", "duration_s", "features"):
                 pdf[f"{out_col}_{k}"] = [d[k] for d in decoded]
             yield pdf
@@ -170,15 +236,18 @@ def decode_media(stream, content_col: str = "content", *, image: bool = True,
         f"`{f.name}` {f.dataType.simpleString()}" for f in stream.df.schema.fields
     ) + ", " + ", ".join(fields)
 
+    img_codec = get_codec("image") if image else None
+    aud_codec = get_codec("audio") if audio else None
+
     def _batches(batches: Iterator) -> Iterator:
         for pdf in batches:
             blobs = [bytes(b) for b in pdf[content_col]]
             if image:
-                dec = [_decode_image(b) for b in blobs]
+                dec = [img_codec(b) for b in blobs]
                 for k in ("width", "height", "channels", "format", "features"):
                     pdf[f"image_{k}"] = [d[k] for d in dec]
             if audio:
-                dec = [_decode_audio(b) for b in blobs]
+                dec = [aud_codec(b) for b in blobs]
                 for k in ("sample_rate", "n_samples", "duration_s", "features"):
                     pdf[f"audio_{k}"] = [d[k] for d in dec]
             yield pdf
@@ -213,6 +282,8 @@ def sample_frames(stream, content_col: str = "content", *, num_frames: int = 4,
         f"`{f.name}` {f.dataType.simpleString()}" for f in stream.df.schema.fields
     ) + f", {out_col}_idx int, {out_col}_features array<float>"
 
+    codec = get_codec("frame")  # captured at plan-build time
+
     def _batches(batches: Iterator) -> Iterator:
         import numpy as np
 
@@ -225,7 +296,7 @@ def sample_frames(stream, content_col: str = "content", *, num_frames: int = 4,
             idxs = np.tile(np.arange(num_frames), len(pdf))
             rep[f"{out_col}_idx"] = idxs.astype("int32")
             rep[f"{out_col}_features"] = [
-                _md5_floats(bytes(b), _N_FEATURES, b"frm%d" % int(i))
+                codec(bytes(b), int(i))
                 for b, i in zip(rep[content_col], idxs)
             ]
             yield rep

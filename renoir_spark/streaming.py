@@ -98,12 +98,18 @@ def run_to_completion(
     output_mode: str = "complete",
     max_files_per_trigger: Optional[int] = None,
     timeout_s: int = 120,
+    telemetry: Optional[list] = None,
 ) -> list:
     """Test/verification harness: drain a streaming DataFrame with an
     ``availableNow`` trigger into a memory sink and return the collected
     rows. ``max_files_per_trigger`` (set on the source) splits the drain
     into multiple micro-batches so watermark advancement between batches
-    is exercised (renoir's WatermarkFrontier analog)."""
+    is exercised (renoir's WatermarkFrontier analog).
+
+    ``telemetry`` (optional caller-owned list): receives one state-store
+    summary dict per drained query (see :func:`state_telemetry`) — how
+    the bench proves the watermark actually BOUNDS stateful-operator
+    state instead of asserting it."""
     name = "mem_" + uuid.uuid4().hex[:12]
     q = (
         df.writeStream.format("memory")
@@ -115,9 +121,52 @@ def run_to_completion(
     try:
         q.awaitTermination(timeout_s)
     finally:
+        if telemetry is not None:
+            try:
+                telemetry.append(state_telemetry(q))
+            except Exception:  # pragma: no cover - defensive: never
+                pass           # let metrics kill the drain itself
         if q.isActive:  # pragma: no cover - timeout path
             q.stop()
     return df.sparkSession.table(name).collect()
+
+
+def state_telemetry(q) -> dict:
+    """State-store metrics aggregated over a query's recentProgress:
+    peak and final row/byte counts per run, plus rows REMOVED (the
+    watermark-eviction evidence) and the micro-batch count. Works on
+    stateless queries too (all zeros)."""
+    import json as _json
+
+    progresses = []
+    for p in q.recentProgress:
+        if isinstance(p, dict):
+            progresses.append(p)
+        else:  # pragma: no cover - older PySpark returns objects
+            progresses.append(_json.loads(p.json))
+    out = {
+        "batches": len(progresses),
+        "state_rows_peak": 0,
+        "state_rows_final": 0,
+        "state_bytes_peak": 0,
+        "state_rows_removed": 0,
+        "state_rows_updated": 0,
+    }
+    for p in progresses:
+        rows = sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+        byts = sum(
+            op.get("memoryUsedBytes", 0) for op in p.get("stateOperators", [])
+        )
+        out["state_rows_peak"] = max(out["state_rows_peak"], rows)
+        out["state_bytes_peak"] = max(out["state_bytes_peak"], byts)
+        out["state_rows_final"] = rows
+        out["state_rows_removed"] += sum(
+            op.get("numRowsRemoved", 0) for op in p.get("stateOperators", [])
+        )
+        out["state_rows_updated"] += sum(
+            op.get("numRowsUpdated", 0) for op in p.get("stateOperators", [])
+        )
+    return out
 
 
 def foreach_batch(df: DataFrame, fn, *, timeout_s: int = 120):

@@ -114,3 +114,53 @@ def grouped_apply_sorted(df, keys, order_cols, fn, schema):
                 yield out
 
     return part.mapInPandas(_proc, schema)
+
+
+# -------------------------------------------------------------------- #
+# Partition-pruned probe reads (persisted dedup / ANN indexes)
+# -------------------------------------------------------------------- #
+
+# Probe batches collect their touched hive-partition keys to the driver
+# and inline them as a literal IN partition filter — the cheapest prune,
+# but a literal list only stays sane while the key set is small. Past
+# this threshold the probe switches to a broadcast semi-join on the
+# partition column and lets DYNAMIC partition pruning do the listing
+# prune at runtime instead. 64 matches the default bucket_dirs of the
+# dedup indexes: a probe touching every bucket of a default index still
+# takes the literal path (bit-identical plans to rounds 1-4), while a
+# wide ANN probe (n_cells in the thousands at corpus scale) never
+# inlines thousands of literals.
+PROBE_LITERAL_MAX = 64
+
+
+def prune_partitions(read_df, part_col: str, keys_df, *,
+                     literal_max: int = PROBE_LITERAL_MAX):
+    """Restrict a hive-partitioned scan to the partitions named by
+    ``keys_df`` (a one-column relation named ``part_col``).
+
+    Bounded driver collect of at most ``literal_max + 1`` distinct keys:
+
+    - fits → literal ``IN`` partition filter (static prune; the file
+      listing itself only touches those directories). Returns the sorted
+      key list so callers can early-exit on an empty probe.
+    - overflows → broadcast LEFT SEMI join on the partition column.
+      The build side carries an always-true ``>= LONG_MIN`` comparison
+      purely to satisfy Catalyst's DPP selectivity heuristic
+      (``isLikelySelective`` wants a binary comparison; a bare derived
+      relation is not considered a pruning source), so the scan gets a
+      ``dynamicpruningexpression`` partition filter and still lists only
+      the probed directories — no unbounded literal ever reaches the
+      plan. Returns ``None`` for the key list.
+
+    NULL keys never name a partition on either path (SQL join/IN
+    semantics)."""
+    head = [
+        r[0] for r in keys_df.distinct().limit(literal_max + 1).collect()
+    ]
+    vals = sorted(int(k) for k in head if k is not None)
+    if len(head) <= literal_max:
+        return read_df.filter(F.col(part_col).isin(vals)), vals
+    build = keys_df.distinct().filter(
+        F.col(part_col) >= F.lit(-(1 << 63))
+    )
+    return read_df.join(F.broadcast(build), part_col, "left_semi"), None

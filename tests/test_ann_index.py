@@ -164,3 +164,28 @@ def test_append_into_empty_index_rejected(ctx, spark, tmp_path):
     idx = ctx.ann_index(path)
     with pytest.raises(ValueError):
         idx.append(emb.filter("vec_id < 4"))
+
+
+def test_wide_probe_semijoin_dpp_equivalent(ctx, spark, tmp_path):
+    """A probe touching more than PROBE_LITERAL_MAX cells must switch
+    from the literal IN partition filter to a broadcast semi-join whose
+    DYNAMIC partition pruning prunes the codes scan — and return exactly
+    what the direct in-memory operator returns with the same params."""
+    import re
+
+    emb = ctx.stream_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "wideidx")
+    emb.ann_index_build(path, n_cells=100)
+    idx = ctx.ann_index(path)
+    queries = emb.filter("vec_id < 40")  # 40 x nprobe=8 >> 64 cells
+    res = idx.query(queries, k=3, nprobe=8, rerank=12)
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and any("dynamicpruning" in p for p in pf), plan[:4000]
+    assert not re.search(r"__cell#\d+L? IN \(", " ".join(pf)), pf
+
+    got = sorted(map(tuple, res.df.collect()))
+    want = sorted(map(tuple, emb.ann_cosine(
+        queries, method="ivf_sq8", k=3, n_cells=100, nprobe=8, rerank=12
+    ).df.collect()))
+    assert got == want and len(got) > 0

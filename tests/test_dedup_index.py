@@ -254,3 +254,62 @@ def test_stats(ctx, spark, tmp_path, mode):
     assert s2["docs"] == 4 and s2["files"] > s["files"]
     idx.compact()
     assert ctx.dedup_index(path).stats()["docs"] == 4
+
+
+def test_wide_probe_semijoin_dpp_layout_invariant(ctx, spark, tmp_path):
+    """bucket_dirs dials only the pruning layout, never the result: a
+    128-directory index probed by a big batch (> PROBE_LITERAL_MAX
+    touched buckets → broadcast semi-join + dynamic partition pruning)
+    must dedup identically to a 16-directory index (literal path) over
+    the same corpus."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    docs = ctx.stream_parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+
+    wide = corpus.dedup_index_build(
+        str(tmp_path / "wide"), bucket_dirs=128
+    )
+    narrow = corpus.dedup_index_build(
+        str(tmp_path / "narrow"), bucket_dirs=16
+    )
+    out_w = wide.dedup_batch(batch, threshold=0.7)
+    plan = out_w.df._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and any("dynamicpruning" in p for p in pf), plan[:4000]
+
+    got_w = sorted(r.doc_id for r in out_w.df.select("doc_id").collect())
+    got_n = sorted(
+        r.doc_id
+        for r in narrow.dedup_batch(batch, threshold=0.7)
+        .df.select("doc_id").collect()
+    )
+    assert got_w == got_n and 0 < len(got_w) <= batch.df.count()
+
+
+def test_exact_wide_probe_semijoin_matches_literal(ctx, spark, tmp_path):
+    """Exact-mode index: same layout invariance + DPP assertion for the
+    sha2-key relation."""
+    import re
+
+    docs = ctx.stream_parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs  # every even doc matches itself exactly
+
+    wide = corpus.dedup_index_build(
+        str(tmp_path / "wide"), bucket_dirs=256, mode="exact"
+    )
+    narrow = corpus.dedup_index_build(
+        str(tmp_path / "narrow"), bucket_dirs=8, mode="exact"
+    )
+    pairs_w = wide.match_batch(batch)
+    plan = pairs_w.df._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and any("dynamicpruning" in p for p in pf), plan[:4000]
+
+    got_w = sorted(map(tuple, pairs_w.df.collect()))
+    got_n = sorted(map(tuple, narrow.match_batch(batch).df.collect()))
+    assert got_w == got_n and len(got_w) >= corpus.df.count()

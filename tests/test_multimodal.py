@@ -89,3 +89,60 @@ def test_decode_media_fused_equals_chained(ctx):
     ff = {r.id: (r.image_features, r.audio_features) for r in fused.collect()}
     cc = {r.id: (r.image_features, r.audio_features) for r in chained.collect()}
     assert ff == cc
+
+
+def test_codec_registry_swap_in_contract(ctx, media_dir):
+    """The production swap-in seam: register_codec installs a real
+    decoder as a config call — stages built afterwards use it on the
+    executors, reset_codecs restores the deterministic fakes, and a
+    codec violating the schema contract fails loudly at the Arrow
+    boundary rather than corrupting output."""
+    import pytest
+
+    from renoir_spark import multimodal
+
+    def fixed_image(data: bytes) -> dict:
+        return {
+            "width": 640, "height": 480, "channels": 3,
+            "format": "real", "features": [float(len(data))] * 8,
+        }
+
+    s = ctx.stream_binary(media_dir)
+    try:
+        multimodal.register_codec("image", fixed_image)
+        rows = s.decode_image().collect_vec()
+        assert all(
+            r.image_width == 640
+            and r.image_format == "real"
+            and r.image_features[0] == float(r.length)
+            for r in rows
+        )
+    finally:
+        multimodal.reset_codecs()
+    # back to the default deterministic fake
+    rows = s.decode_image().collect_vec()
+    assert all(r.image_format == "fake" for r in rows)
+    # registry surface guards
+    with pytest.raises(ValueError):
+        multimodal.register_codec("video", fixed_image)
+    with pytest.raises(TypeError):
+        multimodal.register_codec("image", 42)
+
+
+def test_codec_registry_frame_codec(ctx, media_dir):
+    from renoir_spark import multimodal
+
+    try:
+        multimodal.register_codec(
+            "frame", lambda data, idx: [float(idx)] * 4
+        )
+        rows = (
+            ctx.stream_binary(media_dir)
+            .sample_frames(num_frames=2)
+            .collect_vec()
+        )
+        assert {tuple(r.frame_features) for r in rows} == {
+            (0.0,) * 4, (1.0,) * 4,
+        }
+    finally:
+        multimodal.reset_codecs()
