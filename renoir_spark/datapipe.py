@@ -1531,6 +1531,247 @@ SELECT ida, idb, jaccard FROM (
 """
 
 
+def containment_pairs_exact(
+    stream,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+):
+    """All DIRECTED pairs where doc A's shingles are (mostly) contained
+    in doc B: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold — EXACT,
+    lossless prefix filter. The asymmetric sibling of
+    :func:`similar_pairs_exact`: Jaccard punishes size mismatch, so a
+    paragraph quoted whole inside a 100× longer aggregator page scores
+    near-zero Jaccard but containment ≈ 1 — exactly the sub-document
+    duplication a training-data pipeline wants to catch (quote farms,
+    scraped aggregators, boilerplate-wrapped reposts).
+
+    Candidates: every doc's distinct hashed shingles take the SAME
+    rare-first (df asc, hash asc) total order as the Jaccard variant;
+    the probe side A indexes only its first ``n − ⌈t·n⌉ + 1`` shingles.
+    Lossless: a true pair shares ≥ ⌈t·|A|⌉ shingles, and A has at most
+    ``|A| − ⌈t·|A|⌉`` shingles outside B, so at least one PREFIX shingle
+    of A is in B. The container side B must index ALL its shingles (no
+    lower bound on |A| means no prefix bound on B — the fundamental
+    asymmetry of containment joins); rare-first ordering still bounds
+    the work because the join only touches B-postings for A-PREFIX
+    (i.e. rare) shingles. PPJoin's positional filter applies on the A
+    side: at A-position pos, the overlap still reachable is
+    ``1 + (|A| − pos)``, which must cover ``⌈t·|A|⌉``. Verify is an
+    exact intersection of the full sets.
+
+    Scale: shuffle keys are 8-byte hashes / doc ids; full shingle
+    arrays ride only the two verify joins. Worst case (one shingle in
+    every doc) degenerates to the true O(N²) answer — exactness has no
+    silent cap; for corpora with genuinely hot shingles compose with a
+    Jaccard pre-dedup or raise ``shingle_n``.
+
+    Output: (inner_id, outer_id, containment), inner ≠ outer, both
+    directions reported when both exceed the threshold.
+    """
+    t = float(threshold)
+    staged = (
+        stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__norm", norm_text("__text"))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+        .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), shingle_n))
+        .select(
+            "__id",
+            F.explode(F.transform("__sh", lambda s: md5_int60(s))).alias("__h"),
+        )
+        .distinct()
+    )
+    dfreq = staged.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    docs = (
+        staged.join(dfreq, "__h")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__h"))),
+                lambda s: s["__h"],
+            ).alias("__arr")
+        )
+        .withColumn("__n", F.size("__arr"))
+        .withColumn(
+            "__p",
+            F.col("__n")
+            - F.ceil(F.lit(t) * F.col("__n") - F.lit(1e-9)).cast("int")
+            + 1,
+        )
+        .persist()  # consumed by probe explode, index explode, verify joins
+    )
+    # probe side: A's prefix with positions (PPJoin positional filter)
+    apre = docs.select(
+        F.col("__id").alias("__ia"), F.col("__n").alias("__na"),
+        F.posexplode(F.slice("__arr", F.lit(1), F.col("__p")))
+        .alias("__pos0", "__h"),
+    )
+    # index side: ALL of B's shingles (see docstring for why no prefix)
+    bpost = docs.select(
+        F.col("__id").alias("__ib"),
+        F.explode("__arr").alias("__h"),
+    )
+    need = F.ceil(F.lit(t) * F.col("__na") - F.lit(1e-9))
+    cand = (
+        apre.join(bpost, "__h")
+        .filter(F.col("__ia") != F.col("__ib"))
+        # positional filter: overlap reachable from this occurrence on
+        # (1 + what remains after pos in A) must cover the requirement
+        .filter(
+            F.lit(1) + (F.col("__na") - (F.col("__pos0") + 1)) >= need
+        )
+        .select("__ia", "__ib")
+        .distinct()
+    )
+    out = (
+        cand.join(
+            docs.select(
+                F.col("__id").alias("__ia"),
+                F.col("__arr").alias("__aa"),
+                F.col("__n").alias("__na"),
+            ),
+            "__ia",
+        )
+        .join(
+            docs.select(
+                F.col("__id").alias("__ib"), F.col("__arr").alias("__ab")
+            ),
+            "__ib",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("__aa", "__ab")) / F.col("__na"), 6
+            ),
+        )
+        .filter(F.col("containment") >= t)
+        .select(
+            F.col("__ia").alias("inner_id"),
+            F.col("__ib").alias("outer_id"),
+            "containment",
+        )
+    )
+    return stream._new(out)._retain(docs)
+
+
+def sql_containment_pairs_exact(
+    table_expr: str,
+    text: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    """Brute-force DuckDB oracle for :func:`containment_pairs_exact` —
+    the lossless prefix filter's truth set is the naive directed
+    all-pairs answer (same hashed-distinct shingle sets)."""
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id,
+         list_distinct([{sql_md5_int60('s')}
+                        for s in {sql_word_shingles(text, shingle_n)}]) AS hs
+  FROM {table_expr}
+)
+SELECT inner_id, outer_id, containment FROM (
+  SELECT a.id AS inner_id, b.id AS outer_id,
+         round(len(list_intersect(a.hs, b.hs))::DOUBLE / len(a.hs), 6)
+           AS containment
+  FROM sh a JOIN sh b ON a.id != b.id
+) WHERE containment >= {threshold}
+"""
+
+
+def diversity_sample(
+    stream,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    per_cell: int = 10,
+):
+    """Cluster-balanced diversity sampling: assign every vector to its
+    IVF cell (the SAME seeded Voronoi assignment as ``ann_cosine
+    (method="ivf")`` — smallest-id unit centroids, rounded argmax-dot,
+    lowest-cell ties) and keep a deterministic quota of ``per_cell``
+    rows per cell. The embedding-space analog of stratified sampling:
+    a uniform sample of a skewed corpus reproduces the skew, while a
+    per-cell quota caps every mode of the distribution — the
+    "diversify before you spend the training budget" selection step
+    (SemDeDup-style cluster pruning, public knowledge), composable
+    with the quality/budget selectors in prep.py.
+
+    Within a cell the quota keeps the ``per_cell`` smallest salted-hash
+    ids (md5 of the id string, id tie-break) — a deterministic uniform
+    draw, not head-of-table bias. Scale: one Arrow assignment pass (no
+    shuffle, the centroid matrix is a closure broadcast), one window
+    shuffle on ``__cell`` (n_cells partitions); the quota makes the
+    output ≤ n_cells × per_cell rows regardless of corpus size.
+    Output: (id, cell) — join back to the corpus for payload columns.
+    """
+    df = stream.df
+    dtypes = dict(df.dtypes)
+    units = _ivf_seed_units(df, vec_col, id_col, n_cells)
+    if not units:
+        return stream._new(
+            df.sparkSession.createDataFrame(
+                [], f"{id_col} {dtypes[id_col]}, cell long"
+            )
+        )
+    assigned = _ivf_assign(
+        df.select(F.col(id_col), F.col(vec_col).alias("cvec")),
+        units, id_schema=f"{id_col} {dtypes[id_col]}",
+    )
+    w = Window.partitionBy("__cell").orderBy(
+        md5_int31(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    out = (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(int(per_cell)))
+        .select(F.col(id_col), F.col("__cell").alias("cell"))
+    )
+    return stream._new(out)
+
+
+def sql_diversity_sample(
+    table_expr: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    per_cell: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`diversity_sample`: the shared ``cells`` /
+    assignment CTEs (q50's) + a per-cell salted-hash quota window."""
+    nrm = SQL_UNIT_DIV.format(nrm=SQL_NORM.format(a=vec_col))
+    dot_cu = SQL_DOT.format(a="t.v", b="cells.u")
+    return f"""
+WITH cells AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell,
+         list_transform({vec_col}, x -> x::DOUBLE / {nrm}) AS u
+  FROM (SELECT * FROM {table_expr} ORDER BY {id_col} LIMIT {n_cells})
+), c AS (
+  SELECT id, cell FROM (
+    SELECT t.id, cells.cell,
+           row_number() OVER (
+             PARTITION BY t.id
+             ORDER BY -round({dot_cu}, 9), cells.cell
+           ) AS rn
+    FROM (SELECT {id_col} AS id, {vec_col} AS v FROM {table_expr}) t, cells
+  ) WHERE rn = 1
+)
+SELECT id AS {id_col}, cell FROM (
+  SELECT id, cell,
+         row_number() OVER (
+           PARTITION BY cell
+           ORDER BY {sql_md5_int31('id::VARCHAR')}, id
+         ) AS rn2
+  FROM c
+) WHERE rn2 <= {per_cell}
+"""
+
+
 # --------------------------------------------------------------------- #
 # embedding-cosine near-duplicate dedup
 # --------------------------------------------------------------------- #

@@ -1252,6 +1252,22 @@ class Stream:
 
         return _spe(self, text_col, id_col, **kw)
 
+    def containment_pairs_exact(self, text_col: str, id_col: str,
+                                **kw) -> "Stream":
+        """EXACT directed containment join (|A∩B|/|A| ≥ t): the
+        sub-document duplication detector Jaccard misses when sizes are
+        asymmetric. See datapipe.containment_pairs_exact."""
+        from .datapipe import containment_pairs_exact as _cpe
+
+        return _cpe(self, text_col, id_col, **kw)
+
+    def diversity_sample(self, **kw) -> "Stream":
+        """Cluster-balanced sampling: per-IVF-cell deterministic quota
+        over an embedding column. See datapipe.diversity_sample."""
+        from .datapipe import diversity_sample as _dvs
+
+        return _dvs(self, **kw)
+
     def dedup_embedding(self, **kw) -> "Stream":
         """Embedding-cosine near-dup dedup via sign-LSH buckets.
         See datapipe.dedup_embedding."""

@@ -3985,6 +3985,70 @@ def _oracle_qa25() -> str:
 ORACLE_QA25 = _oracle_qa25()
 
 
+def qa26_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directed containment join (|A∩B|/|A| ≥ 0.8): 25-word
+    excerpts of every 3rd kept document planted next to the originals —
+    near-zero Jaccard (the excerpt is a sliver of the original) but
+    containment ≈ 1, the sub-document duplication Jaccard-based dedup
+    structurally misses. Lossless prefix filter; the oracle is plain
+    brute force over all directed pairs."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").filter("doc_id % 5 = 0").map(
+        "doc_id", "text"
+    )
+    excerpts = _t(ctx, sf_dir, "documents").filter("doc_id % 15 = 0").map(
+        doc_id=F.col("doc_id") + 200000,
+        text=F.array_join(F.slice(F.split("text", " "), 1, 25), " "),
+    )
+    return (
+        docs.merge(excerpts)
+        .shuffle()
+        .containment_pairs_exact("text", "doc_id", shingle_n=3, threshold=0.8)
+        .df
+    )
+
+
+_QA26_INPUT = """(
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 25), ' ')
+           AS text
+  FROM documents WHERE doc_id % 15 = 0
+)"""
+
+
+def _oracle_qa26() -> str:
+    from .datapipe import sql_containment_pairs_exact
+
+    return sql_containment_pairs_exact(
+        _QA26_INPUT, "text", "doc_id", shingle_n=3, threshold=0.8
+    )
+
+
+ORACLE_QA26 = _oracle_qa26()
+
+
+def qa27_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: every embedding assigned to
+    its IVF cell (q50's seeded Voronoi assignment), then a deterministic
+    salted-hash quota of 8 rows per cell — stratified sampling in
+    embedding space, capping each mode of a skewed corpus instead of
+    reproducing the skew."""
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings")
+    return emb.diversity_sample(n_cells=16, per_cell=8).df
+
+
+def _oracle_qa27() -> str:
+    from .datapipe import sql_diversity_sample
+
+    return sql_diversity_sample("embeddings", n_cells=16, per_cell=8)
+
+
+ORACLE_QA27 = _oracle_qa27()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4110,6 +4174,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa23_sentence_dedup": qa23_sentence_dedup,
     "qa24_temperature_mix": qa24_temperature_mix,
     "qa25_long_doc_windows": qa25_long_doc_windows,
+    "qa26_containment_pairs": qa26_containment_pairs,
+    "qa27_diversity_sample": qa27_diversity_sample,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4239,4 +4305,6 @@ ORACLE: Dict[str, str] = {
     "qa23_sentence_dedup": ORACLE_QA23,
     "qa24_temperature_mix": ORACLE_QA24,
     "qa25_long_doc_windows": ORACLE_QA25,
+    "qa26_containment_pairs": ORACLE_QA26,
+    "qa27_diversity_sample": ORACLE_QA27,
 }
