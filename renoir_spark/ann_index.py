@@ -117,13 +117,9 @@ class AnnIndex:
         # Explicit schema: no directory-listing inference (an index
         # built over an empty corpus has no data files), and the
         # partition column reads back long, not the discovered int.
-        codes_schema = (
-            f"{id_col} {self.meta['id_type']}, "
-            f"{vec_col} {self.meta['vec_type']}, "
-            "__codes array<int>, __cell long"
-        )
         codes, _ = prune_partitions(
-            self.spark.read.schema(codes_schema).parquet(f"{self.path}/codes"),
+            self.spark.read.schema(self._codes_schema())
+            .parquet(f"{self.path}/codes"),
             "__cell",
             q.select("__cell"),
         )
@@ -179,6 +175,45 @@ class AnnIndex:
             id_col=self.meta["id_col"], vec_col=self.meta["vec_col"],
             id_type=self.meta["id_type"], n_cells=self.meta["n_cells"],
             mode="append",
+        )
+
+    # -------------------------------------------------------------- #
+    def stats(self) -> dict:
+        """Diagnostic scan: indexed vector count and data-file count
+        (the compaction signal) — same maintenance surface as
+        DedupIndex.stats. A full scan of the codes relation, an
+        explicit maintenance call, never a query-path cost."""
+        from .dedup_index import _count_files
+
+        n = self.spark.read.schema(self._codes_schema()).parquet(
+            f"{self.path}/codes"
+        ).count()
+        return {
+            "mode": "ivf_sq8",
+            "vectors": n,
+            "cells": self.meta["n_cells"],
+            "files": _count_files(self.spark, self.path, ("codes",)),
+        }
+
+    def compact(self) -> None:
+        """Rewrite the codes root clustered (≈ one file per cell
+        directory): every append adds a file per touched cell, and a
+        nightly ingest loop accumulates files that tax each probe's
+        listing/open path — periodic compaction restores the
+        fresh-build layout without re-encoding anything (codes are
+        rewritten as stored; centroids/grid untouched)."""
+        from .dedup_index import _rewrite_clustered
+
+        _rewrite_clustered(
+            self.spark, f"{self.path}/codes", self._codes_schema(),
+            "__cell", max(self.meta["n_cells"], 1),
+        )
+
+    def _codes_schema(self) -> str:
+        return (
+            f"{self.meta['id_col']} {self.meta['id_type']}, "
+            f"{self.meta['vec_col']} {self.meta['vec_type']}, "
+            "__codes array<int>, __cell long"
         )
 
 

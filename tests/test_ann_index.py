@@ -189,3 +189,27 @@ def test_wide_probe_semijoin_dpp_equivalent(ctx, spark, tmp_path):
         queries, method="ivf_sq8", k=3, n_cells=100, nprobe=8, rerank=12
     ).df.collect()))
     assert got == want and len(got) > 0
+
+
+def test_stats_and_compact_roundtrip(ctx, spark, tmp_path):
+    """Appends accumulate a file per touched cell; compact restores the
+    ~one-file-per-directory layout without changing a single query
+    result (codes rewritten as stored, centroids/grid untouched)."""
+    emb = ctx.stream_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "cidx")
+    emb.filter("vec_id % 3 != 0").ann_index_build(path, n_cells=8)
+    idx = ctx.ann_index(path)
+    idx.append(emb.filter("vec_id % 3 = 0 AND vec_id % 2 = 0"))
+    idx.append(emb.filter("vec_id % 3 = 0 AND vec_id % 2 = 1"))
+    st = idx.stats()
+    assert st["vectors"] == 500 and st["cells"] == 8
+    files_before = st["files"]
+    queries = emb.filter("vec_id < 6")
+    before = sorted(map(tuple, idx.query(queries, k=3, nprobe=3).df.collect()))
+
+    idx.compact()
+    st2 = idx.stats()
+    assert st2["vectors"] == 500
+    assert st2["files"] < files_before
+    after = sorted(map(tuple, idx.query(queries, k=3, nprobe=3).df.collect()))
+    assert after == before and len(after) > 0
