@@ -170,12 +170,50 @@ class AnnIndex:
         stats = self.spark.read.schema(
             "__mins array<double>, __scales array<double>"
         ).parquet(f"{self.path}/grid")
+        # storage dtype is fixed at build time: appending a wider vector
+        # type (array<double> into a float index) would write parquet
+        # files later reads reject (PARQUET_COLUMN_DATA_TYPE_MISMATCH) —
+        # coerce to the index's vec_type up front
+        vec = F.col(self.meta["vec_col"]).cast(self.meta["vec_type"])
         _write_codes(
-            stream.df, self.path, self.units, stats,
+            stream.df.withColumn(self.meta["vec_col"], vec),
+            self.path, self.units, stats,
             id_col=self.meta["id_col"], vec_col=self.meta["vec_col"],
             id_type=self.meta["id_type"], n_cells=self.meta["n_cells"],
             mode="append",
         )
+
+    # -------------------------------------------------------------- #
+    def match_batch(self, batch, *, threshold: float = 0.9,
+                    nprobe: int = 4, rerank: int = 12):
+        """Semantic near-duplicate PAIRS between ``batch`` vectors and
+        the indexed corpus: (batch_id, corpus_id, cos) where the
+        batch vector's RANK-1 indexed neighbor has cosine ≥ threshold —
+        the embedding analog of :meth:`DedupIndex.match_batch`. Cheaper
+        than an all-hits scan by construction: only the top neighbor
+        can decide a dedup verdict, and rank 1 carries the maximum
+        cosine."""
+        id_col = self.meta["id_col"]
+        top = self.query(batch, k=1, nprobe=nprobe, rerank=rerank).df
+        pairs = top.filter(F.col("cos") >= F.lit(float(threshold))).select(
+            F.col("qid").alias("batch_id"),
+            F.col(id_col).alias("corpus_id"),
+            "cos",
+        )
+        return batch._new(pairs)
+
+    def dedup_batch(self, batch, *, threshold: float = 0.9,
+                    nprobe: int = 4, rerank: int = 12):
+        """Batch rows with NO indexed semantic near-duplicate (rank-1
+        cosine < threshold) — incremental SemDeDup: dedup the
+        increment against the accumulated corpus without re-encoding
+        it, then :meth:`append` the survivors. Same loop as
+        :meth:`DedupIndex.dedup_batch`, in embedding space."""
+        id_col = self.meta["id_col"]
+        dup = self.match_batch(
+            batch, threshold=threshold, nprobe=nprobe, rerank=rerank
+        ).df.select(F.col("batch_id").alias(id_col)).distinct()
+        return batch._new(batch.df.join(dup, id_col, "left_anti"))
 
     # -------------------------------------------------------------- #
     def stats(self) -> dict:

@@ -3223,6 +3223,7 @@ def sql_ann_cosine_ivf_sq8(
     dim: int = 64,
     seed_expr: Optional[str] = None,
     stats_expr: Optional[str] = None,
+    corpus_expr: Optional[str] = None,
 ) -> str:
     """DuckDB mirror of :func:`ann_cosine_ivf_sq8`: q50's cell
     assignment/probe CTEs composed with q99's quantization CTEs.
@@ -3231,7 +3232,11 @@ def sql_ann_cosine_ivf_sq8(
     where the cell centroids and the SQ8 grid come from — the
     appended-index case (``AnnIndex.append``): seeds and grid are
     frozen at BUILD time over the build corpus, while the scanned
-    corpus is build ∪ appended."""
+    corpus is build ∪ appended. ``corpus_expr`` (default:
+    ``table_expr``) decouples the SEARCHED corpus from the query
+    source — the persisted-index probe case (``AnnIndex.match_batch``/
+    ``dedup_batch``): queries come from a batch relation that is NOT
+    in the index, so the oracle's candidate set must exclude it too."""
     nrm = SQL_UNIT_DIV.format(nrm=SQL_NORM.format(a=vec_col))
     seed_src = seed_expr or table_expr
     dot_cu = SQL_DOT.format(a="t.v", b="cells.u")
@@ -3256,7 +3261,8 @@ WITH cells AS (
              PARTITION BY t.id
              ORDER BY -round({dot_cu}, 9), cells.cell
            ) AS rn
-    FROM (SELECT {id_col} AS id, {vec_col} AS v FROM {table_expr}) t, cells
+    FROM (SELECT {id_col} AS id, {vec_col} AS v
+          FROM {corpus_expr or table_expr}) t, cells
   ) WHERE rn = 1
 ), sc AS (
   SELECT {vec_col} AS cvec FROM {stats_expr or table_expr}

@@ -4049,6 +4049,74 @@ def _oracle_qa27() -> str:
 ORACLE_QA27 = _oracle_qa27()
 
 
+def qa28_ann_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup against the persisted ANN index
+    (SemDeDup as an ingest step): index the full embeddings corpus,
+    then dedup a batch of positively-scaled copies of every 4th vector
+    (cosine exactly 1 with their originals → dropped) merged with
+    REVERSED vectors of every 8th (novel directions, max corpus cosine
+    ≈ 0.5 → kept). The oracle composes the pinned-seed IVF+SQ8 ANN
+    statement (corpus_expr pins the searched corpus to the index
+    contents, excluding the batch) with a NOT EXISTS over its rank-1
+    hits."""
+    from .ann_index import ann_index_load
+
+    ctx = _ctx(spark)
+    corpus = _t(ctx, sf_dir, "embeddings").map("vec_id", "embedding")
+    scaled = _t(ctx, sf_dir, "embeddings").filter("vec_id % 4 = 0").map(
+        vec_id=F.col("vec_id") + 500000,
+        embedding=F.transform("embedding", lambda x: x * F.lit(1.5)),
+    )
+    novel = _t(ctx, sf_dir, "embeddings").filter("vec_id % 8 = 1").map(
+        vec_id=F.col("vec_id") + 600000,
+        embedding=F.transform(
+            F.reverse(F.col("embedding")), lambda x: x.cast("double")
+        ),
+    )
+    batch = scaled.merge(novel)
+    path = _tmp_index_path("renoir_ann_idx_dedup_", sf_dir)
+    corpus.ann_index_build(path, n_cells=16)
+    idx = ann_index_load(spark, path)
+    return (
+        idx.dedup_batch(batch, threshold=0.8, nprobe=3, rerank=10)
+        .map("vec_id")
+        .df
+    )
+
+
+_QA28_BATCH = """(
+  SELECT vec_id + 500000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 1.5) AS embedding
+  FROM embeddings WHERE vec_id % 4 = 0
+  UNION ALL
+  SELECT vec_id + 600000 AS vec_id,
+         list_transform(list_reverse(embedding), x -> x::DOUBLE)
+           AS embedding
+  FROM embeddings WHERE vec_id % 8 = 1
+)"""
+
+
+def _oracle_qa28() -> str:
+    from .datapipe import sql_ann_cosine_ivf_sq8
+
+    ann = sql_ann_cosine_ivf_sq8(
+        _QA28_BATCH, "TRUE", k=1, n_cells=16, nprobe=3, rerank=10,
+        seed_expr="embeddings", stats_expr="embeddings",
+        corpus_expr="embeddings",
+    )
+    return f"""
+SELECT b.vec_id
+FROM {_QA28_BATCH} b
+WHERE NOT EXISTS (
+    SELECT 1 FROM ({ann}) a
+    WHERE a.qid = b.vec_id AND a.rank = 1 AND a.cos >= 0.8
+  )
+"""
+
+
+ORACLE_QA28 = _oracle_qa28()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4176,6 +4244,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa25_long_doc_windows": qa25_long_doc_windows,
     "qa26_containment_pairs": qa26_containment_pairs,
     "qa27_diversity_sample": qa27_diversity_sample,
+    "qa28_ann_index_dedup": qa28_ann_index_dedup,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4307,4 +4376,5 @@ ORACLE: Dict[str, str] = {
     "qa25_long_doc_windows": ORACLE_QA25,
     "qa26_containment_pairs": ORACLE_QA26,
     "qa27_diversity_sample": ORACLE_QA27,
+    "qa28_ann_index_dedup": ORACLE_QA28,
 }

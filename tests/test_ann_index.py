@@ -213,3 +213,46 @@ def test_stats_and_compact_roundtrip(ctx, spark, tmp_path):
     assert st2["files"] < files_before
     after = sorted(map(tuple, idx.query(queries, k=3, nprobe=3).df.collect()))
     assert after == before and len(after) > 0
+
+
+def test_match_and_dedup_batch_semantic(ctx, spark, tmp_path):
+    """Incremental SemDeDup loop: a batch vector whose rank-1 indexed
+    neighbor scores cos >= threshold is dropped (scaled copies have
+    cosine exactly 1 with their originals); novel directions survive
+    and can then be appended."""
+    from pyspark.sql import functions as F
+
+    emb = ctx.stream_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "semidx")
+    emb.map("vec_id", "embedding").ann_index_build(path, n_cells=8)
+    idx = ctx.ann_index(path)
+
+    dup = emb.filter("vec_id IN (3, 7)").map(
+        vec_id=F.col("vec_id") + 900000,
+        embedding=F.transform("embedding", lambda x: x * F.lit(2.0)),
+    )
+    novel = emb.filter("vec_id = 11").map(
+        vec_id=F.lit(950000).cast("long"),
+        embedding=F.transform(
+            F.reverse(F.col("embedding")), lambda x: x.cast("double")
+        ),
+    )
+    batch = dup.merge(novel)
+    pairs = idx.match_batch(batch, threshold=0.95, nprobe=3).df.collect()
+    assert {(r.batch_id, r.corpus_id) for r in pairs} == {
+        (900003, 3), (900007, 7),
+    }
+    assert all(abs(r.cos - 1.0) < 1e-6 for r in pairs)
+
+    kept = idx.dedup_batch(batch, threshold=0.95, nprobe=3)
+    assert [r.vec_id for r in kept.df.collect()] == [950000]
+    # the ingest loop closes: append survivors (double vectors coerce
+    # to the index's float storage type), and a RE-ARRIVING copy of the
+    # survivor (fresh id — ANN excludes identical ids by design) now
+    # matches the appended row
+    idx.append(kept)
+    rearrival = novel.map(
+        vec_id=F.lit(951000).cast("long"), embedding=F.col("embedding")
+    )
+    re = idx.match_batch(rearrival, threshold=0.95, nprobe=3).df.collect()
+    assert {r.corpus_id for r in re} == {950000}
