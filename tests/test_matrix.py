@@ -84,6 +84,14 @@ SWEEP = [
     # first-occurrence-wins ordering on the sentence hash must pick the
     # same survivor under any layout
     "qa23_sentence_dedup",
+    # round-5: the containment join's probe-prefix postings + the
+    # container-side full index must emit identical directed pairs
+    # under any layout; the diversity quota's per-cell window must pick
+    # the identical sample; the persisted-ANN dedup loop composes the
+    # Arrow cell assignment with the rank-1 verdict anti-join
+    "qa26_containment_pairs",
+    "qa27_diversity_sample",
+    "qa28_ann_index_dedup",
 ]
 
 

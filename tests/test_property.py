@@ -467,3 +467,43 @@ def test_nb_classify_matches_sql_mirror(ctx, texts, labels):
         "(SELECT * FROM d WHERE doc_id % 2 = 0)",
         "text", "doc_id", "g", n_buckets=64)).fetchall())
     assert got == want
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc XY.,\t", min_size=0, max_size=30),
+        min_size=2, max_size=12,
+    ),
+    t=st.sampled_from([0.5, 0.8, 1.0]),
+    n=st.sampled_from([1, 2]),
+)
+def test_containment_pairs_equals_bruteforce(ctx, texts, t, n):
+    """containment_pairs_exact over arbitrary messy text (case, mixed
+    whitespace, punctuation-in-words, empty docs) equals the directed
+    brute-force answer — the prefix/positional filters must be lossless
+    at every threshold including exact containment t=1."""
+    rows = [(i, txt) for i, txt in enumerate(texts)]
+    got = {
+        (r.inner_id, r.outer_id): r.containment
+        for r in ctx.stream_iter(rows, "doc_id long, text string")
+        .containment_pairs_exact("text", "doc_id", shingle_n=n, threshold=t)
+        .collect_vec()
+    }
+
+    def shingles(text):
+        toks = " ".join(text.split()).lower().split(" ")
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sh = {i: shingles(txt) for i, txt in rows}
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a == b:
+                continue
+            c = round(len(sh[a] & sh[b]) / len(sh[a]), 6)
+            if c >= t:
+                want[(a, b)] = c
+    assert got == want
