@@ -332,6 +332,78 @@ def sql_sample_fraction(table_expr: str, id_col: str, fraction: float, *,
     )
 
 
+def fim_transform(stream, id_col: str, text_col: str, *, rate: float = 0.5,
+                  alias: str = "fim_text", pre: str = "<PRE>",
+                  mid: str = "<MID>", suf: str = "<SUF>",
+                  salt: str = "fim"):
+    """Fill-in-the-middle (FIM) reordering for code/text training data
+    (Bavarian et al. 2022, public knowledge): a deterministic
+    ``rate``-fraction of documents is rewritten in PSM order —
+    ``<PRE> prefix <SUF> suffix <MID> middle`` — so the model learns to
+    infill; the rest pass through unchanged. Adds ``alias``.
+
+    Split points are TOKEN positions derived from salted md5 hashes of
+    the id (0 ≤ i ≤ j ≤ L, uniform over valid splits), so the
+    transform is reproducible across retries and engines — no rand().
+    The token multiset is preserved exactly (prefix ∪ middle ∪ suffix
+    = the document), only the order and sentinels change.
+
+    Scale: pure map-side expressions (split/slice/concat + the salted
+    hash gate), ZERO shuffles — fuses into whatever scan feeds it.
+    """
+    text = to_col(text_col)
+    idc = to_col(id_col).cast("string")
+    toks = F.split(text, " ")
+    L = F.size(toks)
+    h1 = md5_int31(F.concat_ws("|", F.lit(salt + "1"), idc))
+    h2 = md5_int31(F.concat_ws("|", F.lit(salt + "2"), idc))
+    gate = md5_int31(F.concat_ws("|", F.lit(salt + "g"), idc)) < int(
+        rate * MINHASH_P
+    )
+    i = h1 % (L + F.lit(1))
+    j = i + h2 % (L - i + F.lit(1))
+    psm = F.concat(
+        F.lit(pre), F.array_join(F.slice(toks, F.lit(1), i), " "),
+        F.lit(suf), F.array_join(F.slice(toks, j + 1, L - j), " "),
+        F.lit(mid), F.array_join(F.slice(toks, i + 1, j - i), " "),
+    )
+    out = stream.df.withColumn(
+        alias,
+        F.when(text.isNotNull() & gate, psm).otherwise(text),
+    )
+    return stream._new(out)
+
+
+def sql_fim_transform(table_expr: str, id_col: str, text: str, *,
+                      rate: float = 0.5, alias: str = "fim_text",
+                      pre: str = "<PRE>", mid: str = "<MID>",
+                      suf: str = "<SUF>", salt: str = "fim") -> str:
+    """DuckDB mirror of :func:`fim_transform` (list_slice is inclusive
+    [a, b] where Spark's slice takes (pos, length) — bounds mapped
+    accordingly)."""
+    h1 = sql_md5_int31(f"concat_ws('|', '{salt}1', {id_col}::VARCHAR)")
+    h2 = sql_md5_int31(f"concat_ws('|', '{salt}2', {id_col}::VARCHAR)")
+    hg = sql_md5_int31(f"concat_ws('|', '{salt}g', {id_col}::VARCHAR)")
+    return f"""
+SELECT * EXCLUDE (__toks, __L, __i, __j),
+       CASE WHEN {text} IS NOT NULL AND {hg} < {int(rate * MINHASH_P)}
+            THEN concat(
+              '{pre}', array_to_string(list_slice(__toks, 1, __i), ' '),
+              '{suf}', array_to_string(list_slice(__toks, __j + 1, __L), ' '),
+              '{mid}', array_to_string(list_slice(__toks, __i + 1, __j), ' '))
+            ELSE {text} END AS {alias}
+FROM (
+  SELECT *, __i + ({h2} % (__L - __i + 1)) AS __j FROM (
+    SELECT *, {h1} % (__L + 1) AS __i FROM (
+      SELECT *, string_split({text}, ' ') AS __toks,
+             len(string_split({text}, ' ')) AS __L
+      FROM {table_expr}
+    )
+  )
+)
+"""
+
+
 def word_entropy(stream, id_col: str, text_col: str):
     """Per-document token-distribution entropy (nats) — the unigram
     information-density quality signal (Dolma/CCNet-style filters drop

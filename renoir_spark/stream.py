@@ -1355,6 +1355,14 @@ class Stream:
 
         return _sf(self, id_col, fraction, **kw)
 
+    def fim_transform(self, id_col: str, text_col: str, **kw) -> "Stream":
+        """Fill-in-the-middle PSM reordering for a deterministic
+        fraction of documents (code-infill training data) —
+        prep.fim_transform."""
+        from .prep import fim_transform as _fim
+
+        return _fim(self, id_col, text_col, **kw)
+
     def word_entropy(self, id_col: str, text_col: str) -> "Stream":
         """Per-document token-distribution entropy (quality signal) —
         prep.word_entropy."""

@@ -4117,6 +4117,31 @@ WHERE NOT EXISTS (
 ORACLE_QA28 = _oracle_qa28()
 
 
+def qa29_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle PSM reordering (code-infill training format):
+    a deterministic hash-gated half of the documents is rewritten as
+    <PRE> prefix <SUF> suffix <MID> middle with token split points
+    derived from salted id hashes; the rest pass through unchanged.
+    Pure map-side expressions, zero shuffles."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    return docs.fim_transform("doc_id", "text", rate=0.5).map(
+        "doc_id", "fim_text"
+    ).df
+
+
+def _oracle_qa29() -> str:
+    from .prep import sql_fim_transform
+
+    inner = sql_fim_transform(
+        "(SELECT doc_id, text FROM documents)", "doc_id", "text", rate=0.5
+    )
+    return f"SELECT doc_id, fim_text FROM ({inner})"
+
+
+ORACLE_QA29 = _oracle_qa29()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4245,6 +4270,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa26_containment_pairs": qa26_containment_pairs,
     "qa27_diversity_sample": qa27_diversity_sample,
     "qa28_ann_index_dedup": qa28_ann_index_dedup,
+    "qa29_fim_transform": qa29_fim_transform,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4377,4 +4403,5 @@ ORACLE: Dict[str, str] = {
     "qa26_containment_pairs": ORACLE_QA26,
     "qa27_diversity_sample": ORACLE_QA27,
     "qa28_ann_index_dedup": ORACLE_QA28,
+    "qa29_fim_transform": ORACLE_QA29,
 }

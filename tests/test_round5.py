@@ -120,3 +120,43 @@ def test_diversity_sample_empty_corpus(ctx):
     out = s.diversity_sample(n_cells=4, per_cell=3)
     assert out.df.count() == 0
     assert out.df.columns == ["vec_id", "cell"]
+
+
+# ------------------------------------------------------------------ #
+# fim_transform: PSM reorder invariants
+# ------------------------------------------------------------------ #
+
+def test_fim_token_multiset_preserved_and_deterministic(ctx):
+    rows = [(i, f"line{i} " + " ".join(f"tok{j}" for j in range(i % 7 + 1)))
+            for i in range(60)] + [(999, None)]
+    s = ctx.stream_iter(rows, "doc_id long, text string")
+    a = {r.doc_id: r.fim_text
+         for r in s.fim_transform("doc_id", "text", rate=1.0).collect_vec()}
+    b = {r.doc_id: r.fim_text
+         for r in s.fim_transform("doc_id", "text", rate=1.0).collect_vec()}
+    assert a == b  # deterministic (no rand())
+    assert a[999] is None  # NULL passes through
+    for i, text in rows[:-1]:
+        fim = a[i]
+        assert fim.startswith("<PRE>") and "<SUF>" in fim and "<MID>" in fim
+        body = fim[len("<PRE>"):]
+        prefix, rest = body.split("<SUF>", 1)
+        suffix, middle = rest.split("<MID>", 1)
+        rebuilt = [t for part in (prefix, middle, suffix)
+                   for t in part.split(" ") if part]
+        assert sorted(rebuilt) == sorted(text.split(" ")), (i, fim)
+
+
+def test_fim_rate_gate_untouched_rows_pass_through(ctx):
+    rows = [(i, f"alpha beta gamma {i}") for i in range(200)]
+    s = ctx.stream_iter(rows, "doc_id long, text string")
+    out = {r.doc_id: r.fim_text
+           for r in s.fim_transform("doc_id", "text", rate=0.4).collect_vec()}
+    changed = [i for i, t in rows if out[i] != t]
+    untouched = [i for i, t in rows if out[i] == t]
+    assert untouched and changed
+    assert 0.25 < len(changed) / len(rows) < 0.55  # ~rate, hash-gated
+    # rate=0 leaves everything alone
+    zero = {r.doc_id: r.fim_text
+            for r in s.fim_transform("doc_id", "text", rate=0.0).collect_vec()}
+    assert all(zero[i] == t for i, t in rows)
