@@ -1312,6 +1312,129 @@ FROM mk GROUP BY id
 """
 
 
+def chunk_dedup_cdc(stream, id_col: str, text_col: str, *,
+                    divisor: int = 16):
+    """Chunk-level exact dedup with CONTENT-DEFINED chunking (the
+    storage-dedup CDC idea at token granularity, public knowledge —
+    Rabin/gear-hash chunkers): a chunk boundary falls after every token
+    whose 31-bit md5 hash ≡ 0 (mod ``divisor``), so expected chunk
+    length is ``divisor`` tokens but boundaries are anchored to
+    CONTENT. That is the property fixed-size chunking
+    (:func:`chunk_dedup`) lacks: insert one word at the front of a
+    duplicated document and every fixed chunk shifts (zero dedup);
+    CDC boundaries re-synchronize at the first anchor token and all
+    later chunks dedup exactly.
+
+    Same dedup contract as :func:`chunk_dedup`: for every distinct
+    chunk only its first ``(doc, position)`` occurrence survives, and
+    documents are reassembled from surviving chunks in order. Output:
+    ``id_col``, ``clean_text``, ``n_chunks``, ``n_dropped``.
+
+    Scale: boundary flags and chunk slicing are per-row array
+    expressions (no shuffle); then the same ONE chunk-hash shuffle +
+    per-document reassembly groupBy as chunk_dedup. An adversarial
+    document with no anchor token becomes one chunk — cap pathological
+    chunk length upstream with :func:`split_long_docs` if needed.
+    """
+    d = int(divisor)
+    staged = (
+        stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__toks", F.split(norm_text(F.col("__text")), " "))
+        .withColumn("__L", F.size("__toks"))
+        .withColumn(
+            "__bnd",
+            F.concat(
+                F.array(F.lit(0)),
+                F.filter(
+                    F.sequence(F.lit(1), F.col("__L")),
+                    lambda i: (
+                        md5_int31(F.element_at(F.col("__toks"), i))
+                        % F.lit(d) == 0
+                    ) & (i < F.col("__L")),
+                ),
+                F.array(F.col("__L")),
+            ),
+        )
+        .withColumn(
+            "__chunks",
+            F.zip_with(
+                F.slice("__bnd", F.lit(1), F.size("__bnd") - 1),
+                F.slice("__bnd", F.lit(2), F.size("__bnd") - 1),
+                lambda a, b: F.array_join(
+                    F.slice(F.col("__toks"), a + 1, b - a), " "
+                ),
+            ),
+        )
+        .select("__id", F.posexplode("__chunks").alias("__idx", "__chunk"))
+        .withColumn("__gh", md5_int31(F.col("__chunk")))
+    )
+    win = Window.partitionBy("__gh").orderBy("__id", "__idx")
+    marked = staged.withColumn("__rn", F.row_number().over(win))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("__idx"), F.col("__chunk"))
+    )
+    out = (
+        marked.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["__chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("__rn") > 1).cast("long")).alias("n_dropped"),
+        )
+        .select(F.col("__id").alias(id_col), "clean_text", "n_chunks",
+                "n_dropped")
+    )
+    return stream._new(out)
+
+
+def sql_chunk_dedup_cdc(table_expr: str, id_col: str, text: str, *,
+                        divisor: int = 16) -> str:
+    """DuckDB mirror of :func:`chunk_dedup_cdc` (same anchor rule, same
+    hash; DuckDB list slicing ``l[a:b]`` is 1-based inclusive where
+    Spark's slice takes (pos, length))."""
+    d = int(divisor)
+    anchor = sql_md5_int31("toks[i]")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, string_split({sql_norm_text(text)}, ' ') AS toks
+  FROM {table_expr}
+), bn AS (
+  SELECT id, toks,
+         list_concat(list_concat(
+           [0],
+           [i for i in range(1, len(toks) + 1)
+            if {anchor} % {d} = 0 AND i < len(toks)]),
+           [len(toks)]) AS bnd
+  FROM base
+), ch AS (
+  SELECT id,
+         [array_to_string(toks[(bnd[i] + 1):bnd[i + 1]], ' ')
+          for i in range(1, len(bnd))] AS chunks
+  FROM bn
+), ex AS (
+  SELECT id, unnest(chunks) AS chunk,
+         generate_subscripts(chunks, 1) - 1 AS idx
+  FROM ch
+), mk AS (
+  SELECT id, idx, chunk,
+         row_number() OVER (PARTITION BY {sql_md5_int31('chunk')}
+                            ORDER BY id, idx) AS rn
+  FROM ex
+)
+SELECT id AS {id_col},
+       coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')
+           AS clean_text,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM mk GROUP BY id
+"""
+
+
 def drop_common_chunks(stream, id_col: str, text_col: str, *,
                        chunk_words: int = 20, max_df: int = 2):
     """Corpus-frequency boilerplate removal (the CCNet / RefinedWeb

@@ -1126,6 +1126,14 @@ class Stream:
 
         return _cd(self, id_col, text_col, **kw)
 
+    def chunk_dedup_cdc(self, id_col: str, text_col: str, **kw) -> "Stream":
+        """Chunk dedup with CONTENT-DEFINED boundaries (insertion-robust
+        — boundaries re-synchronize at anchor tokens). See
+        prep.chunk_dedup_cdc."""
+        from .prep import chunk_dedup_cdc as _cdc
+
+        return _cdc(self, id_col, text_col, **kw)
+
     def drop_common_chunks(self, id_col: str, text_col: str, **kw) -> "Stream":
         """Corpus-frequency boilerplate removal: drop EVERY occurrence
         of chunks shared by >= max_df distinct documents, reassemble.

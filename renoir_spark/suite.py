@@ -4142,6 +4142,43 @@ def _oracle_qa29() -> str:
 ORACLE_QA29 = _oracle_qa29()
 
 
+def qa30_chunk_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup over documents ∪ insertion-shifted
+    copies of every 3rd document (one word prepended): fixed-size
+    chunks all shift and miss the duplication, but CDC boundaries
+    re-synchronize at the first anchor token, so the copies dedup
+    against the originals chunk-for-chunk past the insertion."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    shifted = _t(ctx, sf_dir, "documents").filter("doc_id % 3 = 0").map(
+        doc_id=F.col("doc_id") + 300000,
+        text=F.concat(F.lit("inserted "), F.col("text")),
+    )
+    return (
+        docs.merge(shifted)
+        .shuffle()
+        .chunk_dedup_cdc("doc_id", "text", divisor=16)
+        .df
+    )
+
+
+_QA30_INPUT = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, concat('inserted ', text) AS text
+  FROM documents WHERE doc_id % 3 = 0
+)"""
+
+
+def _oracle_qa30() -> str:
+    from .prep import sql_chunk_dedup_cdc
+
+    return sql_chunk_dedup_cdc(_QA30_INPUT, "doc_id", "text", divisor=16)
+
+
+ORACLE_QA30 = _oracle_qa30()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4271,6 +4308,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa27_diversity_sample": qa27_diversity_sample,
     "qa28_ann_index_dedup": qa28_ann_index_dedup,
     "qa29_fim_transform": qa29_fim_transform,
+    "qa30_chunk_dedup_cdc": qa30_chunk_dedup_cdc,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4404,4 +4442,5 @@ ORACLE: Dict[str, str] = {
     "qa27_diversity_sample": ORACLE_QA27,
     "qa28_ann_index_dedup": ORACLE_QA28,
     "qa29_fim_transform": ORACLE_QA29,
+    "qa30_chunk_dedup_cdc": ORACLE_QA30,
 }

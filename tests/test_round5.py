@@ -160,3 +160,43 @@ def test_fim_rate_gate_untouched_rows_pass_through(ctx):
     zero = {r.doc_id: r.fim_text
             for r in s.fim_transform("doc_id", "text", rate=0.0).collect_vec()}
     assert all(zero[i] == t for i, t in rows)
+
+
+# ------------------------------------------------------------------ #
+# chunk_dedup_cdc: insertion robustness fixed-size chunking lacks
+# ------------------------------------------------------------------ #
+
+def test_cdc_resynchronizes_after_insertion(ctx):
+    """One word prepended to a duplicated long document: fixed chunks
+    all shift (zero drops), CDC chunks re-anchor and dedup the body."""
+    import random
+
+    rng = random.Random(5)
+    body = " ".join(rng.choice("abcdefghij") + str(rng.randint(0, 99))
+                    for _ in range(400))
+    rows = [(1, body), (2, "zzzinserted " + body)]
+    s = ctx.stream_iter(rows, "doc_id long, text string")
+
+    fixed = {r.doc_id: r for r in s.chunk_dedup(
+        "doc_id", "text", chunk_words=16).collect_vec()}
+    cdc = {r.doc_id: r for r in s.chunk_dedup_cdc(
+        "doc_id", "text", divisor=16).collect_vec()}
+    # fixed-size: the shifted copy shares (almost) no chunk
+    assert fixed[2].n_dropped <= 1
+    # CDC: the copy loses most of its chunks to the original
+    assert cdc[2].n_dropped >= 0.8 * cdc[2].n_chunks
+    assert cdc[1].n_dropped == 0
+
+
+def test_cdc_roundtrip_without_duplicates(ctx):
+    """Unique docs: nothing drops and reassembly is the identity (on
+    normalized text) — boundaries must not lose or reorder tokens."""
+    # every token carries its doc id: no chunk can repeat across docs
+    rows = [(i, " ".join(f"TOK{j}_{i}" for j in range(17)))
+            for i in range(30)]
+    out = {r.doc_id: r for r in ctx.stream_iter(
+        rows, "doc_id long, text string"
+    ).chunk_dedup_cdc("doc_id", "text", divisor=4).collect_vec()}
+    for i, t in rows:
+        assert out[i].n_dropped == 0
+        assert out[i].clean_text == " ".join(t.split()).lower()
