@@ -35,6 +35,7 @@ CASES = {
     "similarity_search.py": [SF, "3"],
     "incremental_ingest.py": [SF, "2"],
     "crawl_hygiene.py": [f"{SF}/documents.parquet"],
+    "semantic_curation.py": [SF],
 }
 
 
