@@ -52,6 +52,7 @@ re-expressed as parquet + partition pruning instead of a custom format.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 from pyspark.sql import functions as F
@@ -289,15 +290,27 @@ def _write_codes(df, path: str, units, stats, *, id_col: str,
 
 
 def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
-                    id_col: str = "vec_id", n_cells: int = 16,
+                    id_col: str = "vec_id", n_cells=16,
                     dim: int = 64) -> AnnIndex:
     """Build and persist the IVF+SQ8 index for ``stream`` at ``path``.
     One corpus pass: Arrow cell assignment + JVM SQ8 encode, written
     hive-partitioned by cell. See the module docstring for the layout
-    and scale shape."""
+    and scale shape.
+
+    ``n_cells`` is the quadratic-work dial: pinned while the corpus
+    grows k×, every cell holds k× vectors and a k×-bigger query batch
+    does k² in-cell work (measured 12.4× wall at 10× data with 16
+    pinned cells vs 2.1× with cells scaled — docs/SCALING.md).
+    ``n_cells=None`` auto-dials to ``max(16, ⌈√N⌉)`` (the standard IVF
+    sizing rule, one count pass at build) so per-cell population grows
+    only as √N; pass an explicit int to pin it (the suite does, for
+    oracle determinism)."""
     spark = stream.df.sparkSession
     df = stream.df
     dtypes = dict(df.dtypes)
+    if n_cells is None:
+        n = df.count()
+        n_cells = max(16, math.isqrt(max(n, 0)) + (math.isqrt(max(n, 0)) ** 2 < n))
     units = _ivf_seed_units(df, vec_col, id_col, n_cells)
     # run the stats aggregate ONCE and pin its 1-row result on the
     # driver: the same row feeds both the encode broadcast and the

@@ -256,3 +256,21 @@ def test_match_and_dedup_batch_semantic(ctx, spark, tmp_path):
     )
     re = idx.match_batch(rearrival, threshold=0.95, nprobe=3).df.collect()
     assert {r.corpus_id for r in re} == {950000}
+
+
+def test_auto_dial_n_cells_sqrt_rule(ctx, spark, tmp_path):
+    """n_cells=None sizes cells by the sqrt rule (500 vectors -> 23
+    cells) and queries still match an explicitly-pinned build of the
+    same size bit-for-bit."""
+    emb = ctx.stream_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    auto = str(tmp_path / "auto")
+    emb.ann_index_build(auto, n_cells=None)
+    idx = ctx.ann_index(auto)
+    assert idx.meta["n_cells"] == 23  # ceil(sqrt(500))
+    pinned = str(tmp_path / "pinned")
+    emb.ann_index_build(pinned, n_cells=23)
+    q = emb.filter("vec_id < 6")
+    got = sorted(map(tuple, idx.query(q, k=3, nprobe=3).df.collect()))
+    want = sorted(map(tuple,
+                      ctx.ann_index(pinned).query(q, k=3, nprobe=3).df.collect()))
+    assert got == want and len(got) > 0

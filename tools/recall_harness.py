@@ -129,6 +129,63 @@ def main(argv: list[str]) -> int:
             round(time.perf_counter() - t0, 2),
         ))
 
+    # --- persisted-index semantic dedup: catch rate vs nprobe --------
+    # Plant near-duplicates that are NOT trivially co-cell (one dim
+    # sign-flipped: cos ≈ 1 − 2·x_j²/|x|²) plus reversed novels, and
+    # measure what fraction of the TRUE duplicates (brute-force top-1
+    # cos ≥ threshold) AnnIndex.dedup_batch drops at each nprobe — the
+    # probe-width dial of the incremental SemDeDup loop (suite qa28).
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    T = 0.9
+    corpus = emb.map("vec_id", "embedding")
+    dups = emb.filter("vec_id < 64").map(
+        vec_id=F.col("vec_id") + 700000,
+        embedding=F.transform(
+            "embedding",
+            lambda x, j: F.when(
+                j.cast("long") == F.col("vec_id") % 64, -x
+            ).otherwise(x),
+        ),
+    )
+    novel = emb.filter("vec_id >= 64 AND vec_id < 96").map(
+        vec_id=F.col("vec_id") + 800000,
+        embedding=F.transform(
+            F.reverse(F.col("embedding")), lambda x: x.cast("double")
+        ),
+    )
+    batch = dups.merge(novel)
+    top1 = _topk_sets  # noqa: F841  (sets unused; we need cos values)
+    truth = {
+        r.qid: r.cos
+        for r in corpus.ann_cosine(batch, method="brute", k=1).df.collect()
+    }
+    true_dups = {q for q, c in truth.items() if c >= T}
+    idx_path = os.path.join(tempfile.mkdtemp(prefix="recall_semdedup_"),
+                            "idx")
+    corpus.ann_index_build(idx_path, n_cells=16)
+    idx = ctx.ann_index(idx_path)
+    batch_ids = {r.vec_id for r in batch.df.select("vec_id").collect()}
+    for nprobe in (1, 2, 4, 8):
+        t0 = time.perf_counter()
+        kept = {
+            r.vec_id
+            for r in idx.dedup_batch(batch, threshold=T, nprobe=nprobe)
+            .df.select("vec_id").collect()
+        }
+        dropped = batch_ids - kept
+        catch = round(len(dropped & true_dups) / max(len(true_dups), 1), 4)
+        false_drops = len(dropped - true_dups)
+        rows.append((
+            f"index dedup_batch nprobe={nprobe} thr={T} "
+            f"(catch of {len(true_dups)} true dups; "
+            f"{false_drops} false drops)",
+            catch,
+            round(time.perf_counter() - t0, 2),
+        ))
+
     n = emb.df.count()
     hdr = (f"recall@{K} vs exact brute force, {N_QUERIES} queries over "
            f"{n} vectors ({sf_dir}); brute = {brute_s}s")
