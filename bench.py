@@ -158,6 +158,7 @@ def main() -> None:
             ("s03_transaction_window_stream", _streaming_transaction_window),
             ("s04_session_window_stream", _streaming_sessions),
             ("s05_minhash_dedup_stream", _streaming_minhash_dedup),
+            ("s06_embedding_dedup_stream", _streaming_embedding_dedup),
         ):
             if only and sname not in only.split(","):
                 continue
@@ -310,9 +311,14 @@ def _spool_documents(spark, sf_dir: str) -> str:
 
     spool = tempfile.mkdtemp(prefix="docs_stream_")
     try:
+        # +3600: an event time of exactly epoch 0 (doc_id 0) ties the
+        # INITIAL watermark (0) and Spark's stateful late-row filter
+        # drops it — a boundary artifact, not operator semantics
         docs = (
             spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", F.timestamp_seconds("doc_id").alias("ts"), "text")
+            .select("doc_id",
+                    F.timestamp_seconds(F.col("doc_id") + 3600).alias("ts"),
+                    "text")
         )
         docs.repartitionByRange(8, "ts").write.mode("overwrite").parquet(spool)
         parts = sorted(glob.glob(f"{spool}/part-*"))
@@ -353,6 +359,69 @@ def _streaming_minhash_dedup(spark, sf_dir: str) -> tuple[int, float, dict]:
         )
 
     return _run_streaming_leg(spark, sf_dir, build, spooler=_spool_documents)
+
+
+def _spool_embeddings(spark, sf_dir: str) -> str:
+    """Embeddings spooled as an in-order stream (ts synthesized from
+    vec_id) for the semantic-dedup leg; a 1.5×-scaled copy of every
+    4th vector rides along (cos = 1 with its original) so the leg
+    exercises real drops, not just state writes."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spool = tempfile.mkdtemp(prefix="emb_stream_")
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # +3600: epoch-0 event times tie the initial watermark and get
+        # dropped as late (see _spool_documents)
+        base = emb.select(
+            "vec_id",
+            F.timestamp_seconds(F.col("vec_id") + 3600).alias("ts"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        dups = emb.filter("vec_id % 4 = 0").select(
+            (F.col("vec_id") + 500000).alias("vec_id"),
+            F.timestamp_seconds(F.col("vec_id") + 503600).alias("ts"),
+            F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+        )
+        rows = base.unionByName(dups)
+        rows.repartitionByRange(8, "ts").write.mode("overwrite").parquet(spool)
+        parts = sorted(glob.glob(f"{spool}/part-*"))
+        t0 = time.time() - len(parts) - 1
+        for i, p in enumerate(parts):
+            os.utime(p, (t0 + i, t0 + i))
+    except BaseException:
+        shutil.rmtree(spool, ignore_errors=True)
+        raise
+    return spool
+
+
+def _streaming_embedding_dedup(spark, sf_dir: str) -> tuple[int, float, dict]:
+    """Streaming leg 6: semantic (embedding-cosine) dedup over an
+    unbounded vector stream — sign-LSH bucket + norm computed JVM-side
+    per micro-batch, cosine verification in watermark-bounded Python
+    state (the s05 machinery on the embedding modality; single-phase
+    because one vector = one bucket = one verdict row)."""
+    from renoir_spark.streaming import dedup_embedding_stream
+
+    def build(ctx, spool):
+        src = (
+            spark.readStream
+            .schema("vec_id long, ts timestamp, embedding array<double>")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(spool)
+        )
+        return dedup_embedding_stream(
+            ctx.from_df(src), "embedding", "vec_id", ts_col="ts",
+            delay="3000 seconds", threshold=0.95, n_planes=8,
+            state_groups=64,
+        )
+
+    return _run_streaming_leg(spark, sf_dir, build,
+                              spooler=_spool_embeddings)
 
 
 def _streaming_hot_items(spark, sf_dir: str) -> tuple[int, float, dict]:

@@ -447,6 +447,138 @@ def dedup_minhash_stream(
     )
 
 
+def dedup_embedding_stream(
+    stream,
+    vec_col: str,
+    id_col: str,
+    *,
+    ts_col: str,
+    delay: str = "10 minutes",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    state_groups: int = 256,
+):
+    """Streaming SEMANTIC (embedding-cosine) near-duplicate detection —
+    the unbounded form of :func:`~renoir_spark.datapipe.dedup_embedding`'s
+    greedy rule: a vector is a duplicate iff some EARLIER vector (event
+    time, ties by id) within the watermark horizon shares its sign-LSH
+    bucket AND scores cosine ≥ ``threshold``. Completes the streaming
+    dedup family (exact / canonical-URL / MinHash-fuzzy / semantic).
+
+    Emits ONE verdict row per vector: ``(id, ts, matched)`` — unlike
+    the MinHash variant there is no band explode (one bucket per
+    vector), so no second reduction query is needed: survivors are
+    ``.filter("NOT matched")``, a stateless filter Spark happily places
+    downstream of the custom state operator.
+
+    Spark-first shape: bucket + L2 norm are the SAME JVM Column
+    expressions as the batch operator (computed once, map-side); only
+    bucket matching is Python state. State key = ``hash(bucket) %
+    state_groups`` with a per-bucket dict inside (the s05 coarsening
+    dial — semantics identical, per-key Python-call overhead bounded).
+    Bucket state holds (id, ts, vector, norm) for the last ``delay`` of
+    event time, watermark-evicted, EventTimeTimeout clears idle groups.
+    Rows process in (ts, id) order; a duplicate still enters state (the
+    batch greedy rule — a dropped vector drowns later copies) and only
+    STRICTLY-EARLIER entries can drown a row, so out-of-order arrivals
+    degrade to keeping both copies, never to dropping the event-time
+    winner. The cosine is the batch operator's exact IEEE recipe
+    (ascending-dim dot fold, zero-norm → 0.0, round 6).
+
+    Scale: state is O(arrival rate × delay) vectors spread over
+    ``state_groups`` keys; per-row work is |bucket| dot products — the
+    same in-bucket cost as the batch self-join, bounded by the LSH
+    bucket granularity (``n_planes`` is the recall-vs-work dial, as in
+    batch)."""
+    import json as _json
+
+    import pandas as pd
+
+    from .datapipe import _bucket_expr, _norm2, lsh_planes
+
+    df = stream.df
+    if not df.isStreaming:
+        raise ValueError(
+            "dedup_embedding_stream needs an unbounded stream; use "
+            "Stream.dedup_embedding for bounded data"
+        )
+    delay_us = _delay_us(delay)
+    planes = lsh_planes(dim, n_planes)
+    src = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            to_col(ts_col).cast("timestamp").alias("__ts"),
+            F.col(vec_col).alias("__v"),
+            _norm2(F.col(vec_col)).alias("__nrm"),
+            _bucket_expr(F.col(vec_col), planes).alias("__bkt"),
+        )
+        .withColumn("__g", F.pmod(F.hash("__bkt"), F.lit(state_groups)))
+        .withWatermark("__ts", delay)
+    )
+    id_t = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_t}, ts timestamp, matched boolean"
+
+    def _fn(key, pdf_iter, state):
+        # state: {"bkt": [[id, ts_us, [vec…], nrm], …]}
+        store = _json.loads(state.get[0]) if state.exists else {}
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if wm_us > 0:
+            store = {
+                bk: kept
+                for bk, es in store.items()
+                if (kept := [e for e in es if e[1] >= wm_us - delay_us])
+            }
+        out = []
+        if not state.hasTimedOut:
+            pdfs = [p for p in pdf_iter]
+            pdf = pd.concat(pdfs, ignore_index=True) if pdfs else None
+            if pdf is not None and len(pdf):
+                pdf = pdf.sort_values(["__ts", "__id"])
+                for rec in pdf.to_dict("records"):
+                    v = [float(x) for x in rec["__v"]]
+                    nrm = float(rec["__nrm"])
+                    bk = str(rec["__bkt"])
+                    entries = store.setdefault(bk, [])
+                    ts_us = int(rec["__ts"].value // 1000)
+                    me = (ts_us, rec["__id"])
+                    matched = False
+                    for e in entries:
+                        if (e[1], e[0]) >= me:
+                            continue
+                        denom = nrm * e[3]
+                        if denom == 0.0:
+                            continue
+                        # ascending-dim left fold — the batch _dot's
+                        # association, so verdicts agree bit-for-bit
+                        dot = 0.0
+                        for x, y in zip(v, e[2]):
+                            dot += x * y
+                        if round(dot / denom, 6) >= threshold:
+                            matched = True
+                            break
+                    out.append((rec["__id"], rec["__ts"], matched))
+                    entries.append([rec["__id"], ts_us, v, nrm])
+        if store:
+            state.update((_json.dumps(store),))
+            max_ts_ms = max(e[1] for es in store.values() for e in es) // 1000
+            state.setTimeoutTimestamp(
+                max(max_ts_ms + delay_us // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=[id_col, "ts", "matched"])
+
+    grouped = src.groupBy("__g")
+    return stream._new(
+        grouped.applyInPandasWithState(
+            _fn, out_schema, "s string", "append", "EventTimeTimeout"
+        )
+    )
+
+
 def minhash_survivors(
     verdicts,
     id_col: str,

@@ -838,3 +838,77 @@ def test_streaming_incremental_ingest_foreach_batch(ctx, spark, tmp_path):
     # 11 duplicates the corpus; 20 duplicates increment-1 survivor 10
     # (visible only because append ran between the micro-batches)
     assert sorted(kept) == [10, 21]
+
+
+# ------------------------------------------------------------------ #
+# dedup_embedding_stream: streaming SEMANTIC dedup
+# ------------------------------------------------------------------ #
+
+def _emb_stream_survivors(ctx, pushes, *, delay="1 hour", threshold=0.95):
+    from renoir_spark.streaming import dedup_embedding_stream, run_to_completion
+
+    ch = ctx.stream_channel(
+        "vec_id long, ts timestamp, embedding array<double>"
+    )
+    for rows in pushes:
+        ch.push(rows)
+    s = ch.stream(max_files_per_trigger=1)
+    verdicts = dedup_embedding_stream(
+        s, "embedding", "vec_id", ts_col="ts", delay=delay,
+        threshold=threshold, n_planes=6, dim=4,
+    )
+    rows = run_to_completion(verdicts.df, output_mode="append")
+    return {r.vec_id for r in rows if not r.matched}, rows
+
+
+def _emb_vecs():
+    # 0 and 2 are positive scalings (cos exactly 1); 1/3/4 near-orthogonal
+    return [
+        (0, [1.0, 0.2, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.1, 0.0]),
+        (2, [2.0, 0.4, 0.0, 0.0]),    # dup of 0
+        (3, [0.0, 0.0, 1.0, 0.3]),
+        (4, [0.3, -1.0, 0.0, 0.8]),
+    ]
+
+
+def test_streaming_embedding_dedup_matches_batch_greedy(ctx):
+    """Streaming semantic dedup == batch dedup_embedding when event-time
+    order matches id order and the delay covers the stream — same
+    sign-LSH buckets, same IEEE cosine recipe."""
+    t0 = _ts(1000)
+    vecs = _emb_vecs()
+    pushes = [[(i, t0, v) for i, v in vecs[:3]],
+              [(i, t0, v) for i, v in vecs[3:]]]
+    got, rows = _emb_stream_survivors(ctx, pushes)
+    assert len(rows) == len(vecs)  # exactly one verdict per vector
+
+    batch = ctx.from_df(ctx.spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id long, embedding array<double>"
+    )).dedup_embedding(threshold=0.95, n_planes=6, dim=4)
+    want = {r.vec_id for r in batch.df.select("vec_id").collect()}
+    assert got == want
+    assert 2 not in got  # the planted dup really dropped
+
+
+def test_streaming_embedding_dropped_vector_still_drowns_later_copies(ctx):
+    v = [1.0, 0.5, -0.25, 0.0]
+    pushes = [
+        [(0, _ts(1000), v)],
+        [(1, _ts(1001), [2.0 * x for x in v])],  # dup of 0 -> dropped
+        [(2, _ts(1002), [3.0 * x for x in v])],  # dup of 1 too -> dropped
+    ]
+    got, _ = _emb_stream_survivors(ctx, pushes)
+    assert got == {0}
+
+
+def test_streaming_embedding_state_evicted_past_delay(ctx):
+    v = [1.0, 0.5, -0.25, 0.0]
+    other = [0.0, 0.0, 1.0, -1.0]
+    pushes = [
+        [(0, _ts(1000), v)],
+        [(1, _ts(1400), other)],           # advances the watermark
+        [(2, _ts(1800), [1.5 * x for x in v])],  # outside the horizon
+    ]
+    got, _ = _emb_stream_survivors(ctx, pushes, delay="10 seconds")
+    assert got == {0, 1, 2}
