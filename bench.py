@@ -152,14 +152,7 @@ def main() -> None:
             # (dedup signature relations etc.) so later queries aren't timed
             # against another query's leftover blocks and GC pressure
             spark.catalog.clearCache()
-        for sname, sfn in (
-            ("s01_nexmark_hot_items_stream", _streaming_hot_items),
-            ("s02_stream_stream_join", _streaming_join),
-            ("s03_transaction_window_stream", _streaming_transaction_window),
-            ("s04_session_window_stream", _streaming_sessions),
-            ("s05_minhash_dedup_stream", _streaming_minhash_dedup),
-            ("s06_embedding_dedup_stream", _streaming_embedding_dedup),
-        ):
+        for sname, sfn in STREAMING_LEGS.items():
             if only and sname not in only.split(","):
                 continue
             n, took, st = sfn(spark, sf_dir)
@@ -514,6 +507,19 @@ def _streaming_sessions(spark, sf_dir: str) -> tuple[int, float, dict]:
         )
 
     return _run_streaming_leg(spark, sf_dir, build)
+
+
+# Shared streaming-leg registry: bench's per-round loop and
+# tools/scale_curve.py both dispatch from here, so a new leg can't be
+# added to one and silently missed by the other.
+STREAMING_LEGS = {
+    "s01_nexmark_hot_items_stream": _streaming_hot_items,
+    "s02_stream_stream_join": _streaming_join,
+    "s03_transaction_window_stream": _streaming_transaction_window,
+    "s04_session_window_stream": _streaming_sessions,
+    "s05_minhash_dedup_stream": _streaming_minhash_dedup,
+    "s06_embedding_dedup_stream": _streaming_embedding_dedup,
+}
 
 
 if __name__ == "__main__":

@@ -63,7 +63,7 @@ from .datapipe import (
     sql_md5_int31,
     sql_word_shingles,
 )
-from .util import prune_partitions
+from .util import free_local_checkpoint, prune_partitions
 
 
 def _batch_sig(batch, text_col: str, id_col: str, meta: dict):
@@ -491,7 +491,7 @@ def _rewrite_clustered(spark, path: str, schema: str, part_col: str,
     rows.repartition(dirs, part_col).write.mode("overwrite").partitionBy(
         part_col
     ).parquet(path)
-    rows.unpersist()
+    free_local_checkpoint(rows)
 
 
 def dedup_index_load(spark, path: str):

@@ -28,6 +28,26 @@ from typing import Callable, Optional, Sequence, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import free_local_checkpoint, is_local_checkpoint
+
+
+def _release_round(df: DataFrame, stale: list) -> None:
+    """Release a superseded per-round frame. ``persist``-ed frames are
+    freed immediately (later rounds recompute through lineage if ever
+    evicted — slow, never wrong). Checkpointed frames are DEFERRED onto
+    ``stale``: a live persist may still hold a recompute path through
+    them (freeing a checkpoint severs lineage — a cache-evicted
+    descendant would die with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), so
+    their blocks are only freed after the loop's final eager checkpoint
+    makes every intermediate unreachable. Bounds the old behavior —
+    Dataset.unpersist silently NO-OPs on checkpoint blocks, leaking
+    ~num_iterations/checkpoint_every state copies per call until
+    session end — to the loop's own lifetime."""
+    if is_local_checkpoint(df):
+        stale.append(df)
+    else:
+        df.unpersist()
+
 
 @contextmanager
 def _loop_confs(spark, adaptive: Optional[bool], shuffle_partitions: Optional[int]):
@@ -119,6 +139,7 @@ def iterate(
     df = stream.df
     state = initial_state
     prev_cached: Optional[DataFrame] = None
+    stale: list = []
     with _loop_confs(df.sparkSession, adaptive, shuffle_partitions):
         for it in range(num_iterations):
             out = body(stream._new(df), IterationStateHandle(state)).df
@@ -129,19 +150,22 @@ def iterate(
             # a lazy cache would silently rebuild the whole chain later
             out.count()
             if prev_cached is not None:
-                prev_cached.unpersist()
+                _release_round(prev_cached, stale)
             prev_cached = out
             df = out
             if loop_condition is not None and not loop_condition(state):
                 break
     # cut the returned lineage (see delta_iterate): analysis of the
     # final plan otherwise replays every round's logical history, and a
-    # cache eviction would recompute the whole chain; the superseded
-    # per-round persist is released once the checkpoint holds the data
+    # cache eviction would recompute the whole chain; once the checkpoint
+    # holds the data every intermediate (incl. deferred checkpoint
+    # blocks) is unreachable and freed for real
     if df is not stream.df:
         final = df.localCheckpoint(eager=True)
         if prev_cached is not None:
-            prev_cached.unpersist()
+            stale.append(prev_cached)
+        for d in stale:
+            free_local_checkpoint(d)
         df = final
     return state, stream._new(df)
 
@@ -170,6 +194,7 @@ def replay(
     replay_stream = stream._new(cached_in)
     state = initial_state
     prev: Optional[DataFrame] = None
+    stale: list = []
     with _loop_confs(cached_in.sparkSession, adaptive, shuffle_partitions):
         for it in range(num_iterations):
             out = body(replay_stream, IterationStateHandle(state)).df
@@ -177,12 +202,16 @@ def replay(
             state = state_update(state, out)
             out.count()  # round barrier — see iterate()
             if prev is not None:
-                prev.unpersist()
+                _release_round(prev, stale)
             prev = out
             if loop_condition is not None and not loop_condition(state):
                 break
+    # replay returns only the driver-side state: every per-round frame
+    # (including deferred checkpoint blocks) is dead here
     if prev is not None:
-        prev.unpersist()
+        stale.append(prev)
+    for d in stale:
+        free_local_checkpoint(d)
     cached_in.unpersist()
     return state
 
@@ -246,16 +275,17 @@ def delta_iterate(
     # of paying a second materializing count per round.
     prev_state: Optional[DataFrame] = None
     prev_delta: Optional[DataFrame] = None
+    stale: list = []
     with _loop_confs(state_df.sparkSession, adaptive, shuffle_partitions):
         for it in range(num_iterations):
             state_ks = KeyedStream(keyed.ctx, state_df, keys)
             delta_df = body(state_ks, it).df.persist()
             n_delta = delta_df.count()  # leader barrier
             if prev_state is not None:
-                prev_state.unpersist()
+                _release_round(prev_state, stale)
                 prev_state = None
             if prev_delta is not None:
-                prev_delta.unpersist()
+                prev_delta.unpersist()  # deltas are always persists
                 prev_delta = None
             if n_delta == 0:
                 delta_df.unpersist()
@@ -278,11 +308,13 @@ def delta_iterate(
     # hands callers an O(1) plan that also survives cache eviction.
     if state_df is not keyed.df:
         final = state_df.localCheckpoint(eager=True)
-        # the checkpoint copied the data, so the loop's last persisted
-        # relations are now unreachable through the returned stream —
-        # release them here or the CacheManager holds them forever
+        # the checkpoint copied the data, so the loop's last relations —
+        # and every deferred checkpoint generation — are unreachable
+        # through the returned stream; free them for real
         for d in (state_df, prev_state, prev_delta):
             if d is not None:
-                d.unpersist()
+                stale.append(d)
+        for d in stale:
+            free_local_checkpoint(d)
         state_df = final
     return KeyedStream(keyed.ctx, state_df, keys)

@@ -37,7 +37,7 @@ from .datapipe import (
     sql_tokens,
     tokens,
 )
-from .util import to_col
+from .util import free_local_checkpoint, to_col
 
 # --------------------------------------------------------------------- #
 # PII redaction
@@ -2392,13 +2392,15 @@ def bpe_train(stream, text_col: str, *, num_merges: int = 50,
         if (rank + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
             # the new checkpoint holds the data (eager) — the prior
-            # round's blocks are unreachable now, release them
-            prev_ckpt.unpersist()
+            # round's blocks are unreachable now, release them for real
+            # (Dataset.unpersist does NOT free checkpoint blocks; see
+            # util.free_local_checkpoint)
+            free_local_checkpoint(prev_ckpt)
             prev_ckpt = vocab
 
     # the merge table lives on the driver; no plan references vocab
     # after this point, so the final checkpoint's blocks go too
-    prev_ckpt.unpersist()
+    free_local_checkpoint(prev_ckpt)
     out = spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
     )

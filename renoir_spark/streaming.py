@@ -111,6 +111,20 @@ def run_to_completion(
     the bench proves the watermark actually BOUNDS stateful-operator
     state instead of asserting it."""
     name = "mem_" + uuid.uuid4().hex[:12]
+    cap = None
+    if telemetry is not None:
+        # recentProgress keeps only the last
+        # spark.sql.streaming.numRecentProgressUpdates entries (default
+        # 100): a drain with more micro-batches would silently
+        # under-report state_rows_peak/removed. Raise the retention for
+        # telemetry runs and pass the effective cap through so
+        # state_telemetry can flag any residual truncation.
+        conf = df.sparkSession.conf
+        cap = int(conf.get("spark.sql.streaming.numRecentProgressUpdates",
+                           "100") or "100")
+        if cap < 10_000:
+            conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+            cap = 10_000
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -123,7 +137,7 @@ def run_to_completion(
     finally:
         if telemetry is not None:
             try:
-                telemetry.append(state_telemetry(q))
+                telemetry.append(state_telemetry(q, cap=cap))
             except Exception:  # pragma: no cover - defensive: never
                 pass           # let metrics kill the drain itself
         if q.isActive:  # pragma: no cover - timeout path
@@ -131,11 +145,19 @@ def run_to_completion(
     return df.sparkSession.table(name).collect()
 
 
-def state_telemetry(q) -> dict:
+def state_telemetry(q, *, cap: Optional[int] = None) -> dict:
     """State-store metrics aggregated over a query's recentProgress:
     peak and final row/byte counts per run, plus rows REMOVED (the
     watermark-eviction evidence) and the micro-batch count. Works on
-    stateless queries too (all zeros)."""
+    stateless queries too (all zeros).
+
+    ``recentProgress`` retains only the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` updates (default
+    100) — drains with more micro-batches than that report TRUNCATED
+    peaks. :func:`run_to_completion` raises the retention to 10k for
+    telemetry runs and passes the effective limit as ``cap``; when the
+    observed batch count still reaches it, ``progress_capped`` is set
+    so the bench records the under-report instead of hiding it."""
     import json as _json
 
     progresses = []
@@ -146,6 +168,7 @@ def state_telemetry(q) -> dict:
             progresses.append(_json.loads(p.json))
     out = {
         "batches": len(progresses),
+        "progress_capped": cap is not None and len(progresses) >= cap,
         "state_rows_peak": 0,
         "state_rows_final": 0,
         "state_bytes_peak": 0,
@@ -341,7 +364,7 @@ def dedup_minhash_stream(
     watermark-frontier eviction contract
     (src/operator/start/watermark_frontier.rs:7-60).
     """
-    import json as _json
+    import pickle as _pickle
 
     import pandas as pd
 
@@ -383,8 +406,12 @@ def dedup_minhash_stream(
     out_schema = f"{id_col} {id_t}, ts timestamp, bidx int, matched boolean"
 
     def _fn(key, pdf_iter, state):
-        # state: {"bidx:bhash": [[id, ts_us, [shingles…]], …]}
-        store = _json.loads(state.get[0]) if state.exists else {}
+        # state: {(bidx, bhash): [(id, ts_us, {shingles…}), …]} — pickled
+        # bytes, NOT JSON text: the s05 30× curve showed the per-batch
+        # loads/dumps of every in-horizon shingle set as the dominant
+        # superlinear cost, and pickle round-trips native sets/tuples
+        # (no per-batch set() rebuild, no sorted() canonicalization).
+        store = _pickle.loads(bytes(state.get[0])) if state.exists else {}
         wm_us = state.getCurrentWatermarkMs() * 1000
         # watermark eviction: a doc only drowns copies arriving within
         # `delay` of it (the dropDuplicatesWithinWatermark contract)
@@ -400,13 +427,10 @@ def dedup_minhash_stream(
             pdf = pd.concat(pdfs, ignore_index=True) if pdfs else None
             if pdf is not None and len(pdf):
                 pdf = pdf.sort_values(["__ts", "__id"])
-                sets_cache: dict = {}  # bk -> [set per entry], built once
                 for rec in pdf.to_dict("records"):
                     sh = set(rec["__sh"])
-                    bk = f'{rec["bidx"]}:{rec["bhash"]}'
+                    bk = (int(rec["bidx"]), int(rec["bhash"]))
                     entries = store.setdefault(bk, [])
-                    if bk not in sets_cache:
-                        sets_cache[bk] = [set(e[2]) for e in entries]
                     ts_us = int(rec["__ts"].value // 1000)
                     me = (ts_us, rec["__id"])
                     # same IEEE comparison as the batch operator:
@@ -420,15 +444,14 @@ def dedup_minhash_stream(
                     # (false negative), never to dropping the earlier.
                     matched = any(
                         (e[1], e[0]) < me
-                        and len(sh | e_sh) > 0
-                        and len(sh & e_sh) / len(sh | e_sh) >= threshold
-                        for e, e_sh in zip(entries, sets_cache[bk])
+                        and len(sh | e[2]) > 0
+                        and len(sh & e[2]) / len(sh | e[2]) >= threshold
+                        for e in entries
                     )
                     out.append((rec["__id"], rec["__ts"], rec["bidx"], matched))
-                    entries.append((rec["__id"], ts_us, sorted(sh)))
-                    sets_cache[bk].append(sh)
+                    entries.append((rec["__id"], ts_us, sh))
         if store:
-            state.update((_json.dumps(store),))
+            state.update((_pickle.dumps(store, _pickle.HIGHEST_PROTOCOL),))
             max_ts_ms = max(e[1] for es in store.values() for e in es) // 1000
             state.setTimeoutTimestamp(
                 max(max_ts_ms + delay_us // 1000 + 1,
@@ -442,7 +465,7 @@ def dedup_minhash_stream(
     grouped = buckets.groupBy("__g")
     return stream._new(
         grouped.applyInPandasWithState(
-            _fn, out_schema, "s string", "append", "EventTimeTimeout"
+            _fn, out_schema, "s binary", "append", "EventTimeTimeout"
         )
     )
 
@@ -491,7 +514,8 @@ def dedup_embedding_stream(
     same in-bucket cost as the batch self-join, bounded by the LSH
     bucket granularity (``n_planes`` is the recall-vs-work dial, as in
     batch)."""
-    import json as _json
+    import pickle as _pickle
+    from array import array as _array
 
     import pandas as pd
 
@@ -520,8 +544,11 @@ def dedup_embedding_stream(
     out_schema = f"{id_col} {id_t}, ts timestamp, matched boolean"
 
     def _fn(key, pdf_iter, state):
-        # state: {"bkt": [[id, ts_us, [vec…], nrm], …]}
-        store = _json.loads(state.get[0]) if state.exists else {}
+        # state: {bkt: [(id, ts_us, array('d', vec), nrm), …]} — pickled
+        # bytes, not JSON text: vectors round-trip as machine-repr double
+        # arrays instead of being re-parsed from decimal text every
+        # micro-batch (the s05/s06 dominant per-batch cost).
+        store = _pickle.loads(bytes(state.get[0])) if state.exists else {}
         wm_us = state.getCurrentWatermarkMs() * 1000
         if wm_us > 0:
             store = {
@@ -536,9 +563,9 @@ def dedup_embedding_stream(
             if pdf is not None and len(pdf):
                 pdf = pdf.sort_values(["__ts", "__id"])
                 for rec in pdf.to_dict("records"):
-                    v = [float(x) for x in rec["__v"]]
+                    v = _array("d", (float(x) for x in rec["__v"]))
                     nrm = float(rec["__nrm"])
-                    bk = str(rec["__bkt"])
+                    bk = int(rec["__bkt"])
                     entries = store.setdefault(bk, [])
                     ts_us = int(rec["__ts"].value // 1000)
                     me = (ts_us, rec["__id"])
@@ -558,9 +585,9 @@ def dedup_embedding_stream(
                             matched = True
                             break
                     out.append((rec["__id"], rec["__ts"], matched))
-                    entries.append([rec["__id"], ts_us, v, nrm])
+                    entries.append((rec["__id"], ts_us, v, nrm))
         if store:
-            state.update((_json.dumps(store),))
+            state.update((_pickle.dumps(store, _pickle.HIGHEST_PROTOCOL),))
             max_ts_ms = max(e[1] for es in store.values() for e in es) // 1000
             state.setTimeoutTimestamp(
                 max(max_ts_ms + delay_us // 1000 + 1,
@@ -574,7 +601,7 @@ def dedup_embedding_stream(
     grouped = src.groupBy("__g")
     return stream._new(
         grouped.applyInPandasWithState(
-            _fn, out_schema, "s string", "append", "EventTimeTimeout"
+            _fn, out_schema, "s binary", "append", "EventTimeTimeout"
         )
     )
 

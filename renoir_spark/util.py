@@ -164,3 +164,42 @@ def prune_partitions(read_df, part_col: str, keys_df, *,
         F.col(part_col) >= F.lit(-(1 << 63))
     )
     return read_df.join(F.broadcast(build), part_col, "left_semi"), None
+
+
+# -------------------------------------------------------------------- #
+# Deterministic release of localCheckpoint blocks
+# -------------------------------------------------------------------- #
+
+def is_local_checkpoint(df) -> bool:
+    """True when ``df`` is the direct result of a ``localCheckpoint``
+    (its logical plan is the block-backed ``LogicalRDD`` scan)."""
+    try:
+        plan = df._jdf.queryExecution().logical()
+        return plan.getClass().getSimpleName() == "LogicalRDD"
+    except Exception:  # pragma: no cover - Connect / API drift
+        return False
+
+
+def free_local_checkpoint(df, blocking: bool = False) -> None:
+    """Release a superseded DataFrame's storage — INCLUDING
+    ``localCheckpoint`` blocks, which ``Dataset.unpersist`` does NOT
+    free (it only routes through the CacheManager; the checkpoint's RDD
+    blocks are owned by the ``LogicalRDD``'s backing RDD, measured in
+    tests/test_round6.py). For plain ``persist``-ed frames this falls
+    back to ``Dataset.unpersist``.
+
+    DESTRUCTIVE for checkpoints: a freed checkpoint has no lineage, so
+    any later read of ``df`` — or a cache-evicted lazy DESCENDANT whose
+    recompute path runs through it — fails loudly with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Only call once nothing
+    (including recompute paths) can reach the frame again: after a
+    successor eager checkpoint holds the data, or after the loop's
+    final result has been checkpointed."""
+    try:
+        plan = df._jdf.queryExecution().logical()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(blocking)
+            return
+    except Exception:  # pragma: no cover - Connect / API drift: fall
+        pass           # back to the (cache-only) public release below
+    df.unpersist(blocking)

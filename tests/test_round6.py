@@ -1,0 +1,201 @@
+"""Round-6 hardening tests.
+
+1. Deterministic release of localCheckpoint blocks: measures the claim
+   that ``Dataset.unpersist`` does NOT free checkpoint blocks, proves
+   ``util.free_local_checkpoint`` does, and pins the iteration loops /
+   bpe_train to leaving ZERO leaked RDD blocks behind.
+2. Streaming-state telemetry: the progress retention cap is raised and
+   ``progress_capped`` is reported (ADVICE round 5).
+3. bench.py / tools/scale_curve.py dispatch streaming legs from one
+   shared registry (ADVICE round 5).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rdd_block_ids(spark):
+    return sorted(
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    )
+
+
+# ------------------------------------------------------------------ #
+# free_local_checkpoint: the measured Dataset.unpersist no-op + fix
+# ------------------------------------------------------------------ #
+
+def test_dataset_unpersist_leaks_checkpoint_blocks(spark):
+    """The upstream behavior our helper exists for: Dataset.unpersist
+    routes through the CacheManager only and leaves localCheckpoint
+    blocks pinned. If this ever starts passing the other way (Spark
+    fixes it), free_local_checkpoint degrades to a plain unpersist."""
+    spark.catalog.clearCache()
+    base = set(_rdd_block_ids(spark))
+    df = spark.range(10_000).localCheckpoint(eager=True)
+    assert set(_rdd_block_ids(spark)) - base  # blocks exist
+    df.unpersist(True)
+    leaked = set(_rdd_block_ids(spark)) - base
+    assert leaked, "Dataset.unpersist freed checkpoint blocks (new Spark?)"
+    # clean up for the other tests
+    from renoir_spark.util import free_local_checkpoint
+
+    free_local_checkpoint(df, blocking=True)
+    assert not set(_rdd_block_ids(spark)) - base
+
+
+def test_free_local_checkpoint_both_kinds(spark):
+    from renoir_spark.util import free_local_checkpoint, is_local_checkpoint
+
+    spark.catalog.clearCache()
+    base = set(_rdd_block_ids(spark))
+    ck = spark.range(10_000).selectExpr("id", "id * 2 AS y").localCheckpoint(
+        eager=True
+    )
+    assert is_local_checkpoint(ck)
+    free_local_checkpoint(ck, blocking=True)
+    assert not set(_rdd_block_ids(spark)) - base
+
+    pf = spark.range(10_000).persist()
+    pf.count()
+    assert not is_local_checkpoint(pf)
+    free_local_checkpoint(pf, blocking=True)
+    assert not set(_rdd_block_ids(spark)) - base
+
+
+# ------------------------------------------------------------------ #
+# loops leave no storage behind (checkpoint generations included)
+# ------------------------------------------------------------------ #
+
+def test_iterate_releases_all_blocks(ctx, spark):
+    spark.catalog.clearCache()
+    base = set(_rdd_block_ids(spark))
+    s = ctx.stream_iter([(float(i),) for i in range(100)], "x double")
+    state, out = s.iterate(
+        9,  # > 2 checkpoint generations at checkpoint_every=4
+        0.0,
+        lambda st, _h: st.map(x=F.col("x") * 0.5),
+        lambda acc, df: acc + df.agg(F.sum("x")).collect()[0][0],
+        checkpoint_every=4,
+    )
+    rows = out.collect_vec()
+    assert len(rows) == 100
+    leaked = set(_rdd_block_ids(spark)) - base
+    # only the RETURNED final checkpoint may hold blocks
+    assert len(leaked) <= 1, leaked
+    from renoir_spark.util import free_local_checkpoint
+
+    free_local_checkpoint(out.df, blocking=True)
+    assert not set(_rdd_block_ids(spark)) - base
+
+
+def test_replay_releases_all_blocks(ctx, spark):
+    spark.catalog.clearCache()
+    base = set(_rdd_block_ids(spark))
+    s = ctx.stream_iter([(float(i),) for i in range(50)], "x double")
+    state = s.replay(
+        9,
+        0.0,
+        lambda st, h: st.map(x=F.col("x") + 1.0),
+        lambda acc, df: acc + df.agg(F.sum("x")).collect()[0][0],
+        checkpoint_every=4,
+    )
+    assert state > 0
+    # replay returns only driver state: nothing may stay cached
+    assert not set(_rdd_block_ids(spark)) - base
+
+
+def test_delta_iterate_releases_all_blocks(ctx, spark):
+    spark.catalog.clearCache()
+    base = set(_rdd_block_ids(spark))
+    s = ctx.stream_iter(
+        [(i, float(10 - i)) for i in range(10)], "k int, v double"
+    ).key_by("k")
+
+    def body(state, it):
+        return state._stream(
+            state.df.filter(F.col("v") > 0).select(
+                "k", (F.col("v") - 1.0).alias("v")
+            )
+        )
+
+    out = s.delta_iterate(12, body, checkpoint_every=4)
+    assert out.df.count() == 10
+    leaked = set(_rdd_block_ids(spark)) - base
+    assert len(leaked) <= 1, leaked  # the returned final checkpoint
+    from renoir_spark.util import free_local_checkpoint
+
+    free_local_checkpoint(out.df, blocking=True)
+    assert not set(_rdd_block_ids(spark)) - base
+
+
+def test_bpe_train_releases_all_blocks(ctx, spark):
+    spark.catalog.clearCache()
+    base = set(_rdd_block_ids(spark))
+    docs = ctx.stream_iter(
+        [("the cat sat on the mat",), ("the cat ate the rat",)] * 5,
+        "text string",
+    )
+    merges = docs.bpe_train("text", num_merges=10, checkpoint_every=3)
+    assert merges.collect_count() > 0
+    assert not set(_rdd_block_ids(spark)) - base
+
+
+# ------------------------------------------------------------------ #
+# streaming telemetry: progress cap raised + capping surfaced
+# ------------------------------------------------------------------ #
+
+def test_state_telemetry_reports_progress_cap(ctx, spark, tmp_path):
+    import pandas as pd
+
+    from renoir_spark.streaming import run_to_completion
+
+    spool = str(tmp_path / "spool")
+    import os
+
+    os.makedirs(spool)
+    pd.DataFrame({"v": list(range(20))}).to_parquet(f"{spool}/a.parquet")
+    src = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spool)
+    )
+    telemetry = []
+    rows = run_to_completion(
+        src.groupBy().count(), output_mode="complete", telemetry=telemetry
+    )
+    assert rows[0][0] == 20
+    (st,) = telemetry
+    assert st["progress_capped"] is False
+    assert st["batches"] >= 1
+    # run_to_completion raised the retention for the session
+    assert int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
+    ) >= 10_000
+
+
+# ------------------------------------------------------------------ #
+# shared streaming-leg registry (bench <-> scale_curve drift guard)
+# ------------------------------------------------------------------ #
+
+def test_streaming_leg_registry_complete():
+    import os
+    import re
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    assert set(bench.STREAMING_LEGS) == {
+        "s01_nexmark_hot_items_stream",
+        "s02_stream_stream_join",
+        "s03_transaction_window_stream",
+        "s04_session_window_stream",
+        "s05_minhash_dedup_stream",
+        "s06_embedding_dedup_stream",
+    }
+    # scale_curve must dispatch from the registry, not a private copy
+    src = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "scale_curve.py")).read()
+    assert "STREAMING_LEGS" in src
+    assert not re.search(r'"s0\d_\w+":\s*bench\._streaming', src)

@@ -151,17 +151,11 @@ def main() -> None:
                     if q.startswith("s0"):
                         # streaming bench legs (bench.py) take the same
                         # (spark, sf_dir) surface and time their own
-                        # availableNow drain
+                        # availableNow drain; dispatch from the shared
+                        # registry so new legs can't drift out of reach
                         import bench
 
-                        leg = {
-                            "s01_nexmark_hot_items_stream": bench._streaming_hot_items,
-                            "s02_stream_stream_join": bench._streaming_join,
-                            "s03_transaction_window_stream": bench._streaming_transaction_window,
-                            "s04_session_window_stream": bench._streaming_sessions,
-                            "s05_minhash_dedup_stream": bench._streaming_minhash_dedup,
-                        }[q]
-                        n, took, _state = leg(spark, work)
+                        n, took, _state = bench.STREAMING_LEGS[q](spark, work)
                         best = min(best, took)
                     else:
                         t0 = time.perf_counter()
