@@ -66,6 +66,7 @@ from .datapipe import (
     _sq8_codes,
     _sq8_stats,
     _sq8_xhat,
+    auto_cells,
 )
 from .util import prune_partitions
 
@@ -181,7 +182,7 @@ class AnnIndex:
             self.path, self.units, stats,
             id_col=self.meta["id_col"], vec_col=self.meta["vec_col"],
             id_type=self.meta["id_type"], n_cells=self.meta["n_cells"],
-            mode="append",
+            mode="append", gen=1,
         )
 
     # -------------------------------------------------------------- #
@@ -217,22 +218,77 @@ class AnnIndex:
         return batch._new(batch.df.join(dup, id_col, "left_anti"))
 
     # -------------------------------------------------------------- #
-    def stats(self) -> dict:
-        """Diagnostic scan: indexed vector count and data-file count
-        (the compaction signal) — same maintenance surface as
-        DedupIndex.stats. A full scan of the codes relation, an
-        explicit maintenance call, never a query-path cost."""
+    def stats(self, *, drift_sample: int = 1024) -> dict:
+        """Diagnostic scan: indexed vector count, data-file count (the
+        compaction signal), and the CENTROID-DRIFT signal (the rebuild
+        trigger). A full scan of the codes relation plus two bounded
+        samples, an explicit maintenance call, never a query-path cost.
+
+        Drift: :meth:`append` freezes centroids and grid at build-time
+        values, so recall silently degrades once appended data shifts
+        away from the build distribution. ``drift`` reports
+        ``1 − cos(vec, assigned centroid)`` — mean/p50/p90/p99 over a
+        deterministic (salted-hash) sample of ≤ ``drift_sample`` rows
+        per generation — for the build corpus and the appended rows,
+        plus ``mean_ratio`` (appended/build). A ratio near 1 means
+        appends still fit the build-time Voronoi cells; a climbing
+        ratio is the measured form of "time to rebuild" (measured on a
+        shifted append in tools/recall_harness.py). ``appended`` is
+        None while nothing has been appended."""
+        from .datapipe import _cosine, md5_int31
         from .dedup_index import _count_files
 
-        n = self.spark.read.schema(self._codes_schema()).parquet(
+        codes = self.spark.read.schema(self._codes_schema()).parquet(
             f"{self.path}/codes"
-        ).count()
-        return {
+        )
+        n = codes.count()
+        out = {
             "mode": "ivf_sq8",
             "vectors": n,
             "cells": self.meta["n_cells"],
             "files": _count_files(self.spark, self.path, ("codes",)),
+            "drift": {"build": None, "appended": None,
+                      "mean_ratio": None},
         }
+        if not self.units or n == 0:
+            return out
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        cells = self.spark.createDataFrame(
+            [(i, u) for i, u in enumerate(self.units)],
+            "__cell long, __unit array<double>",
+        )
+        # pre-round-6 layouts have no __gen column → NULL → build rows
+        gen = F.coalesce(F.col("__gen"), F.lit(0))
+        for key, pred in (("build", gen == 0), ("appended", gen >= 1)):
+            sample = (
+                codes.filter(pred)
+                .select(id_col, vec_col, "__cell")
+                .orderBy(md5_int31(F.col(id_col).cast("string")),
+                         F.col(id_col))
+                .limit(int(drift_sample))
+            )
+            dist = F.lit(1.0) - _cosine(F.col(vec_col), F.col("__unit"))
+            agg = (
+                sample.join(F.broadcast(cells), "__cell")
+                .select(dist.alias("__d"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(F.avg("__d"), 6).alias("mean"),
+                    F.round(F.expr("percentile(__d, 0.5)"), 6).alias("p50"),
+                    F.round(F.expr("percentile(__d, 0.9)"), 6).alias("p90"),
+                    F.round(F.expr("percentile(__d, 0.99)"), 6).alias("p99"),
+                )
+                .collect()[0]
+            )
+            if agg["n"]:
+                out["drift"][key] = {
+                    "n": agg["n"], "mean": agg["mean"], "p50": agg["p50"],
+                    "p90": agg["p90"], "p99": agg["p99"],
+                }
+        b, a = out["drift"]["build"], out["drift"]["appended"]
+        if b and a and b["mean"]:
+            out["drift"]["mean_ratio"] = round(a["mean"] / b["mean"], 3)
+        return out
 
     def compact(self) -> None:
         """Rewrite the codes root clustered (≈ one file per cell
@@ -252,16 +308,23 @@ class AnnIndex:
         return (
             f"{self.meta['id_col']} {self.meta['id_type']}, "
             f"{self.meta['vec_col']} {self.meta['vec_type']}, "
-            "__codes array<int>, __cell long"
+            "__codes array<int>, __gen int, __cell long"
         )
 
 
 def _write_codes(df, path: str, units, stats, *, id_col: str,
                  vec_col: str, id_type: str, n_cells: int,
-                 mode: str) -> None:
+                 mode: str, gen: int = 0) -> None:
     """One encode+assign pass → the codes relation, clustered on the
     cell before the partitioned write (an unclustered write opens a
-    file per task per directory — the dedup-index small-file lesson)."""
+    file per task per directory — the dedup-index small-file lesson).
+
+    ``gen`` stamps the rows' generation (0 = build corpus, 1 =
+    appended): the drift diagnostic in :meth:`AnnIndex.stats` compares
+    appended vectors' fit against the frozen build-time centroids to
+    the build corpus's own fit. Indexes written before the column
+    existed read back NULL (explicit-schema parquet reads tolerate a
+    missing column) and count as build rows."""
     enc = (
         _ivf_assign(
             df.select(F.col(id_col), F.col(vec_col).alias("cvec")),
@@ -281,6 +344,7 @@ def _write_codes(df, path: str, units, stats, *, id_col: str,
             F.transform(
                 _sq8_codes(F.col("cvec")), lambda c: c.cast("int")
             ).alias("__codes"),
+            F.lit(int(gen)).alias("__gen"),
             "__cell",
         )
     )
@@ -309,8 +373,7 @@ def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
     df = stream.df
     dtypes = dict(df.dtypes)
     if n_cells is None:
-        n = df.count()
-        n_cells = max(16, math.isqrt(max(n, 0)) + (math.isqrt(max(n, 0)) ** 2 < n))
+        n_cells = auto_cells(df.count())
     units = _ivf_seed_units(df, vec_col, id_col, n_cells)
     # run the stats aggregate ONCE and pin its 1-row result on the
     # driver: the same row feeds both the encode broadcast and the

@@ -1688,7 +1688,7 @@ def diversity_sample(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_cells: int = 16,
+    n_cells: Optional[int] = 16,
     per_cell: int = 10,
 ):
     """Cluster-balanced diversity sampling: assign every vector to its
@@ -1709,9 +1709,19 @@ def diversity_sample(
     shuffle on ``__cell`` (n_cells partitions); the quota makes the
     output ≤ n_cells × per_cell rows regardless of corpus size.
     Output: (id, cell) — join back to the corpus for payload columns.
+
+    ``n_cells=None`` auto-dials to ``max(16, ⌈√N⌉)`` (one count pass —
+    the same rule as ``ann_index_build``): a pinned cell count over a
+    growing corpus means each window group grows linearly (16 giant
+    groups at 100 TB) and diversity resolution collapses to 16 modes;
+    the √N dial keeps per-cell population AND per-cell semantic width
+    shrinking as the corpus grows. Pass an explicit int to pin (the
+    qa27 oracle does, for determinism).
     """
     df = stream.df
     dtypes = dict(df.dtypes)
+    if n_cells is None:
+        n_cells = auto_cells(df.count())
     units = _ivf_seed_units(df, vec_col, id_col, n_cells)
     if not units:
         return stream._new(
@@ -2445,6 +2455,21 @@ def _cosine(a: Column, b: Column) -> Column:
     return F.when(na * nb == F.lit(0.0), F.lit(0.0)).otherwise(
         F.round(_dot(a, b) / (na * nb), 6)
     )
+
+
+def auto_cells(n: int, floor: int = 16) -> int:
+    """The shared IVF cell-count dial: ``max(floor, ⌈√n⌉)`` — the
+    standard IVF sizing rule, so per-cell population (and therefore the
+    in-cell quadratic verify / window work) grows only as √n instead of
+    linearly when the corpus scales. Used by ``ann_index_build`` and
+    ``diversity_sample`` when the caller passes ``n_cells=None``
+    (measured: 12.4× wall at 10× data with 16 pinned cells vs 2.1×
+    dialed — docs/SCALING.md)."""
+    import math
+
+    n = max(int(n), 0)
+    r = math.isqrt(n)
+    return max(floor, r + (r * r < n))
 
 
 def _ivf_seed_units(df, vec_col: str, id_col: str, n_cells: int) -> list:

@@ -199,3 +199,91 @@ def test_streaming_leg_registry_complete():
         os.path.abspath(__file__))), "tools", "scale_curve.py")).read()
     assert "STREAMING_LEGS" in src
     assert not re.search(r'"s0\d_\w+":\s*bench\._streaming', src)
+
+
+# ------------------------------------------------------------------ #
+# diversity_sample auto-dial (shared rule with ann_index_build)
+# ------------------------------------------------------------------ #
+
+def test_auto_cells_rule():
+    from renoir_spark.datapipe import auto_cells
+
+    assert auto_cells(0) == 16
+    assert auto_cells(256) == 16
+    assert auto_cells(257) == 17  # ceil(sqrt) — not floor
+    assert auto_cells(10_000) == 100
+    assert auto_cells(10**12) == 10**6
+
+
+def test_diversity_sample_auto_dial(ctx, sf_dir):
+    from renoir_spark.datapipe import auto_cells
+
+    emb = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.df.count()
+    dialed = auto_cells(n)
+    assert dialed > 16  # testdata is big enough for the dial to move
+    out = emb.diversity_sample(n_cells=None, per_cell=3).collect_vec()
+    assert all(0 <= r.cell < dialed for r in out)
+    # the dial actually widened the stratification beyond the old pin
+    assert max(r.cell for r in out) >= 16
+    per = {}
+    for r in out:
+        per[r.cell] = per.get(r.cell, 0) + 1
+    assert all(v <= 3 for v in per.values())
+
+
+# ------------------------------------------------------------------ #
+# AnnIndex.stats drift signal (frozen-centroid rebuild trigger)
+# ------------------------------------------------------------------ #
+
+def test_ann_index_stats_drift(ctx, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    emb = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet")
+    idx = emb.ann_index_build(str(tmp_path / "annidx"), n_cells=8)
+
+    st = idx.stats()
+    assert st["drift"]["build"] is not None
+    assert st["drift"]["appended"] is None  # nothing appended yet
+    assert st["drift"]["mean_ratio"] is None
+    b = st["drift"]["build"]
+    assert 0.0 <= b["mean"] <= 2.0 and b["p50"] <= b["p90"] <= b["p99"]
+
+    # in-distribution append: scaled copies (same direction, cos == 1
+    # to themselves) — drift ratio should stay near 1
+    near = emb.df.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias(
+            "embedding"
+        ),
+    ).limit(200)
+    idx.append(ctx.from_df(near))
+    st1 = idx.stats()
+    a1 = st1["drift"]["appended"]
+    assert a1 is not None and a1["n"] > 0
+    assert 0.5 <= st1["drift"]["mean_ratio"] <= 1.5
+
+    # SHIFTED append: constant vectors far from every centroid — the
+    # appended fit must measurably degrade vs the build fit
+    shifted = emb.df.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i < 1, F.lit(50.0)).otherwise(
+                F.lit(-50.0) * (x - x)
+            )
+        ).alias("embedding"),
+    ).limit(300)
+    idx.append(ctx.from_df(shifted))
+    st2 = idx.stats()
+    assert st2["drift"]["mean_ratio"] > st1["drift"]["mean_ratio"]
+    # deterministic: same call, same numbers
+    assert idx.stats() == st2
+
+
+def test_ann_index_stats_drift_empty_index(ctx, tmp_path):
+    s = ctx.stream_iter([], "vec_id long, embedding array<float>")
+    idx = s.ann_index_build(str(tmp_path / "annempty"), n_cells=4)
+    st = idx.stats()
+    assert st["vectors"] == 0
+    assert st["drift"] == {"build": None, "appended": None,
+                           "mean_ratio": None}

@@ -186,6 +186,58 @@ def main(argv: list[str]) -> int:
             round(time.perf_counter() - t0, 2),
         ))
 
+    # --- centroid-drift detection (AnnIndex.stats drift block) -------
+    # The rebuild trigger: append an in-distribution increment and a
+    # SHIFTED one and report the measured appended/build mean
+    # distance-to-centroid ratio for each. A ratio ~1 says the frozen
+    # Voronoi cells still fit; a big ratio is the "rebuild now" number
+    # recall can't report on its own. The demo corpus is CLUSTERED
+    # (8 modes: base direction + 5% jitter) — on a truly uniform corpus
+    # the metric is honestly flat, because frozen centroids fit uniform
+    # appends exactly as well as rebuilt ones would.
+    bases = [r.embedding for r in
+             emb.df.orderBy("vec_id").limit(8).collect()]
+    base_tbl = ctx.spark.createDataFrame(
+        [(i, [float(x) for x in b]) for i, b in enumerate(bases)],
+        "bid long, base array<double>",
+    )
+
+    def clustered(src, id_off):
+        return ctx.from_df(
+            src.df.withColumn("bid", F.col("vec_id") % 8)
+            .join(F.broadcast(base_tbl), "bid")
+            .select(
+                (F.col("vec_id") + id_off).alias("vec_id"),
+                F.zip_with(
+                    "base", "embedding",
+                    lambda b, x: b + F.lit(0.05) * x.cast("double"),
+                ).alias("embedding"),
+            )
+        )
+
+    drift_path = os.path.join(
+        tempfile.mkdtemp(prefix="recall_drift_"), "idx")
+    clustered(emb.filter("vec_id < 400"), 0).ann_index_build(
+        drift_path, n_cells=8)
+    didx = ctx.ann_index(drift_path)
+    didx.append(clustered(emb.filter("vec_id >= 400"), 900000))
+    rows.append((
+        "index stats drift: in-distribution append (mean_ratio)",
+        didx.stats()["drift"]["mean_ratio"], 0.0,
+    ))
+    shifted = emb.filter("vec_id < 200").map(
+        vec_id=F.col("vec_id") + 950000,
+        embedding=F.transform(
+            F.reverse(F.col("embedding")),
+            lambda x: x.cast("double") * F.lit(-1.0),
+        ),
+    )
+    didx.append(shifted)
+    rows.append((
+        "index stats drift: SHIFTED append (mean_ratio)",
+        didx.stats()["drift"]["mean_ratio"], 0.0,
+    ))
+
     n = emb.df.count()
     hdr = (f"recall@{K} vs exact brute force, {N_QUERIES} queries over "
            f"{n} vectors ({sf_dir}); brute = {brute_s}s")
