@@ -4179,6 +4179,66 @@ def _oracle_qa30() -> str:
 ORACLE_QA30 = _oracle_qa30()
 
 
+def qa31_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 text-side operators composed END TO END (the
+    examples/semantic_curation.py pipeline as one oracle-checked
+    statement): containment dedup (drop documents mostly contained in a
+    longer one — the planted 25-word excerpts) → content-defined chunk
+    dedup (cross-document boilerplate chunks collapse to their first
+    occurrence) → fill-in-the-middle transform on a deterministic half
+    of the survivors. Each stage is oracle-verified alone (qa26 / qa30 /
+    qa29); this query pins that they also compose — the q80 discipline
+    (a pipeline is only as verified as its seams)."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").filter("doc_id % 5 = 0").map(
+        "doc_id", "text"
+    )
+    excerpts = _t(ctx, sf_dir, "documents").filter("doc_id % 15 = 0").map(
+        doc_id=F.col("doc_id") + 200000,
+        text=F.array_join(F.slice(F.split("text", " "), 1, 25), " "),
+    )
+    merged = docs.merge(excerpts).shuffle()
+    contained = (
+        merged.containment_pairs_exact(
+            "text", "doc_id", shingle_n=3, threshold=0.8
+        )
+        .map(F.col("inner_id").alias("doc_id"))
+        .df.distinct()
+    )
+    standalone = ctx.from_df(merged.df.join(contained, "doc_id", "left_anti"))
+    cdc = standalone.chunk_dedup_cdc("doc_id", "text", divisor=16)
+    fim_in = ctx.from_df(
+        cdc.df.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    return (
+        fim_in.fim_transform("doc_id", "text", rate=0.5)
+        .map("doc_id", "fim_text")
+        .df
+    )
+
+
+def _oracle_qa31() -> str:
+    from .datapipe import sql_containment_pairs_exact
+    from .prep import sql_chunk_dedup_cdc, sql_fim_transform
+
+    cont = sql_containment_pairs_exact(
+        _QA26_INPUT, "text", "doc_id", shingle_n=3, threshold=0.8
+    )
+    surv = f"""(
+  SELECT doc_id, text FROM {_QA26_INPUT}
+  WHERE doc_id NOT IN (SELECT inner_id FROM ({cont}))
+)"""
+    cdc = sql_chunk_dedup_cdc(surv, "doc_id", "text", divisor=16)
+    fim = sql_fim_transform(
+        f"(SELECT doc_id, clean_text AS text FROM ({cdc}))",
+        "doc_id", "text", rate=0.5,
+    )
+    return f"SELECT doc_id, fim_text FROM ({fim})"
+
+
+ORACLE_QA31 = _oracle_qa31()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4309,6 +4369,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa28_ann_index_dedup": qa28_ann_index_dedup,
     "qa29_fim_transform": qa29_fim_transform,
     "qa30_chunk_dedup_cdc": qa30_chunk_dedup_cdc,
+    "qa31_semantic_curation": qa31_semantic_curation,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4443,4 +4504,5 @@ ORACLE: Dict[str, str] = {
     "qa28_ann_index_dedup": ORACLE_QA28,
     "qa29_fim_transform": ORACLE_QA29,
     "qa30_chunk_dedup_cdc": ORACLE_QA30,
+    "qa31_semantic_curation": ORACLE_QA31,
 }
