@@ -36,6 +36,75 @@ import time
 # the 0.3 s floor keeps 0.1 s-scale queries from flagging on jitter.
 TOLERANCE = float(os.environ.get("SPARK_GRAFT_BENCH_TOLERANCE", "1.5"))
 FLOOR_S = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR", "0.3"))
+# shuffle-bytes gate dials: bytes are near-deterministic (unlike wall
+# seconds, ±10% on this container), so a 1.5x growth in shuffle WRITE
+# bytes is a plan change (new exchange / lost pruning), not noise. The
+# 1 MiB floor keeps broadcast-only queries (near-zero bytes) from
+# flagging on AQE bookkeeping deltas.
+BYTES_TOLERANCE = float(os.environ.get("SPARK_GRAFT_BENCH_BYTES_TOL", "1.5"))
+BYTES_FLOOR = int(os.environ.get("SPARK_GRAFT_BENCH_BYTES_FLOOR",
+                                 str(1 << 20)))
+
+
+def shuffle_totals(spark) -> tuple[int, int]:
+    """Cumulative (shuffle read bytes, shuffle write bytes) over every
+    stage the AppStatusStore retains — per-query bytes are deltas of
+    this between queries. Needs spark.ui.retainedStages to exceed the
+    run's total stage count (main() pins 100k) or old stages evict and
+    deltas go wrong; eviction shows up as a NEGATIVE delta, which the
+    caller records as None instead of a bogus number."""
+    sc = spark.sparkContext
+    jvm = spark._jvm
+    store = sc._jsc.sc().statusStore()
+    stages = store.stageList(
+        jvm.java.util.ArrayList(), False, False,
+        sc._gateway.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+    )
+    tot_r = tot_w = 0
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        tot_r += s.shuffleReadBytes()
+        tot_w += s.shuffleWriteBytes()
+    return tot_r, tot_w
+
+
+def compare_shuffle_to_baseline(shuffle_bytes: dict, baseline,
+                                sf: float,
+                                justifications: dict | None = None,
+                                *, tolerance: float = BYTES_TOLERANCE,
+                                floor: int = BYTES_FLOOR) -> list:
+    """Flag queries whose shuffle WRITE bytes grew past ``tolerance ×
+    baseline + floor`` vs the committed bench_last.json — the
+    near-deterministic complement of the wall-time gate: a plan
+    regression that adds an exchange can hide inside ±10% wall noise
+    but cannot hide its bytes. Same justification suppression as the
+    timing gate. Returns [{query, kind: "shuffle_bytes", baseline, now,
+    ratio, justified?}] worst-first."""
+    if not baseline or baseline.get("sf") != sf:
+        return []
+    just = justifications or {}
+    base_b = baseline.get("shuffle_bytes", {})
+    regs = []
+    for name, now in shuffle_bytes.items():
+        old = base_b.get(name)
+        if not isinstance(now, dict) or not isinstance(old, dict):
+            continue
+        ow, nw = old.get("write"), now.get("write")
+        if ow is None or nw is None:
+            continue
+        if nw > tolerance * ow + floor:
+            entry = {
+                "query": name,
+                "kind": "shuffle_bytes",
+                "baseline": ow,
+                "now": nw,
+                "ratio": round(nw / ow, 2) if ow else float("inf"),
+            }
+            if name in just:
+                entry["justified"] = just[name]
+            regs.append(entry)
+    return sorted(regs, key=lambda e: -e["ratio"])
 
 
 def load_committed_baseline(repo_dir: str):
@@ -104,6 +173,11 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # the shuffle-bytes telemetry diffs cumulative stage metrics from
+        # the AppStatusStore; the default 1000-stage retention evicts
+        # mid-run on a 130-query × n-run suite and corrupts the deltas
+        .config("spark.ui.retainedStages", "200000")
+        .config("spark.ui.retainedJobs", "200000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -139,13 +213,28 @@ def main() -> None:
     )
     timings: dict[str, float] = {}
     streaming_state: dict[str, dict] = {}
+    shuffle_bytes: dict[str, dict | None] = {}
+
+    def _record_bytes(name: str, before: tuple[int, int]) -> None:
+        # bytes are near-deterministic: the LAST run's delta stands (a
+        # min across runs would mix AQE decisions from different runs);
+        # a negative delta means stage-store eviction — record None
+        # rather than a bogus number
+        after = shuffle_totals(spark)
+        dr, dw = after[0] - before[0], after[1] - before[1]
+        shuffle_bytes[name] = (
+            {"read": dr, "write": dw} if dr >= 0 and dw >= 0 else None
+        )
+
     for r in range(runs):
         for name in names:
             fn = suite.QUERIES[name]
+            sb0 = shuffle_totals(spark)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             took = round(time.perf_counter() - t0, 3)
+            _record_bytes(name, sb0)
             timings[name] = min(timings.get(name, float("inf")), took)
             print(f"# run{r} {name}: {took:.3f}s ({n} rows)", file=sys.stderr)
             # queries are independent workloads: drop caches they persisted
@@ -155,7 +244,9 @@ def main() -> None:
         for sname, sfn in STREAMING_LEGS.items():
             if only and sname not in only.split(","):
                 continue
+            sb0 = shuffle_totals(spark)
             n, took, st = sfn(spark, sf_dir)
+            _record_bytes(sname, sb0)
             timings[sname] = min(timings.get(sname, float("inf")), took)
             if st:
                 # state-store telemetry (rows/bytes peak + watermark
@@ -177,11 +268,15 @@ def main() -> None:
     except (OSError, ValueError):
         justifications = {}
     regressions = compare_to_baseline(timings, baseline, sf, justifications)
+    regressions += compare_shuffle_to_baseline(
+        shuffle_bytes, baseline, sf, justifications
+    )
     unjustified = [e for e in regressions if "justified" not in e]
     for e in regressions:
         tag = "justified: " + e["justified"] if "justified" in e else "REGRESSION"
+        unit = " B shuffle-write" if e.get("kind") == "shuffle_bytes" else "s"
         print(
-            f"# gate {e['query']}: {e['baseline']:.3f}s -> {e['now']:.3f}s "
+            f"# gate {e['query']}: {e['baseline']}{unit} -> {e['now']}{unit} "
             f"({e['ratio']}x) {tag}",
             file=sys.stderr,
         )
@@ -196,6 +291,7 @@ def main() -> None:
             "sf": sf,
             "regressions": regressions,
             "streaming_state": streaming_state,
+            "shuffle_bytes": shuffle_bytes,
         }
     )
     print(line)

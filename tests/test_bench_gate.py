@@ -78,3 +78,63 @@ def test_committed_artifacts_keep_gate_runnable():
     assert all(
         isinstance(k, str) and isinstance(v, str) and v for k, v in just.items()
     )
+
+
+# ------------------------------------------------------------------ #
+# shuffle-bytes gate (round 6): wall noise is ±10%, bytes are not —
+# a plan regression that adds an exchange cannot hide its bytes
+# ------------------------------------------------------------------ #
+
+def _measure_bytes(spark, make_df):
+    before = bench.shuffle_totals(spark)
+    make_df().count()
+    after = bench.shuffle_totals(spark)
+    return {"read": after[0] - before[0], "write": after[1] - before[1]}
+
+
+def test_shuffle_gate_catches_injected_repartition(spark):
+    from pyspark.sql import functions as F
+
+    def plain():
+        return spark.range(300_000).groupBy(
+            (F.col("id") % 100).alias("g")).count()
+
+    def injected():  # the artificial plan regression
+        return spark.range(300_000).repartition(16).groupBy(
+            (F.col("id") % 100).alias("g")).count()
+
+    base_bytes = _measure_bytes(spark, plain)
+    base = {"metric": "suite_total", "sf": 0.1,
+            "shuffle_bytes": {"q01": base_bytes}}
+
+    # same plan re-measured: inside the band, no flag
+    again = _measure_bytes(spark, plain)
+    assert bench.compare_shuffle_to_baseline(
+        {"q01": again}, base, 0.1, floor=4096) == []
+
+    # injected repartition: full-table shuffle where the partial-agg
+    # plan wrote a few KB — flags, worst-first, unjustified
+    bad = _measure_bytes(spark, injected)
+    regs = bench.compare_shuffle_to_baseline(
+        {"q01": bad}, base, 0.1, floor=4096)
+    assert len(regs) == 1
+    e = regs[0]
+    assert e["kind"] == "shuffle_bytes" and e["query"] == "q01"
+    assert e["now"] > e["baseline"] and "justified" not in e
+
+    # justification suppresses (same contract as the timing gate)
+    regs_j = bench.compare_shuffle_to_baseline(
+        {"q01": bad}, base, 0.1, {"q01": "intentional"}, floor=4096)
+    assert regs_j and regs_j[0]["justified"] == "intentional"
+
+
+def test_shuffle_gate_skips_evicted_and_new_entries():
+    base = {"metric": "suite_total", "sf": 0.1,
+            "shuffle_bytes": {"q01": {"read": 100, "write": 100}}}
+    # eviction-corrupted measurement recorded as None: never flags
+    assert bench.compare_shuffle_to_baseline({"q01": None}, base, 0.1) == []
+    # new query (no baseline) and sf mismatch: never flag
+    assert bench.compare_shuffle_to_baseline(
+        {"q_new": {"read": 9, "write": 9 << 30}}, base, 0.1) == []
+    assert bench.compare_shuffle_to_baseline(
+        {"q01": {"read": 9, "write": 9 << 30}}, base, 0.001) == []
