@@ -50,7 +50,7 @@ def shuffle_totals(spark) -> tuple[int, int]:
     """Cumulative (shuffle read bytes, shuffle write bytes) over every
     stage the AppStatusStore retains — per-query bytes are deltas of
     this between queries. Needs spark.ui.retainedStages to exceed the
-    run's total stage count (main() pins 100k) or old stages evict and
+    run's total stage count (main() pins 200k) or old stages evict and
     deltas go wrong; eviction shows up as a NEGATIVE delta, which the
     caller records as None instead of a bogus number."""
     sc = spark.sparkContext
@@ -99,12 +99,18 @@ def compare_shuffle_to_baseline(shuffle_bytes: dict, baseline,
                 "kind": "shuffle_bytes",
                 "baseline": ow,
                 "now": nw,
-                "ratio": round(nw / ow, 2) if ow else float("inf"),
+                # None, not float('inf'), on a 0-byte baseline:
+                # json.dumps would emit bare Infinity (invalid JSON) on
+                # the bench's one-line output contract
+                "ratio": round(nw / ow, 2) if ow else None,
             }
             if name in just:
                 entry["justified"] = just[name]
             regs.append(entry)
-    return sorted(regs, key=lambda e: -e["ratio"])
+    return sorted(
+        regs, key=lambda e: -(e["ratio"] if e["ratio"] is not None
+                              else float("inf"))
+    )
 
 
 def load_committed_baseline(repo_dir: str):
@@ -215,26 +221,29 @@ def main() -> None:
     streaming_state: dict[str, dict] = {}
     shuffle_bytes: dict[str, dict | None] = {}
 
-    def _record_bytes(name: str, before: tuple[int, int]) -> None:
+    def _record_bytes(name: str, before: tuple[int, int]) -> tuple[int, int]:
         # bytes are near-deterministic: the LAST run's delta stands (a
         # min across runs would mix AQE decisions from different runs);
         # a negative delta means stage-store eviction — record None
-        # rather than a bogus number
+        # rather than a bogus number. Returns the 'after' snapshot so
+        # the caller can reuse it as the next query's 'before' (the
+        # store walk is O(retained stages) of py4j round-trips).
         after = shuffle_totals(spark)
         dr, dw = after[0] - before[0], after[1] - before[1]
         shuffle_bytes[name] = (
             {"read": dr, "write": dw} if dr >= 0 and dw >= 0 else None
         )
+        return after
 
     for r in range(runs):
+        sb0 = shuffle_totals(spark)
         for name in names:
             fn = suite.QUERIES[name]
-            sb0 = shuffle_totals(spark)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             took = round(time.perf_counter() - t0, 3)
-            _record_bytes(name, sb0)
+            sb0 = _record_bytes(name, sb0)
             timings[name] = min(timings.get(name, float("inf")), took)
             print(f"# run{r} {name}: {took:.3f}s ({n} rows)", file=sys.stderr)
             # queries are independent workloads: drop caches they persisted
@@ -244,9 +253,8 @@ def main() -> None:
         for sname, sfn in STREAMING_LEGS.items():
             if only and sname not in only.split(","):
                 continue
-            sb0 = shuffle_totals(spark)
             n, took, st = sfn(spark, sf_dir)
-            _record_bytes(sname, sb0)
+            sb0 = _record_bytes(sname, sb0)
             timings[sname] = min(timings.get(sname, float("inf")), took)
             if st:
                 # state-store telemetry (rows/bytes peak + watermark

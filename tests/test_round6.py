@@ -287,3 +287,56 @@ def test_ann_index_stats_drift_empty_index(ctx, tmp_path):
     assert st["vectors"] == 0
     assert st["drift"] == {"build": None, "appended": None,
                            "mean_ratio": None}
+
+
+# ------------------------------------------------------------------ #
+# uniform match_batch contract across the three persisted indexes
+# (round-5 verdict ask #8 — the exact index gained match_batch with
+# the minhash pair-output shape; pin all three surfaces together so
+# downstream cluster tooling composes against ONE contract)
+# ------------------------------------------------------------------ #
+
+def test_match_batch_contract_uniform(ctx, spark, tmp_path):
+    docs = ctx.from_df(spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "entirely different content about spark physical plans"),
+         (3, "a third document with its own words and nothing shared")],
+        "doc_id long, text string"))
+    batch = ctx.from_df(spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again"),
+         (11, "novel text that matches nothing in the corpus at all")],
+        "doc_id long, text string"))
+
+    mh = docs.dedup_index_build(str(tmp_path / "mh"), text_col="text",
+                                id_col="doc_id", bucket_dirs=4)
+    ex = docs.dedup_index_build(str(tmp_path / "ex"), text_col="text",
+                                id_col="doc_id", bucket_dirs=4,
+                                mode="exact")
+    for idx, score_col in ((mh, "jac"), (ex, "jac")):
+        pairs = idx.match_batch(batch).df
+        assert pairs.columns == ["batch_id", "corpus_id", score_col]
+        rows = pairs.collect()
+        assert [(r.batch_id, r.corpus_id) for r in rows] == [(10, 1)]
+        assert rows[0][score_col] == 1.0
+        # dedup_batch = batch minus matched ids, same on both modes
+        surv = sorted(r.doc_id for r in
+                      idx.dedup_batch(batch).df.collect())
+        assert surv == [11]
+
+    emb_corpus = ctx.from_df(spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>"))
+    emb_batch = ctx.from_df(spark.createDataFrame(
+        [(10, [2.0, 0.0, 0.0, 0.0]),   # scaled copy of 1 -> cos 1
+         (11, [0.0, 0.0, 0.0, 1.0])],  # orthogonal -> novel
+        "vec_id long, embedding array<double>"))
+    ann = emb_corpus.ann_index_build(str(tmp_path / "ann"), n_cells=2,
+                                     dim=4)
+    pairs = ann.match_batch(emb_batch, threshold=0.9, nprobe=2).df
+    assert pairs.columns == ["batch_id", "corpus_id", "cos"]
+    rows = pairs.collect()
+    assert [(r.batch_id, r.corpus_id) for r in rows] == [(10, 1)]
+    surv = sorted(r.vec_id for r in
+                  ann.dedup_batch(emb_batch, threshold=0.9,
+                                  nprobe=2).df.collect())
+    assert surv == [11]
