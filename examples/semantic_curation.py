@@ -10,8 +10,10 @@
     → incremental SEMANTIC dedup loop against a persisted ANN index
       (dedup the increment, append the survivors)
 
-Every stage is oracle-verified in the suite (qa26-qa30, qa06/qa28);
-this script wires them into the curation shape a corpus refresh runs.
+Every stage is oracle-verified in the suite (qa26-qa30, qa06/qa28),
+and the composed pipelines themselves are oracle-checked end to end
+(qa31 = the text side, qa32 = the embedding side); this script wires
+them into the curation shape a corpus refresh runs.
 
 Usage: python examples/semantic_curation.py [sf_dir]
 """

@@ -4239,6 +4239,62 @@ def _oracle_qa31() -> str:
 ORACLE_QA31 = _oracle_qa31()
 
 
+def qa32_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING-side curation pipeline composed end to end
+    (qa31's sibling — examples/semantic_curation.py's vector half as
+    one oracle-checked statement): incremental semantic dedup of a
+    batch against the persisted ANN index (planted scaled copies drop,
+    reversed novels survive — qa28's increment) → cluster-balanced
+    diversity sampling of the survivors (fresh seeded IVF cells over
+    the survivor set, per-cell salted-hash quota). Pins the seam the
+    single-operator oracles can't: the sampler's seeded centroids are
+    derived from the DEDUP OUTPUT, so any drift in the survivor set
+    re-shapes every downstream cell assignment."""
+    from .ann_index import ann_index_load
+
+    ctx = _ctx(spark)
+    corpus = _t(ctx, sf_dir, "embeddings").map("vec_id", "embedding")
+    scaled = _t(ctx, sf_dir, "embeddings").filter("vec_id % 4 = 0").map(
+        vec_id=F.col("vec_id") + 500000,
+        embedding=F.transform("embedding", lambda x: x * F.lit(1.5)),
+    )
+    novel = _t(ctx, sf_dir, "embeddings").filter("vec_id % 8 = 1").map(
+        vec_id=F.col("vec_id") + 600000,
+        embedding=F.transform(
+            F.reverse(F.col("embedding")), lambda x: x.cast("double")
+        ),
+    )
+    batch = scaled.merge(novel)
+    path = _tmp_index_path("renoir_ann_semingest_", sf_dir)
+    corpus.ann_index_build(path, n_cells=16)
+    idx = ann_index_load(spark, path)
+    survivors = idx.dedup_batch(batch, threshold=0.8, nprobe=3, rerank=10)
+    return survivors.diversity_sample(
+        vec_col="embedding", id_col="vec_id", n_cells=8, per_cell=4
+    ).df
+
+
+def _oracle_qa32() -> str:
+    from .datapipe import sql_ann_cosine_ivf_sq8, sql_diversity_sample
+
+    ann = sql_ann_cosine_ivf_sq8(
+        _QA28_BATCH, "TRUE", k=1, n_cells=16, nprobe=3, rerank=10,
+        seed_expr="embeddings", stats_expr="embeddings",
+        corpus_expr="embeddings",
+    )
+    surv = f"""(
+  SELECT b.vec_id, b.embedding FROM {_QA28_BATCH} b
+  WHERE NOT EXISTS (
+      SELECT 1 FROM ({ann}) a
+      WHERE a.qid = b.vec_id AND a.rank = 1 AND a.cos >= 0.8
+    )
+)"""
+    return sql_diversity_sample(surv, n_cells=8, per_cell=4)
+
+
+ORACLE_QA32 = _oracle_qa32()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4370,6 +4426,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa29_fim_transform": qa29_fim_transform,
     "qa30_chunk_dedup_cdc": qa30_chunk_dedup_cdc,
     "qa31_semantic_curation": qa31_semantic_curation,
+    "qa32_semantic_ingest": qa32_semantic_ingest,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4505,4 +4562,5 @@ ORACLE: Dict[str, str] = {
     "qa29_fim_transform": ORACLE_QA29,
     "qa30_chunk_dedup_cdc": ORACLE_QA30,
     "qa31_semantic_curation": ORACLE_QA31,
+    "qa32_semantic_ingest": ORACLE_QA32,
 }
