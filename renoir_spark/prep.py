@@ -1895,6 +1895,69 @@ FROM wind
 # budget / quantile data selection
 # --------------------------------------------------------------------- #
 
+def epoch_shuffle(stream, id_col: str, *, seed: int = 0, epoch: int = 0,
+                  n_shards: Optional[int] = None,
+                  alias: str = "shuffle_pos"):
+    """Deterministic seeded GLOBAL shuffle order for a training epoch:
+    adds ``alias`` = each row's 1-based position in the order
+    ``(md5_int31(seed|epoch|id), id)`` — a reproducible uniform
+    permutation (new seed or epoch → a fresh, unrelated order; same
+    inputs → byte-identical order on any cluster size / partitioning).
+    Training pipelines need this where renoir's ``shuffle`` (and
+    Spark's ``rand()``) give a NON-reproducible order: a resumed or
+    re-run job must see the exact same data order, and an audit must be
+    able to answer "which examples were in step N's batch".
+
+    ``n_shards`` additionally assigns ``shard`` = ``(pos − 1) %
+    n_shards`` — round-robin by shuffled position, so every shard is a
+    uniform sample of the corpus AND the interleaved concatenation of
+    shards 0..n−1 replays the exact global order (the standard
+    worker-sharding contract).
+
+    Scale: a bare ``row_number() OVER (ORDER BY hash)`` funnels the
+    corpus through ONE task; this reuses the distributed zipWithIndex
+    (range-partition on the hash so partition ids follow global order,
+    number within partitions, broadcast per-partition offsets —
+    stream._global_index), so the only single-task step is a
+    ≤num_partitions-row offset cumsum."""
+    from .stream import _global_index
+
+    h = md5_int31(
+        F.concat_ws("|", F.lit(f"es{int(seed)}e{int(epoch)}"),
+                    to_col(id_col).cast("string"))
+    )
+    df = stream.df.withColumn("__esh", h)
+    out, cached = _global_index(df, [F.col("__esh"), to_col(id_col)],
+                                idx=alias)
+    out = out.drop("__esh")
+    if n_shards is not None:
+        out = out.withColumn(
+            "shard", F.pmod(F.col(alias) - 1, F.lit(int(n_shards)))
+        )
+    return stream._new(out)._retain(cached)
+
+
+def sql_epoch_shuffle(table_expr: str, id_col: str, cols: str, *,
+                      seed: int = 0, epoch: int = 0,
+                      n_shards: Optional[int] = None,
+                      alias: str = "shuffle_pos") -> str:
+    """DuckDB mirror of :func:`epoch_shuffle` — the brute-force global
+    window states the truth the distributed zipWithIndex must match."""
+    h = sql_md5_int31(
+        f"concat_ws('|', 'es{int(seed)}e{int(epoch)}', {id_col}::VARCHAR)"
+    )
+    shard = (
+        f", ({alias} - 1) % {int(n_shards)} AS shard"
+        if n_shards is not None else ""
+    )
+    return f"""
+SELECT {cols}, {alias}{shard} FROM (
+  SELECT *, row_number() OVER (ORDER BY {h}, {id_col}) AS {alias}
+  FROM {table_expr}
+)
+"""
+
+
 def take_token_budget(stream, ntok_col: str, budget: int, *, order):
     """Greedy token-budget fill — "give me the best N-billion tokens":
     rows are ranked by ``order`` (a Column/expr that must be a globally

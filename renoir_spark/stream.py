@@ -1208,6 +1208,14 @@ class Stream:
 
         return _tb(self, ntok_col, budget, order=order)
 
+    def epoch_shuffle(self, id_col: str, **kw) -> "Stream":
+        """Deterministic seeded global shuffle order (+ optional
+        round-robin shard assignment) for reproducible training epochs.
+        See prep.epoch_shuffle."""
+        from .prep import epoch_shuffle as _es
+
+        return _es(self, id_col, **kw)
+
     def filter_by_score_quantile(self, score_col: str, lo: float, hi: float,
                                  **kw) -> "Stream":
         """Quantile-band selection (keep the middle of the score

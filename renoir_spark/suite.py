@@ -4295,6 +4295,32 @@ def _oracle_qa32() -> str:
 ORACLE_QA32 = _oracle_qa32()
 
 
+def qa33_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded epoch shuffle + worker sharding: every
+    document gets its 1-based position in the (seed, epoch)-keyed
+    permutation and a round-robin shard — the reproducible-training-
+    order primitive (a resumed run must replay the exact order; an
+    audit must reconstruct step N's batch). The distributed
+    zipWithIndex (range-partition on the hash + broadcast offsets)
+    must match the oracle's single brute-force global window
+    bit-for-bit."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id")
+    return docs.epoch_shuffle("doc_id", seed=7, epoch=2, n_shards=4).df
+
+
+def _oracle_qa33() -> str:
+    from .prep import sql_epoch_shuffle
+
+    return sql_epoch_shuffle(
+        "(SELECT doc_id FROM documents)", "doc_id", "doc_id",
+        seed=7, epoch=2, n_shards=4,
+    )
+
+
+ORACLE_QA33 = _oracle_qa33()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4427,6 +4453,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa30_chunk_dedup_cdc": qa30_chunk_dedup_cdc,
     "qa31_semantic_curation": qa31_semantic_curation,
     "qa32_semantic_ingest": qa32_semantic_ingest,
+    "qa33_epoch_shuffle": qa33_epoch_shuffle,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4563,4 +4590,5 @@ ORACLE: Dict[str, str] = {
     "qa30_chunk_dedup_cdc": ORACLE_QA30,
     "qa31_semantic_curation": ORACLE_QA31,
     "qa32_semantic_ingest": ORACLE_QA32,
+    "qa33_epoch_shuffle": ORACLE_QA33,
 }

@@ -340,3 +340,53 @@ def test_match_batch_contract_uniform(ctx, spark, tmp_path):
                   ann.dedup_batch(emb_batch, threshold=0.9,
                                   nprobe=2).df.collect())
     assert surv == [11]
+
+
+# ------------------------------------------------------------------ #
+# epoch_shuffle: reproducible training order + worker sharding
+# ------------------------------------------------------------------ #
+
+def test_epoch_shuffle_deterministic_and_partition_invariant(ctx):
+    rows = [(i,) for i in range(500)]
+    s1 = ctx.stream_iter(rows, "id long")
+    a = {r.id: r.shuffle_pos
+         for r in s1.epoch_shuffle("id", seed=3, epoch=1).collect_vec()}
+    # same inputs, different physical partitioning -> identical order
+    s2 = ctx.from_df(ctx.spark.createDataFrame(rows, "id long")
+                     .repartition(13))
+    b = {r.id: r.shuffle_pos
+         for r in s2.epoch_shuffle("id", seed=3, epoch=1).collect_vec()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 501))  # a true permutation
+
+
+def test_epoch_shuffle_seed_and_epoch_reshuffle(ctx):
+    rows = [(i,) for i in range(300)]
+    s = ctx.stream_iter(rows, "id long")
+
+    def order(seed, epoch):
+        return tuple(
+            r.id for r in sorted(
+                s.epoch_shuffle("id", seed=seed, epoch=epoch).collect_vec(),
+                key=lambda r: r.shuffle_pos,
+            )
+        )
+
+    o00, o01, o10 = order(0, 0), order(0, 1), order(1, 0)
+    assert o00 != o01 and o00 != o10 and o01 != o10
+    assert order(0, 0) == o00  # reproducible
+    # not the identity order (it IS a shuffle)
+    assert o00 != tuple(range(300))
+
+
+def test_epoch_shuffle_shards_interleave_global_order(ctx):
+    s = ctx.stream_iter([(i,) for i in range(100)], "id long")
+    out = s.epoch_shuffle("id", seed=5, n_shards=4).collect_vec()
+    by_pos = sorted(out, key=lambda r: r.shuffle_pos)
+    # round-robin by position: shard = (pos-1) % n, so each shard is a
+    # uniform 1/n sample and interleaving shards replays global order
+    assert all(r.shard == (r.shuffle_pos - 1) % 4 for r in by_pos)
+    sizes = {}
+    for r in out:
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+    assert sizes == {0: 25, 1: 25, 2: 25, 3: 25}
