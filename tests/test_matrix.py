@@ -92,6 +92,14 @@ SWEEP = [
     "qa26_containment_pairs",
     "qa27_diversity_sample",
     "qa28_ann_index_dedup",
+    # round-6: the composed curation pipelines (every seam above, in
+    # sequence — a layout-dependent survivor set would cascade into
+    # every downstream stage) and the distributed zipWithIndex (range
+    # partition boundaries move with the layout but offsets must
+    # rebuild the identical global permutation)
+    "qa31_semantic_curation",
+    "qa32_semantic_ingest",
+    "qa33_epoch_shuffle",
 ]
 
 

@@ -507,3 +507,40 @@ def test_containment_pairs_equals_bruteforce(ctx, texts, t, n):
             if c >= t:
                 want[(a, b)] = c
     assert got == want
+
+
+@SLOW
+@given(
+    ids=st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                 min_size=1, max_size=40, unique=True),
+    seed=st.sampled_from([0, 7]),
+    epoch=st.sampled_from([0, 3]),
+    parts=st.sampled_from([1, 7]),
+)
+def test_epoch_shuffle_equals_python_permutation(ctx, ids, seed, epoch,
+                                                 parts):
+    """epoch_shuffle's distributed zipWithIndex equals the pure-Python
+    rank in (md5_int31(seed|epoch|id), id) order for arbitrary unique
+    ids (negative, huge) under any input partitioning — the
+    range-partition offsets must rebuild the exact global permutation,
+    never just *a* permutation."""
+    import hashlib
+
+    P = 2_147_483_647
+
+    def h(i):
+        s = f"es{seed}e{epoch}|{i}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % P
+
+    want = {
+        i: pos + 1
+        for pos, i in enumerate(sorted(ids, key=lambda i: (h(i), i)))
+    }
+    df = ctx.spark.createDataFrame([(i,) for i in ids], "id long") \
+        .repartition(parts)
+    got = {
+        r.id: r.shuffle_pos
+        for r in ctx.from_df(df)
+        .epoch_shuffle("id", seed=seed, epoch=epoch).collect_vec()
+    }
+    assert got == want
