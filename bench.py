@@ -55,6 +55,19 @@ def shuffle_totals(spark) -> tuple[int, int]:
     caller records as None instead of a bogus number."""
     sc = spark.sparkContext
     jvm = spark._jvm
+    # The store is fed by the ASYNC listener bus: metrics of stages that
+    # just finished can post after count() returns and get attributed to
+    # the NEXT query's delta (ADVICE round 6). Drain the bus before every
+    # snapshot so each delta owns its stages. API drift tolerated: the
+    # no-arg overload threw on old Sparks, the (timeoutMillis) overload
+    # is gone on new ones — try both, fall back to the raw snapshot.
+    try:
+        sc._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        try:
+            sc._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:
+            pass
     store = sc._jsc.sc().statusStore()
     stages = store.stageList(
         jvm.java.util.ArrayList(), False, False,
@@ -329,6 +342,23 @@ _EVENT_SCHEMA = (
     "event_type string, value double, props string"
 )
 
+# Streaming-drain shape knobs (VERDICT r6 ask #4): the availableNow
+# drain's micro-batch structure is spool_files / max_files_per_trigger
+# micro-batches of (rows / spool_files × max_files_per_trigger) rows
+# each. Defaults reproduce the historical legs (8 range-partitioned
+# files, 2 per trigger → 4 batches at EVERY scale factor, so per-batch
+# ROW VOLUME grows with the corpus). tools/scale_curve.py sweeps these
+# to attribute the s05 30× ratio between per-batch floors (batch
+# count) and in-batch state growth (batch size) — see docs/SCALING.md.
+
+
+def _spool_files() -> int:
+    return int(os.environ.get("SPARK_GRAFT_SPOOL_FILES", "8"))
+
+
+def _max_files_per_trigger() -> int:
+    return int(os.environ.get("SPARK_GRAFT_MAX_FILES_TRIGGER", "2"))
+
 
 def _spool_events(spark, sf_dir: str) -> str:
     """Untimed prep shared by the streaming legs: spool events into
@@ -345,7 +375,7 @@ def _spool_events(spark, sf_dir: str) -> str:
     spool = tempfile.mkdtemp(prefix="nex_stream_")
     try:
         ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-        ev.repartitionByRange(8, "ts").write.mode("overwrite").parquet(spool)
+        ev.repartitionByRange(_spool_files(), "ts").write.mode("overwrite").parquet(spool)
         parts = sorted(glob.glob(f"{spool}/part-*"))
         base = time.time() - len(parts) - 1
         for i, p in enumerate(parts):
@@ -359,7 +389,7 @@ def _spool_events(spark, sf_dir: str) -> str:
 def _stream_source(spark, spool: str):
     return (
         spark.readStream.schema(_EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", _max_files_per_trigger())
         .parquet(spool)
     )
 
@@ -417,7 +447,7 @@ def _spool_documents(spark, sf_dir: str) -> str:
                     F.timestamp_seconds(F.col("doc_id") + 3600).alias("ts"),
                     "text")
         )
-        docs.repartitionByRange(8, "ts").write.mode("overwrite").parquet(spool)
+        docs.repartitionByRange(_spool_files(), "ts").write.mode("overwrite").parquet(spool)
         parts = sorted(glob.glob(f"{spool}/part-*"))
         base = time.time() - len(parts) - 1
         for i, p in enumerate(parts):
@@ -444,7 +474,7 @@ def _streaming_minhash_dedup(spark, sf_dir: str) -> tuple[int, float, dict]:
         src = (
             spark.readStream
             .schema("doc_id long, ts timestamp, text string")
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", _max_files_per_trigger())
             .parquet(spool)
         )
         # state_groups sized to ~8x the leg's 8 state partitions (the
@@ -485,7 +515,7 @@ def _spool_embeddings(spark, sf_dir: str) -> str:
             F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
         )
         rows = base.unionByName(dups)
-        rows.repartitionByRange(8, "ts").write.mode("overwrite").parquet(spool)
+        rows.repartitionByRange(_spool_files(), "ts").write.mode("overwrite").parquet(spool)
         parts = sorted(glob.glob(f"{spool}/part-*"))
         t0 = time.time() - len(parts) - 1
         for i, p in enumerate(parts):
@@ -508,7 +538,7 @@ def _streaming_embedding_dedup(spark, sf_dir: str) -> tuple[int, float, dict]:
         src = (
             spark.readStream
             .schema("vec_id long, ts timestamp, embedding array<double>")
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", _max_files_per_trigger())
             .parquet(spool)
         )
         return dedup_embedding_stream(

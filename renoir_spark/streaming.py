@@ -112,16 +112,21 @@ def run_to_completion(
     state instead of asserting it."""
     name = "mem_" + uuid.uuid4().hex[:12]
     cap = None
+    prior_cap = None
+    conf = df.sparkSession.conf
     if telemetry is not None:
         # recentProgress keeps only the last
         # spark.sql.streaming.numRecentProgressUpdates entries (default
         # 100): a drain with more micro-batches would silently
         # under-report state_rows_peak/removed. Raise the retention for
-        # telemetry runs and pass the effective cap through so
-        # state_telemetry can flag any residual truncation.
-        conf = df.sparkSession.conf
-        cap = int(conf.get("spark.sql.streaming.numRecentProgressUpdates",
-                           "100") or "100")
+        # THIS drain only — the prior value is restored in the finally
+        # block so a telemetry run doesn't change session behavior for
+        # subsequent streaming work (ADVICE round 6) — and pass the
+        # effective cap through so state_telemetry can flag any
+        # residual truncation.
+        prior_cap = conf.get("spark.sql.streaming.numRecentProgressUpdates",
+                             "100") or "100"
+        cap = int(prior_cap)
         if cap < 10_000:
             conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
             cap = 10_000
@@ -140,6 +145,11 @@ def run_to_completion(
                 telemetry.append(state_telemetry(q, cap=cap))
             except Exception:  # pragma: no cover - defensive: never
                 pass           # let metrics kill the drain itself
+            if prior_cap is not None and cap != int(prior_cap):
+                conf.set(
+                    "spark.sql.streaming.numRecentProgressUpdates",
+                    prior_cap,
+                )
         if q.isActive:  # pragma: no cover - timeout path
             q.stop()
     return df.sparkSession.table(name).collect()

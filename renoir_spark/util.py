@@ -199,7 +199,13 @@ def free_local_checkpoint(df, blocking: bool = False) -> None:
         plan = df._jdf.queryExecution().logical()
         if plan.getClass().getSimpleName() == "LogicalRDD":
             plan.rdd().unpersist(blocking)
-            return
+            # do NOT return: a bare-LogicalRDD plan is not always a
+            # checkpoint — a persist()-ed frame built from an RDD (or
+            # an iterate body returning its checkpointed input
+            # unchanged) also scans a LogicalRDD, and skipping the
+            # Dataset release would leave its CacheManager entry
+            # pinned for the session. Releasing both surfaces is
+            # idempotent and safe (ADVICE round 6).
     except Exception:  # pragma: no cover - Connect / API drift: fall
         pass           # back to the (cache-only) public release below
     df.unpersist(blocking)

@@ -159,6 +159,9 @@ def test_state_telemetry_reports_progress_cap(ctx, spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(spool)
     )
+    prior = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100"
+    ) or "100"
     telemetry = []
     rows = run_to_completion(
         src.groupBy().count(), output_mode="complete", telemetry=telemetry
@@ -167,10 +170,12 @@ def test_state_telemetry_reports_progress_cap(ctx, spark, tmp_path):
     (st,) = telemetry
     assert st["progress_capped"] is False
     assert st["batches"] >= 1
-    # run_to_completion raised the retention for the session
+    # the retention override is scoped to the drain: the session value
+    # is RESTORED afterwards (ADVICE round 6 — a telemetry run must not
+    # change behavior for subsequent non-telemetry streaming work)
     assert int(
         spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
-    ) >= 10_000
+    ) == int(prior)
 
 
 # ------------------------------------------------------------------ #
