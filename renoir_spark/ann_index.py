@@ -228,8 +228,12 @@ class AnnIndex:
         values, so recall silently degrades once appended data shifts
         away from the build distribution. ``drift`` reports
         ``1 − cos(vec, assigned centroid)`` — mean/p50/p90/p99 over a
-        deterministic (salted-hash) sample of ≤ ``drift_sample`` rows
-        per generation — for the build corpus and the appended rows,
+        deterministic hash-ordered sample of ≤ ``drift_sample`` rows
+        per generation, SALTED by the index's current row count so the
+        sample rotates as the index grows (a fixed lowest-hash sample
+        would go blind to drift concentrated in newer rows; same index
+        state ⇒ same count ⇒ same sample ⇒ repeatable numbers) — for
+        the build corpus and the appended rows,
         plus ``mean_ratio`` (appended/build). A ratio near 1 means
         appends still fit the build-time Voronoi cells; a climbing
         ratio is the measured form of "time to rebuild" (measured on a
@@ -263,8 +267,9 @@ class AnnIndex:
             sample = (
                 codes.filter(pred)
                 .select(id_col, vec_col, "__cell")
-                .orderBy(md5_int31(F.col(id_col).cast("string")),
-                         F.col(id_col))
+                .orderBy(md5_int31(F.concat_ws(
+                    "|", F.col(id_col).cast("string"), F.lit(str(n))
+                )), F.col(id_col))
                 .limit(int(drift_sample))
             )
             dist = F.lit(1.0) - _cosine(F.col(vec_col), F.col("__unit"))
@@ -289,6 +294,63 @@ class AnnIndex:
         if b and a and b["mean"]:
             out["drift"]["mean_ratio"] = round(a["mean"] / b["mean"], 3)
         return out
+
+    def rebuild(self, *, n_cells: Optional[int] = None) -> "AnnIndex":
+        """Re-derive centroids, SQ8 grid, and cell layout from EVERY
+        currently indexed fp32 vector (build + all appended
+        generations) and rewrite the index in place — the FAISS
+        ``retrain`` analog, and the ACTION the drift signal in
+        :meth:`stats` triggers: :meth:`append` freezes centroids and
+        grid at build-time values, so once ``stats()["drift"]
+        ["mean_ratio"]`` climbs, the frozen Voronoi cells no longer
+        fit the appended mass and recall decays (measured in
+        tools/recall_harness.py). Rebuilding re-seeds centroids from
+        the FULL corpus (shifted appends get cells of their own),
+        re-fits the quantization grid over the full value range, and
+        rewrites the codes cell-clustered; appended rows become
+        generation-0 build rows of the new index, so the drift
+        baseline resets too.
+
+        Centroids re-seed from a deterministic HASH-ordered uniform
+        sample of the full corpus (``seed_order="hash"``), not the
+        smallest-id rule: low ids are build-era rows by construction,
+        so smallest-id seeds would hand the retrain right back to the
+        stale distribution — the hash sample covers build and appended
+        mass in proportion (the measured recall restoration in
+        tools/recall_harness.py depends on this).
+
+        ``n_cells=None`` (the default) auto-dials to ``max(16, ⌈√N⌉)``
+        over the REBUILT corpus — the dial widens as appends
+        accumulate instead of inheriting a stale build-time pin. Pass
+        an int to pin it.
+
+        Scale: one full read of the stored fp32 vectors, pinned by an
+        eager localCheckpoint (the overwrite deletes the very files
+        being read — lazy lineage would read-after-delete), then the
+        standard build pass: bounded seed collect, one map-side
+        stats aggregate, ONE encode+assign pass, cell-clustered
+        partitioned write. No all-pairs work anywhere.
+
+        Returns the rebuilt handle; ``self`` is stale after this call
+        (its meta/units describe the overwritten layout)."""
+        from .context import StreamContext
+        from .util import free_local_checkpoint
+
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        rows = (
+            self.spark.read.schema(self._codes_schema())
+            .parquet(f"{self.path}/codes")
+            .select(id_col, vec_col)
+            .localCheckpoint(eager=True)
+        )
+        try:
+            return ann_index_build(
+                StreamContext(self.spark).from_df(rows), self.path,
+                vec_col=vec_col, id_col=id_col, n_cells=n_cells,
+                dim=self.meta["dim"], seed_order="hash",
+            )
+        finally:
+            free_local_checkpoint(rows)
 
     def compact(self) -> None:
         """Rewrite the codes root clustered (≈ one file per cell
@@ -354,8 +416,8 @@ def _write_codes(df, path: str, units, stats, *, id_col: str,
 
 
 def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
-                    id_col: str = "vec_id", n_cells=16,
-                    dim: int = 64) -> AnnIndex:
+                    id_col: str = "vec_id", n_cells: Optional[int] = None,
+                    dim: int = 64, seed_order: str = "id") -> AnnIndex:
     """Build and persist the IVF+SQ8 index for ``stream`` at ``path``.
     One corpus pass: Arrow cell assignment + JVM SQ8 encode, written
     hive-partitioned by cell. See the module docstring for the layout
@@ -364,17 +426,27 @@ def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
     ``n_cells`` is the quadratic-work dial: pinned while the corpus
     grows k×, every cell holds k× vectors and a k×-bigger query batch
     does k² in-cell work (measured 12.4× wall at 10× data with 16
-    pinned cells vs 2.1× with cells scaled — docs/SCALING.md).
-    ``n_cells=None`` auto-dials to ``max(16, ⌈√N⌉)`` (the standard IVF
-    sizing rule, one count pass at build) so per-cell population grows
-    only as √N; pass an explicit int to pin it (the suite does, for
-    oracle determinism)."""
+    pinned cells vs 2.1× with cells scaled — docs/SCALING.md). The
+    DEFAULT ``n_cells=None`` auto-dials to ``max(16, ⌈√N⌉)`` (the
+    standard IVF sizing rule, one count pass at build) so per-cell
+    population grows only as √N — a default build stays scale-safe at
+    100 TB; pass an explicit int to pin it (the suite does, for
+    oracle determinism — static DuckDB oracles can't follow a
+    data-dependent cell count, except qa35's scalar-subquery form).
+
+    ``seed_order``: ``"id"`` (default) seeds centroids from the
+    smallest-id vectors — the rule every DuckDB oracle mirrors;
+    ``"hash"`` seeds from a deterministic hash-ordered uniform sample
+    (distribution-covering — what :meth:`AnnIndex.rebuild` uses; an
+    index built this way answers queries identically given its cells,
+    but the STANDARD sql_ann_cosine_ivf_sq8 oracle cannot re-derive
+    its centroids)."""
     spark = stream.df.sparkSession
     df = stream.df
     dtypes = dict(df.dtypes)
     if n_cells is None:
         n_cells = auto_cells(df.count())
-    units = _ivf_seed_units(df, vec_col, id_col, n_cells)
+    units = _ivf_seed_units(df, vec_col, id_col, n_cells, order=seed_order)
     # run the stats aggregate ONCE and pin its 1-row result on the
     # driver: the same row feeds both the encode broadcast and the
     # grid/ write — without this the unpersisted aggregate would scan

@@ -1688,7 +1688,7 @@ def diversity_sample(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_cells: Optional[int] = 16,
+    n_cells: Optional[int] = None,
     per_cell: int = 10,
 ):
     """Cluster-balanced diversity sampling: assign every vector to its
@@ -1710,13 +1710,13 @@ def diversity_sample(
     output ≤ n_cells × per_cell rows regardless of corpus size.
     Output: (id, cell) — join back to the corpus for payload columns.
 
-    ``n_cells=None`` auto-dials to ``max(16, ⌈√N⌉)`` (one count pass —
-    the same rule as ``ann_index_build``): a pinned cell count over a
-    growing corpus means each window group grows linearly (16 giant
-    groups at 100 TB) and diversity resolution collapses to 16 modes;
-    the √N dial keeps per-cell population AND per-cell semantic width
-    shrinking as the corpus grows. Pass an explicit int to pin (the
-    qa27 oracle does, for determinism).
+    The DEFAULT ``n_cells=None`` auto-dials to ``max(16, ⌈√N⌉)`` (one
+    count pass — the same rule as ``ann_index_build``): a pinned cell
+    count over a growing corpus means each window group grows linearly
+    (16 giant groups at 100 TB) and diversity resolution collapses to
+    16 modes; the √N dial keeps per-cell population AND per-cell
+    semantic width shrinking as the corpus grows. Pass an explicit int
+    to pin (the qa27 oracle does, for determinism).
     """
     df = stream.df
     dtypes = dict(df.dtypes)
@@ -1749,11 +1749,16 @@ def sql_diversity_sample(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_cells: int = 16,
+    n_cells="16",
     per_cell: int = 10,
 ) -> str:
     """DuckDB mirror of :func:`diversity_sample`: the shared ``cells`` /
-    assignment CTEs (q50's) + a per-cell salted-hash quota window."""
+    assignment CTEs (q50's) + a per-cell salted-hash quota window.
+
+    ``n_cells`` may be an int (the pinned form every static oracle
+    uses) or a SQL SCALAR-SUBQUERY string — DuckDB accepts expressions
+    in LIMIT, which is how qa35 makes the oracle follow the √N
+    auto-dial instead of pinning it."""
     nrm = SQL_UNIT_DIV.format(nrm=SQL_NORM.format(a=vec_col))
     dot_cu = SQL_DOT.format(a="t.v", b="cells.u")
     return f"""
@@ -1882,7 +1887,7 @@ def dedup_embedding_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_cells: Optional[int] = 16,
+    n_cells: Optional[int] = None,
     target_cell_size: int = 200,
 ):
     """Semantic dedup, SemDeDup shape (Abbas et al. 2023, public): assign
@@ -1898,9 +1903,10 @@ def dedup_embedding_ivf(
     self-join on the cell id. In-cell work is quadratic in cell size, so
     ``n_cells`` MUST grow with the corpus (same dial as every IVF
     index) — measured in docs/SCALING.md: 10× corpus with n_cells
-    pinned = 18× wall; with cell size held constant = linear. Pass
-    ``n_cells=None`` to derive it from ``target_cell_size`` (one cheap
-    count; oracle-mirroring callers pass an explicit n_cells)."""
+    pinned = 18× wall; with cell size held constant = linear. The
+    DEFAULT ``n_cells=None`` derives it from ``target_cell_size``
+    (one cheap count), so a default call stays linear at scale;
+    oracle-mirroring callers pass an explicit n_cells."""
     if n_cells is None:
         n = stream.df.count()
         n_cells = max(1, -(-n // target_cell_size))
@@ -2472,13 +2478,27 @@ def auto_cells(n: int, floor: int = 16) -> int:
     return max(floor, r + (r * r < n))
 
 
-def _ivf_seed_units(df, vec_col: str, id_col: str, n_cells: int) -> list:
-    """Deterministic seeded centroids: the ``n_cells`` smallest-id
-    vectors, unit-normalized (bounded driver collect — renoir's
-    IterationStateHandle shape). Shared by the IVF ANN and the IVF
-    semantic-dedup operators so both mirror the same SQL ``cells`` CTE."""
+def _ivf_seed_units(df, vec_col: str, id_col: str, n_cells: int,
+                    *, order: str = "id") -> list:
+    """Deterministic seeded centroids, unit-normalized (bounded driver
+    collect — renoir's IterationStateHandle shape). Shared by the IVF
+    ANN and the IVF semantic-dedup operators so both mirror the same
+    SQL ``cells`` CTE.
+
+    ``order="id"`` (default): the ``n_cells`` smallest-id vectors — the
+    oracle-mirrored rule every suite query pins. ``order="hash"``: the
+    ``n_cells`` smallest hash-ordered ids — a deterministic UNIFORM
+    sample of the corpus, used by :meth:`AnnIndex.rebuild`: smallest-id
+    seeds only cover whatever distribution the low ids happen to come
+    from, while a retrain's whole point is giving LATER-arriving
+    (appended, shifted) mass cells of its own — the hash sample covers
+    every generation in proportion to its size."""
+    key = (
+        [F.col(id_col)] if order == "id"
+        else [md5_int31(F.col(id_col).cast("string")), F.col(id_col)]
+    )
     rows = (
-        df.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).limit(n_cells).collect()
+        df.select(F.col(id_col), F.col(vec_col)).orderBy(*key).limit(n_cells).collect()
     )
     units = []
     for r in rows:

@@ -4321,6 +4321,97 @@ def _oracle_qa33() -> str:
 ORACLE_QA33 = _oracle_qa33()
 
 
+def qa34_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-order OUTPUT side composed end to end (qa31/qa32's
+    last-mile sibling — the q80 seam discipline applied to what leaves
+    the engine): token accounting (``token_count``) → fixed-size
+    sequence packing (``pack_sequences`` — deterministic two-level hash
+    layout, a doc belongs to the pack where it STARTS) → pack-level
+    manifest (docs + tokens per pack) → deterministic seeded epoch
+    shuffle with round-robin worker shards OVER THE PACKS
+    (``epoch_shuffle`` — the order a dataloader replays) → the whole
+    shuffled manifest round-tripped through a shard-partitioned parquet
+    write (``write_parquet(partition_by=["shard"])``), so the hive
+    layout a trainer reads is on the verified path too. Pins the
+    seams single-operator oracles can't: pack ids feed the shuffle
+    hash, so any packing drift re-orders the epoch; the read-back pins
+    the persisted shard layout."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    packed = docs.token_count("text").pack_sequences(
+        "doc_id", "tok_bpe", max_tokens=2048, n_buckets=16
+    )
+    packs = ctx.from_df(
+        packed.df.groupBy("pack_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_bpe").alias("tok_sum"),
+        )
+    )
+    ordered = packs.epoch_shuffle("pack_id", seed=11, epoch=3, n_shards=4)
+    path = _tmp_index_path("renoir_train_order_", sf_dir)
+    ordered.map(
+        "pack_id", "n_docs", "tok_sum", "shuffle_pos", "shard"
+    ).write_parquet(path, partition_by=["shard"])
+    return spark.read.schema(
+        "pack_id long, n_docs long, tok_sum long, shuffle_pos long, "
+        "shard long"
+    ).parquet(path).select(
+        "pack_id", "n_docs", "tok_sum", "shuffle_pos", "shard"
+    )
+
+
+def _oracle_qa34() -> str:
+    from .datapipe import sql_token_count
+    from .prep import sql_epoch_shuffle, sql_pack_sequences
+
+    tc = sql_token_count("documents", "text", "doc_id")
+    packed = sql_pack_sequences(
+        f"({tc})", "doc_id", "tok_bpe", max_tokens=2048, n_buckets=16
+    )
+    packs = f"""(
+  SELECT pack_id, count(*) AS n_docs,
+         CAST(sum(tok_bpe) AS BIGINT) AS tok_sum
+  FROM ({packed}) GROUP BY pack_id
+)"""
+    return sql_epoch_shuffle(
+        packs, "pack_id", "pack_id, n_docs, tok_sum",
+        seed=11, epoch=3, n_shards=4,
+    )
+
+
+ORACLE_QA34 = _oracle_qa34()
+
+
+def qa35_diversity_autodial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-DIAL path itself, oracle-checked (the r6 stretch ask):
+    ``diversity_sample`` with the scale-safe DEFAULT ``n_cells=None`` —
+    the ``max(16, ⌈√N⌉)`` dial every 100 TB caller now gets — verified
+    bit-exactly by a DuckDB mirror whose cell count is the SAME dial
+    computed as a scalar subquery (exact integer ceil-sqrt over a ±1
+    candidate set, so no float-ulp trap near perfect squares). qa27
+    keeps the pinned-16 form; this query proves the DIALED form, so
+    the default path is no longer a documented-but-unverified regime."""
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings").map("vec_id", "embedding")
+    return emb.diversity_sample(n_cells=None, per_cell=6).df
+
+
+def _oracle_qa35() -> str:
+    from .datapipe import sql_diversity_sample
+
+    dial = """(
+  SELECT GREATEST(16, MIN(r))
+  FROM (SELECT unnest([f - 1, f, f + 1]) AS r, n
+        FROM (SELECT CAST(FLOOR(SQRT(n)) AS BIGINT) AS f, n
+              FROM (SELECT count(*) AS n FROM embeddings)))
+  WHERE r >= 0 AND r * r >= n
+)"""
+    return sql_diversity_sample("embeddings", n_cells=dial, per_cell=6)
+
+
+ORACLE_QA35 = _oracle_qa35()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4454,6 +4545,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa31_semantic_curation": qa31_semantic_curation,
     "qa32_semantic_ingest": qa32_semantic_ingest,
     "qa33_epoch_shuffle": qa33_epoch_shuffle,
+    "qa34_training_order": qa34_training_order,
+    "qa35_diversity_autodial": qa35_diversity_autodial,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4591,4 +4684,6 @@ ORACLE: Dict[str, str] = {
     "qa31_semantic_curation": ORACLE_QA31,
     "qa32_semantic_ingest": ORACLE_QA32,
     "qa33_epoch_shuffle": ORACLE_QA33,
+    "qa34_training_order": ORACLE_QA34,
+    "qa35_diversity_autodial": ORACLE_QA35,
 }

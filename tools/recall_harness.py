@@ -238,6 +238,51 @@ def main(argv: list[str]) -> int:
         didx.stats()["drift"]["mean_ratio"], 0.0,
     ))
 
+    # --- rebuild: the ACTION the drift signal triggers ----------------
+    # Shifted-distribution queries against the drifted index, before and
+    # after AnnIndex.rebuild(): pre-rebuild, every centroid is a frozen
+    # build-era mode, so a shifted query's probed cells need not hold
+    # its true neighbors; rebuild re-seeds centroids from a hash sample
+    # of the FULL corpus (shifted mass gets cells of its own), re-fits
+    # the grid, and re-dials n_cells. The recall restoration below is
+    # the measured form of "rebuild fixes what stats() detected".
+    full_corpus = ctx.from_df(
+        clustered(emb.filter("vec_id < 400"), 0).df
+        .unionByName(clustered(emb.filter("vec_id >= 400"), 900000).df)
+        .unionByName(shifted.df)
+    )
+    qshift = shifted.filter("vec_id < 950032")
+    exact_shift = _topk_sets(
+        full_corpus.ann_cosine(qshift, method="brute", k=K).df
+    )
+    pre = _topk_sets(didx.query(qshift, k=K, nprobe=2).df)
+    rows.append((
+        "index rebuild: shifted-query recall PRE-rebuild (nprobe=2)",
+        recall(pre, exact_shift, K), 0.0,
+    ))
+    t0 = time.perf_counter()
+    ridx = didx.rebuild()
+    rb_s = round(time.perf_counter() - t0, 2)
+    post = _topk_sets(ridx.query(qshift, k=K, nprobe=2).df)
+    rows.append((
+        f"index rebuild: shifted-query recall POST-rebuild (nprobe=2, "
+        f"n_cells {didx.meta['n_cells']}->{ridx.meta['n_cells']})",
+        recall(post, exact_shift, K), rb_s,
+    ))
+    # post-rebuild, a FRESH append from the shifted distribution fits
+    # the retrained centroids: the rebuild-now number returns to ~1
+    ridx.append(emb.filter("vec_id >= 200 AND vec_id < 400").map(
+        vec_id=F.col("vec_id") + 960000,
+        embedding=F.transform(
+            F.reverse(F.col("embedding")),
+            lambda x: x.cast("double") * F.lit(-1.0),
+        ),
+    ))
+    rows.append((
+        "index rebuild: mean_ratio of a fresh shifted append POST-rebuild",
+        ridx.stats()["drift"]["mean_ratio"], 0.0,
+    ))
+
     n = emb.df.count()
     hdr = (f"recall@{K} vs exact brute force, {N_QUERIES} queries over "
            f"{n} vectors ({sf_dir}); brute = {brute_s}s")
