@@ -25,78 +25,86 @@ from pyspark.sql import DataFrame, SparkSession
 from renoir_spark import suite
 
 # One representative per SURVEY.md §2 family (order = driver slot):
-#   core folds/scans: q01 q95 · joins: q03 q52 q86 qa26 · plumbing:
-#   q05 · element-wise: q09 q42 · windows: q11 q13 q23 q36 qa25 ·
-#   iteration: q26 q89 · NEXMark: q61 · dedup: qa16 qa17 q94 q96 qa08
-#   qa21 qa28 qa30 · chunk/sentence prep: qa22 · index persistence:
-#   qa06 qa07 qa11 qa12 · decontamination: qa04 q96 · data selection:
-#   qa09 qa19 qa20 qa27 · classifier filter: qa10 · text/prep: q30 q71
-#   q80 q98 qa13 qa18 qa29 · mixing: qa05 qa24 · ANN: q50 · multimodal:
-#   q51 · agg extensions: q91 q97 · argmax: q08
-# (round-6 rotation, per the round-5 verdict's ask #1 — the five
-#  round-5 operators plus five more never-driver-hashed queries in, ten
+#   core folds/scans: q01 q95 · joins: q03 q86 qa26 · plumbing: q05 ·
+#   element-wise: q09 q42 · windows: q13 q23 qa25 · iteration: q82
+#   (iterate) q57 (replay) q89 (delta) · NEXMark: q61 · dedup: qa17 q83
+#   q94 q96 qa08 qa21 qa28 qa30 · chunk/sentence prep: qa22 · index
+#   persistence: qa06 qa07 qa12 · decontamination: qa04 q96 · data
+#   selection: qa02 qa09 qa19 · diversity: qa27 qa35 · classifier
+#   filter: qa10 · text/prep: q71 q80 q98 qa18 · mixing: qa24 · ANN:
+#   q64 q99 qa01 · multimodal: q51 · agg extensions: q91 q97 · argmax:
+#   q08 · composed pipelines: qa31 qa32 qa34 · training order: qa33
+# (round-7 rotation, per the round-6 verdict's asks #2/#7 — the three
+#  round-6 composed/ordering queries, the two round-7 additions, six
+#  more never-driver-hashed queries, and q83 promoted back (ask #7:
+#  the fuzzy-dedup cluster variant keeps a row per family) in; twelve
 #  redundant already-hashed shapes out, each outgoing family keeping at
-#  least one driver row and every rotated-out query staying bit-exact in
-#  tests/test_oracle.py:
-#    q10_line_share → qa26_containment_pairs (keyed prefix-scan family
-#      keeps q95 running_sum; exact directed containment join in)
-#    q16_event_time_tumbling → qa27_diversity_sample (windows keep
-#      q11/q13/q23/q36/qa25; cluster-balanced diversity sampling in)
-#    q22_outer_join → qa28_ann_index_dedup (joins keep q03/q52/q86 +
-#      incoming qa26; persisted-ANN incremental semantic dedup in)
-#    q69_dedup_against → qa29_fim_transform (decontamination keeps q96
-#      bloom + qa04 embedding; FIM/PSM transform in)
-#    q83_dedup_cluster → qa30_chunk_dedup_cdc (cluster dedup keeps qa21
-#      exact + qa08 persisted-minhash; CDC chunk dedup in)
-#    qa23_sentence_dedup → qa22_split_sentences (chunk/sentence family
-#      keeps incoming qa22 + qa30; reassembly stays oracle-green)
-#    q78_bm25 → qa13_boilerplate_strip (text/prep keeps q30/q71/q80/q98)
-#    q81_train_val_test_split → qa18_url_blocklist (mixing keeps qa05 +
-#      incoming qa24)
-#    q87_group_quantiles → qa24_temperature_mix (agg extensions keep
-#      q91 rollup + q97 heavy hitters; qa20 quantile-band stays)
-#    q68_nexmark_item_suggestion → qa07_dedup_index_batch (NEXMark keeps
-#      q61 hot items; one-shot persisted-index dedup gains its row)
-#  Earlier rotations (rounds 3–5) are in git history of this file.)
+#  least one driver row and every rotated-out query staying bit-exact
+#  in tests/test_oracle.py:
+#    qa16_url_dedup → qa31_semantic_curation (URL family keeps qa18
+#      blocklist; the composed text-side curation pipeline in)
+#    q11_interval_join → qa32_semantic_ingest (windows/joins keep
+#      q13/q23/qa25 + q03/q86; composed embedding-side ingest in)
+#    qa11_dedup_index_exact → qa33_epoch_shuffle (persisted index keeps
+#      qa07/qa08/qa06/qa12; reproducible training order in)
+#    qa20_quantile_band → qa34_training_order (selection keeps
+#      qa19/qa09 + incoming qa02; the composed output side in)
+#    q26_pagerank → q82_collatz (iteration keeps q89 + incoming q57;
+#      per-element iterate-with-side-conditions in)
+#    q30_lang_id → qa35_diversity_autodial (text keeps q71/q80/q98;
+#      the √N auto-dial path gains its own oracle row)
+#    q36_transaction_window → q57_logistic_regression (windows keep
+#      q13/q23/qa25 and the s03 streaming leg measures transaction
+#      windows every round; replay-loop training in)
+#    q50_ann_ivf → q99_ann_sq8 (ANN keeps the incoming q99/qa01/q64
+#      trio + the persisted-index row qa06)
+#    q52_salted_join → qa01_ann_ivf_sq8 (joins keep q03/q86/qa26)
+#    qa29_fim_transform → q64_ann_lsh_multi (FIM stays driver-hashed
+#      INSIDE qa31's composition; multi-table LSH in)
+#    qa05_upsample_epochs → qa02_sample_weighted_k (mixing keeps qa24;
+#      A-Res weighted-k sampling gains its first row)
+#    qa13_boilerplate_strip → q83_dedup_cluster (prep keeps
+#      q71/q80/qa18; the minhash cluster-dedup variant returns)
+#  Earlier rotations (rounds 3–6) are in git history of this file.)
 DRIVER_SET = [
     "q01_pricing_summary",
     "q03_shipping_priority",
-    "qa16_url_dedup",
+    "qa31_semantic_curation",
     "q05_broadcast_chain",
     "q08_argmax_per_nation",
     "q09_wordcount",
     "qa26_containment_pairs",
-    "q11_interval_join",
-    "qa11_dedup_index_exact",
+    "qa32_semantic_ingest",
+    "qa33_epoch_shuffle",
     "q13_sessions",
     "qa12_ann_index_append",
     "qa27_diversity_sample",
     "qa19_token_budget",
     "qa28_ann_index_dedup",
     "q23_window_join",
-    "qa20_quantile_band",
-    "q26_pagerank",
+    "qa34_training_order",
+    "q82_collatz",
     "qa08_dedup_index_incremental",
-    "q30_lang_id",
+    "qa35_diversity_autodial",
     "qa17_ssjoin_exact",
-    "q36_transaction_window",
+    "q57_logistic_regression",
     "qa21_dedup_cluster_exact",
     "q42_keyed_rich_map",
     "q94_longest_dup_span",
     "qa22_split_sentences",
-    "q50_ann_ivf",
+    "q99_ann_sq8",
     "q51_multimodal_decode",
-    "q52_salted_join",
+    "qa01_ann_ivf_sq8",
     "q61_nexmark_hot_items",
     "qa04_decontaminate_embedding",
     "q97_heavy_hitters",
     "qa25_long_doc_windows",
     "qa10_nb_classifier",
     "qa07_dedup_index_batch",
-    "qa29_fim_transform",
-    "qa05_upsample_epochs",
+    "q64_ann_lsh_multi",
+    "qa02_sample_weighted_k",
     "q71_quality_gopher",
-    "qa13_boilerplate_strip",
+    "q83_dedup_cluster",
     "q80_prep_pipeline",
     "qa18_url_blocklist",
     "qa30_chunk_dedup_cdc",

@@ -97,31 +97,38 @@ def test_driver_set_contract():
     assert [k[:3] for k in first50] == [f"d{i:02d}" for i in range(1, 51)]
     assert all(k in os_ for k in first50)
     # the curated set spans every family the judge called out, plus the
-    # families added by the round-4/5/6 rotations (persisted index exact
-    # mode + ANN append + one-shot batch, token-budget/quantile-band
-    # selection, exact cluster dedup, containment join, diversity
-    # sampling, persisted-ANN semantic dedup, FIM, CDC chunk dedup,
-    # sentence segmentation, boilerplate/blocklist prep, temperature
-    # mix; the round-6 rotated-out shapes — line_share, event-time
-    # tumbling, outer join, exact decontamination, minhash cluster
-    # dedup, sentence dedup+reassembly, bm25, train/val/test split,
-    # group quantiles, nexmark item suggestion — stay oracle-verified)
+    # families added by the round-4/5/6/7 rotations (persisted index +
+    # ANN append + one-shot batch, token-budget/A-Res selection, exact
+    # AND minhash cluster dedup, containment join, diversity sampling
+    # both pinned and auto-dialed, persisted-ANN semantic dedup, CDC
+    # chunk dedup, sentence segmentation, blocklist prep, temperature
+    # mix, the three composed pipelines, the full ANN method spread,
+    # all three iteration constructs; the round-7 rotated-out shapes —
+    # url_dedup, interval join, exact dedup index, quantile band,
+    # pagerank, lang_id, transaction window, ann_ivf, salted join, FIM
+    # standalone, upsample epochs, boilerplate strip — stay
+    # oracle-verified in tests/test_oracle.py)
     joined = " ".join(first50)
     for fam in ("nexmark", "asof", "rollup",
                 "multimodal", "dedup_cluster", "sssp", "gopher",
                 "prep_pipeline",
-                "decontaminate_embedding", "upsample_epochs",
+                "decontaminate_embedding",
                 "ann_index", "dedup_index_incremental", "dsir",
-                "nb_classifier", "url_dedup", "ssjoin_exact",
-                "dedup_index_exact", "ann_index_append", "token_budget",
-                "quantile_band", "dedup_cluster_exact",
+                "nb_classifier", "ssjoin_exact",
+                "ann_index_append", "token_budget",
+                "dedup_cluster_exact",
                 "long_doc_windows", "longest_dup_span", "running_sum",
                 "dedup_against_bloom",
-                # round-6 incoming tranche
                 "containment_pairs", "diversity_sample",
-                "ann_index_dedup", "fim_transform", "chunk_dedup_cdc",
-                "split_sentences", "boilerplate_strip", "url_blocklist",
-                "temperature_mix", "dedup_index_batch"):
+                "ann_index_dedup", "chunk_dedup_cdc",
+                "split_sentences", "url_blocklist",
+                "temperature_mix", "dedup_index_batch",
+                # round-7 incoming tranche
+                "semantic_curation", "semantic_ingest", "epoch_shuffle",
+                "training_order", "diversity_autodial", "ann_sq8",
+                "ann_ivf_sq8", "ann_lsh_multi", "collatz",
+                "logistic_regression", "sample_weighted_k",
+                "dedup_cluster"):
         assert fam in joined, fam
     # every suite query is still exposed (under d- or q-key), exactly once
     exposed = {k.split("_", 1)[1] if k.startswith("d") else k for k in qs}
