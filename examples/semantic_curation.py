@@ -69,13 +69,29 @@ def main(sf_dir: str) -> None:
     corpus = emb.filter("vec_id % 2 = 0")
     increment = emb.filter("vec_id % 2 = 1")
     idx_path = os.path.join(tempfile.mkdtemp(prefix="semcur_"), "ann_idx")
-    corpus.ann_index_build(idx_path, n_cells=8)
+    # default build = the sqrt-N auto-dialed cell count (scale-safe);
+    # pin n_cells only when an external mirror needs fixed centroids
+    corpus.ann_index_build(idx_path)
     idx = ctx.ann_index(idx_path)
     survivors = idx.dedup_batch(increment, threshold=0.95, nprobe=3)
     n_new = survivors.df.count()
     idx.append(survivors)
+    st = idx.stats()
     print(f"semantic ingest: {increment.df.count()} incoming -> "
-          f"{n_new} appended; index now {idx.stats()['vectors']} vectors")
+          f"{n_new} appended; index now {st['vectors']} vectors "
+          f"across {st['cells']} cells")
+
+    # 5) index maintenance: the drift block of stats() is the rebuild
+    #    trigger — appended rows' fit against the FROZEN build-time
+    #    centroids vs the build corpus's own fit. Near 1 = appends
+    #    still match the index geometry; a climbing ratio says the
+    #    accumulated appends shifted the distribution, and rebuild()
+    #    retrains (hash-sampled re-seed + grid re-fit + cell re-dial).
+    ratio = st["drift"]["mean_ratio"]
+    print(f"drift mean_ratio after ingest: {ratio}")
+    if ratio is not None and ratio > 3.0:  # the nightly-loop policy dial
+        idx = idx.rebuild()
+        print(f"rebuilt: {idx.meta['n_cells']} cells, drift baseline reset")
 
 
 if __name__ == "__main__":
