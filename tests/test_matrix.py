@@ -100,6 +100,14 @@ SWEEP = [
     "qa31_semantic_curation",
     "qa32_semantic_ingest",
     "qa33_epoch_shuffle",
+    # round-7: the composed OUTPUT side (pack windows -> pack-level agg
+    # -> zipWithIndex -> partitioned write + read-back: pack ids, the
+    # epoch permutation, and the hive shard layout must all be layout-
+    # independent) and the auto-dialed diversity quota (the dial is a
+    # count — identical under any layout — and the per-cell window must
+    # still pick the identical sample at the dialed width)
+    "qa34_training_order",
+    "qa35_diversity_autodial",
 ]
 
 

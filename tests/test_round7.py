@@ -20,6 +20,8 @@
 import inspect
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 
@@ -156,6 +158,67 @@ def test_rebuild_pinned_cells(ctx, shifted_index):
     assert new.stats()["vectors"] == idx.spark.read.parquet(
         f"{new.path}/codes"
     ).count()
+
+
+def test_rebuild_equals_fresh_hash_build(ctx, sf_dir, tmp_path):
+    """rebuild() is definitionally a fresh hash-seeded build over the
+    stored vectors: build → append → rebuild(n) must produce the same
+    index CONTENT as ann_index_build(seed_order="hash", n_cells=n) over
+    the union corpus — same centroids, same grid, same query results.
+    (This is the invariant that makes rebuild auditable: nothing about
+    the retrain depends on the order history arrived in.)"""
+    emb = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter("vec_id < 300")
+    b = emb.filter("vec_id >= 300 AND vec_id < 400")
+    idx = a.ann_index_build(str(tmp_path / "grown"), n_cells=6)
+    idx.append(b)
+    rebuilt = idx.rebuild(n_cells=9)
+    fresh = ctx.from_df(a.df.unionByName(b.df)).ann_index_build(
+        str(tmp_path / "fresh"), n_cells=9, seed_order="hash"
+    )
+    assert rebuilt.units == fresh.units
+    assert rebuilt.meta["n_cells"] == fresh.meta["n_cells"] == 9
+    q = emb.filter("vec_id < 5")
+    got_r = sorted(map(tuple, rebuilt.query(q, k=3, nprobe=3).df.collect()))
+    got_f = sorted(map(tuple, fresh.query(q, k=3, nprobe=3).df.collect()))
+    assert got_r == got_f and got_r
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=-20, max_value=20),
+                 min_size=3, max_size=3),
+        min_size=3, max_size=14,
+    ),
+    n_cells=st.integers(min_value=1, max_value=5),
+)
+def test_rebuild_equals_fresh_hash_build_random(ctx, tmp_path_factory,
+                                                vecs, n_cells):
+    """The rebuild invariant on ANY corpus (duplicate vectors, negative
+    values, constant dims, tiny cell counts): build → append →
+    rebuild(n) content-equals a fresh hash-seeded build of the union."""
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    half = max(1, len(rows) // 2)
+    base = tmp_path_factory.mktemp("rb7")
+    a = ctx.stream_iter(rows[:half], "vec_id long, embedding array<double>")
+    idx = a.ann_index_build(str(base / "grown"), n_cells=2, dim=3)
+    if rows[half:]:
+        idx.append(ctx.stream_iter(
+            rows[half:], "vec_id long, embedding array<double>"
+        ))
+    rebuilt = idx.rebuild(n_cells=n_cells)
+    fresh = ctx.stream_iter(
+        rows, "vec_id long, embedding array<double>"
+    ).ann_index_build(str(base / "fresh"), n_cells=n_cells, dim=3,
+                      seed_order="hash")
+    assert rebuilt.units == fresh.units
+    q = ctx.stream_iter(rows[:2], "vec_id long, embedding array<double>")
+    got_r = sorted(map(tuple,
+                       rebuilt.query(q, k=3, nprobe=n_cells).df.collect()))
+    got_f = sorted(map(tuple,
+                       fresh.query(q, k=3, nprobe=n_cells).df.collect()))
+    assert got_r == got_f
 
 
 def test_rebuild_covers_appended_distribution(ctx, shifted_index):
