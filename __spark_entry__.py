@@ -25,15 +25,16 @@ from pyspark.sql import DataFrame, SparkSession
 from renoir_spark import suite
 
 # One representative per SURVEY.md §2 family (order = driver slot):
-#   core folds/scans: q01 q95 · joins: q03 q86 qa26 · plumbing: q05 ·
-#   element-wise: q09 q42 · windows: q13 q23 qa25 · iteration: q82
-#   (iterate) q57 (replay) q89 (delta) · NEXMark: q61 · dedup: qa17 q83
-#   q94 q96 qa08 qa21 qa28 qa30 · chunk/sentence prep: qa22 · index
-#   persistence: qa06 qa07 qa12 · decontamination: qa04 q96 · data
-#   selection: qa02 qa09 qa19 · diversity: qa27 qa35 · classifier
-#   filter: qa10 · text/prep: q71 q80 q98 qa18 · mixing: qa24 · ANN:
-#   q64 q99 qa01 · multimodal: q51 · agg extensions: q91 q97 · argmax:
-#   q08 · composed pipelines: qa31 qa32 qa34 · training order: qa33
+#   core folds/scans: q01 q95 · joins: q03 q86 qa26 · element-wise:
+#   q42 · windows: q23 qa25 · iteration: q82 (iterate) q57 (replay)
+#   q89 (delta) · NEXMark: q61 · dedup: qa17 q83 q94 q96 qa08 qa21
+#   qa28 qa30 · chunk/sentence prep: qa22 · index persistence: qa06
+#   qa07 qa12 · decontamination: qa04 q96 · data selection: qa02 qa09
+#   qa19 · diversity: qa27 qa35 · classifier filter: qa10 · text/prep:
+#   q71 q80 q98 qa18 · mixing: qa24 · ANN: q64 q99 qa01 · multimodal:
+#   q51 · agg extensions: q91 q97 · composed pipelines: qa31 qa32 qa34
+#   · training order: qa33 · corpus versioning: qa36 qa37 · leakage-
+#   safe split: qa38 · hybrid retrieval: qa39
 # (round-7 rotation, per the round-6 verdict's asks #2/#7 — the three
 #  round-6 composed/ordering queries, the two round-7 additions, six
 #  more never-driver-hashed queries, and q83 promoted back (ask #7:
@@ -65,18 +66,31 @@ from renoir_spark import suite
 #      A-Res weighted-k sampling gains its first row)
 #    qa13_boilerplate_strip → q83_dedup_cluster (prep keeps
 #      q71/q80/qa18; the minhash cluster-dedup variant returns)
-#  Earlier rotations (rounds 3–6) are in git history of this file.)
+#  Earlier rotations (rounds 3–6) are in git history of this file.
+#  Round-7b (same round, after the versioning/retrieval layer landed):
+#  the four NEW operators rotate straight in so they gain driver rows
+#  in their birth round; four continuously-hashed-since-r1 shapes out,
+#  every outgoing family keeping at least one driver row:
+#    q05_broadcast_chain → qa39_hybrid_search (broadcast plumbing stays
+#      driver-hashed inside q03/qa04/q61; BM25+cosine RRF fusion gains
+#      its first row — bm25_rank itself had none)
+#    q09_wordcount → qa36_corpus_diff (flat_map/wordcount shapes stay
+#      via q98's unigram pass + q61; the snapshot-diff join in)
+#    q13_sessions → qa37_corpus_overlap (session windows keep the s03
+#      streaming leg + q23/qa25 window rows; corpus overlap in)
+#    q08_argmax_per_nation → qa38_leakage_safe_split (argmax/agg keeps
+#      q91/q97; the cluster-keyed split + leakage audit in)
 DRIVER_SET = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "qa31_semantic_curation",
-    "q05_broadcast_chain",
-    "q08_argmax_per_nation",
-    "q09_wordcount",
+    "qa39_hybrid_search",
+    "qa38_leakage_safe_split",
+    "qa36_corpus_diff",
     "qa26_containment_pairs",
     "qa32_semantic_ingest",
     "qa33_epoch_shuffle",
-    "q13_sessions",
+    "qa37_corpus_overlap",
     "qa12_ann_index_append",
     "qa27_diversity_sample",
     "qa19_token_budget",

@@ -3428,3 +3428,304 @@ WHERE NOT EXISTS (
   WHERE {cos} >= {float(threshold)}
 )
 """
+
+
+# --------------------------------------------------------------------- #
+# Corpus versioning: snapshot diff + corpus-level overlap
+# --------------------------------------------------------------------- #
+
+# Unit-separator sentinel between content columns and a NULL marker that
+# cannot collide with real text — without it concat_ws would silently
+# equate NULL and '' (both engines skip NULLs inside concat_ws).
+_DIFF_SEP = "␟"
+_DIFF_NULL = "␀"
+
+
+def corpus_diff(stream, old, id_col: str, content_cols: Sequence[str], *,
+                include_unchanged: bool = False):
+    """Snapshot diff between two corpus versions by content hash: which
+    documents were ``added``, ``removed`` or ``changed`` between ``old``
+    and this (new) stream — the primitive behind incremental corpus
+    builds (reprocess only the delta) and dataset-release audits (what
+    changed between v1 and v2).
+
+    Each side collapses to ``(id, sha2-256 of the content columns)``
+    map-side, then ONE full-outer sort-merge join on the id decides the
+    status. NULL content cells are sentinel-encoded so NULL ≠ ''.
+
+    Scale: both scans prune to ``id + content_cols`` and the 64-char
+    hash replaces arbitrarily wide rows before the shuffle, so the join
+    moves ~100 bytes/doc regardless of document size; the id is unique
+    on each side (no skew) and the join is bucketing-friendly (two
+    snapshots written bucketed by id diff with ZERO shuffle). With the
+    default ``include_unchanged=False`` the filter runs before any
+    downstream consumer, so output is the (tiny) delta, not the corpus.
+    """
+    def fp(df):
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit(_DIFF_NULL))
+            for c in content_cols
+        ]
+        return df.select(
+            to_col(id_col).alias("__id"),
+            F.sha2(F.concat_ws(_DIFF_SEP, *parts), 256).alias("__h"),
+        )
+
+    n = fp(stream.df).alias("n")
+    o = fp(old.df).alias("o")
+    j = n.join(o, F.col("n.__id") == F.col("o.__id"), "full_outer")
+    status = (
+        F.when(F.col("o.__id").isNull(), F.lit("added"))
+        .when(F.col("n.__id").isNull(), F.lit("removed"))
+        .when(F.col("n.__h") != F.col("o.__h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        F.coalesce(F.col("n.__id"), F.col("o.__id")).alias(id_col),
+        status.alias("status"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return stream._new(out)
+
+
+def sql_corpus_diff(new_expr: str, old_expr: str, id_col: str,
+                    content_cols: Sequence[str], *,
+                    include_unchanged: bool = False) -> str:
+    parts = ", ".join(
+        f"coalesce({c}::VARCHAR, '{_DIFF_NULL}')" for c in content_cols
+    )
+    fp = f"sha256(concat_ws('{_DIFF_SEP}', {parts}))"
+    where = "" if include_unchanged else "WHERE status <> 'unchanged'"
+    return f"""
+WITH n AS (SELECT {id_col} AS id_, {fp} AS h FROM {new_expr}),
+     o AS (SELECT {id_col} AS id_, {fp} AS h FROM {old_expr})
+SELECT {id_col}, status FROM (
+  SELECT COALESCE(n.id_, o.id_) AS {id_col},
+         CASE WHEN o.id_ IS NULL THEN 'added'
+              WHEN n.id_ IS NULL THEN 'removed'
+              WHEN n.h <> o.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM n FULL OUTER JOIN o ON n.id_ = o.id_
+) {where}
+"""
+
+
+def corpus_overlap(stream, other, text_col: str, *, shingle_n: int = 3):
+    """EXACT corpus-level shingle overlap between two corpora: one row of
+    ``n_a / n_b / n_inter / n_union / jaccard / containment_a /
+    containment_b`` over distinct word ``shingle_n``-gram md5 keys —
+    the corpus-pair statistic behind "how much of corpus B is already
+    in A?" decisions (buy/crawl/merge) and benchmark-contamination
+    estimates at the corpus (not document) level.
+
+    Scale: each side is explode → md5 → partial-distinct (map-side
+    combine) → ONE distinct shuffle of 32-char keys; the intersection is
+    an equi-join on those uniform keys. The three 1-row aggregates meet
+    in broadcast cross joins (the enumerated 1-row BNLJ pattern). For
+    100 TB corpora where even the distinct key set is expensive, use
+    :func:`corpus_overlap_kmv` — one pass, no key join, ~1/sqrt(k)
+    relative error.
+    """
+
+    def keys(df):
+        return (
+            df.select(
+                F.explode(
+                    word_shingles(to_col(text_col), shingle_n)
+                ).alias("__s")
+            )
+            .select(F.md5(F.col("__s")).alias("__h"))
+            .distinct()
+        )
+
+    ka, kb = keys(stream.df), keys(other.df)
+    ca = ka.agg(F.count(F.lit(1)).alias("n_a"))
+    cb = kb.agg(F.count(F.lit(1)).alias("n_b"))
+    ci = ka.join(kb, "__h").agg(F.count(F.lit(1)).alias("n_inter"))
+    u = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    out = ca.crossJoin(cb).crossJoin(ci).select(
+        "n_a", "n_b", "n_inter",
+        u.alias("n_union"),
+        F.round(F.col("n_inter") / F.nullif(u, F.lit(0)), 6).alias("jaccard"),
+        F.round(F.col("n_inter") / F.nullif(F.col("n_a"), F.lit(0)), 6)
+        .alias("containment_a"),
+        F.round(F.col("n_inter") / F.nullif(F.col("n_b"), F.lit(0)), 6)
+        .alias("containment_b"),
+    )
+    return stream._new(out)
+
+
+def sql_corpus_overlap(a_expr: str, b_expr: str, text: str, *,
+                       shingle_n: int = 3) -> str:
+    sh = sql_word_shingles(text, shingle_n)
+    return f"""
+WITH ka AS (
+  SELECT DISTINCT md5(s) AS h
+  FROM (SELECT unnest({sh}) AS s FROM {a_expr})
+), kb AS (
+  SELECT DISTINCT md5(s) AS h
+  FROM (SELECT unnest({sh}) AS s FROM {b_expr})
+), ca AS (SELECT count(*) AS n_a FROM ka),
+   cb AS (SELECT count(*) AS n_b FROM kb),
+   ci AS (SELECT count(*) AS n_inter FROM ka JOIN kb USING (h))
+SELECT n_a, n_b, n_inter,
+       n_a + n_b - n_inter AS n_union,
+       round(n_inter / nullif(n_a + n_b - n_inter, 0), 6) AS jaccard,
+       round(n_inter / nullif(n_a, 0), 6) AS containment_a,
+       round(n_inter / nullif(n_b, 0), 6) AS containment_b
+FROM ca, cb, ci
+"""
+
+
+_KMV_SPACE = float(1 << 60)
+
+
+def corpus_overlap_kmv(stream, other, text_col: str, *, shingle_n: int = 3,
+                       k: int = 1024):
+    """KMV (bottom-k) sketch ESTIMATE of corpus shingle overlap — the
+    100 TB path for :func:`corpus_overlap`: per corpus, the k smallest
+    distinct 60-bit shingle hashes (partial-distinct + TakeOrdered — the
+    corpus never meets the other corpus in a join); the two k-value
+    sketches merge DRIVER-side (2k longs — the documented bounded
+    collect). Jaccard estimate = fraction of the merged bottom-k present
+    in both sketches (Beyer et al.'s K-Minimum-Values estimator);
+    distinct-count estimate = (k-1) / kth-smallest-normalized. Relative
+    error ~1/sqrt(k) (k=1024 → ~3%). Returns a 1-row DataFrame:
+    ``k_eff / union_est / inter_est / jaccard_est``.
+
+    Use when the exact distinct-key join is the bottleneck; validate on
+    a sample against :func:`corpus_overlap` (tests do exactly that).
+    """
+
+    def bottomk(df):
+        h = F.conv(
+            F.substring(F.md5(F.col("__s")), 1, 15), 16, 10
+        ).cast("long")
+        rows = (
+            df.select(
+                F.explode(
+                    word_shingles(to_col(text_col), shingle_n)
+                ).alias("__s")
+            )
+            .select(h.alias("h")).distinct()
+            .orderBy("h").limit(int(k))
+            .collect()
+        )
+        return [r.h for r in rows]
+
+    sa, sb = bottomk(stream.df), bottomk(other.df)
+    set_a, set_b = set(sa), set(sb)
+    merged = sorted(set_a | set_b)[: int(k)]
+    m = len(merged)
+    if m == 0:
+        union_est = 0.0
+        jacc = None
+    else:
+        kth = merged[-1]
+        # exhausted both sketches -> the merged set IS the union (exact)
+        if len(set_a) < k and len(set_b) < k:
+            union_est = float(len(set_a | set_b))
+        else:
+            union_est = (m - 1) / (kth / _KMV_SPACE) if kth > 0 else float(m)
+        common = sum(1 for h in merged if h in set_a and h in set_b)
+        jacc = common / m
+    inter_est = (jacc or 0.0) * union_est if m else 0.0
+    spark = stream.df.sparkSession
+    out = spark.createDataFrame(
+        [(m, float(union_est), float(inter_est),
+          None if jacc is None else float(jacc))],
+        "k_eff int, union_est double, inter_est double, jaccard_est double",
+    )
+    return stream._new(out)
+
+
+# --------------------------------------------------------------------- #
+# Hybrid retrieval: BM25 + embedding cosine, reciprocal-rank fusion
+# --------------------------------------------------------------------- #
+
+def hybrid_search(docs, embs, query_terms: Sequence[str], query_vec_id, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  vec_id_col: str = "vec_id", vec_col: str = "embedding",
+                  n_candidates: int = 50, k: int = 10, rrf_k: int = 60):
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    (RRF): BM25 top-``n_candidates`` over ``docs`` for ``query_terms``
+    and cosine top-``n_candidates`` over ``embs`` against the corpus
+    vector ``query_vec_id``, fused as score = Σ 1/(rrf_k + rank) with a
+    missing list contributing 0 (Cormack et al.'s parameter-free rank
+    fusion — no score normalization across incomparable scales).
+
+    Scale: both legs end in TakeOrdered candidate lists (the corpus
+    never globally sorts; the BM25 leg shuffles only query-term postings
+    — see :func:`renoir_spark.prep.bm25_rank` — and the cosine leg
+    broadcasts the single query vector). Fusion then runs on ≤
+    2·n_candidates rows: the rank windows and the full-outer join are
+    driver-trivial by construction. At 100 TB swap the brute cosine leg
+    for :class:`renoir_spark.ann_index.AnnIndex.query` (partition-
+    filtered probes) — the fusion contract is rank-only, so the legs are
+    interchangeable.
+    """
+    from .prep import bm25_rank
+
+    lex = bm25_rank(
+        docs, id_col, text_col, list(query_terms), k=int(n_candidates)
+    ).df
+    wl = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    lex = lex.select(
+        F.col(id_col).alias("__lid"),
+        F.row_number().over(wl).cast("long").alias("r_lex"),
+    )
+    qrow = embs.df.filter(to_col(vec_id_col) == F.lit(query_vec_id))
+    sem = ann_cosine_brute(
+        embs, embs._new(qrow), vec_col=vec_col, id_col=vec_id_col,
+        k=int(n_candidates),
+    ).df.select(F.col(vec_id_col).alias("__sid"), F.col("rank").alias("r_sem"))
+    fused = lex.join(sem, F.col("__lid") == F.col("__sid"), "full_outer")
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("r_lex")),
+                   F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("r_sem")),
+                     F.lit(0.0))
+    )
+    out = (
+        fused.select(
+            F.coalesce(F.col("__lid"), F.col("__sid")).alias(id_col),
+            F.col("r_lex"), F.col("r_sem"),
+            F.round(rrf, 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(int(k))
+    )
+    return docs._new(out)
+
+
+def sql_hybrid_search(docs_expr: str, embs_expr: str,
+                      query_terms: Sequence[str], query_pred: str, *,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      vec_id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_candidates: int = 50, k: int = 10,
+                      rrf_k: int = 60) -> str:
+    from .prep import sql_bm25_rank
+
+    bm = sql_bm25_rank(
+        docs_expr, id_col, text_col, list(query_terms), k=int(n_candidates)
+    )
+    ann = sql_ann_cosine_brute(
+        embs_expr, query_pred, vec_col=vec_col, id_col=vec_id_col,
+        k=int(n_candidates),
+    )
+    return f"""
+WITH lex AS (
+  SELECT {id_col} AS lid,
+         row_number() OVER (ORDER BY bm25 DESC, {id_col}) AS r_lex
+  FROM ({bm})
+), sem AS (
+  SELECT {vec_id_col} AS sid, rank AS r_sem FROM ({ann})
+)
+SELECT COALESCE(lid, sid) AS {id_col}, r_lex, r_sem,
+       round(coalesce(1.0::DOUBLE / ({int(rrf_k)} + r_lex), 0.0)
+             + coalesce(1.0::DOUBLE / ({int(rrf_k)} + r_sem), 0.0), 6)
+         AS rrf
+FROM lex FULL OUTER JOIN sem ON lid = sid
+ORDER BY rrf DESC, {id_col} LIMIT {int(k)}
+"""

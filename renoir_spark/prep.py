@@ -911,6 +911,60 @@ def split_by_hash(stream, id_col: str, weights: Dict[str, float], *,
     }
 
 
+def assign_split_by_group(stream, group_col: str, weights: Dict[str, float],
+                          *, salt: str = "split"):
+    """LEAKAGE-SAFE split assignment: hash the GROUP key (duplicate
+    cluster id, registered domain, source shard, ...) instead of the row
+    id, so every member of a group lands in the SAME split — near-
+    duplicates and same-site pages can never straddle train/eval, the
+    contamination channel a per-row :func:`assign_split` leaves open
+    (a train doc's near-dup in the eval set inflates every metric).
+
+    Same consecutive-hash-range math as :func:`assign_split` applied to
+    the group key; map-side only, no join — the group key must already
+    be a column (compose with ``dedup_cluster_minhash``'s ``cluster_id``
+    or ``url_registered_domain``). Audit any labeled frame with
+    :func:`split_leakage` (structurally empty for this assignment).
+    """
+    return assign_split(stream, group_col, weights, salt=salt)
+
+
+def split_leakage(stream, group_col: str, *, split_col: str = "split"):
+    """Split-leakage audit: the groups whose members straddle more than
+    one split — each with ``n_splits``, the sorted ``splits`` list and
+    ``n_rows``. EMPTY output == the split is leakage-free at the group
+    granularity; run it on any externally-labeled corpus before trusting
+    its eval numbers.
+
+    Scale: one groupBy on the group key (map-side partial aggregation;
+    the split label is a tiny enum so collect_set state is bounded);
+    output is bounded by the number of LEAKY groups, not the corpus.
+    """
+    df = (
+        stream.df.groupBy(to_col(group_col).alias(group_col))
+        .agg(
+            F.countDistinct(split_col).alias("n_splits"),
+            F.sort_array(F.collect_set(split_col)).alias("splits"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+    return stream._new(df)
+
+
+def sql_split_leakage(table_expr: str, group_col: str, *,
+                      split_col: str = "split") -> str:
+    return f"""
+SELECT {group_col},
+       count(DISTINCT {split_col}) AS n_splits,
+       list_sort(list(DISTINCT {split_col})) AS splits,
+       count(*) AS n_rows
+FROM {table_expr}
+GROUP BY {group_col}
+HAVING count(DISTINCT {split_col}) > 1
+"""
+
+
 # --------------------------------------------------------------------- #
 # Sequence packing (concat-and-chunk to a context length)
 # --------------------------------------------------------------------- #

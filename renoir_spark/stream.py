@@ -1444,6 +1444,54 @@ class Stream:
 
         return _sh(self, id_col, weights, **kw)
 
+    def assign_split_by_group(self, group_col: str, weights,
+                              **kw) -> "Stream":
+        """Leakage-safe split labels hashed on a GROUP key (cluster id /
+        domain), so near-duplicates co-split —
+        prep.assign_split_by_group."""
+        from .prep import assign_split_by_group as _ag
+
+        return _ag(self, group_col, weights, **kw)
+
+    def split_leakage(self, group_col: str, **kw) -> "Stream":
+        """Audit: groups straddling >1 split (empty == leakage-free) —
+        prep.split_leakage."""
+        from .prep import split_leakage as _sl
+
+        return _sl(self, group_col, **kw)
+
+    def corpus_diff(self, old: "Stream", id_col: str, content_cols,
+                    **kw) -> "Stream":
+        """Snapshot diff vs an older corpus version (added / removed /
+        changed by content hash) — datapipe.corpus_diff."""
+        from .datapipe import corpus_diff as _cd
+
+        return _cd(self, old, id_col, content_cols, **kw)
+
+    def corpus_overlap(self, other: "Stream", text_col: str,
+                       **kw) -> "Stream":
+        """Exact corpus-level shingle overlap statistics (1 row) —
+        datapipe.corpus_overlap."""
+        from .datapipe import corpus_overlap as _co
+
+        return _co(self, other, text_col, **kw)
+
+    def corpus_overlap_kmv(self, other: "Stream", text_col: str,
+                           **kw) -> "Stream":
+        """KMV-sketch overlap estimate (one pass per corpus, no key
+        join) — datapipe.corpus_overlap_kmv."""
+        from .datapipe import corpus_overlap_kmv as _ck
+
+        return _ck(self, other, text_col, **kw)
+
+    def hybrid_search(self, embs: "Stream", query_terms, query_vec_id,
+                      **kw) -> "Stream":
+        """BM25 + cosine reciprocal-rank-fusion retrieval —
+        datapipe.hybrid_search."""
+        from .datapipe import hybrid_search as _hs
+
+        return _hs(self, embs, query_terms, query_vec_id, **kw)
+
     def rebalance_mix(self, id_col: str, group_col: str, targets,
                       **kw) -> "Stream":
         """Domain-mix rebalancing to target shares — prep.rebalance_mix."""

@@ -4412,6 +4412,152 @@ def _oracle_qa35() -> str:
 ORACLE_QA35 = _oracle_qa35()
 
 
+def qa36_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (the incremental-build / release-audit
+    primitive): two deterministic versions of the documents table —
+    ``old`` misses the ``doc_id % 11 = 3`` rows (so they diff as
+    ``added``), ``new`` misses ``doc_id % 7 = 2`` (``removed``) and
+    rewrites the text of ``doc_id % 5 = 1`` (``changed``) — through
+    ``corpus_diff`` on the (text, lang, source) content hash. Pins the
+    sentinel NULL/empty discipline and the full-outer status CASE; rows
+    the driver hashes are exactly the delta, never the corpus."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text", "lang",
+                                            "source")
+    old = docs.filter("doc_id % 11 <> 3")
+    new = docs.filter("doc_id % 7 <> 2").map(
+        doc_id=F.col("doc_id"),
+        text=F.when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        ).otherwise(F.col("text")),
+        lang=F.col("lang"),
+        source=F.col("source"),
+    )
+    return new.corpus_diff(old, "doc_id", ["text", "lang", "source"]).df
+
+
+def _oracle_qa36() -> str:
+    from .datapipe import sql_corpus_diff
+
+    new = """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 1 THEN text || ' [rev2]' ELSE text END
+           AS text,
+         lang, source
+  FROM documents WHERE doc_id % 7 <> 2
+)"""
+    old = "(SELECT doc_id, text, lang, source FROM documents " \
+          "WHERE doc_id % 11 <> 3)"
+    return sql_corpus_diff(new, old, "doc_id", ["text", "lang", "source"])
+
+
+ORACLE_QA36 = _oracle_qa36()
+
+
+def qa37_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-level shingle overlap between two overlapping slices
+    of the documents table (thirds {0,1} vs {1,2} of doc_id % 3): one
+    row of distinct-shingle counts + jaccard + both containments — the
+    "how much of corpus B is already in A" statistic. The KMV one-pass
+    estimator for the same numbers is pytest-verified against this
+    exact form (tests/test_round7.py)."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    a = docs.filter("doc_id % 3 < 2")
+    b = docs.filter("doc_id % 3 > 0")
+    return a.corpus_overlap(b, "text").df
+
+
+def _oracle_qa37() -> str:
+    from .datapipe import sql_corpus_overlap
+
+    return sql_corpus_overlap(
+        "(SELECT * FROM documents WHERE doc_id % 3 < 2)",
+        "(SELECT * FROM documents WHERE doc_id % 3 > 0)",
+        "text",
+    )
+
+
+ORACLE_QA37 = _oracle_qa37()
+
+
+def qa38_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split, composed end to end: MinHash
+    cluster dedup assigns every document its duplicate-cluster id, the
+    split hashes the CLUSTER key (``assign_split_by_group``) so near-
+    duplicates co-split, and ``split_leakage`` audits BOTH assignments —
+    the group-keyed one (structurally 0 leaky groups) against the naive
+    per-id hash on the same corpus (>0: the contamination channel this
+    operator closes). Output: per-split doc counts + the two audit
+    scalars on every row."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    clustered = docs.dedup_cluster_minhash("text", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    safe = clustered.assign_split_by_group("cluster_id", w, salt="s7")
+    naive = clustered.assign_split("doc_id", w, salt="s7")
+    per = safe.df.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    leak_safe = safe.split_leakage("cluster_id").df.agg(
+        F.count(F.lit(1)).alias("leaky_groups_safe")
+    )
+    leak_naive = naive.split_leakage("cluster_id").df.agg(
+        F.count(F.lit(1)).alias("leaky_groups_naive")
+    )
+    return per.crossJoin(leak_safe).crossJoin(leak_naive)
+
+
+def _oracle_qa38() -> str:
+    from .datapipe import sql_dedup_cluster_minhash
+    from .prep import sql_assign_split, sql_split_leakage
+
+    clustered = sql_dedup_cluster_minhash(
+        "(SELECT doc_id, text FROM documents)", "text", "doc_id"
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    safe = sql_assign_split(f"({clustered})", "cluster_id", w, salt="s7")
+    naive = sql_assign_split(f"({clustered})", "doc_id", w, salt="s7")
+    ls = sql_split_leakage(f"({safe})", "cluster_id")
+    ln = sql_split_leakage(f"({naive})", "cluster_id")
+    return f"""
+SELECT p.split, p.n_docs, a.leaky_groups_safe, b.leaky_groups_naive
+FROM (SELECT split, count(*) AS n_docs FROM ({safe}) GROUP BY split) p,
+     (SELECT count(*) AS leaky_groups_safe FROM ({ls})) a,
+     (SELECT count(*) AS leaky_groups_naive FROM ({ln})) b
+"""
+
+
+ORACLE_QA38 = _oracle_qa38()
+
+
+def qa39_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: BM25 top-40 over
+    documents for a 3-term bag + cosine top-40 over embeddings against
+    corpus vector 7, fused as Σ 1/(60+rank) and cut to the top 15 —
+    both candidate legs are TakeOrdered (the corpus never globally
+    sorts) and the fusion join runs on ≤80 rows. The two legs share the
+    doc_id ≡ vec_id key; at scale the cosine leg swaps for the
+    partition-filtered AnnIndex probe (rank-only contract)."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    embs = _t(ctx, sf_dir, "embeddings").map("vec_id", "embedding")
+    return docs.hybrid_search(
+        embs, ["hash", "merge", "vector"], 7, n_candidates=40, k=15
+    ).df
+
+
+def _oracle_qa39() -> str:
+    from .datapipe import sql_hybrid_search
+
+    return sql_hybrid_search(
+        "documents", "embeddings", ["hash", "merge", "vector"],
+        "vec_id = 7", n_candidates=40, k=15,
+    )
+
+
+ORACLE_QA39 = _oracle_qa39()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4547,6 +4693,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa33_epoch_shuffle": qa33_epoch_shuffle,
     "qa34_training_order": qa34_training_order,
     "qa35_diversity_autodial": qa35_diversity_autodial,
+    "qa36_corpus_diff": qa36_corpus_diff,
+    "qa37_corpus_overlap": qa37_corpus_overlap,
+    "qa38_leakage_safe_split": qa38_leakage_safe_split,
+    "qa39_hybrid_search": qa39_hybrid_search,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4686,4 +4836,8 @@ ORACLE: Dict[str, str] = {
     "qa33_epoch_shuffle": ORACLE_QA33,
     "qa34_training_order": ORACLE_QA34,
     "qa35_diversity_autodial": ORACLE_QA35,
+    "qa36_corpus_diff": ORACLE_QA36,
+    "qa37_corpus_overlap": ORACLE_QA37,
+    "qa38_leakage_safe_split": ORACLE_QA38,
+    "qa39_hybrid_search": ORACLE_QA39,
 }

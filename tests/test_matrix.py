@@ -108,6 +108,16 @@ SWEEP = [
     # still pick the identical sample at the dialed width)
     "qa34_training_order",
     "qa35_diversity_autodial",
+    # round-7 versioning/retrieval layer: the full-outer snapshot join
+    # (status must not depend on which side a partition holds), the
+    # distinct-shingle counts meeting in 1-row cross joins, the cluster
+    # -> group-hash split with both leakage audits, and the dual
+    # TakeOrdered legs + rank fusion (candidate ranks are global
+    # properties a layout must not perturb)
+    "qa36_corpus_diff",
+    "qa37_corpus_overlap",
+    "qa38_leakage_safe_split",
+    "qa39_hybrid_search",
 ]
 
 

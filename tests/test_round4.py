@@ -128,7 +128,14 @@ def test_driver_set_contract():
                 "training_order", "diversity_autodial", "ann_sq8",
                 "ann_ivf_sq8", "ann_lsh_multi", "collatz",
                 "logistic_regression", "sample_weighted_k",
-                "dedup_cluster"):
+                "dedup_cluster",
+                # round-7b incoming: the versioning/retrieval layer
+                # (q05/q08/q09/q13 rotated out — broadcast plumbing,
+                # argmax, wordcount and session shapes keep rows via
+                # q03/qa04/q61, q91/q97, q98/q61 and q23/qa25 + the s03
+                # streaming leg)
+                "corpus_diff", "corpus_overlap", "leakage_safe_split",
+                "hybrid_search"):
         assert fam in joined, fam
     # every suite query is still exposed (under d- or q-key), exactly once
     exposed = {k.split("_", 1)[1] if k.startswith("d") else k for k in qs}

@@ -288,3 +288,191 @@ def test_shuffle_totals_waits_for_listener_bus(spark):
         .collect()
     after = bench.shuffle_totals(spark)
     assert after[1] > before[1]
+
+
+# ------------------------------------------------------------------ #
+# 5. corpus versioning: snapshot diff + overlap (exact and KMV)
+# ------------------------------------------------------------------ #
+
+def _docs(ctx, rows):
+    return ctx.from_df(
+        ctx.spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+    )
+
+
+def test_corpus_diff_statuses_partition_the_id_union(ctx):
+    old = _docs(ctx, [(1, "a b c", "en"), (2, "d e f", "en"),
+                      (3, "g h i", "de"), (4, "j k l", "en")])
+    new = _docs(ctx, [(2, "d e f", "en"),          # unchanged
+                      (3, "g h i CHANGED", "de"),  # changed
+                      (5, "m n o", "fr")])         # added; 1,4 removed
+    out = {r.doc_id: r.status
+           for r in new.corpus_diff(old, "doc_id", ["text", "lang"],
+                                    include_unchanged=True).df.collect()}
+    assert out == {1: "removed", 4: "removed", 2: "unchanged",
+                   3: "changed", 5: "added"}
+    delta = new.corpus_diff(old, "doc_id", ["text", "lang"]).df.collect()
+    assert {r.doc_id for r in delta} == {1, 3, 4, 5}
+
+
+def test_corpus_diff_distinguishes_null_from_empty(ctx):
+    old = _docs(ctx, [(1, "x", ""), (2, "y", None)])
+    new = _docs(ctx, [(1, "x", None), (2, "y", None)])
+    out = {r.doc_id: r.status
+           for r in new.corpus_diff(old, "doc_id", ["text", "lang"],
+                                    include_unchanged=True).df.collect()}
+    # without the sentinel, concat_ws would equate ''/NULL -> 'unchanged'
+    assert out == {1: "changed", 2: "unchanged"}
+
+
+def test_corpus_diff_identical_corpora_empty_delta(ctx, sf_dir):
+    docs = ctx.stream_parquet(f"{sf_dir}/documents.parquet").map(
+        "doc_id", "text"
+    )
+    assert docs.corpus_diff(docs, "doc_id", ["text"]).df.count() == 0
+
+
+def test_corpus_overlap_identity_and_disjoint(ctx):
+    a = _docs(ctx, [(1, "w1 w2 w3 w4", "en"), (2, "w5 w6 w7", "en")])
+    b = _docs(ctx, [(3, "z1 z2 z3 z4", "en")])
+    ident = a.corpus_overlap(a, "text").df.collect()[0]
+    assert ident.n_a == ident.n_b == ident.n_inter == ident.n_union
+    assert ident.jaccard == 1.0
+    assert ident.containment_a == ident.containment_b == 1.0
+    disj = a.corpus_overlap(b, "text").df.collect()[0]
+    assert disj.n_inter == 0 and disj.jaccard == 0.0
+
+
+def test_corpus_overlap_empty_side_yields_null_not_error(ctx):
+    a = _docs(ctx, [(1, "w1 w2 w3 w4", "en")])
+    e = a.filter("doc_id < 0")
+    row = a.corpus_overlap(e, "text").df.collect()[0]
+    assert row.n_b == 0 and row.n_inter == 0
+    assert row.containment_b is None  # 0/0 guarded by nullif
+    assert row.jaccard == 0.0
+
+
+def test_corpus_overlap_kmv_tracks_exact(ctx, sf_dir):
+    docs = ctx.stream_parquet(f"{sf_dir}/documents.parquet").map(
+        "doc_id", "text"
+    )
+    a = docs.filter("doc_id % 3 < 2")
+    b = docs.filter("doc_id % 3 > 0")
+    exact = a.corpus_overlap(b, "text").df.collect()[0]
+    est = a.corpus_overlap_kmv(b, "text", k=1024).df.collect()[0]
+    assert abs(est.jaccard_est - exact.jaccard) < 0.05
+    assert abs(est.union_est - exact.n_union) / exact.n_union < 0.10
+
+
+def test_corpus_overlap_kmv_exact_when_sketches_exhaust(ctx):
+    # fewer distinct shingles than k on both sides -> the merged sketch
+    # IS the union; the estimator must return the exact counts
+    a = _docs(ctx, [(1, "w1 w2 w3 w4 w5", "en")])
+    b = _docs(ctx, [(2, "w3 w4 w5 w6 w7", "en")])
+    exact = a.corpus_overlap(b, "text").df.collect()[0]
+    est = a.corpus_overlap_kmv(b, "text", k=64).df.collect()[0]
+    assert est.union_est == float(exact.n_union)
+    assert est.jaccard_est == pytest.approx(exact.jaccard, abs=1e-6)
+
+
+# ------------------------------------------------------------------ #
+# 6. leakage-safe split + audit
+# ------------------------------------------------------------------ #
+
+def test_split_by_group_never_straddles(ctx):
+    rows = [(i, f"g{i % 7}") for i in range(200)]
+    s = ctx.from_df(
+        ctx.spark.createDataFrame(rows, "id long, grp string")
+    )
+    w = {"train": 0.7, "val": 0.2, "test": 0.1}
+    labeled = s.assign_split_by_group("grp", w, salt="t")
+    per_group = labeled.df.groupBy("grp").agg(
+        F.countDistinct("split").alias("n")
+    ).collect()
+    assert all(r.n == 1 for r in per_group)
+    assert labeled.split_leakage("grp").df.count() == 0
+
+
+def test_split_leakage_detects_straddle(ctx):
+    rows = [(1, "g1", "train"), (2, "g1", "test"), (3, "g2", "train"),
+            (4, "g1", "val"), (5, "g2", "train")]
+    s = ctx.from_df(ctx.spark.createDataFrame(
+        rows, "id long, grp string, split string"
+    ))
+    leaks = s.split_leakage("grp").df.collect()
+    assert len(leaks) == 1
+    (r,) = leaks
+    assert r.grp == "g1" and r.n_splits == 3 and r.n_rows == 3
+    assert r.splits == ["test", "train", "val"]  # sorted contract
+
+
+@given(
+    salt=st.text(alphabet="abcdef", min_size=1, max_size=4),
+    wtrain=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=10, deadline=None)
+def test_split_by_group_property_group_function(_hyp_ctx, salt, wtrain):
+    """split is a FUNCTION of (salt, group): same group -> same split,
+    any weights, any salt."""
+    ctx = _hyp_ctx
+    rows = [(i, f"g{i % 5}") for i in range(60)]
+    s = ctx.from_df(ctx.spark.createDataFrame(rows, "id long, grp string"))
+    w = {"train": float(wtrain), "val": 1.0, "test": 1.0}
+    labeled = s.assign_split_by_group("grp", w, salt=salt)
+    got = labeled.df.select("grp", "split").distinct().collect()
+    assert len(got) == 5  # one split per group
+
+
+@pytest.fixture(scope="session")
+def _hyp_ctx(ctx):
+    return ctx
+
+
+# ------------------------------------------------------------------ #
+# 7. hybrid retrieval (RRF fusion contract)
+# ------------------------------------------------------------------ #
+
+def test_hybrid_search_rrf_contract(ctx, sf_dir):
+    docs = ctx.stream_parquet(f"{sf_dir}/documents.parquet").map(
+        "doc_id", "text"
+    )
+    embs = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet").map(
+        "vec_id", "embedding"
+    )
+    out = docs.hybrid_search(
+        embs, ["hash", "merge", "vector"], 7, n_candidates=40, k=15
+    ).df.collect()
+    assert len(out) == 15
+    # descending rrf, ties broken by ascending id — and the score IS
+    # the rank formula
+    prev = None
+    for r in out:
+        got = round(
+            (1.0 / (60 + r.r_lex) if r.r_lex is not None else 0.0)
+            + (1.0 / (60 + r.r_sem) if r.r_sem is not None else 0.0), 6
+        )
+        assert got == pytest.approx(r.rrf, abs=1e-9)
+        assert r.r_lex is not None or r.r_sem is not None
+        if prev is not None:
+            assert (r.rrf, -r.doc_id) <= (prev.rrf, -prev.doc_id)
+        prev = r
+    # a doc on BOTH lists must outrank one with only a deep single-list
+    # rank — the fusion property
+    both = [r for r in out if r.r_lex is not None and r.r_sem is not None]
+    assert both, "expected at least one doc on both candidate lists"
+
+
+def test_hybrid_search_excludes_query_vector_self_match(ctx, sf_dir):
+    docs = ctx.stream_parquet(f"{sf_dir}/documents.parquet").map(
+        "doc_id", "text"
+    )
+    embs = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet").map(
+        "vec_id", "embedding"
+    )
+    out = docs.hybrid_search(
+        embs, ["hash"], 7, n_candidates=10, k=10
+    ).df.collect()
+    sem_ranks = {r.doc_id: r.r_sem for r in out if r.r_sem is not None}
+    assert 7 not in sem_ranks  # the brute leg excludes qid == vec_id
