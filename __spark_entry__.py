@@ -31,9 +31,10 @@ from renoir_spark import suite
 #   qa28 qa30 · chunk/sentence prep: qa22 · index persistence: qa06
 #   qa07 qa12 · decontamination: qa04 q96 · data selection: qa02 qa09
 #   qa19 · diversity: qa27 qa35 · classifier filter: qa10 · text/prep:
-#   q71 q80 q98 qa18 · mixing: qa24 · ANN: q64 q99 qa01 · multimodal:
+#   q80 q98 qa18 · mixing: qa24 · ANN: q64 q99 qa01 · multimodal:
 #   q51 · agg extensions: q91 q97 · composed pipelines: qa31 qa32 qa34
-#   · training order: qa33 · corpus versioning: qa36 qa37 · leakage-
+#   · training order: qa33 · corpus versioning: qa36 qa37 ·
+#   incremental maintenance: qa40 (Gopher gate inside) · leakage-
 #   safe split: qa38 · hybrid retrieval: qa39
 # (round-7 rotation, per the round-6 verdict's asks #2/#7 — the three
 #  round-6 composed/ordering queries, the two round-7 additions, six
@@ -80,6 +81,10 @@ from renoir_spark import suite
 #      streaming leg + q23/qa25 window rows; corpus overlap in)
 #    q08_argmax_per_nation → qa38_leakage_safe_split (argmax/agg keeps
 #      q91/q97; the cluster-keyed split + leakage audit in)
+#    q71_quality_gopher → qa40_incremental_rebuild (the Gopher gate
+#      stays driver-hashed INSIDE qa40's composition — qa40's oracle is
+#      the from-scratch Gopher pipeline itself, so the incremental ≡
+#      scratch identity is what the driver hash pins)
 DRIVER_SET = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -117,7 +122,7 @@ DRIVER_SET = [
     "qa07_dedup_index_batch",
     "q64_ann_lsh_multi",
     "qa02_sample_weighted_k",
-    "q71_quality_gopher",
+    "qa40_incremental_rebuild",
     "q83_dedup_cluster",
     "q80_prep_pipeline",
     "qa18_url_blocklist",

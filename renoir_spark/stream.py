@@ -1468,6 +1468,16 @@ class Stream:
 
         return _cd(self, old, id_col, content_cols, **kw)
 
+    def incremental_rebuild(self, old: "Stream", prev_output: "Stream",
+                            id_col: str, content_cols,
+                            transform) -> "Stream":
+        """Reprocess only the snapshot delta (diff → transform added/
+        changed → union with surviving previous output) —
+        datapipe.incremental_rebuild."""
+        from .datapipe import incremental_rebuild as _ir
+
+        return _ir(self, old, prev_output, id_col, content_cols, transform)
+
     def corpus_overlap(self, other: "Stream", text_col: str,
                        **kw) -> "Stream":
         """Exact corpus-level shingle overlap statistics (1 row) —

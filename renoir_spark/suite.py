@@ -4558,6 +4558,53 @@ def _oracle_qa39() -> str:
 ORACLE_QA39 = _oracle_qa39()
 
 
+def qa40_incremental_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus rebuild on the qa36 snapshot pair: the Spark
+    side reprocesses ONLY the diff delta (stale rows dropped from the
+    previous curated output, added/changed docs through the per-doc-pure
+    Gopher gate, union), while the ORACLE is the FROM-SCRATCH pipeline
+    over the whole new snapshot — so the driver hash pins the
+    incremental ≡ scratch identity itself, cross-engine. The property
+    version (random edit scripts) is in tests/test_round7.py."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    old = docs.filter("doc_id % 11 <> 3")
+    new = docs.filter("doc_id % 7 <> 2").map(
+        doc_id=F.col("doc_id"),
+        text=F.when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        ).otherwise(F.col("text")),
+    )
+
+    def curate(s):
+        return s.quality_gopher("text").filter("q_keep").map(
+            "doc_id", "q_tokens", "q_mean_word_len"
+        )
+
+    prev = curate(old)  # stands in for the previous run's persisted output
+    return new.incremental_rebuild(old, prev, "doc_id", ["text"], curate).df
+
+
+def _oracle_qa40() -> str:
+    from .prep import sql_quality_gopher
+
+    new = """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 1 THEN text || ' [rev2]' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 7 <> 2
+)"""
+    scratch = sql_quality_gopher(new, "text", "doc_id")
+    return (
+        f"SELECT doc_id, q_tokens, q_mean_word_len FROM ({scratch}) "
+        "WHERE q_keep"
+    )
+
+
+ORACLE_QA40 = _oracle_qa40()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4697,6 +4744,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa37_corpus_overlap": qa37_corpus_overlap,
     "qa38_leakage_safe_split": qa38_leakage_safe_split,
     "qa39_hybrid_search": qa39_hybrid_search,
+    "qa40_incremental_rebuild": qa40_incremental_rebuild,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4840,4 +4888,5 @@ ORACLE: Dict[str, str] = {
     "qa37_corpus_overlap": ORACLE_QA37,
     "qa38_leakage_safe_split": ORACLE_QA38,
     "qa39_hybrid_search": ORACLE_QA39,
+    "qa40_incremental_rebuild": ORACLE_QA40,
 }

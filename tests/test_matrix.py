@@ -118,6 +118,10 @@ SWEEP = [
     "qa37_corpus_overlap",
     "qa38_leakage_safe_split",
     "qa39_hybrid_search",
+    # the incremental path unions previous-output rows with freshly
+    # transformed delta rows — the partition of ids between those two
+    # sources must be layout-independent
+    "qa40_incremental_rebuild",
 ]
 
 

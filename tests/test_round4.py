@@ -110,7 +110,7 @@ def test_driver_set_contract():
     # oracle-verified in tests/test_oracle.py)
     joined = " ".join(first50)
     for fam in ("nexmark", "asof", "rollup",
-                "multimodal", "dedup_cluster", "sssp", "gopher",
+                "multimodal", "dedup_cluster", "sssp",
                 "prep_pipeline",
                 "decontaminate_embedding",
                 "ann_index", "dedup_index_incremental", "dsir",
@@ -135,7 +135,10 @@ def test_driver_set_contract():
                 # q03/qa04/q61, q91/q97, q98/q61 and q23/qa25 + the s03
                 # streaming leg)
                 "corpus_diff", "corpus_overlap", "leakage_safe_split",
-                "hybrid_search"):
+                # q71 rotated out for qa40: the Gopher gate is hashed
+                # INSIDE qa40's composition (its oracle is the
+                # from-scratch Gopher pipeline)
+                "hybrid_search", "incremental_rebuild"):
         assert fam in joined, fam
     # every suite query is still exposed (under d- or q-key), exactly once
     exposed = {k.split("_", 1)[1] if k.startswith("d") else k for k in qs}

@@ -476,3 +476,74 @@ def test_hybrid_search_excludes_query_vector_self_match(ctx, sf_dir):
     ).df.collect()
     sem_ranks = {r.doc_id: r.r_sem for r in out if r.r_sem is not None}
     assert 7 not in sem_ranks  # the brute leg excludes qid == vec_id
+
+
+# ------------------------------------------------------------------ #
+# 8. incremental rebuild == from-scratch (the maintenance invariant)
+# ------------------------------------------------------------------ #
+
+def _rebuild_case(ctx, n, dropped, changed, added):
+    texts = ["alpha beta gamma", "delta epsilon", "zeta eta theta iota",
+             "kappa", "lambda mu nu xi omicron"]
+    base = [(i, texts[i % len(texts)]) for i in range(n)]
+    old_rows = [(i, t) for i, t in base if i not in added]
+    new_rows = [
+        (i, t + " edited" if i in changed else t)
+        for i, t in base if i not in dropped
+    ]
+    mk = lambda rows: ctx.from_df(
+        ctx.spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    return mk(old_rows), mk(new_rows)
+
+
+def _pure_transform(s):
+    return s.map(
+        doc_id=F.col("doc_id"),
+        n_chars=F.length("text").cast("long"),
+        shout=F.upper(F.col("text")),
+    )
+
+
+@given(
+    dropped=st.sets(st.integers(0, 19), max_size=5),
+    changed=st.sets(st.integers(0, 19), max_size=5),
+    added=st.sets(st.integers(0, 19), max_size=5),
+)
+@settings(max_examples=8, deadline=None)
+def test_incremental_rebuild_equals_scratch(_hyp_ctx, dropped, changed,
+                                            added):
+    ctx = _hyp_ctx
+    old, new = _rebuild_case(ctx, 20, dropped, changed - dropped, added)
+    prev = _pure_transform(old)
+    inc = new.incremental_rebuild(
+        old, prev, "doc_id", ["text"], _pure_transform
+    ).df
+    scratch = _pure_transform(new).df
+    assert sorted(map(tuple, inc.collect())) == \
+        sorted(map(tuple, scratch.collect()))
+
+
+def test_incremental_rebuild_processes_only_the_delta(ctx):
+    old, new = _rebuild_case(ctx, 20, dropped={1, 2}, changed={5, 6},
+                             added={9})
+    # the delta the transform sees is exactly added + changed
+    from renoir_spark.datapipe import corpus_diff
+
+    diff = corpus_diff(new, old, "doc_id", ["text"]).df
+    by = {r.status: set() for r in diff.collect()}
+    for r in diff.collect():
+        by[r.status].add(r.doc_id)
+    assert by["removed"] == {1, 2}
+    assert by["changed"] == {5, 6}
+    assert by["added"] == {9}
+    seen = []
+
+    def spy(s):
+        seen.append(sorted(r.doc_id for r in s.df.select("doc_id").collect()))
+        return _pure_transform(s)
+
+    prev = _pure_transform(old)
+    out = new.incremental_rebuild(old, prev, "doc_id", ["text"], spy).df
+    assert seen == [[5, 6, 9]]  # only added/changed reach the transform
+    assert out.count() == 18  # 20 - 2 dropped
