@@ -543,6 +543,121 @@ FROM terms GROUP BY __id, n
 """
 
 
+def bigram_logprob(stream, id_col: str, text_col: str, *,
+                   lam: float = 0.8, alias: str = "avg_logprob2"):
+    """Per-document mean token log-probability under an INTERPOLATED
+    BIGRAM LM trained on the corpus itself — one order up from
+    :func:`unigram_logprob`, the closest oracle-checkable shape to the
+    KenLM filter CCNet actually runs: ``score = (1/n₂) Σ ln(λ·c(w₁w₂)/
+    c₁(w₁) + (1−λ)·(c(w₂)+1)/(N+V))``, rounded to 6. The unigram
+    backoff keeps every observed bigram finite (w₂ is in the corpus
+    vocabulary by construction); low scores = locally incoherent text
+    the unigram model is blind to (right words, wrong order). Docs with
+    fewer than 2 tokens are omitted — no bigram evidence either way.
+
+    Plan: TWO wordcount-shaped model passes (distinct observed bigrams
+    ≤ total tokens, so the bigram model is corpus-sized at worst, not
+    V²; c₁ derives from the bigram model, a second tiny agg); scoring
+    joins per-(doc, bigram) counts to the two models on their keys
+    (stopword bigrams skew — AQE skew-join absorbs it) with corpus
+    totals on a 1-row broadcast; per-doc terms fold in canonical sorted
+    order (sort_array + left fold ≡ list_sum(list_sort)) so the float
+    sum is association-identical on both engines — the q93 discipline.
+    """
+    df = stream.df
+    base = df.select(to_col(id_col).alias("__id"),
+                     tokens(text_col).alias("__toks"))
+    # unigram side (same shape as unigram_logprob's model)
+    occ1 = base.select(F.explode("__toks").alias("__w"))
+    model1 = occ1.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    stats = model1.agg(F.sum("__c").alias("__NT"),
+                       F.count(F.lit(1)).alias("__V"))
+    # bigram side: per-doc (w1, w2) pairs from adjacent tokens
+    pairs = F.expr(
+        "transform(sequence(2, size(__toks)),"
+        " i -> struct(__toks[i-2] AS w1, __toks[i-1] AS w2))"
+    )
+    occ2 = (
+        base.filter(F.size("__toks") >= 2)
+        .select("__id", (F.size("__toks") - 1).alias("__n2"),
+                F.explode(pairs).alias("__p"))
+        .select("__id", "__n2", F.col("__p.w1").alias("__w1"),
+                F.col("__p.w2").alias("__w2"))
+    )
+    model2 = occ2.groupBy("__w1", "__w2").agg(
+        F.count(F.lit(1)).alias("__c12")
+    )
+    first = model2.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
+    cdw = occ2.groupBy("__id", "__n2", "__w1", "__w2").agg(
+        F.count(F.lit(1)).alias("__cd")
+    )
+    terms = (
+        cdw.join(model2, ["__w1", "__w2"])
+        .join(first, "__w1")
+        .join(model1.select(F.col("__w").alias("__w2"), "__c"), "__w2")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "__id", "__n2",
+            (F.col("__cd") * F.log(
+                F.lit(float(lam)) * F.col("__c12").cast("double")
+                / F.col("__c1").cast("double")
+                + F.lit(1.0 - float(lam))
+                * (F.col("__c") + F.lit(1)).cast("double")
+                / (F.col("__NT") + F.col("__V")).cast("double")
+            )).alias("__t"),
+        )
+    )
+    out = (
+        terms.groupBy("__id", "__n2")
+        .agg(F.sort_array(F.collect_list("__t")).alias("__ts"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                F.aggregate("__ts", F.lit(0.0), lambda a, x: a + x)
+                / F.col("__n2"), 6,
+            ).alias(alias),
+        )
+    )
+    return stream._new(out)
+
+
+def sql_bigram_logprob(table_expr: str, id_col: str, text: str, *,
+                       lam: float = 0.8,
+                       alias: str = "avg_logprob2") -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS __id, {sql_tokens(text)} AS toks FROM {table_expr}
+), model1 AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w
+), stats AS (
+  SELECT sum(c) AS nt, count(*) AS v FROM model1
+), occ2 AS (
+  SELECT __id, len(toks) - 1 AS n2,
+         unnest([{{'w1': toks[i-1], 'w2': toks[i]}}
+                 for i in range(2, len(toks) + 1)]) AS p
+  FROM base WHERE len(toks) >= 2
+), flat AS (
+  SELECT __id, n2, p.w1 AS w1, p.w2 AS w2 FROM occ2
+), model2 AS (
+  SELECT w1, w2, count(*) AS c12 FROM flat GROUP BY w1, w2
+), first AS (
+  SELECT w1, sum(c12) AS c1 FROM model2 GROUP BY w1
+), cdw AS (
+  SELECT __id, n2, w1, w2, count(*) AS cd FROM flat GROUP BY 1, 2, 3, 4
+), terms AS (
+  SELECT __id, n2,
+         cd * ln({float(lam)} * m2.c12::DOUBLE / f.c1::DOUBLE
+                 + {1.0 - float(lam)} * (m1.c + 1)::DOUBLE
+                   / (s.nt + s.v)::DOUBLE) AS t
+  FROM cdw JOIN model2 m2 USING (w1, w2) JOIN first f USING (w1)
+       JOIN model1 m1 ON m1.w = cdw.w2, stats s
+)
+SELECT __id AS {id_col}, round(list_sum(list_sort(list(t))) / n2, 6) AS {alias}
+FROM terms GROUP BY __id, n2
+"""
+
+
 def sample_weighted(stream, id_col: str, weight_expr, *, salt: str = "w0"):
     """Per-row weighted sample: keep a row with probability
     ``weight_expr`` (a column in [0, 1], e.g. a quality score) — the

@@ -1394,6 +1394,15 @@ class Stream:
 
         return _ul(self, id_col, text_col, **kw)
 
+    def bigram_logprob(self, id_col: str, text_col: str, **kw) -> "Stream":
+        """Per-document mean log-probability under a corpus-trained
+        INTERPOLATED bigram LM (the KenLM-shaped filter; catches locally
+        incoherent word order the unigram model is blind to) —
+        prep.bigram_logprob."""
+        from .prep import bigram_logprob as _bl
+
+        return _bl(self, id_col, text_col, **kw)
+
     def bpe_train(self, text_col: str, **kw) -> "Stream":
         """Learn a BPE merge table from the corpus (deterministic
         Sennrich-style word-level BPE over the word-frequency relation)

@@ -4605,6 +4605,29 @@ def _oracle_qa40() -> str:
 ORACLE_QA40 = _oracle_qa40()
 
 
+def qa41_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM scoring over documents (the KenLM-shaped
+    perplexity filter one order above q98's unigram): per-doc mean
+    ln(λ·P(w₂|w₁) + (1−λ)·P₁(w₂)) with the model trained on the corpus
+    itself — locally scrambled word order scores low even when the
+    unigram distribution is identical (the pytest pins exactly that
+    pair). Two wordcount-shaped model passes + per-(doc,bigram) joins;
+    per-doc float terms fold in canonical sorted order on both
+    engines."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    return docs.bigram_logprob("doc_id", "text").df
+
+
+def _oracle_qa41() -> str:
+    from .prep import sql_bigram_logprob
+
+    return sql_bigram_logprob("documents", "doc_id", "text")
+
+
+ORACLE_QA41 = _oracle_qa41()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4745,6 +4768,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa38_leakage_safe_split": qa38_leakage_safe_split,
     "qa39_hybrid_search": qa39_hybrid_search,
     "qa40_incremental_rebuild": qa40_incremental_rebuild,
+    "qa41_bigram_logprob": qa41_bigram_logprob,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4889,4 +4913,5 @@ ORACLE: Dict[str, str] = {
     "qa38_leakage_safe_split": ORACLE_QA38,
     "qa39_hybrid_search": ORACLE_QA39,
     "qa40_incremental_rebuild": ORACLE_QA40,
+    "qa41_bigram_logprob": ORACLE_QA41,
 }

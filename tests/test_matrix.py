@@ -122,6 +122,9 @@ SWEEP = [
     # transformed delta rows — the partition of ids between those two
     # sources must be layout-independent
     "qa40_incremental_rebuild",
+    # bigram-LM float terms fold in canonical sorted order — the q93
+    # association discipline, now with a two-key model join upstream
+    "qa41_bigram_logprob",
 ]
 
 

@@ -547,3 +547,33 @@ def test_incremental_rebuild_processes_only_the_delta(ctx):
     out = new.incremental_rebuild(old, prev, "doc_id", ["text"], spy).df
     assert seen == [[5, 6, 9]]  # only added/changed reach the transform
     assert out.count() == 18  # 20 - 2 dropped
+
+
+# ------------------------------------------------------------------ #
+# 9. bigram LM scoring (order sensitivity the unigram model lacks)
+# ------------------------------------------------------------------ #
+
+def test_bigram_logprob_detects_scrambled_order(ctx):
+    # corpus dominated by one natural word order; two probe docs with
+    # IDENTICAL bags of words — natural vs scrambled
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(20)]
+    rows.append((100, "alpha beta gamma delta epsilon"))   # natural
+    rows.append((101, "epsilon gamma alpha delta beta"))   # scrambled
+    s = ctx.from_df(
+        ctx.spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    uni = {r.doc_id: r.avg_logprob
+           for r in s.unigram_logprob("doc_id", "text").df.collect()}
+    bi = {r.doc_id: r.avg_logprob2
+          for r in s.bigram_logprob("doc_id", "text").df.collect()}
+    assert uni[100] == uni[101]      # unigram is order-blind
+    assert bi[100] > bi[101] + 1.0   # bigram sees the scramble
+
+
+def test_bigram_logprob_omits_sub_bigram_docs(ctx):
+    rows = [(1, "alpha beta gamma"), (2, "alpha"), (3, ""), (4, None)]
+    s = ctx.from_df(
+        ctx.spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    got = {r.doc_id for r in s.bigram_logprob("doc_id", "text").df.collect()}
+    assert got == {1}  # <2 tokens -> no bigram evidence -> omitted
