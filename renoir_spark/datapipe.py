@@ -3684,7 +3684,9 @@ def corpus_overlap_kmv(stream, other, text_col: str, *, shingle_n: int = 3,
 def hybrid_search(docs, embs, query_terms: Sequence[str], query_vec_id, *,
                   id_col: str = "doc_id", text_col: str = "text",
                   vec_id_col: str = "vec_id", vec_col: str = "embedding",
-                  n_candidates: int = 50, k: int = 10, rrf_k: int = 60):
+                  n_candidates: int = 50, k: int = 10, rrf_k: int = 60,
+                  index=None, index_nprobe: int = 8,
+                  index_rerank: Optional[int] = None):
     """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
     (RRF): BM25 top-``n_candidates`` over ``docs`` for ``query_terms``
     and cosine top-``n_candidates`` over ``embs`` against the corpus
@@ -3697,10 +3699,14 @@ def hybrid_search(docs, embs, query_terms: Sequence[str], query_vec_id, *,
     — see :func:`renoir_spark.prep.bm25_rank` — and the cosine leg
     broadcasts the single query vector). Fusion then runs on ≤
     2·n_candidates rows: the rank windows and the full-outer join are
-    driver-trivial by construction. At 100 TB swap the brute cosine leg
-    for :class:`renoir_spark.ann_index.AnnIndex.query` (partition-
-    filtered probes) — the fusion contract is rank-only, so the legs are
-    interchangeable.
+    driver-trivial by construction. At 100 TB pass ``index=`` (a
+    persisted :class:`renoir_spark.ann_index.AnnIndex`) — the cosine
+    leg becomes the partition-filtered IVF probe instead of the brute
+    scan; the fusion contract is rank-only, so the legs are
+    interchangeable (pinned by a test: full-probe + full-rerank index
+    leg ≡ brute leg bit-for-bit). ``index_nprobe`` trades recall for
+    probed cells exactly as in ``AnnIndex.query``; ``index_rerank``
+    defaults to 4·n_candidates.
     """
     from .prep import bm25_rank
 
@@ -3713,10 +3719,30 @@ def hybrid_search(docs, embs, query_terms: Sequence[str], query_vec_id, *,
         F.row_number().over(wl).cast("long").alias("r_lex"),
     )
     qrow = embs.df.filter(to_col(vec_id_col) == F.lit(query_vec_id))
-    sem = ann_cosine_brute(
-        embs, embs._new(qrow), vec_col=vec_col, id_col=vec_id_col,
-        k=int(n_candidates),
-    ).df.select(F.col(vec_id_col).alias("__sid"), F.col("rank").alias("r_sem"))
+    if index is not None:
+        # the persisted-index leg keeps self-matches (its contract is
+        # "neighbors in the index"); drop them and re-rank so the rank
+        # numbers feed RRF exactly like the brute leg's
+        raw = index.query(
+            embs._new(qrow), k=int(n_candidates) + 1,
+            nprobe=int(index_nprobe),
+            rerank=int(index_rerank or 4 * n_candidates),
+        ).df.filter(F.col(vec_id_col) != F.col("qid"))
+        ws = Window.orderBy(F.desc("cos"), F.asc(vec_id_col))
+        sem = (
+            raw.select(
+                F.col(vec_id_col).alias("__sid"),
+                F.row_number().over(ws).cast("long").alias("r_sem"),
+            )
+            .filter(F.col("r_sem") <= int(n_candidates))
+        )
+    else:
+        sem = ann_cosine_brute(
+            embs, embs._new(qrow), vec_col=vec_col, id_col=vec_id_col,
+            k=int(n_candidates),
+        ).df.select(
+            F.col(vec_id_col).alias("__sid"), F.col("rank").alias("r_sem")
+        )
     fused = lex.join(sem, F.col("__lid") == F.col("__sid"), "full_outer")
     rrf = (
         F.coalesce(F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("r_lex")),

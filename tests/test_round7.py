@@ -577,3 +577,24 @@ def test_bigram_logprob_omits_sub_bigram_docs(ctx):
     )
     got = {r.doc_id for r in s.bigram_logprob("doc_id", "text").df.collect()}
     assert got == {1}  # <2 tokens -> no bigram evidence -> omitted
+
+
+def test_hybrid_search_index_leg_interchangeable(ctx, sf_dir, tmp_path):
+    """The docstring claim, pinned: a full-probe + full-rerank persisted-
+    index leg produces the IDENTICAL hybrid result as the brute leg —
+    the fusion contract is rank-only."""
+    docs = ctx.stream_parquet(f"{sf_dir}/documents.parquet").map(
+        "doc_id", "text"
+    )
+    embs = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet").map(
+        "vec_id", "embedding"
+    )
+    idx = embs.ann_index_build(str(tmp_path / "hyidx"), n_cells=8)
+    brute = docs.hybrid_search(
+        embs, ["hash", "merge"], 7, n_candidates=20, k=10
+    ).df.collect()
+    via_index = docs.hybrid_search(
+        embs, ["hash", "merge"], 7, n_candidates=20, k=10,
+        index=idx, index_nprobe=8, index_rerank=10_000,
+    ).df.collect()
+    assert sorted(map(tuple, brute)) == sorted(map(tuple, via_index))
