@@ -36,6 +36,7 @@ CASES = {
     "incremental_ingest.py": [SF, "2"],
     "crawl_hygiene.py": [f"{SF}/documents.parquet"],
     "semantic_curation.py": [SF],
+    "corpus_release.py": [SF],
 }
 
 
