@@ -3556,35 +3556,46 @@ def corpus_overlap(stream, other, text_col: str, *, shingle_n: int = 3):
     in A?" decisions (buy/crawl/merge) and benchmark-contamination
     estimates at the corpus (not document) level.
 
-    Scale: each side is explode → md5 → partial-distinct (map-side
-    combine) → ONE distinct shuffle of 32-char keys; the intersection is
-    an equi-join on those uniform keys. The three 1-row aggregates meet
-    in broadcast cross joins (the enumerated 1-row BNLJ pattern). For
-    100 TB corpora where even the distinct key set is expensive, use
-    :func:`corpus_overlap_kmv` — one pass, no key join, ~1/sqrt(k)
-    relative error.
+    Scale: ONE pass over each corpus (explode → md5 → a side flag), one
+    union, ONE shuffle on the uniform 32-char key (map-side partial max
+    absorbs repeats), then a 1-row aggregate — no distinct-set
+    materialization, no key equi-join, no cross joins: per-key
+    membership bits (max of the side flags) turn union/intersection
+    counting into three sums over the grouped keys. For 100 TB corpora
+    where even that one grouped pass is expensive, use
+    :func:`corpus_overlap_kmv` — bottom-k sketches, ~1/sqrt(k) relative
+    error.
     """
 
-    def keys(df):
+    def keys(df, a: int, b: int):
+        staged = df.select(
+            tokens(to_col(text_col)).alias("__tk"),
+            norm_text(to_col(text_col)).alias("__nm"),
+        )
         return (
-            df.select(
+            staged.select(
                 F.explode(
-                    word_shingles(to_col(text_col), shingle_n)
+                    shingles_from(F.col("__tk"), F.col("__nm"), shingle_n)
                 ).alias("__s")
             )
-            .select(F.md5(F.col("__s")).alias("__h"))
-            .distinct()
+            .select(F.md5(F.col("__s")).alias("__h"),
+                    F.lit(a).alias("__a"), F.lit(b).alias("__b"))
         )
 
-    ka, kb = keys(stream.df), keys(other.df)
-    ca = ka.agg(F.count(F.lit(1)).alias("n_a"))
-    cb = kb.agg(F.count(F.lit(1)).alias("n_b"))
-    ci = ka.join(kb, "__h").agg(F.count(F.lit(1)).alias("n_inter"))
-    u = F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    out = ca.crossJoin(cb).crossJoin(ci).select(
-        "n_a", "n_b", "n_inter",
-        u.alias("n_union"),
-        F.round(F.col("n_inter") / F.nullif(u, F.lit(0)), 6).alias("jaccard"),
+    u = keys(stream.df, 1, 0).unionByName(keys(other.df, 0, 1))
+    g = u.groupBy("__h").agg(F.max("__a").alias("__ia"),
+                             F.max("__b").alias("__ib"))
+    counts = g.agg(
+        F.coalesce(F.sum("__ia"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("__ib"), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.col("__ia") * F.col("__ib")), F.lit(0))
+        .cast("long").alias("n_inter"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    out = counts.select(
+        "n_a", "n_b", "n_inter", "n_union",
+        F.round(F.col("n_inter") / F.nullif(F.col("n_union"), F.lit(0)), 6)
+        .alias("jaccard"),
         F.round(F.col("n_inter") / F.nullif(F.col("n_a"), F.lit(0)), 6)
         .alias("containment_a"),
         F.round(F.col("n_inter") / F.nullif(F.col("n_b"), F.lit(0)), 6)
@@ -3597,21 +3608,26 @@ def sql_corpus_overlap(a_expr: str, b_expr: str, text: str, *,
                        shingle_n: int = 3) -> str:
     sh = sql_word_shingles(text, shingle_n)
     return f"""
-WITH ka AS (
-  SELECT DISTINCT md5(s) AS h
+WITH u AS (
+  SELECT md5(s) AS h, 1 AS a, 0 AS b
   FROM (SELECT unnest({sh}) AS s FROM {a_expr})
-), kb AS (
-  SELECT DISTINCT md5(s) AS h
+  UNION ALL
+  SELECT md5(s) AS h, 0 AS a, 1 AS b
   FROM (SELECT unnest({sh}) AS s FROM {b_expr})
-), ca AS (SELECT count(*) AS n_a FROM ka),
-   cb AS (SELECT count(*) AS n_b FROM kb),
-   ci AS (SELECT count(*) AS n_inter FROM ka JOIN kb USING (h))
-SELECT n_a, n_b, n_inter,
-       n_a + n_b - n_inter AS n_union,
-       round(n_inter / nullif(n_a + n_b - n_inter, 0), 6) AS jaccard,
+), g AS (
+  SELECT h, max(a) AS ia, max(b) AS ib FROM u GROUP BY h
+), counts AS (
+  SELECT CAST(coalesce(sum(ia), 0) AS BIGINT) AS n_a,
+         CAST(coalesce(sum(ib), 0) AS BIGINT) AS n_b,
+         CAST(coalesce(sum(ia * ib), 0) AS BIGINT) AS n_inter,
+         count(*) AS n_union
+  FROM g
+)
+SELECT n_a, n_b, n_inter, n_union,
+       round(n_inter / nullif(n_union, 0), 6) AS jaccard,
        round(n_inter / nullif(n_a, 0), 6) AS containment_a,
        round(n_inter / nullif(n_b, 0), 6) AS containment_b
-FROM ca, cb, ci
+FROM counts
 """
 
 
@@ -3639,10 +3655,14 @@ def corpus_overlap_kmv(stream, other, text_col: str, *, shingle_n: int = 3,
         h = F.conv(
             F.substring(F.md5(F.col("__s")), 1, 15), 16, 10
         ).cast("long")
+        staged = df.select(
+            tokens(to_col(text_col)).alias("__tk"),
+            norm_text(to_col(text_col)).alias("__nm"),
+        )
         rows = (
-            df.select(
+            staged.select(
                 F.explode(
-                    word_shingles(to_col(text_col), shingle_n)
+                    shingles_from(F.col("__tk"), F.col("__nm"), shingle_n)
                 ).alias("__s")
             )
             .select(h.alias("h")).distinct()
