@@ -318,7 +318,13 @@ def dedup_against_bloom(
 
 def minhash_signature(col, num_hashes: int = 12, shingle_n: int = 3) -> Column:
     """Array of ``num_hashes`` minhash values over word shingles — pure
-    Column expressions (md5 → 31-bit int → a*h+b mod P → array_min)."""
+    Column expressions (md5 → 31-bit int → a*h+b mod P → array_min).
+
+    Convenience single-expression form for small inputs/tests; hot
+    paths must use :func:`minhash_bands_expr`, which stages every
+    intermediate as a real column (the word_shingles / shingles_from
+    re-tokenization trap — measured 50× on the shingle chain, and again
+    8× on corpus_overlap in round 7)."""
     hs = F.transform(word_shingles(col, shingle_n), lambda s: md5_int31(s))
     return F.array(
         *[
