@@ -142,3 +142,34 @@ def test_running_sum_chunked_plan_shape(ctx):
     out = {r.o: r.cum for r in
            s_null.running_sum("o", partitions=2, cum=F.col("v")).collect_vec()}
     assert out == {1: 1.0, 2: 2.0}
+
+
+def test_qa36_diff_prunes_and_pushes_into_both_scans(ctx):
+    """corpus_diff's 100 TB promise in the plan: each snapshot scan reads
+    ONLY id + content columns (the hash replaces the row before the
+    shuffle) and the snapshot predicates reach the parquet scan as
+    DataFilters — a diff that read unused columns or filtered after the
+    scan would drag the whole corpus through the join."""
+    plan = _plan(ctx, "qa36_corpus_diff")
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 2
+    for s in scans:
+        assert "n_chars" not in s  # unused wide column pruned
+        assert "doc_id" in s and "text" in s
+    joined = " ".join(scans)
+    assert "% 7)" in joined and "% 11)" in joined  # pushed snapshot filters
+
+
+def test_qa37_overlap_is_one_grouped_pass(ctx):
+    """The round-7 rewrite, pinned: no join of distinct-key sets, no
+    cross join — one union, one group shuffle, a 1-row aggregate; scans
+    prune to (doc_id, text) with the slice predicates pushed."""
+    plan = _plan(ctx, "qa37_corpus_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 2
+    for s in scans:
+        assert "n_chars" not in s and "lang" not in s
+        assert "% 3)" in s  # slice predicate pushed into the scan
