@@ -3166,3 +3166,120 @@ ranked AS (
 SELECT __id AS {id_col}, cls AS {pred_alias}, s AS {score_alias}
 FROM ranked WHERE rn = 1
 """
+
+
+# --------------------------------------------------------------------- #
+# Dataset card: one-call corpus report
+# --------------------------------------------------------------------- #
+
+def corpus_report(stream, id_col: str, text_col: str):
+    """One-call dataset card: a ``(metric string, value double)`` frame
+    with the numbers every corpus release ships — size (docs/tokens,
+    mean and exact-median doc length), hygiene (exact-duplicate rate on
+    the normalized content hash, Gopher-gate pass rate, fraction of
+    docs containing any PII pattern) and the heuristic language mix
+    (one ``lang_share:<lang>`` row per predicted language). Composes
+    the verified primitives (:func:`quality_gopher`, shared
+    ``PII_PATTERNS``, :func:`renoir_spark.datapipe.lang_id`,
+    ``norm_text``) rather than re-deriving any of them.
+
+    Scale: two corpus scans — the gopher-staged pass feeds ONE global
+    aggregate (count-distinct of the 64-char content hash is the only
+    key shuffle; everything else is map-side partials), and the
+    language pass is a ≤|langs|-row groupBy whose share window runs on
+    that tiny aggregate. Output is ~a dozen rows at any corpus size.
+    """
+    import functools as _ft
+    import operator as _op
+
+    from .datapipe import lang_id, norm_text
+
+    g = quality_gopher(stream, text_col).df
+    pii_hit = _ft.reduce(
+        _op.or_, [to_col(text_col).rlike(p) for p in PII_PATTERNS.values()]
+    )
+    staged = g.select(
+        F.col("q_tokens").alias("__n"),
+        F.col("q_keep").cast("int").alias("__k"),
+        F.sha2(norm_text(to_col(text_col)), 256).alias("__h"),
+        pii_hit.cast("int").alias("__p"),
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").alias("total_tokens"),
+        F.round(F.avg("__n"), 6).alias("mean_doc_tokens"),
+        F.percentile("__n", F.lit(0.5)).alias("p50_doc_tokens"),
+        F.round(
+            F.lit(1) - F.countDistinct("__h")
+            / F.nullif(F.count(F.lit(1)), F.lit(0)), 6
+        ).alias("exact_dup_rate"),
+        F.round(F.avg("__k"), 6).alias("gopher_pass_rate"),
+        F.round(F.avg("__p"), 6).alias("pii_doc_rate"),
+    )
+    scalars = agg.select(F.expr(
+        "stack(7,"
+        " 'n_docs', cast(n_docs as double),"
+        " 'total_tokens', cast(total_tokens as double),"
+        " 'mean_doc_tokens', mean_doc_tokens,"
+        " 'p50_doc_tokens', cast(p50_doc_tokens as double),"
+        " 'exact_dup_rate', exact_dup_rate,"
+        " 'gopher_pass_rate', gopher_pass_rate,"
+        " 'pii_doc_rate', pii_doc_rate"
+        ") as (metric, value)"
+    ))
+    from pyspark.sql.window import Window as _W
+
+    langs = (
+        lang_id(stream, text_col).df
+        .groupBy("pred_lang").agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            F.concat(F.lit("lang_share:"), F.col("pred_lang")).alias("metric"),
+            F.round(
+                F.col("__c") / F.sum("__c").over(_W.partitionBy()), 6
+            ).alias("value"),
+        )
+    )
+    return stream._new(scalars.unionByName(langs))
+
+
+def sql_corpus_report(table_expr: str, id_col: str, text: str) -> str:
+    from .datapipe import sql_lang_id, sql_norm_text
+
+    gopher = sql_quality_gopher(table_expr, text, f"{id_col}, {text}")
+    pii = " OR ".join(
+        f"regexp_matches({text}, '{p.replace(chr(39), chr(39) * 2)}')"
+        for p in PII_PATTERNS.values()
+    )
+    lang = sql_lang_id(table_expr, text, id_col)
+    return f"""
+WITH staged AS (
+  SELECT q_tokens AS n, q_keep::INT AS k,
+         sha256({sql_norm_text(text)}) AS h,
+         ({pii})::INT AS p
+  FROM ({gopher})
+), stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         round(avg(n), 6) AS mean_doc_tokens,
+         quantile_cont(n, 0.5) AS p50_doc_tokens,
+         round(1 - count(DISTINCT h) / nullif(count(*), 0), 6)
+           AS exact_dup_rate,
+         round(avg(k), 6) AS gopher_pass_rate,
+         round(avg(p), 6) AS pii_doc_rate
+  FROM staged
+), lang_rows AS (
+  SELECT 'lang_share:' || pred_lang AS metric,
+         round(count(*) / (SELECT count(*) FROM ({lang})), 6) AS value
+  FROM ({lang}) GROUP BY pred_lang
+)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, n_docs::DOUBLE AS value FROM stats
+  UNION ALL SELECT 'total_tokens', total_tokens::DOUBLE FROM stats
+  UNION ALL SELECT 'mean_doc_tokens', mean_doc_tokens FROM stats
+  UNION ALL SELECT 'p50_doc_tokens', p50_doc_tokens::DOUBLE FROM stats
+  UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM stats
+  UNION ALL SELECT 'gopher_pass_rate', gopher_pass_rate FROM stats
+  UNION ALL SELECT 'pii_doc_rate', pii_doc_rate FROM stats
+  UNION ALL SELECT metric, value FROM lang_rows
+)
+"""

@@ -4628,6 +4628,29 @@ def _oracle_qa41() -> str:
 ORACLE_QA41 = _oracle_qa41()
 
 
+def qa42_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call dataset card over documents: size (docs / tokens /
+    mean / exact-median length), hygiene (exact-dup rate on the
+    normalized content hash, Gopher pass rate, any-PII doc rate) and
+    the heuristic language mix, as (metric, value) rows — the numbers a
+    corpus release ships, composed from the verified primitives and
+    bit-exact against one mirrored SQL statement."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    return docs.corpus_report("doc_id", "text").df
+
+
+def _oracle_qa42() -> str:
+    from .prep import sql_corpus_report
+
+    return sql_corpus_report(
+        "(SELECT doc_id, text FROM documents)", "doc_id", "text"
+    )
+
+
+ORACLE_QA42 = _oracle_qa42()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4769,6 +4792,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa39_hybrid_search": qa39_hybrid_search,
     "qa40_incremental_rebuild": qa40_incremental_rebuild,
     "qa41_bigram_logprob": qa41_bigram_logprob,
+    "qa42_corpus_report": qa42_corpus_report,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4914,4 +4938,5 @@ ORACLE: Dict[str, str] = {
     "qa39_hybrid_search": ORACLE_QA39,
     "qa40_incremental_rebuild": ORACLE_QA40,
     "qa41_bigram_logprob": ORACLE_QA41,
+    "qa42_corpus_report": ORACLE_QA42,
 }

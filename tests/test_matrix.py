@@ -125,6 +125,9 @@ SWEEP = [
     # bigram-LM float terms fold in canonical sorted order — the q93
     # association discipline, now with a two-key model join upstream
     "qa41_bigram_logprob",
+    # the dataset card: count-distinct of the content hash, the exact
+    # median, and the language-share window must agree under any layout
+    "qa42_corpus_report",
 ]
 
 

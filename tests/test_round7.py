@@ -598,3 +598,35 @@ def test_hybrid_search_index_leg_interchangeable(ctx, sf_dir, tmp_path):
         index=idx, index_nprobe=8, index_rerank=10_000,
     ).df.collect()
     assert sorted(map(tuple, brute)) == sorted(map(tuple, via_index))
+
+
+# ------------------------------------------------------------------ #
+# 10. corpus_report (the dataset card)
+# ------------------------------------------------------------------ #
+
+def test_corpus_report_planted_values(ctx):
+    rows = [
+        (1, "the cat and the dog of the house is in a tree"),   # en, gopher-ok
+        (2, "the cat and the dog of the house is in a tree"),   # exact dup of 1
+        (3, "reach me at bob@example.com for the offer and a plan of it is"),
+        (4, "x"),                                               # fails gopher min_tokens
+    ]
+    s = ctx.from_df(ctx.spark.createDataFrame(rows, "doc_id long, text string"))
+    rep = {r.metric: r.value for r in
+           s.corpus_report("doc_id", "text").df.collect()}
+    assert rep["n_docs"] == 4.0
+    assert rep["exact_dup_rate"] == 0.25          # 4 docs, 3 distinct
+    assert rep["pii_doc_rate"] == 0.25            # the email doc
+    assert rep["gopher_pass_rate"] == 0.75        # doc 4 is sub-min-tokens
+    assert rep["total_tokens"] == sum(len(t.split()) for _, t in rows)
+    assert abs(sum(v for k, v in rep.items()
+                   if k.startswith("lang_share:")) - 1.0) < 1e-6
+    assert rep.get("lang_share:en", 0) >= 0.5
+
+
+def test_corpus_report_empty_corpus(ctx):
+    s = ctx.from_df(ctx.spark.createDataFrame([], "doc_id long, text string"))
+    rep = {r.metric: r.value for r in
+           s.corpus_report("doc_id", "text").df.collect()}
+    assert rep["n_docs"] == 0.0
+    assert not [k for k in rep if k.startswith("lang_share:")]
