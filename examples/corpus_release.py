@@ -93,6 +93,11 @@ def main(sf_dir: str) -> None:
     tail = scored.df.orderBy("avg_logprob2").limit(3).collect()
     print("lowest-coherence docs:", [(r.doc_id, r.avg_logprob2) for r in tail])
 
+    # 6. the dataset card that ships with the release
+    card = {r.metric: r.value
+            for r in curated.corpus_report("doc_id", "text").df.collect()}
+    print("dataset card:", card)
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
