@@ -3194,7 +3194,15 @@ def corpus_report(stream, id_col: str, text_col: str):
 
     from .datapipe import lang_id, norm_text
 
-    g = quality_gopher(stream, text_col).df
+    # project to (id, text) first so the report works on ANY input
+    # schema — the gopher stage appends q_* columns, which would
+    # collide if the caller's frame already carries them (e.g. a
+    # curated output that kept q_tokens)
+    narrow = stream._new(
+        stream.df.select(to_col(id_col).alias(id_col),
+                         to_col(text_col).alias(text_col))
+    )
+    g = quality_gopher(narrow, text_col).df
     pii_hit = _ft.reduce(
         _op.or_, [to_col(text_col).rlike(p) for p in PII_PATTERNS.values()]
     )
@@ -3230,7 +3238,7 @@ def corpus_report(stream, id_col: str, text_col: str):
     from pyspark.sql.window import Window as _W
 
     langs = (
-        lang_id(stream, text_col).df
+        lang_id(narrow, text_col).df
         .groupBy("pred_lang").agg(F.count(F.lit(1)).alias("__c"))
         .select(
             F.concat(F.lit("lang_share:"), F.col("pred_lang")).alias("metric"),

@@ -630,3 +630,14 @@ def test_corpus_report_empty_corpus(ctx):
            s.corpus_report("doc_id", "text").df.collect()}
     assert rep["n_docs"] == 0.0
     assert not [k for k in rep if k.startswith("lang_share:")]
+
+
+def test_corpus_report_tolerates_prior_quality_columns(ctx):
+    # a curated frame that already carries q_tokens (the corpus_release
+    # shape) must not collide with the report's own gopher stage
+    rows = [(1, "the cat and the dog of the house is in a tree")]
+    s = ctx.from_df(ctx.spark.createDataFrame(rows, "doc_id long, text string"))
+    curated = s.quality_gopher("text").map("doc_id", "text", "q_tokens")
+    rep = {r.metric: r.value
+           for r in curated.corpus_report("doc_id", "text").df.collect()}
+    assert rep["n_docs"] == 1.0
