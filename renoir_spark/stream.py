@@ -1394,13 +1394,14 @@ class Stream:
 
         return _ul(self, id_col, text_col, **kw)
 
-    def corpus_report(self, id_col: str, text_col: str) -> "Stream":
+    def corpus_report(self, id_col: str, text_col: str, **kw) -> "Stream":
         """One-call dataset card: (metric, value) rows — size, exact-dup
         rate, Gopher pass rate, PII rate, language mix —
-        prep.corpus_report."""
+        prep.corpus_report (``exact_median=False`` for the GK-sketch
+        median at unbounded length domains)."""
         from .prep import corpus_report as _cr
 
-        return _cr(self, id_col, text_col)
+        return _cr(self, id_col, text_col, **kw)
 
     def bigram_logprob(self, id_col: str, text_col: str, **kw) -> "Stream":
         """Per-document mean log-probability under a corpus-trained

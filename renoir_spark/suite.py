@@ -4651,6 +4651,48 @@ def _oracle_qa42() -> str:
 ORACLE_QA42 = _oracle_qa42()
 
 
+def qa43_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k ESTIMATE of qa37's exact corpus overlap, same
+    overlapping document slices: per corpus a per-partition bottom-k
+    ``mapInPandas`` sketch (only k·partitions rows ever shuffle — the
+    100 TB escape from the exact pass's corpus-wide key shuffle), two
+    k-long sketches merged driver-side into the Beyer-et-al. estimator.
+    The estimate is partitioning-INDEPENDENT (bottom-k of per-partition
+    bottom-k distinct ≡ global bottom-k distinct), so the oracle
+    recomputes the identical numbers with a global DISTINCT/LIMIT.
+    Floats rounded to 6 on both sides (float-determinism discipline)."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    a = docs.filter("doc_id % 3 < 2")
+    b = docs.filter("doc_id % 3 > 0")
+    est = a.corpus_overlap_kmv(b, "text", k=256)
+    return est.df.select(
+        "k_eff",
+        F.round("union_est", 6).alias("union_est"),
+        F.round("inter_est", 6).alias("inter_est"),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+    )
+
+
+def _oracle_qa43() -> str:
+    from .datapipe import sql_corpus_overlap_kmv
+
+    inner = sql_corpus_overlap_kmv(
+        "(SELECT * FROM documents WHERE doc_id % 3 < 2)",
+        "(SELECT * FROM documents WHERE doc_id % 3 > 0)",
+        "text", k=256,
+    )
+    return f"""
+SELECT k_eff, round(union_est, 6) AS union_est,
+       round(inter_est, 6) AS inter_est,
+       round(jaccard_est, 6) AS jaccard_est
+FROM ({inner})
+"""
+
+
+ORACLE_QA43 = _oracle_qa43()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4793,6 +4835,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa40_incremental_rebuild": qa40_incremental_rebuild,
     "qa41_bigram_logprob": qa41_bigram_logprob,
     "qa42_corpus_report": qa42_corpus_report,
+    "qa43_corpus_overlap_kmv": qa43_corpus_overlap_kmv,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4939,4 +4982,5 @@ ORACLE: Dict[str, str] = {
     "qa40_incremental_rebuild": ORACLE_QA40,
     "qa41_bigram_logprob": ORACLE_QA41,
     "qa42_corpus_report": ORACLE_QA42,
+    "qa43_corpus_overlap_kmv": ORACLE_QA43,
 }

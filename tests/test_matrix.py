@@ -128,6 +128,10 @@ SWEEP = [
     # the dataset card: count-distinct of the content hash, the exact
     # median, and the language-share window must agree under any layout
     "qa42_corpus_report",
+    # round-8: the KMV overlap sketch — per-partition bottom-k minima
+    # then merge IS the associative combine, so the estimate must be
+    # IDENTICAL under any partition layout (order statistics compose)
+    "qa43_corpus_overlap_kmv",
 ]
 
 

@@ -356,7 +356,12 @@ def test_corpus_overlap_empty_side_yields_null_not_error(ctx):
 
 def test_corpus_overlap_kmv_tracks_exact(ctx, sf_dir):
     docs = ctx.stream_parquet(f"{sf_dir}/documents.parquet").map(
-        "doc_id", "text"
+        "doc_id",
+        # NULL texts are certain at 100 TB (ADVICE r7: a NULL md5 used
+        # to survive the ascending bottom-k and crash the driver merge)
+        text=F.when(F.col("doc_id") % 97 == 0, F.lit(None)).otherwise(
+            F.col("text")
+        ),
     )
     a = docs.filter("doc_id % 3 < 2")
     b = docs.filter("doc_id % 3 > 0")
@@ -368,9 +373,11 @@ def test_corpus_overlap_kmv_tracks_exact(ctx, sf_dir):
 
 def test_corpus_overlap_kmv_exact_when_sketches_exhaust(ctx):
     # fewer distinct shingles than k on both sides -> the merged sketch
-    # IS the union; the estimator must return the exact counts
-    a = _docs(ctx, [(1, "w1 w2 w3 w4 w5", "en")])
-    b = _docs(ctx, [(2, "w3 w4 w5 w6 w7", "en")])
+    # IS the union; the estimator must return the exact counts. The
+    # NULL-text rows land on the sentinel key, which the exact pass
+    # counts as ITS null group key — both sides stay consistent.
+    a = _docs(ctx, [(1, "w1 w2 w3 w4 w5", "en"), (3, None, "en")])
+    b = _docs(ctx, [(2, "w3 w4 w5 w6 w7", "en"), (4, None, "en")])
     exact = a.corpus_overlap(b, "text").df.collect()[0]
     est = a.corpus_overlap_kmv(b, "text", k=64).df.collect()[0]
     assert est.union_est == float(exact.n_union)

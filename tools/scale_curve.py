@@ -21,7 +21,13 @@ different, harder workload, not a bigger one). So:
 Usage: python tools/scale_curve.py [out.json]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_SCALE_FACTORS (default "1,3,10"),
-     SPARK_GRAFT_SCALE_QUERIES (comma list, default the heavy set).
+     SPARK_GRAFT_SCALE_QUERIES (comma list, default the heavy set),
+     SPARK_GRAFT_SCALE_PROFILE ("replicate" default, or "entropy":
+     documents get 150 UNIQUE md5-prefix tokens each — the long-tail
+     shingle profile of a real web corpus, where nearly every shingle
+     is rare and distinct-key exchanges are corpus-sized; testdata's
+     small vocabulary repeats each shingle ~30×, which makes exact
+     distinct-key passes unrealistically cheap).
 """
 
 from __future__ import annotations
@@ -51,11 +57,31 @@ QUERIES_DEFAULT = [
 ]
 
 
-def build_scaled(spark, src_dir: str, dst_dir: str, k: int) -> None:
+def build_scaled(spark, src_dir: str, dst_dir: str, k: int,
+                 profile: str = "replicate") -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(dst_dir, exist_ok=True)
     docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    if profile == "entropy":
+        n = docs.count() * k
+        (spark.range(n)
+         .select(
+             F.col("id").alias("doc_id"),
+             F.concat_ws(" ", F.transform(
+                 F.sequence(F.lit(1), F.lit(150)),
+                 lambda i: F.substring(
+                     F.md5(F.concat(F.col("id").cast("string"),
+                                    F.lit(":"), i.cast("string"))),
+                     1, 10),
+             )).alias("text"),
+             F.lit("en").alias("lang"),
+             F.lit("synthetic").alias("source"),
+         )
+         .write.mode("overwrite").parquet(f"{dst_dir}/documents.parquet"))
+        for t in ("events", "embeddings"):
+            shutil.copy(f"{src_dir}/{t}.parquet", f"{dst_dir}/{t}.parquet")
+        return
     ev = spark.read.parquet(f"{src_dir}/events.parquet")
     emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
 
@@ -114,6 +140,7 @@ def main() -> None:
         "SPARK_GRAFT_SCALE_FACTORS", "1,3,10").split(",")]
     qnames = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
     qnames = qnames.split(",") if qnames else QUERIES_DEFAULT
+    profile = os.environ.get("SPARK_GRAFT_SCALE_PROFILE", "replicate")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
     from pyspark.sql import SparkSession
@@ -141,7 +168,7 @@ def main() -> None:
         work = tempfile.mkdtemp(prefix=f"scale{k}_")
         try:
             t0 = time.perf_counter()
-            build_scaled(spark, src, work, k)
+            build_scaled(spark, src, work, k, profile)
             rows_at[k] = spark.read.parquet(f"{work}/documents.parquet").count()
             print(f"# built k={k} ({rows_at[k]} docs) in "
                   f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
@@ -169,6 +196,7 @@ def main() -> None:
 
     out = {
         "base_sf_dir": src,
+        "profile": profile,
         "factors": ks,
         "docs_rows": rows_at,
         "seconds": results,
