@@ -62,6 +62,7 @@ from .datapipe import (
     _ivf_assign,
     _ivf_probe,
     _ivf_seed_units,
+    _lloyd_refine_units,
     _sq8_candidates,
     _sq8_codes,
     _sq8_stats,
@@ -295,7 +296,8 @@ class AnnIndex:
             out["drift"]["mean_ratio"] = round(a["mean"] / b["mean"], 3)
         return out
 
-    def rebuild(self, *, n_cells: Optional[int] = None) -> "AnnIndex":
+    def rebuild(self, *, n_cells: Optional[int] = None,
+                refine: int = 0) -> "AnnIndex":
         """Re-derive centroids, SQ8 grid, and cell layout from EVERY
         currently indexed fp32 vector (build + all appended
         generations) and rewrite the index in place — the FAISS
@@ -324,6 +326,19 @@ class AnnIndex:
         accumulate instead of inheriting a stale build-time pin. Pass
         an int to pin it.
 
+        ``refine=k``: k deterministic Lloyd iterations over the hash
+        sample after seeding (see :func:`ann_index_build`). Hash
+        seeds cover mass proportionally, not mode-by-mode, which is
+        the measured residual (mean_ratio ~3.5, recall 0.97 in
+        tools/recall_harness.py); refinement moves centroids onto the
+        modes while keeping the retrain reproducible — measured:
+        refine=1 restores recall to 1.00, refine=2 also closes the
+        fresh-append mean_ratio to 1.10 and is converged. Default 0 so
+        ``rebuild(n)`` stays content-equal to a fresh
+        ``seed_order="hash"`` build (the auditability invariant
+        tests/test_round7.py pins); the refined invariant holds too —
+        ``rebuild(n, refine=k)`` ≡ fresh build with ``refine=k``.
+
         Scale: one full read of the stored fp32 vectors, pinned by an
         eager localCheckpoint (the overwrite deletes the very files
         being read — lazy lineage would read-after-delete), then the
@@ -347,7 +362,7 @@ class AnnIndex:
             return ann_index_build(
                 StreamContext(self.spark).from_df(rows), self.path,
                 vec_col=vec_col, id_col=id_col, n_cells=n_cells,
-                dim=self.meta["dim"], seed_order="hash",
+                dim=self.meta["dim"], seed_order="hash", refine=refine,
             )
         finally:
             free_local_checkpoint(rows)
@@ -417,7 +432,8 @@ def _write_codes(df, path: str, units, stats, *, id_col: str,
 
 def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
                     id_col: str = "vec_id", n_cells: Optional[int] = None,
-                    dim: int = 64, seed_order: str = "id") -> AnnIndex:
+                    dim: int = 64, seed_order: str = "id",
+                    refine: int = 0) -> AnnIndex:
     """Build and persist the IVF+SQ8 index for ``stream`` at ``path``.
     One corpus pass: Arrow cell assignment + JVM SQ8 encode, written
     hive-partitioned by cell. See the module docstring for the layout
@@ -440,13 +456,30 @@ def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
     (distribution-covering — what :meth:`AnnIndex.rebuild` uses; an
     index built this way answers queries identically given its cells,
     but the STANDARD sql_ann_cosine_ivf_sq8 oracle cannot re-derive
-    its centroids)."""
+    its centroids).
+
+    ``refine``: number of DETERMINISTIC Lloyd iterations over a
+    hash-ordered uniform sample (spherical k-means: assign by the same
+    rounded-dot rule the index uses, re-center on the mean, unit-
+    normalize; empty cells keep their seed). Raw seeds cover mass
+    proportionally, not mode-by-mode — refinement moves centroids to
+    the modes, closing the residual drift ratio a hash-sampled rebuild
+    leaves (measured in tools/recall_harness.py). Fully reproducible:
+    the sample is hash-ordered and the arithmetic is fixed-order
+    float64, so the same corpus always yields the same centroids —
+    unlike a randomized k-means retrain. Oracle note: refined
+    centroids are not re-derivable by the static SQL ``cells`` CTE, so
+    suite-pinned builds keep ``refine=0``."""
     spark = stream.df.sparkSession
     df = stream.df
     dtypes = dict(df.dtypes)
     if n_cells is None:
         n_cells = auto_cells(df.count())
     units = _ivf_seed_units(df, vec_col, id_col, n_cells, order=seed_order)
+    if refine:
+        units = _lloyd_refine_units(
+            df, units, vec_col, id_col, n_cells, iters=int(refine)
+        )
     # run the stats aggregate ONCE and pin its 1-row result on the
     # driver: the same row feeds both the encode broadcast and the
     # grid/ write — without this the unpersisted aggregate would scan

@@ -2514,6 +2514,43 @@ def _ivf_seed_units(df, vec_col: str, id_col: str, n_cells: int,
     return units
 
 
+def _lloyd_refine_units(df, units: list, vec_col: str, id_col: str,
+                        n_cells: int, *, iters: int = 1,
+                        sample_cap: int = 200_000) -> list:
+    """DETERMINISTIC spherical-k-means refinement of seeded centroids:
+    ``iters`` Lloyd steps over a hash-ordered uniform sample (bounded
+    driver collect, ≤ min(32·n_cells, sample_cap) rows). Assignment is
+    the index's own rule (argmax of ROUNDED dot against unit
+    centroids, ties → lowest cell, the same left-fold dot association
+    ``_ivf_assign`` uses — bit-identical assignments), re-centering
+    is the float64 mean of the assigned raw vectors, unit-normalized;
+    a cell that attracts no sample keeps its seed. Reproducible by
+    construction: fixed sample order, fixed-shape numpy arithmetic —
+    no RNG anywhere (the determinism contract of the whole ANN layer)."""
+    import numpy as np
+
+    S = min(max(32 * n_cells, 4096), int(sample_cap))
+    key = [md5_int31(F.col(id_col).cast("string")), F.col(id_col)]
+    rows = df.select(F.col(id_col), F.col(vec_col)).orderBy(*key).limit(S).collect()
+    if not rows:
+        return units
+    X = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    out = [list(u) for u in units]
+    for _ in range(int(iters)):
+        UT = np.array(out, dtype=np.float64).T  # dim × n_cells
+        # same dot association + tie/rounding rule as _ivf_assign:
+        # left-fold dots, first max = lowest cell
+        assign = (-np.round(_ivf_dots_block(X, UT), 9)).argmin(axis=1)
+        for c in range(n_cells):
+            pts = X[assign == c]
+            if not len(pts):
+                continue
+            m = pts.mean(axis=0)
+            nrm = math.sqrt(float((m * m).sum())) or 1.0
+            out[c] = [float(x) / nrm for x in m]
+    return out
+
+
 def _ivf_dots_block(mat, UT):
     """Row-block × centroid-matrix dots with the oracle's list_reduce
     LEFT-FOLD association (bit-equal): accumulate one dimension at a

@@ -564,10 +564,24 @@ def bigram_logprob(stream, id_col: str, text_col: str, *,
     totals on a 1-row broadcast; per-doc terms fold in canonical sorted
     order (sort_array + left fold ≡ list_sum(list_sort)) so the float
     sum is association-identical on both engines — the q93 discipline.
+
+    ``buckets``: the 100 TB dial. The exact model relation is
+    corpus-sized at worst (every distinct bigram); ``buckets=N`` maps
+    unigram and bigram keys through the shared md5 31-bit hash mod N
+    (the DSIR hashing trick, prep.py:_dsir_occ), so BOTH model
+    relations are ≤ N rows no matter the corpus — colliding n-grams
+    pool their counts, a smoothing-like bias that leaves ordering
+    nearly intact (parity-tested on planted data). Default None keeps
+    the exact model.
     """
     df = stream.df
     base = df.select(to_col(id_col).alias("__id"),
                      tokens(text_col).alias("__toks"))
+    if buckets is not None:
+        return _bigram_logprob_bucketed(
+            stream, base, id_col, lam=float(lam), alias=alias,
+            buckets=int(buckets),
+        )
     # unigram side (same shape as unigram_logprob's model)
     occ1 = base.select(F.explode("__toks").alias("__w"))
     model1 = occ1.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
@@ -657,6 +671,78 @@ WITH base AS (
 SELECT __id AS {id_col}, round(list_sum(list_sort(list(t))) / n2, 6) AS {alias}
 FROM terms GROUP BY __id, n2
 """
+
+
+def _bigram_logprob_bucketed(stream, base, id_col: str, *, lam: float,
+                             alias: str, buckets: int):
+    """The hashed-bucket body of :func:`bigram_logprob` (``buckets=N``):
+    identical interpolation formula over bucket-pooled counts. Tokens
+    are whitespace-split so ``w1 || ' ' || w2`` is injective before the
+    hash; all three count relations (bigram, first-word, unigram) are
+    ≤ ``buckets`` rows, so every scoring join is broadcast-sized at any
+    corpus scale."""
+    B = F.lit(int(buckets))
+    # hash each token ONCE (the md5 chain is the per-row cost — pair
+    # keys derive arithmetically from the staged token buckets, not
+    # from a second and third md5 per bigram occurrence)
+    keyed = base.withColumn(
+        "__bks", F.transform("__toks", lambda t: md5_int31(t) % B)
+    )
+    occ1 = keyed.select(F.explode("__bks").alias("__k2"))
+    model1 = occ1.groupBy("__k2").agg(F.count(F.lit(1)).alias("__c"))
+    stats = model1.agg(F.sum("__c").alias("__NT"),
+                       F.count(F.lit(1)).alias("__V"))
+    pairs = F.expr(
+        "transform(sequence(2, size(__bks)),"
+        " i -> struct(__bks[i-2] AS k1, __bks[i-1] AS k2))"
+    )
+    occ2 = (
+        keyed.filter(F.size("__bks") >= 2)
+        .select("__id", (F.size("__bks") - 1).alias("__n2"),
+                F.explode(pairs).alias("__p"))
+        .select(
+            "__id", "__n2",
+            # bucket of the PAIR: odd-multiplier mix of the two token
+            # buckets — same hashing-trick pooling, zero extra md5
+            ((F.col("__p.k1") * F.lit(1_000_003) + F.col("__p.k2")) % B)
+            .alias("__k12"),
+            F.col("__p.k1").alias("__k1"),
+            F.col("__p.k2").alias("__k2"),
+        )
+    )
+    model2 = occ2.groupBy("__k12").agg(F.count(F.lit(1)).alias("__c12"))
+    first = occ2.groupBy("__k1").agg(F.count(F.lit(1)).alias("__c1"))
+    cdw = occ2.groupBy("__id", "__n2", "__k12", "__k1", "__k2").agg(
+        F.count(F.lit(1)).alias("__cd")
+    )
+    terms = (
+        cdw.join(model2, "__k12")
+        .join(first, "__k1")
+        .join(model1, "__k2")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "__id", "__n2",
+            (F.col("__cd") * F.log(
+                F.lit(float(lam)) * F.col("__c12").cast("double")
+                / F.col("__c1").cast("double")
+                + F.lit(1.0 - float(lam))
+                * (F.col("__c") + F.lit(1)).cast("double")
+                / (F.col("__NT") + F.col("__V")).cast("double")
+            )).alias("__t"),
+        )
+    )
+    out = (
+        terms.groupBy("__id", "__n2")
+        .agg(F.sort_array(F.collect_list("__t")).alias("__ts"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                F.aggregate("__ts", F.lit(0.0), lambda a, x: a + x)
+                / F.col("__n2"), 6,
+            ).alias(alias),
+        )
+    )
+    return stream._new(out)
 
 
 def sample_weighted(stream, id_col: str, weight_expr, *, salt: str = "w0"):

@@ -88,6 +88,71 @@ def test_corpus_diff_literal_null_sentinel_differs_from_null(ctx):
 
 
 # ------------------------------------------------------------------ #
+# AnnIndex rebuild refinement (VERDICT r7 #6): deterministic Lloyd
+# ------------------------------------------------------------------ #
+
+def test_refined_rebuild_equals_fresh_refined_build(ctx, sf_dir, tmp_path):
+    # the auditability invariant survives refinement: build → append →
+    # rebuild(n, refine=k) ≡ fresh hash-seeded refine=k build of the
+    # union corpus — nothing depends on arrival order, and the Lloyd
+    # pass is RNG-free so "same corpus" means "same centroids"
+    emb = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter("vec_id < 300")
+    b = emb.filter("vec_id >= 300 AND vec_id < 400")
+    idx = a.ann_index_build(str(tmp_path / "grown"), n_cells=6)
+    idx.append(b)
+    rebuilt = idx.rebuild(n_cells=9, refine=2)
+    fresh = ctx.from_df(a.df.unionByName(b.df)).ann_index_build(
+        str(tmp_path / "fresh"), n_cells=9, seed_order="hash", refine=2
+    )
+    assert rebuilt.units == fresh.units
+    # refinement actually moved the seeds (the corpus is not its own
+    # centroid set), and the refined index answers queries
+    seeded = ctx.from_df(a.df.unionByName(b.df)).ann_index_build(
+        str(tmp_path / "seeded"), n_cells=9, seed_order="hash"
+    )
+    assert rebuilt.units != seeded.units
+    q = emb.filter("vec_id < 4")
+    got = rebuilt.query(q, k=2, nprobe=3).df.collect()
+    assert len(got) == 8
+
+
+# ------------------------------------------------------------------ #
+# bigram_logprob: the hashed-bucket model dial (VERDICT r7 #4)
+# ------------------------------------------------------------------ #
+
+def test_bigram_logprob_bucketed_parity_without_collisions(ctx, sf_dir):
+    # with buckets >> vocabulary the hash is injective in practice, so
+    # the bucket-pooled counts ARE the exact counts — bit-identical
+    docs = ctx.stream_parquet(f"{sf_dir}/documents.parquet").map(
+        "doc_id", "text"
+    )
+    exact = dict(docs.bigram_logprob("doc_id", "text").df.collect())
+    big = dict(
+        docs.bigram_logprob("doc_id", "text", buckets=1 << 30).df.collect()
+    )
+    assert big == exact
+
+
+def test_bigram_logprob_bucketed_bounds_the_model(ctx):
+    # the whole point: model relations stay <= buckets rows, and the
+    # coherent/incoherent ordering survives heavy pooling
+    rows = [(1, "the cat sat on the mat and the cat sat again", "en"),
+            (2, "mat the on cat sat the and again sat cat the", "en"),
+            (3, "the cat sat on the mat and then slept well", "en")]
+    docs = _docs(ctx, rows)
+    for b in (64, 4096):
+        out = dict(
+            docs.bigram_logprob("doc_id", "text", buckets=b).df.collect()
+        )
+        assert set(out) == {1, 2, 3}
+        assert all(v is not None for v in out.values())
+        # doc 2 is doc 1's words in scrambled order — the bigram model
+        # must score it below both coherent docs even bucket-pooled
+        assert out[2] < out[1] and out[2] < out[3]
+
+
+# ------------------------------------------------------------------ #
 # corpus_report: the exact-median scale dial (VERDICT r7 #4)
 # ------------------------------------------------------------------ #
 
