@@ -1228,6 +1228,165 @@ WHERE {id_col} NOT IN (SELECT idb FROM dups)
 """
 
 
+def dedup_phash(
+    stream,
+    features_col: str,
+    id_col: str,
+    *,
+    bits: Optional[int] = None,
+    bands: int = 4,
+    max_hamming: int = 3,
+):
+    """Perceptual-hash near-duplicate dedup for DECODED media: bit j of
+    the signature = (feature_j ≥ mean of the first ``bits`` features) —
+    the thresholding step of the average-hash / pHash family (public
+    knowledge: aHash thresholds downsampled pixels, pHash thresholds
+    DCT coefficients; either arrives here as the codec's ``features``
+    array). Works on whatever :func:`renoir_spark.multimodal`
+    decode stage produced the features — the deterministic fake codec
+    in tests, a real PIL/DCT codec via ``register_codec`` in
+    production (the codec only has to emit ≥ ``bits`` features; a
+    real pHash uses 64). Keeps the smallest-id representative of each
+    near-duplicate set, like :func:`dedup_simhash`.
+
+    Scale: exactly the SimHash shape one column over — candidates come
+    from BAND equality (a Hamming-≤k pair must agree on ≥1 of k+1
+    bands), an equi-join on the band value; exact ``bit_count(xor)``
+    verifies within candidates; no all-pairs anywhere. The mean
+    threshold + packed ``bits``-wide signature are single array
+    expressions (one pass over the feature array). Float discipline:
+    features are float32 on disk; both engines widen the SAME float32
+    values to double before the mean/compare, and the mean folds
+    left-to-right, so the signature is bit-identical cross-engine
+    (sql_dedup_phash mirrors it).
+
+    ``bits=None`` (default) auto-dials to the codec's feature count
+    (one bounded first-row probe, floored to a multiple of ``bands``,
+    capped at 62) so the signature can never silently outrun the
+    features — bands past the feature count would be CONSTANT zero and
+    the self-join quadratic. The scale dial is the DECODE side:
+    ``decode_image(n_features=48)`` gives 12-bit bands; the default
+    8-feature codec gives 2-bit bands, fine for smoke tests and the
+    measured quadratic trap at corpus scale (docs/SCALING.md).
+
+    Reference parity: beyond-reference (renoir has no media dedup);
+    the banding machinery cites dedup_simhash above.
+    """
+    if bits is None:
+        probe = (
+            stream.df.select(F.size(to_col(features_col)).alias("n"))
+            .filter(F.col("n") > 0).limit(1).collect()
+        )
+        n_feat = probe[0]["n"] if probe else bands
+        bits = max((min(int(n_feat), 62) // bands) * bands, bands)
+    assert bits % bands == 0, "bands must divide bits"
+    assert bits <= 62, "signature must fit a signed 64-bit integer"
+    band_width = bits // bands
+
+    feats = F.slice(to_col(features_col), 1, bits)
+    total = F.aggregate(
+        feats, F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+    mean = total / F.size(feats)
+    pows = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    phash = F.aggregate(
+        F.zip_with(
+            feats, pows,
+            lambda x, p: F.when(x.cast("double") >= mean, p)
+            .otherwise(F.lit(0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sig = stream.df.select(
+        F.col(id_col).alias("__id"), phash.alias("__ph")
+    ).persist()
+
+    mask = (1 << band_width) - 1
+    bands_df = sig.select(
+        "__id", "__ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bidx"),
+                        F.shiftright(F.col("__ph"), b * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__ph", F.col("__b.bidx").alias("bidx"),
+             F.col("__b.bval").alias("bval"))
+
+    a = bands_df.select("bidx", "bval", F.col("__id").alias("ida"),
+                        F.col("__ph").alias("pha"))
+    b = bands_df.select("bidx", "bval", F.col("__id").alias("idb"),
+                        F.col("__ph").alias("phb"))
+    dup_ids = (
+        a.join(b, ["bidx", "bval"])
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(F.bit_count(F.col("pha").bitwiseXOR(F.col("phb")))
+                <= max_hamming)
+        .select(F.col("idb").alias(id_col))
+        .distinct()
+    )
+    return stream._new(stream.df.join(dup_ids, id_col, "left_anti"))._retain(sig)
+
+
+def sql_dedup_phash(
+    table_expr: str,
+    fs_exprs: Sequence[str],
+    id_col: str,
+    cols: str,
+    *,
+    bits: int = 8,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`dedup_phash`. ``fs_exprs`` recomputes
+    the feature values in SQL (one expression per feature, e.g. the
+    fake codec's md5 formula — see multimodal._md5_floats); each is
+    cast through FLOAT to match the float32 the Spark side reads, then
+    widened to DOUBLE exactly like the Spark expressions."""
+    assert bits % bands == 0 and len(fs_exprs) >= bits
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    fs = ", ".join(f"({e})::FLOAT" for e in list(fs_exprs)[:bits])
+    # left-fold sum mirror of F.aggregate(..., a + x): ((f1+f2)+...)
+    total = "0.0::DOUBLE"
+    for j in range(bits):
+        total = f"({total} + fs[{j + 1}]::DOUBLE)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN fs[{j + 1}]::DOUBLE >= mean THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, ph, {b} AS bidx, (ph >> {b * band_width}) & {mask} "
+        f"AS bval FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH feats AS (
+  SELECT {id_col} AS id, [{fs}] AS fs FROM {table_expr}
+), sig AS (
+  SELECT id, ({bit_terms})::BIGINT AS ph
+  FROM (SELECT id, fs, {total} / len(fs) AS mean FROM feats)
+), bands AS (
+  {band_rows}
+), dups AS (
+  SELECT DISTINCT b.id AS idb
+  FROM bands a JOIN bands b
+    ON a.bidx = b.bidx AND a.bval = b.bval AND a.id < b.id
+  WHERE bit_count(xor(a.ph, b.ph)) <= {max_hamming}
+)
+SELECT {cols} FROM {table_expr}
+WHERE {id_col} NOT IN (SELECT idb FROM dups)
+"""
+
+
 # --------------------------------------------------------------------- #
 # n-gram Jaccard similarity join (inverted-index shape)
 # --------------------------------------------------------------------- #

@@ -40,35 +40,45 @@ AUDIO_SCHEMA = (
 _N_FEATURES = 8
 
 
-def _md5_floats(data: bytes, n: int, salt: bytes = b"") -> list:
-    """Deterministic pseudo-features from content bytes (the FAKE path)."""
-    out = []
-    i = 0
-    while len(out) < n:
-        h = hashlib.md5(salt + i.to_bytes(4, "big") + data[:64]).digest()
-        out.append(int.from_bytes(h[:4], "big") / 2**32)
-        i += 1
-    return [float(x) for x in out]
+def _md5_floats(data: bytes, n: int, salt: str = "") -> list:
+    """Deterministic pseudo-features from content bytes (the FAKE path).
+
+    Formula chosen to be SQL-MIRRORABLE: digest the blob once, then
+    derive feature i from the ASCII string ``"{salt}:{i}:{hexdigest}"``
+    — a DuckDB oracle recomputes it with plain VARCHAR md5 as
+    ``md5(salt || ':' || i || ':' || md5(text))`` when the blob is the
+    UTF-8 encoding of a text column (the suite's stand-in for media
+    bytes; DuckDB 1.0 has no BLOB md5). qa44's oracle recomputes the
+    perceptual hash from exactly this."""
+    d0 = hashlib.md5(data).hexdigest()
+    return [
+        int.from_bytes(
+            hashlib.md5(f"{salt}:{i}:{d0}".encode()).digest()[:4], "big"
+        ) / 2**32
+        for i in range(n)
+    ]
 
 
-def _decode_image_fake(data: bytes) -> dict:
+def _decode_image_fake(data: bytes, n_features: int = _N_FEATURES) -> dict:
     h = hashlib.md5(data).digest()
     return {
         "width": 16 + h[0] % 64,
         "height": 16 + h[1] % 64,
         "channels": 3,
         "format": "fake",
-        "features": _md5_floats(data, _N_FEATURES, b"img"),
+        "features": _md5_floats(data, n_features, "img"),
     }
 
 
-def _decode_image(data: bytes) -> dict:
+def _decode_image(data: bytes, n_features: int = _N_FEATURES) -> dict:
     try:  # pragma: no cover - library not present in this container
         from PIL import Image  # noqa: F401
         import io
 
         img = Image.open(io.BytesIO(data))
-        small = img.convert("L").resize((4, 2))
+        # n_features = the downsampled grayscale grid (n/2 × 2) — the
+        # aHash/pHash input; 8 → 4×2, 64 → 32×2
+        small = img.convert("L").resize((max(n_features // 2, 1), 2))
         px = list(small.getdata())
         return {
             "width": img.width,
@@ -78,7 +88,7 @@ def _decode_image(data: bytes) -> dict:
             "features": [float(p) / 255.0 for p in px],
         }
     except ImportError:
-        return _decode_image_fake(data)
+        return _decode_image_fake(data, n_features)
 
 
 def _decode_audio(data: bytes) -> dict:
@@ -105,7 +115,7 @@ def _decode_audio(data: bytes) -> dict:
             "sample_rate": rate,
             "n_samples": n,
             "duration_s": float(n / rate),
-            "features": _md5_floats(data, _N_FEATURES, b"aud"),
+            "features": _md5_floats(data, _N_FEATURES, "aud"),
         }
 
 
@@ -130,7 +140,7 @@ def _decode_audio(data: bytes) -> dict:
 # ------------------------------------------------------------------ #
 
 def _default_frame(data: bytes, idx: int) -> list:
-    return _md5_floats(data, _N_FEATURES, b"frm%d" % int(idx))
+    return _md5_floats(data, _N_FEATURES, "frm%d" % int(idx))
 
 
 _CODEC_KEYS = {
@@ -169,9 +179,34 @@ def reset_codecs() -> None:
     _codecs.update(_DEFAULT_CODECS)
 
 
-def decode_image(stream, content_col: str = "content", out_col: str = "image"):
+def _bind_n_features(codec, n_features: Optional[int]):
+    """Forward ``n_features`` to codecs that accept it (the defaults
+    do); a production codec without the kwarg keeps its plain
+    ``codec(data)`` contract untouched."""
+    if n_features is None:
+        return codec
+    import inspect
+
+    try:
+        params = inspect.signature(codec).parameters
+    except (TypeError, ValueError):  # builtins / C callables
+        return codec
+    if "n_features" not in params:
+        return codec
+    n = int(n_features)
+    return lambda data: codec(data, n_features=n)
+
+
+def decode_image(stream, content_col: str = "content", out_col: str = "image",
+                 *, n_features: Optional[int] = None):
     """binary → ``struct<width, height, channels, format, features>`` via
-    Arrow-batched mapInPandas. No shuffle; partitioning preserved."""
+    Arrow-batched mapInPandas. No shuffle; partitioning preserved.
+
+    ``n_features`` sizes the decoded feature grid when the codec
+    supports it (the default codecs do; a real pHash pipeline wants
+    ≥ 48 so :func:`renoir_spark.datapipe.dedup_phash` gets a bandable
+    signature — 8 features = 2-bit bands = the quadratic band trap at
+    corpus scale, measured in docs/SCALING.md)."""
     fields = ", ".join(
         f"{out_col}_{f.split()[0]} {f.split(maxsplit=1)[1]}"
         for f in IMAGE_SCHEMA.split(", ")
@@ -180,7 +215,7 @@ def decode_image(stream, content_col: str = "content", out_col: str = "image"):
         f"`{f.name}` {f.dataType.simpleString()}" for f in stream.df.schema.fields
     ) + ", " + fields
 
-    codec = get_codec("image")  # captured at plan-build time
+    codec = _bind_n_features(get_codec("image"), n_features)  # plan-build
 
     def _batches(batches: Iterator) -> Iterator:
         for pdf in batches:

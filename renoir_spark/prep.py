@@ -673,6 +673,52 @@ FROM terms GROUP BY __id, n2
 """
 
 
+def sql_bigram_logprob_bucketed(table_expr: str, id_col: str, text: str,
+                                *, buckets: int, lam: float = 0.8,
+                                alias: str = "avg_logprob2") -> str:
+    """DuckDB mirror of the ``buckets=N`` path: same shared md5 31-bit
+    token hash, same arithmetic pair key, same interpolation formula
+    over the bucket-pooled counts."""
+    B = int(buckets)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS __id, {sql_tokens(text)} AS toks FROM {table_expr}
+), keyed AS (
+  SELECT __id, [{sql_md5_int31('t')} % {B} for t in toks] AS bks FROM base
+), model1 AS (
+  SELECT k2, count(*) AS c
+  FROM (SELECT unnest(bks) AS k2 FROM keyed) GROUP BY k2
+), stats AS (
+  SELECT sum(c) AS nt, count(*) AS v FROM model1
+), occ2 AS (
+  SELECT __id, len(bks) - 1 AS n2,
+         unnest([{{'k1': bks[i-1], 'k2': bks[i]}}
+                 for i in range(2, len(bks) + 1)]) AS p
+  FROM keyed WHERE len(bks) >= 2
+), flat AS (
+  SELECT __id, n2, (p.k1 * 1000003 + p.k2) % {B} AS k12,
+         p.k1 AS k1, p.k2 AS k2
+  FROM occ2
+), model2 AS (
+  SELECT k12, count(*) AS c12 FROM flat GROUP BY k12
+), first AS (
+  SELECT k1, count(*) AS c1 FROM flat GROUP BY k1
+), cdw AS (
+  SELECT __id, n2, k12, k1, k2, count(*) AS cd FROM flat
+  GROUP BY 1, 2, 3, 4, 5
+), terms AS (
+  SELECT __id, n2,
+         cd * ln({float(lam)} * m2.c12::DOUBLE / f.c1::DOUBLE
+                 + {1.0 - float(lam)} * (m1.c + 1)::DOUBLE
+                   / (s.nt + s.v)::DOUBLE) AS t
+  FROM cdw JOIN model2 m2 USING (k12) JOIN first f USING (k1)
+       JOIN model1 m1 ON m1.k2 = cdw.k2, stats s
+)
+SELECT __id AS {id_col}, round(list_sum(list_sort(list(t))) / n2, 6) AS {alias}
+FROM terms GROUP BY __id, n2
+"""
+
+
 def _bigram_logprob_bucketed(stream, base, id_col: str, *, lam: float,
                              alias: str, buckets: int):
     """The hashed-bucket body of :func:`bigram_logprob` (``buckets=N``):

@@ -1245,6 +1245,14 @@ class Stream:
 
         return _ds(self, text_col, id_col, **kw)
 
+    def dedup_phash(self, features_col: str, id_col: str, **kw) -> "Stream":
+        """Perceptual-hash near-dup dedup for decoded media features
+        (aHash/pHash thresholding → banded Hamming buckets). See
+        datapipe.dedup_phash."""
+        from .datapipe import dedup_phash as _dp
+
+        return _dp(self, features_col, id_col, **kw)
+
     def similar_pairs_ngram(self, text_col: str, id_col: str, **kw) -> "Stream":
         """n-gram Jaccard similarity join via inverted index with a
         document-frequency cutoff. See datapipe.similar_pairs_ngram."""
@@ -1586,11 +1594,13 @@ class Stream:
 
         return _cn(self, reference, id_col, text_col, ref_text_col, **kw)
 
-    def decode_image(self, content_col: str = "content", out_col: str = "image") -> "Stream":
-        """Image decode plumbing (stubbed codec) — multimodal.decode_image."""
+    def decode_image(self, content_col: str = "content",
+                     out_col: str = "image", **kw) -> "Stream":
+        """Image decode plumbing (stubbed codec) — multimodal.decode_image
+        (``n_features=`` sizes the feature grid for dedup_phash)."""
         from .multimodal import decode_image as _di
 
-        return _di(self, content_col, out_col)
+        return _di(self, content_col, out_col, **kw)
 
     def decode_audio(self, content_col: str = "content", out_col: str = "audio") -> "Stream":
         """Audio decode plumbing (stubbed codec) — multimodal.decode_audio."""

@@ -4693,6 +4693,79 @@ FROM ({inner})
 ORACLE_QA43 = _oracle_qa43()
 
 
+def qa44_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-duplicate dedup end-to-end: text bytes stand in
+    for image blobs (the q51 convention), ``decode_image`` runs the
+    deterministic fake codec (md5-derived features —
+    multimodal._md5_floats), and ``dedup_phash`` drops images whose
+    perceptual hash (bit j = feature_j ≥ mean) lands within Hamming
+    distance 1, keeping the smallest doc_id per near-dup set. The
+    oracle recomputes the fake-codec features AND the whole banded
+    Hamming pipeline in SQL. NULL text is coalesced to '' on both
+    sides (a NULL blob has no bytes to decode)."""
+    ctx = _ctx(spark)
+    decoded = (
+        _t(ctx, sf_dir, "documents")
+        .map(
+            doc_id=F.col("doc_id"),
+            content=F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+        )
+        .shuffle()  # single-file scan → parallel decode
+        .decode_image(n_features=48)  # 12-bit bands (8 features = the
+        #                               measured quadratic band trap)
+    )
+    kept = decoded.dedup_phash("image_features", "doc_id")
+    return kept.df.select("doc_id", "image_width", "image_height")
+
+
+def _oracle_qa44() -> str:
+    from .datapipe import sql_dedup_phash
+
+    fs = [
+        "('0x' || substr(md5('img:' || "
+        f"{i} || ':' || md5(coalesce(text, ''))), 1, 8))::BIGINT"
+        " / 4294967296.0"
+        for i in range(48)
+    ]
+    inner = sql_dedup_phash(
+        "documents", fs, "doc_id",
+        "doc_id, "
+        "16 + ('0x' || substr(md5(coalesce(text, '')), 1, 2))::INT % 64"
+        " AS image_width, "
+        "16 + ('0x' || substr(md5(coalesce(text, '')), 3, 2))::INT % 64"
+        " AS image_height",
+        bits=48,
+    )
+    return inner
+
+
+ORACLE_QA44 = _oracle_qa44()
+
+
+def qa45_bigram_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qa41's interpolated bigram LM with the ``buckets=`` 100 TB dial:
+    both model relations are hashed-bucket pooled (≤ 4096 rows here —
+    the exact bigram model is corpus-sized at worst), one shared md5
+    31-bit hash per TOKEN, pair keys derived arithmetically. The
+    oracle mirrors the bucketed pipeline itself; the exact-vs-bucketed
+    parity (injective-regime bit-equality, ordering under heavy
+    pooling) is pinned in tests/test_round8.py."""
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+    return docs.bigram_logprob("doc_id", "text", buckets=4096).df
+
+
+def _oracle_qa45() -> str:
+    from .prep import sql_bigram_logprob_bucketed
+
+    return sql_bigram_logprob_bucketed(
+        "documents", "doc_id", "text", buckets=4096
+    )
+
+
+ORACLE_QA45 = _oracle_qa45()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4836,6 +4909,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa41_bigram_logprob": qa41_bigram_logprob,
     "qa42_corpus_report": qa42_corpus_report,
     "qa43_corpus_overlap_kmv": qa43_corpus_overlap_kmv,
+    "qa44_dedup_phash": qa44_dedup_phash,
+    "qa45_bigram_bucketed": qa45_bigram_bucketed,
 }
 
 ORACLE: Dict[str, str] = {
@@ -4983,4 +5058,6 @@ ORACLE: Dict[str, str] = {
     "qa41_bigram_logprob": ORACLE_QA41,
     "qa42_corpus_report": ORACLE_QA42,
     "qa43_corpus_overlap_kmv": ORACLE_QA43,
+    "qa44_dedup_phash": ORACLE_QA44,
+    "qa45_bigram_bucketed": ORACLE_QA45,
 }

@@ -132,6 +132,13 @@ SWEEP = [
     # then merge IS the associative combine, so the estimate must be
     # IDENTICAL under any partition layout (order statistics compose)
     "qa43_corpus_overlap_kmv",
+    # round-8: perceptual-hash media dedup — the Arrow decode stage is
+    # per-row pure and the band self-join must find the same candidate
+    # pairs under any layout
+    "qa44_dedup_phash",
+    # round-8: bucket-pooled bigram LM — hashed-bucket counts and the
+    # canonical sorted float fold must agree under any layout
+    "qa45_bigram_bucketed",
 ]
 
 

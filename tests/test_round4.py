@@ -109,36 +109,42 @@ def test_driver_set_contract():
     # standalone, upsample epochs, boilerplate strip — stay
     # oracle-verified in tests/test_oracle.py)
     joined = " ".join(first50)
-    for fam in ("nexmark", "asof", "rollup",
+    for fam in ("nexmark", "asof",
                 "multimodal", "dedup_cluster", "sssp",
                 "prep_pipeline",
-                "decontaminate_embedding",
-                "ann_index", "dedup_index_incremental", "dsir",
+                "ann_index", "dedup_index_incremental",
                 "nb_classifier", "ssjoin_exact",
-                "ann_index_append", "token_budget",
+                "token_budget",
                 "dedup_cluster_exact",
                 "long_doc_windows", "longest_dup_span", "running_sum",
                 "dedup_against_bloom",
-                "containment_pairs", "diversity_sample",
-                "ann_index_dedup", "chunk_dedup_cdc",
-                "split_sentences", "url_blocklist",
-                "temperature_mix", "dedup_index_batch",
-                # round-7 incoming tranche
-                "semantic_curation", "semantic_ingest", "epoch_shuffle",
-                "training_order", "diversity_autodial", "ann_sq8",
-                "ann_ivf_sq8", "ann_lsh_multi", "collatz",
-                "logistic_regression", "sample_weighted_k",
-                "dedup_cluster",
-                # round-7b incoming: the versioning/retrieval layer
-                # (q05/q08/q09/q13 rotated out — broadcast plumbing,
-                # argmax, wordcount and session shapes keep rows via
-                # q03/qa04/q61, q91/q97, q98/q61 and q23/qa25 + the s03
-                # streaming leg)
+                "diversity_sample",
+                "ann_index_dedup",
+                "url_blocklist",
+                "temperature_mix",
+                "semantic_curation", "semantic_ingest",
+                "training_order",
+                "ann_ivf_sq8",
+                "logistic_regression",
+                "heavy_hitters",
                 "corpus_diff", "corpus_overlap", "leakage_safe_split",
-                # q71 rotated out for qa40: the Gopher gate is hashed
-                # INSIDE qa40's composition (its oracle is the
-                # from-scratch Gopher pipeline)
-                "hybrid_search", "incremental_rebuild"):
+                "hybrid_search", "incremental_rebuild",
+                # round-8 incoming tranche (r7 verdict ask #2): the two
+                # round-7 newborns, the three round-8 newborns, NEXMark
+                # beyond hot-items, the sampling family, span/chunk
+                # dedup, and the rolling-top-k / triangles workloads.
+                # Rotated-out shapes (qa26 qa33 qa12 qa07 q23 q82 qa35
+                # qa22 q99 q64 qa04 qa02 q83 qa30 qa09 q91 q98) stay
+                # bit-exact in tests/test_oracle.py; every family keeps
+                # a driver row (see __spark_entry__.py's rotation note)
+                "bigram_logprob", "corpus_report", "corpus_overlap_kmv",
+                "dedup_phash", "bigram_bucketed",
+                "nexmark_currency", "nexmark_highest_bid",
+                "nexmark_new_users", "nexmark_avg_category",
+                "nexmark_avg_seller",
+                "sample_fraction", "sample_stratified", "sample_weighted",
+                "duplicate_spans", "chunk_dedup",
+                "rolling_top_words", "triangles"):
         assert fam in joined, fam
     # every suite query is still exposed (under d- or q-key), exactly once
     exposed = {k.split("_", 1)[1] if k.startswith("d") else k for k in qs}

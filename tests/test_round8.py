@@ -88,6 +88,76 @@ def test_corpus_diff_literal_null_sentinel_differs_from_null(ctx):
 
 
 # ------------------------------------------------------------------ #
+# dedup_phash: perceptual-hash media dedup (VERDICT r7 #3)
+# ------------------------------------------------------------------ #
+
+def test_dedup_phash_planted_near_dups(ctx):
+    # feature vectors with a known phash structure: bit j = f_j >= mean
+    # (bits auto-dial to the 8-entry feature arrays). Signatures:
+    # row1 10101010, row2 identical (hamming 0), row3 00101010
+    # (1 bit off row1), row4 01011010 (4 off row1, 3 off row3),
+    # row5 NULL features (kept: no evidence either way)
+    lo, hi = 0.1, 0.9
+    rows = [
+        (1, [hi, lo, hi, lo, hi, lo, hi, lo]),
+        (2, [hi - 0.05, lo + 0.05, hi, lo, hi, lo, hi, lo]),
+        (3, [lo, lo, hi, lo, hi, lo, hi, lo]),
+        (4, [lo, hi, lo, hi, hi, lo, hi, lo]),
+        (5, None),
+    ]
+    s = ctx.from_df(ctx.spark.createDataFrame(
+        rows, "id long, image_features array<float>"
+    ))
+    kept = sorted(
+        r.id for r in s.dedup_phash(
+            "image_features", "id", max_hamming=1
+        ).df.collect()
+    )
+    assert kept == [1, 4, 5]  # only exact/1-bit neighbors collapse
+    # the default budget (3) also chains row4 out via the (3,4) pair —
+    # hamming(3,4)=3 — even though row3 is itself a duplicate: the
+    # greedy keep-min-id semantics shared with dedup_simhash
+    kept2 = sorted(
+        r.id for r in s.dedup_phash("image_features", "id").df.collect()
+    )
+    assert kept2 == [1, 5]
+
+
+def test_dedup_phash_respects_registered_codec(ctx):
+    # the registry contract: a production codec's features drive the
+    # dedup — two different blobs that a custom codec maps to the same
+    # features must dedup to one row
+    from renoir_spark import multimodal
+
+    def constant_codec(data: bytes) -> dict:
+        return {"width": 1, "height": 1, "channels": 1, "format": "c",
+                "features": [float(i % 2) for i in range(8)]}
+
+    multimodal.register_codec("image", constant_codec)
+    try:
+        s = ctx.from_df(ctx.spark.createDataFrame(
+            [(1, bytearray(b"completely")), (2, bytearray(b"different"))],
+            "id long, content binary",
+        )).decode_image()
+        kept = [r.id for r in s.dedup_phash("image_features", "id").df.collect()]
+        assert kept == [1]
+    finally:
+        multimodal.reset_codecs()
+    # with the default (fake) codec the same two blobs decode to
+    # unrelated features — a 48-bit signature (n_features=48, the
+    # production width) keeps random content apart at the default
+    # hamming budget
+    s2 = ctx.from_df(ctx.spark.createDataFrame(
+        [(1, bytearray(b"completely")), (2, bytearray(b"different"))],
+        "id long, content binary",
+    )).decode_image(n_features=48)
+    kept2 = sorted(
+        r.id for r in s2.dedup_phash("image_features", "id").df.collect()
+    )
+    assert kept2 == [1, 2]
+
+
+# ------------------------------------------------------------------ #
 # AnnIndex rebuild refinement (VERDICT r7 #6): deterministic Lloyd
 # ------------------------------------------------------------------ #
 
