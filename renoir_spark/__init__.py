@@ -20,6 +20,7 @@ from .streaming import (
     count_window_fold_stream,
     dedup_exact_stream,
     dedup_minhash_stream,
+    dedup_phash_stream,
     event_time_agg,
     foreach_batch,
     interval_join_stream,
@@ -63,6 +64,7 @@ __all__ = [
     "interval_join_stream",
     "dedup_exact_stream",
     "dedup_minhash_stream",
+    "dedup_phash_stream",
     "minhash_survivors",
     "keyed_map_with_state",
     "count_window_fold_stream",

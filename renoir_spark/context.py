@@ -330,6 +330,13 @@ class StreamContext:
 
         return dedup_index_load(self.spark, path)
 
+    def phash_index(self, path: str):
+        """Open a persisted perceptual-hash media dedup index (built
+        by ``Stream.phash_index_build``) — see dedup_index module."""
+        from .dedup_index import phash_index_load
+
+        return phash_index_load(self.spark, path)
+
     def execute(self) -> None:
         """renoir ``execute_blocking`` (src/environment.rs:97-105) is a
         no-op here: Spark actions (collect/write) trigger execution."""

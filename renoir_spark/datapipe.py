@@ -1228,6 +1228,29 @@ WHERE {id_col} NOT IN (SELECT idb FROM dups)
 """
 
 
+def phash_expr(feats: Column, bits: int) -> Column:
+    """The perceptual-hash signature as ONE Column expression: bit j =
+    (feature_j ≥ mean of the first ``bits`` features), packed into a
+    long. Shared by batch :func:`dedup_phash` and the streaming form so
+    their signatures agree bit-for-bit (mean folds left-to-right — the
+    association sql_dedup_phash mirrors)."""
+    sliced = F.slice(feats, 1, bits)
+    total = F.aggregate(
+        sliced, F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+    mean = total / F.size(sliced)
+    pows = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            sliced, pows,
+            lambda x, p: F.when(x.cast("double") >= mean, p)
+            .otherwise(F.lit(0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def dedup_phash(
     stream,
     features_col: str,
@@ -1283,23 +1306,9 @@ def dedup_phash(
     assert bits <= 62, "signature must fit a signed 64-bit integer"
     band_width = bits // bands
 
-    feats = F.slice(to_col(features_col), 1, bits)
-    total = F.aggregate(
-        feats, F.lit(0.0), lambda a, x: a + x.cast("double")
-    )
-    mean = total / F.size(feats)
-    pows = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
-    phash = F.aggregate(
-        F.zip_with(
-            feats, pows,
-            lambda x, p: F.when(x.cast("double") >= mean, p)
-            .otherwise(F.lit(0)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     sig = stream.df.select(
-        F.col(id_col).alias("__id"), phash.alias("__ph")
+        F.col(id_col).alias("__id"),
+        phash_expr(to_col(features_col), bits).alias("__ph"),
     ).persist()
 
     mask = (1 << band_width) - 1
@@ -1334,6 +1343,109 @@ def dedup_phash(
         .distinct()
     )
     return stream._new(stream.df.join(dup_ids, id_col, "left_anti"))._retain(sig)
+
+
+def dedup_phash_against(
+    stream,
+    reference,
+    features_col: str,
+    *,
+    ref_features_col: Optional[str] = None,
+    bits: Optional[int] = None,
+    max_hamming: int = 3,
+):
+    """Media DECONTAMINATION: drop every item whose perceptual hash
+    sits within Hamming distance ``max_hamming`` of ANY reference
+    item's hash — the multimodal analog of :func:`dedup_against`
+    (exact text) and :func:`decontaminate_embedding` (vectors): keep
+    benchmark/eval images out of the training corpus even when they
+    were re-encoded or slightly altered (what byte-exact dedup misses
+    and a pHash absorbs by construction).
+
+    Scale shape: the reference collapses to ONE row holding an
+    array-of-signature-longs (benchmark sets are executor-memory-sized
+    by definition — and a phash is 8 BYTES, the smallest reference
+    representation in the family), broadcast to every task; the
+    corpus-side test is a per-row higher-order ``EXISTS`` with a
+    ``bit_count(xor)`` verdict — ZERO shuffles of the corpus, no row
+    multiplication, everything JVM-side. NULL corpus features (no
+    decoded evidence) are KEPT, mirroring decontaminate_embedding's
+    NULL pin; NULL reference features contribute no signature.
+
+    ``bits`` auto-dials to the corpus codec's feature count like
+    :func:`dedup_phash` (banding does not apply here — the reference
+    is broadcast, not joined)."""
+    rcol = ref_features_col or features_col
+    if bits is None:
+        probe = (
+            stream.df.select(F.size(to_col(features_col)).alias("n"))
+            .filter(F.col("n") > 0).limit(1).collect()
+        )
+        bits = min(int(probe[0]["n"]), 62) if probe else 8
+    refs = reference.df.select(
+        phash_expr(to_col(rcol), bits).alias("__rph")
+    ).where(F.col("__rph").isNotNull()).agg(
+        F.collect_list("__rph").alias("__refs")
+    )
+    sig = phash_expr(to_col(features_col), bits)
+    hit = F.exists(
+        F.col("__refs"),
+        lambda r: F.bit_count(sig.bitwiseXOR(r)) <= F.lit(int(max_hamming)),
+    )
+    out = (
+        stream.df.crossJoin(F.broadcast(refs))
+        .filter(~F.coalesce(hit, F.lit(False)))
+        .drop("__refs")
+    )
+    return stream._new(out)
+
+
+def sql_dedup_phash_against(
+    table_expr: str,
+    ref_expr: str,
+    fs_exprs: Sequence[str],
+    ref_fs_exprs: Sequence[str],
+    cols: str,
+    *,
+    bits: int,
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`dedup_phash_against` — recomputes both
+    sides' signatures from feature expressions and keeps rows with no
+    reference hash within ``max_hamming`` (NULL corpus signature ⇒ the
+    EXISTS predicate is NULL ⇒ kept, matching the Spark NULL pin)."""
+
+    def sigsel(exprs):
+        fs = ", ".join(f"({e})::FLOAT" for e in list(exprs)[:bits])
+        total = "0.0::DOUBLE"
+        for j in range(bits):
+            total = f"({total} + fs[{j + 1}]::DOUBLE)"
+        bit_terms = " + ".join(
+            f"(CASE WHEN fs[{j + 1}]::DOUBLE >= mean THEN {1 << j}"
+            " ELSE 0 END)"
+            for j in range(bits)
+        )
+        return fs, total, bit_terms
+
+    cfs, ctotal, cbits = sigsel(fs_exprs)
+    rfs, rtotal, rbits = sigsel(ref_fs_exprs)
+    return f"""
+WITH refsig AS (
+  SELECT ({rbits})::BIGINT AS rph FROM (
+    SELECT fs, {rtotal} / len(fs) AS mean
+    FROM (SELECT [{rfs}] AS fs FROM {ref_expr})
+  )
+)
+SELECT {cols} FROM (
+  SELECT t.*, ({cbits})::BIGINT AS __ph FROM (
+    SELECT *, {ctotal} / len(fs) AS mean
+    FROM (SELECT *, [{cfs}] AS fs FROM {table_expr})
+  ) t
+)
+WHERE NOT EXISTS (
+  SELECT 1 FROM refsig r WHERE bit_count(xor(__ph, r.rph)) <= {max_hamming}
+)
+"""
 
 
 def sql_dedup_phash(

@@ -397,6 +397,204 @@ class ExactDedupIndex:
         )
 
 
+class PhashIndex:
+    """Handle over a persisted PERCEPTUAL-HASH dedup index — the
+    multimodal member of the persisted-index family: ingest decoded
+    media once, then every new increment dedups against corpus + all
+    prior increments WITHOUT re-decoding anything. One relation:
+
+        postings/  (bidx, bval, id, ph), hive-partitioned by
+                   ``__bk = (bval * bands + bidx) % bucket_dirs``
+
+    and the signature (8 bytes) IS the verifier — no second relation,
+    the lightest index of the family (MinHash persists shingle sets,
+    ANN persists vectors+codes). Probes follow the DedupIndex contract:
+    a batch collects its ≤ PROBE_LITERAL_MAX distinct ``__bk`` values
+    as a LITERAL partition filter (bounded driver collect), wider
+    probes switch to a DPP-pruned semi-join (util.prune_partitions).
+    The signature is the batch operator's shared
+    :func:`~renoir_spark.datapipe.phash_expr`, so a batch matched
+    against the index produces byte-identical verdicts to
+    :func:`~renoir_spark.datapipe.dedup_phash_against` over corpus ∪
+    increments — what the DuckDB mirror (:func:`sql_phash_index_batch`)
+    checks bit-exactly."""
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    def _postings_read(self):
+        schema = (
+            f"bidx int, bval long, id {self.meta['id_type']}, ph long, "
+            "__bk long"
+        )
+        return self.spark.read.schema(schema).parquet(
+            f"{self.path}/postings"
+        )
+
+    def _batch_sig(self, batch):
+        from .datapipe import phash_expr
+
+        return batch.df.select(
+            F.col(self.meta["id_col"]).alias("__id"),
+            phash_expr(
+                F.col(self.meta["features_col"]), self.meta["bits"]
+            ).alias("__ph"),
+        ).where(F.col("__ph").isNotNull())  # no decoded evidence ⇒ no match
+
+    def _band_rows(self, sig):
+        bands, bits = self.meta["bands"], self.meta["bits"]
+        bw = bits // bands
+        mask = (1 << bw) - 1
+        nd = self.meta["bucket_dirs"]
+        rows = sig.select(
+            "__id", "__ph",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("bidx"),
+                            F.shiftright(F.col("__ph"), b * bw)
+                            .bitwiseAND(F.lit(mask)).alias("bval"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("__b"),
+        )
+        return rows.select(
+            F.col("__b.bidx").alias("bidx"),
+            F.col("__b.bval").alias("bval"),
+            ((F.col("__b.bval") * bands + F.col("__b.bidx")) % F.lit(nd))
+            .alias("__bk"),
+            "__id", "__ph",
+        )
+
+    def match_batch(self, batch, *, max_hamming: int = 3):
+        """Verified near-duplicate PAIRS between ``batch`` items and
+        indexed items: (batch_id, corpus_id, hamming ≤ ``max_hamming``).
+        Batch-internal duplicates are NOT reported — that is
+        :func:`~renoir_spark.datapipe.dedup_phash` over the batch."""
+        sig = self._batch_sig(batch)
+        bb = self._band_rows(sig)
+        scan, bks = prune_partitions(
+            self._postings_read(), "__bk", bb.select("__bk")
+        )
+        if bks is not None and not bks:
+            empty = self.spark.createDataFrame(
+                [],
+                f"batch_id {self.meta['id_type']}, "
+                f"corpus_id {self.meta['id_type']}, hamming int",
+            )
+            return batch._new(empty)
+        pairs = (
+            bb.join(scan.select("bidx", "bval", "id", "ph"),
+                    ["bidx", "bval"])
+            .withColumn(
+                "__h", F.bit_count(F.col("__ph").bitwiseXOR(F.col("ph")))
+            )
+            .filter(F.col("__h") <= F.lit(int(max_hamming)))
+            .select(
+                F.col("__id").alias("batch_id"),
+                F.col("id").alias("corpus_id"),
+                F.col("__h").cast("int").alias("hamming"),
+            )
+            .distinct()  # a pair matching in several bands reports once
+        )
+        return batch._new(pairs)
+
+    def dedup_batch(self, batch, *, max_hamming: int = 3):
+        """Rows of ``batch`` not within ``max_hamming`` of any indexed
+        item (LSH-band candidates only). The incremental media-ingest
+        step: dedup the increment, then :meth:`append` the survivors."""
+        id_col = self.meta["id_col"]
+        pairs = self.match_batch(batch, max_hamming=max_hamming)
+        dup_ids = pairs.df.select(
+            F.col("batch_id").alias(id_col)
+        ).distinct()
+        return batch._new(batch.df.join(dup_ids, id_col, "left_anti"))
+
+    def append(self, batch) -> None:
+        """Ingest ``batch`` (SURVIVORS — the index does not re-verify
+        what it ingests) into the posting layout, clustered on the hive
+        key like every other index append."""
+        nd = self.meta["bucket_dirs"]
+        self._band_rows(self._batch_sig(batch)).select(
+            "bidx", "bval", F.col("__id").alias("id"),
+            F.col("__ph").alias("ph"), "__bk",
+        ).repartition(nd, "__bk").write.mode("append").partitionBy(
+            "__bk"
+        ).parquet(f"{self.path}/postings")
+
+    def stats(self) -> dict:
+        pk = self._postings_read()
+        return {
+            "mode": "phash",
+            "items": pk.select("id").distinct().count(),
+            "postings": pk.count(),
+            "files": _count_files(self.spark, self.path, ("postings",)),
+        }
+
+    def compact(self) -> None:
+        _rewrite_clustered(
+            self.spark, f"{self.path}/postings",
+            f"bidx int, bval long, id {self.meta['id_type']}, ph long, "
+            "__bk long",
+            "__bk", self.meta["bucket_dirs"],
+        )
+
+
+def phash_index_build(stream, path: str, *,
+                      features_col: str = "image_features",
+                      id_col: str = "doc_id", bits: int = 48,
+                      bands: int = 4, bucket_dirs: int = 64) -> PhashIndex:
+    """Build and persist a perceptual-hash dedup index at ``path`` —
+    one pass over the decoded corpus feeding one partitioned write.
+    ``bits`` must not exceed the decode stage's feature count (the
+    dedup_phash band-width contract; no auto-dial here because the
+    width is FROZEN into the persisted postings)."""
+    assert bits % bands == 0 and bits <= 62
+    spark = stream.df.sparkSession
+    dtypes = dict(stream.df.dtypes)
+    meta = {
+        "id_col": id_col,
+        "features_col": features_col,
+        "bits": bits,
+        "bands": bands,
+        "bucket_dirs": bucket_dirs,
+        "id_type": dtypes[id_col],
+        "mode": "phash",
+    }
+    spark.createDataFrame(
+        [(id_col, features_col, bits, bands, bucket_dirs,
+          dtypes[id_col], "phash")],
+        "id_col string, features_col string, bits long, bands long, "
+        "bucket_dirs long, id_type string, mode string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    idx = PhashIndex(spark, path, meta)
+    _overwrite_empty(
+        spark, f"{path}/postings",
+        f"bidx int, bval long, id {dtypes[id_col]}, ph long, __bk long",
+        "__bk")
+    idx.append(stream)
+    return idx
+
+
+def phash_index_load(spark, path: str) -> PhashIndex:
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = {
+        "id_col": m["id_col"],
+        "features_col": m["features_col"],
+        "bits": int(m["bits"]),
+        "bands": int(m["bands"]),
+        "bucket_dirs": int(m["bucket_dirs"]),
+        "id_type": m["id_type"],
+        "mode": "phash",
+    }
+    return PhashIndex(spark, path, meta)
+
+
 def dedup_index_build(stream, path: str, *, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 12,
                       bands: int = 4, shingle_n: int = 3,
@@ -658,4 +856,54 @@ WITH ck AS (
   WHERE NOT EXISTS (SELECT 1 FROM ref2 r WHERE r.k = b.k)
 )
 SELECT {cols} FROM {batch2_expr} WHERE {id_col} IN (SELECT id FROM s2)
+"""
+
+
+def sql_phash_index_batch(corpus_expr: str, batch_expr: str,
+                          fs_exprs, id_col: str, cols: str, *,
+                          bits: int = 48, bands: int = 4,
+                          max_hamming: int = 3) -> str:
+    """DuckDB mirror of ``phash_index_build(corpus)`` →
+    ``PhashIndex.dedup_batch(batch)``: recompute both sides' perceptual
+    hashes from ``fs_exprs`` (same float32→double widening and
+    left-fold mean as the Spark phash_expr), band them, and drop batch
+    rows sharing a band with any corpus row at Hamming ≤
+    ``max_hamming``. NOT EXISTS so a NULL-signature batch row (no
+    decoded evidence) survives — the Spark side's isNotNull gate."""
+    bw = bits // bands
+    mask = (1 << bw) - 1
+    fs = ", ".join(f"({e})::FLOAT" for e in list(fs_exprs)[:bits])
+    total = "0.0::DOUBLE"
+    for j in range(bits):
+        total = f"({total} + fs[{j + 1}]::DOUBLE)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN fs[{j + 1}]::DOUBLE >= mean THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+
+    def sig(src: str, tag: str) -> str:
+        return (
+            f"{tag} AS (SELECT {id_col} AS id, ({bit_terms})::BIGINT AS ph"
+            f" FROM (SELECT {id_col}, fs, {total} / len(fs) AS mean"
+            f" FROM (SELECT {id_col}, [{fs}] AS fs FROM {src})))"
+        )
+
+    def band(tag_sig: str, tag: str) -> str:
+        rows = " UNION ALL ".join(
+            f"SELECT id, ph, {b} AS bidx, (ph >> {b * bw}) & {mask} AS bval"
+            f" FROM {tag_sig}"
+            for b in range(bands)
+        )
+        return f"{tag} AS ({rows})"
+
+    return f"""
+WITH {sig(corpus_expr, 'csig')}, {sig(batch_expr, 'bsig')},
+{band('csig', 'cband')}, {band('bsig', 'bband')},
+dups AS (
+  SELECT DISTINCT b.id
+  FROM bband b JOIN cband c ON b.bidx = c.bidx AND b.bval = c.bval
+  WHERE bit_count(xor(b.ph, c.ph)) <= {max_hamming}
+)
+SELECT {cols} FROM {batch_expr} t
+WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.id = t.{id_col})
 """

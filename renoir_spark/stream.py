@@ -1253,6 +1253,16 @@ class Stream:
 
         return _dp(self, features_col, id_col, **kw)
 
+    def dedup_phash_against(self, reference: "Stream", features_col: str,
+                            **kw) -> "Stream":
+        """Media decontamination: drop items whose perceptual hash is
+        within Hamming distance of any REFERENCE item's hash (broadcast
+        signature array, zero corpus shuffles). See
+        datapipe.dedup_phash_against."""
+        from .datapipe import dedup_phash_against as _dpa
+
+        return _dpa(self, reference, features_col, **kw)
+
     def similar_pairs_ngram(self, text_col: str, id_col: str, **kw) -> "Stream":
         """n-gram Jaccard similarity join via inverted index with a
         document-frequency cutoff. See datapipe.similar_pairs_ngram."""
@@ -1675,6 +1685,17 @@ class Stream:
         from .dedup_index import dedup_index_build as _dib
 
         return _dib(self, path, **kw)
+
+    def phash_index_build(self, path: str, **kw):
+        """Persist the perceptual-hash media dedup index for this
+        DECODED corpus at ``path`` (one signature pass, one
+        hive-partitioned posting relation — the 8-byte signature IS the
+        verifier) and return a ``PhashIndex`` whose ``dedup_batch`` /
+        ``append`` make media dedup INCREMENTAL. See dedup_index
+        module."""
+        from .dedup_index import phash_index_build as _pib
+
+        return _pib(self, path, **kw)
 
     # ------------------------------------------------------------------ #
     # event time (SURVEY.md §2.8) and streaming handoff

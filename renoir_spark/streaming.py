@@ -480,6 +480,162 @@ def dedup_minhash_stream(
     )
 
 
+def dedup_phash_stream(
+    stream,
+    features_col: str,
+    id_col: str,
+    *,
+    ts_col: str,
+    delay: str = "10 minutes",
+    bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+    state_groups: int = 1024,
+):
+    """Streaming PERCEPTUAL-HASH near-duplicate detection for decoded
+    media — the unbounded form of
+    :func:`~renoir_spark.datapipe.dedup_phash`'s greedy rule: an item
+    is a duplicate iff some EARLIER item (event time, ties by id)
+    within the watermark horizon shares an LSH band of its signature
+    AND sits within Hamming distance ``max_hamming``. Completes the
+    streaming dedup family for the multimodal layer (exact / URL /
+    MinHash / semantic / perceptual).
+
+    Emits one VERDICT row per (item, band): ``(id, ts, bidx, matched)``
+    — the SAME verdict schema as :func:`dedup_minhash_stream`, so
+    :func:`minhash_survivors` reduces it unchanged (an item survives
+    iff no band matched; the two stages are separate queries for the
+    same applyInPandasWithState-downstream reason documented there).
+
+    Spark-first shape: the signature is the batch operator's
+    :func:`~renoir_spark.datapipe.phash_expr` Column (bit-identical
+    verdict rule), computed map-side on the decoded feature array —
+    typically straight after a ``decode_image(n_features=bits)`` stage
+    in the same streaming query; only band matching is Python state.
+    State per band bucket holds (id, ts_us, signature-long) — ~24
+    bytes/entry, the LIGHTEST of the streaming dedup family (no
+    shingle sets, no vectors), watermark-evicted with EventTimeTimeout
+    on idle groups; ``state_groups`` coarsening and strictly-earlier
+    matching follow the family contract (out-of-order arrivals degrade
+    to keeping both copies, never to dropping the event-time winner).
+
+    ``bits`` must not exceed the decode stage's feature count — bands
+    past the features are constant zero and every row becomes a
+    candidate pair (the measured quadratic band trap, docs/SCALING.md);
+    there is no auto-dial here because a streaming plan cannot probe a
+    first row."""
+    import pickle as _pickle
+
+    import pandas as pd
+
+    from .datapipe import phash_expr
+
+    df = stream.df
+    if not df.isStreaming:
+        raise ValueError(
+            "dedup_phash_stream needs an unbounded stream; use "
+            "Stream.dedup_phash for bounded data"
+        )
+    assert bits % bands == 0 and bits <= 62
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    delay_us = _delay_us(delay)
+
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        to_col(ts_col).cast("timestamp").alias("__ts"),
+        phash_expr(to_col(features_col), bits).alias("__ph"),
+    )
+    buckets = (
+        sig.select(
+            "__id", "__ts", "__ph",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("bidx"),
+                            F.shiftright(F.col("__ph"), b * band_width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bval"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("__b"),
+        )
+        .select("__id", "__ts", "__ph",
+                F.col("__b.bidx").alias("bidx"),
+                F.col("__b.bval").alias("bval"))
+        .withColumn(
+            "__g", F.pmod(F.hash("bidx", "bval"), F.lit(state_groups))
+        )
+        .withWatermark("__ts", delay)
+    )
+
+    id_t = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_t}, ts timestamp, bidx int, matched boolean"
+
+    def _fn(key, pdf_iter, state):
+        # state: {(bidx, bval): [(id, ts_us, phash), …]} — pickled
+        store = _pickle.loads(bytes(state.get[0])) if state.exists else {}
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if wm_us > 0:
+            store = {
+                bk: kept
+                for bk, es in store.items()
+                if (kept := [e for e in es if e[1] >= wm_us - delay_us])
+            }
+        out = []
+        if not state.hasTimedOut:
+            pdfs = [p for p in pdf_iter]
+            pdf = pd.concat(pdfs, ignore_index=True) if pdfs else None
+            if pdf is not None and len(pdf):
+                pdf = pdf.sort_values(["__ts", "__id"])
+                for rec in pdf.to_dict("records"):
+                    if pd.isna(rec["__ph"]):
+                        # no decoded evidence (NULL features — NaN after
+                        # pandas' nullable-long widening) — never a
+                        # duplicate, never drowns others (batch parity:
+                        # NULL band values join nothing)
+                        out.append(
+                            (rec["__id"], rec["__ts"], int(rec["bidx"]),
+                             False)
+                        )
+                        continue
+                    ph = int(rec["__ph"])
+                    bk = (int(rec["bidx"]), int(rec["bval"]))
+                    entries = store.setdefault(bk, [])
+                    ts_us = int(rec["__ts"].value // 1000)
+                    me = (ts_us, rec["__id"])
+                    matched = any(
+                        (e[1], e[0]) < me
+                        and (ph ^ e[2]).bit_count() <= max_hamming
+                        for e in entries
+                    )
+                    out.append(
+                        (rec["__id"], rec["__ts"], int(rec["bidx"]), matched)
+                    )
+                    entries.append((rec["__id"], ts_us, ph))
+        if store:
+            state.update((_pickle.dumps(store, _pickle.HIGHEST_PROTOCOL),))
+            max_ts_ms = max(e[1] for es in store.values() for e in es) // 1000
+            state.setTimeoutTimestamp(
+                max(max_ts_ms + delay_us // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=[id_col, "ts", "bidx", "matched"])
+
+    grouped = buckets.groupBy("__g")
+    return stream._new(
+        grouped.applyInPandasWithState(
+            _fn, out_schema, "s binary", "append", "EventTimeTimeout"
+        )
+    )
+
+
 def dedup_embedding_stream(
     stream,
     vec_col: str,

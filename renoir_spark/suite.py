@@ -4766,6 +4766,125 @@ def _oracle_qa45() -> str:
 ORACLE_QA45 = _oracle_qa45()
 
 
+def qa46_phash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media DECONTAMINATION against a benchmark set: every 23rd
+    document plays the held-out eval image; corpus items whose
+    48-bit perceptual hash lands within Hamming distance 3 of ANY
+    reference hash are dropped (the reference rows themselves match at
+    distance 0, so they must all disappear from the output). The
+    reference collapses to one broadcast array of signature longs —
+    zero corpus shuffles; the oracle recomputes both sides' fake-codec
+    hashes and the NOT EXISTS verdict in SQL."""
+    ctx = _ctx(spark)
+    decoded = (
+        _t(ctx, sf_dir, "documents")
+        .map(
+            doc_id=F.col("doc_id"),
+            content=F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+        )
+        .shuffle()
+        .decode_image(n_features=48)
+    )
+    ref = decoded.filter("doc_id % 23 = 0")
+    kept = decoded.dedup_phash_against(ref, "image_features")
+    return kept.df.select("doc_id", "image_width", "image_height")
+
+
+def _oracle_qa46() -> str:
+    from .datapipe import sql_dedup_phash_against
+
+    fs = [
+        "('0x' || substr(md5('img:' || "
+        f"{i} || ':' || md5(coalesce(text, ''))), 1, 8))::BIGINT"
+        " / 4294967296.0"
+        for i in range(48)
+    ]
+    return sql_dedup_phash_against(
+        "(SELECT doc_id, text FROM documents)",
+        "(SELECT text FROM documents WHERE doc_id % 23 = 0)",
+        fs, fs,
+        "doc_id, "
+        "16 + ('0x' || substr(md5(coalesce(text, '')), 1, 2))::INT % 64"
+        " AS image_width, "
+        "16 + ('0x' || substr(md5(coalesce(text, '')), 3, 2))::INT % 64"
+        " AS image_height",
+        bits=48,
+    )
+
+
+ORACLE_QA46 = _oracle_qa46()
+
+
+_QA47_FS = [
+    "('0x' || substr(md5('img:' || "
+    f"{i} || ':' || md5(coalesce(text, ''))), 1, 8))::BIGINT"
+    " / 4294967296.0"
+    for i in range(48)
+]
+
+
+def qa47_phash_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest round trip on the persisted PERCEPTUAL-HASH
+    index (the multimodal member of the persisted-index family): build
+    over the decoded corpus, dedup increment 1 against it, ``append``
+    the survivors, then dedup increment 2 — which must now lose items
+    near-duplicating EITHER the corpus or increment 1's survivors,
+    without any image being re-decoded. Postings are read under the
+    literal hive-partition filter; the 8-byte signature is the whole
+    verifier (no second relation). The oracle recomputes both dedup
+    steps from the fake-codec hashes in one nested SQL statement."""
+    from .dedup_index import phash_index_load
+
+    ctx = _ctx(spark)
+    decoded = (
+        _t(ctx, sf_dir, "documents")
+        .map(
+            doc_id=F.col("doc_id"),
+            content=F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+        )
+        .shuffle()
+        .decode_image(n_features=48)
+    )
+    corpus = decoded.filter("doc_id % 5 > 1")
+    b1 = decoded.filter("doc_id % 5 = 0")
+    b2 = decoded.filter("doc_id % 5 = 1")
+    path = _tmp_index_path("renoir_phash_idx_", sf_dir)
+    corpus.phash_index_build(path, id_col="doc_id", bits=48,
+                             bucket_dirs=16)
+    idx = phash_index_load(spark, path)
+    s1 = idx.dedup_batch(b1)
+    idx.append(s1)
+    return (
+        idx.dedup_batch(b2)
+        .df.select("doc_id", "image_width", "image_height")
+    )
+
+
+def _oracle_qa47() -> str:
+    from .dedup_index import sql_phash_index_batch
+
+    corpus = "(SELECT doc_id, text FROM documents WHERE doc_id % 5 > 1)"
+    b1 = "(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)"
+    b2 = "(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 1)"
+    s1 = "(" + sql_phash_index_batch(
+        corpus, b1, _QA47_FS, "doc_id", "t.doc_id, t.text", bits=48
+    ) + ")"
+    ref2 = (f"(SELECT doc_id, text FROM {corpus} "
+            f"UNION ALL SELECT doc_id, text FROM {s1})")
+    return sql_phash_index_batch(
+        ref2, b2, _QA47_FS, "doc_id",
+        "t.doc_id, "
+        "16 + ('0x' || substr(md5(coalesce(t.text, '')), 1, 2))::INT % 64"
+        " AS image_width, "
+        "16 + ('0x' || substr(md5(coalesce(t.text, '')), 3, 2))::INT % 64"
+        " AS image_height",
+        bits=48,
+    )
+
+
+ORACLE_QA47 = _oracle_qa47()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -4911,6 +5030,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa43_corpus_overlap_kmv": qa43_corpus_overlap_kmv,
     "qa44_dedup_phash": qa44_dedup_phash,
     "qa45_bigram_bucketed": qa45_bigram_bucketed,
+    "qa46_phash_decontaminate": qa46_phash_decontaminate,
+    "qa47_phash_index_incremental": qa47_phash_index_incremental,
 }
 
 ORACLE: Dict[str, str] = {
@@ -5060,4 +5181,6 @@ ORACLE: Dict[str, str] = {
     "qa43_corpus_overlap_kmv": ORACLE_QA43,
     "qa44_dedup_phash": ORACLE_QA44,
     "qa45_bigram_bucketed": ORACLE_QA45,
+    "qa46_phash_decontaminate": ORACLE_QA46,
+    "qa47_phash_index_incremental": ORACLE_QA47,
 }

@@ -139,6 +139,12 @@ SWEEP = [
     # round-8: bucket-pooled bigram LM — hashed-bucket counts and the
     # canonical sorted float fold must agree under any layout
     "qa45_bigram_bucketed",
+    # round-8: broadcast-reference phash decontamination — the 1-row
+    # signature array and per-row EXISTS verdict are layout-free
+    "qa46_phash_decontaminate",
+    # round-8: the persisted phash index round trip — pruned posting
+    # probes + clustered appends must survive any producer layout
+    "qa47_phash_index_incremental",
 ]
 
 

@@ -157,6 +157,155 @@ def test_dedup_phash_respects_registered_codec(ctx):
     assert kept2 == [1, 2]
 
 
+def test_dedup_phash_against_reference_semantics(ctx):
+    # corpus row 1 matches ref exactly, row 3 is hamming-1 from ref
+    # (dropped at the default budget), row 4 is hamming-4 (kept),
+    # row 5 has no decoded evidence (kept — the decontaminate_embedding
+    # NULL pin); a NULL-featured reference row contributes nothing
+    lo, hi = 0.1, 0.9
+    corpus = ctx.from_df(ctx.spark.createDataFrame(
+        [(1, [hi, lo, hi, lo, hi, lo, hi, lo]),
+         (3, [lo, lo, hi, lo, hi, lo, hi, lo]),
+         (4, [lo, hi, lo, hi, hi, lo, hi, lo]),
+         (5, None)],
+        "id long, image_features array<float>",
+    ))
+    ref = ctx.from_df(ctx.spark.createDataFrame(
+        [(100, [hi, lo, hi, lo, hi, lo, hi, lo]), (101, None)],
+        "id long, image_features array<float>",
+    ))
+    kept = sorted(
+        r.id
+        for r in corpus.dedup_phash_against(ref, "image_features")
+        .df.collect()
+    )
+    assert kept == [4, 5]
+    # empty reference: everything survives (exists over [] is false)
+    empty = ref.filter("id < 0")
+    kept2 = sorted(
+        r.id
+        for r in corpus.dedup_phash_against(empty, "image_features")
+        .df.collect()
+    )
+    assert kept2 == [1, 3, 4, 5]
+
+
+# ------------------------------------------------------------------ #
+# PhashIndex: persisted media dedup (mechanics beyond the qa47 oracle)
+# ------------------------------------------------------------------ #
+
+def test_phash_index_roundtrip_mechanics(ctx, tmp_path):
+    from renoir_spark.dedup_index import phash_index_load
+
+    lo, hi = 0.1, 0.9
+    base = [hi, lo] * 4
+    corpus = ctx.from_df(ctx.spark.createDataFrame(
+        [(1, base), (2, [lo, hi] * 4)],
+        "doc_id long, image_features array<float>",
+    ))
+    idx = corpus.phash_index_build(
+        str(tmp_path / "pidx"), features_col="image_features",
+        bits=8, bands=4, bucket_dirs=4,
+    )
+    st = idx.stats()
+    assert st["mode"] == "phash" and st["items"] == 2
+    assert st["postings"] == 2 * 4  # one row per (item, band)
+    # reload from disk: same verdicts
+    idx = phash_index_load(ctx.spark, str(tmp_path / "pidx"))
+    batch = ctx.from_df(ctx.spark.createDataFrame(
+        [(10, base),            # exact signature match -> dropped
+         (11, [lo] * 8),        # constant features: sig 11111111 (all
+                                # >= mean) -> hamming 4 from base -> kept
+         (12, None)],           # no decoded evidence -> kept
+        "doc_id long, image_features array<float>",
+    ))
+    pairs = idx.match_batch(batch, max_hamming=1).df.collect()
+    assert {(r.batch_id, r.corpus_id, r.hamming) for r in pairs} == {(10, 1, 0)}
+    s1 = idx.dedup_batch(batch, max_hamming=1)
+    assert sorted(r.doc_id for r in s1.df.collect()) == [11, 12]
+    # append survivors: a copy of 11's features now drowns
+    idx.append(s1)
+    assert idx.stats()["items"] == 3  # NULL-featured 12 contributes none
+    batch2 = ctx.from_df(ctx.spark.createDataFrame(
+        [(20, [lo] * 8)], "doc_id long, image_features array<float>",
+    ))
+    assert idx.dedup_batch(batch2, max_hamming=1).df.count() == 0
+    # compact keeps verdicts
+    idx.compact()
+    assert idx.dedup_batch(batch2, max_hamming=1).df.count() == 0
+    # empty batch short-circuits (no index scan)
+    empty = batch.filter("doc_id < 0")
+    assert idx.dedup_batch(empty).df.count() == 0
+
+
+# ------------------------------------------------------------------ #
+# dedup_phash_stream: the streaming form (batch parity + eviction)
+# ------------------------------------------------------------------ #
+
+_PH_ROWS = [
+    (1, [0.9, 0.1, 0.9, 0.1, 0.9, 0.1, 0.9, 0.1]),
+    (2, [0.85, 0.15, 0.9, 0.1, 0.9, 0.1, 0.9, 0.1]),  # same signature as 1
+    (3, [0.1, 0.1, 0.9, 0.1, 0.9, 0.1, 0.9, 0.1]),    # hamming 1 from 1
+    (4, [0.1, 0.9, 0.1, 0.9, 0.9, 0.1, 0.9, 0.1]),    # hamming 4 from 1
+    (5, None),                                          # no decoded evidence
+]
+
+
+def _ph_stream_survivors(ctx, pushes, *, delay="1 hour", max_hamming=1):
+    from renoir_spark.streaming import (
+        dedup_phash_stream,
+        minhash_survivors,
+        run_to_completion,
+    )
+
+    ch = ctx.stream_channel("id long, ts timestamp, features array<float>")
+    for rows in pushes:
+        ch.push(rows)
+    s = ch.stream(max_files_per_trigger=1)
+    verdicts = dedup_phash_stream(
+        s, "features", "id", ts_col="ts", delay=delay,
+        bits=8, bands=4, max_hamming=max_hamming,
+    )
+    rows = run_to_completion(verdicts.df, output_mode="append")
+    bounded = ctx.from_df(ctx.spark.createDataFrame(rows, verdicts.df.schema))
+    out = minhash_survivors(bounded, "id").collect_vec()
+    return {r.id for r in out}, rows
+
+
+def test_streaming_phash_dedup_matches_batch_greedy(ctx):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    pushes = [
+        [(i, t0, f) for i, f in _PH_ROWS[:3]],
+        [(i, t0, f) for i, f in _PH_ROWS[3:]],
+    ]
+    got, rows = _ph_stream_survivors(ctx, pushes)
+    assert len(rows) == len(_PH_ROWS) * 4  # one verdict per (item, band)
+    batch = ctx.from_df(ctx.spark.createDataFrame(
+        _PH_ROWS, "id long, features array<float>"
+    )).dedup_phash("features", "id", max_hamming=1)
+    want = {r.id for r in batch.df.collect()}
+    assert got == want == {1, 4, 5}
+
+
+def test_streaming_phash_state_evicted_past_watermark_delay(ctx):
+    import datetime
+
+    def ts(s):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+    same = [0.9, 0.1, 0.9, 0.1, 0.9, 0.1, 0.9, 0.1]
+    other = [0.1, 0.9, 0.1, 0.9, 0.1, 0.9, 0.1, 0.9]
+    pushes = [
+        [(0, ts(1000), same)],
+        [(1, ts(1400), other)],   # advances the watermark past the horizon
+        [(2, ts(1800), same)],    # identical signature, outside the delay
+    ]
+    got, _ = _ph_stream_survivors(ctx, pushes, delay="10 seconds")
+    assert got == {0, 1, 2}
+
+
 # ------------------------------------------------------------------ #
 # AnnIndex rebuild refinement (VERDICT r7 #6): deterministic Lloyd
 # ------------------------------------------------------------------ #
