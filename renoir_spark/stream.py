@@ -1612,6 +1612,15 @@ class Stream:
 
         return _di(self, content_col, out_col, **kw)
 
+    def pack_binary(self, path_col: str = "path",
+                    content_col: str = "content") -> "Stream":
+        """Small-file packing: (path, content, length) projection so
+        millions of tiny media files write to parquet once and scan
+        with normal splits — multimodal.pack_binary."""
+        from .multimodal import pack_binary as _pb
+
+        return _pb(self, path_col, content_col)
+
     def decode_audio(self, content_col: str = "content", out_col: str = "audio") -> "Stream":
         """Audio decode plumbing (stubbed codec) — multimodal.decode_audio."""
         from .multimodal import decode_audio as _da
