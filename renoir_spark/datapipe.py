@@ -1387,15 +1387,23 @@ def dedup_phash_against(
     ).where(F.col("__rph").isNotNull()).agg(
         F.collect_list("__rph").alias("__refs")
     )
-    sig = phash_expr(to_col(features_col), bits)
+    # STAGE the signature as a real column before the EXISTS: a lambda
+    # body re-evaluates embedded expression trees PER ARRAY ELEMENT (no
+    # CSE across higher-order functions) — with the whole phash fold
+    # inlined, |refs| re-computations per row measured 20 s where the
+    # staged form is sub-second (the word_shingles trap, one layer up)
+    staged = stream.df.withColumn(
+        "__ph", phash_expr(to_col(features_col), bits)
+    )
     hit = F.exists(
         F.col("__refs"),
-        lambda r: F.bit_count(sig.bitwiseXOR(r)) <= F.lit(int(max_hamming)),
+        lambda r: F.bit_count(F.col("__ph").bitwiseXOR(r))
+        <= F.lit(int(max_hamming)),
     )
     out = (
-        stream.df.crossJoin(F.broadcast(refs))
+        staged.crossJoin(F.broadcast(refs))
         .filter(~F.coalesce(hit, F.lit(False)))
-        .drop("__refs")
+        .drop("__refs", "__ph")
     )
     return stream._new(out)
 

@@ -4776,17 +4776,26 @@ def qa46_phash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero corpus shuffles; the oracle recomputes both sides' fake-codec
     hashes and the NOT EXISTS verdict in SQL."""
     ctx = _ctx(spark)
-    decoded = (
-        _t(ctx, sf_dir, "documents")
-        .map(
-            doc_id=F.col("doc_id"),
-            content=F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+
+    # filter BEFORE decoding: a predicate cannot push through the
+    # Arrow decode stage, so decode-then-filter would re-decode the
+    # whole table for the (tiny) reference leg
+    def decoded(pred: str):
+        return (
+            _t(ctx, sf_dir, "documents").filter(pred)
+            .map(
+                doc_id=F.col("doc_id"),
+                content=F.encode(
+                    F.coalesce(F.col("text"), F.lit("")), "UTF-8"
+                ),
+            )
+            .shuffle()
+            .decode_image(n_features=48)
         )
-        .shuffle()
-        .decode_image(n_features=48)
-    )
-    ref = decoded.filter("doc_id % 23 = 0")
-    kept = decoded.dedup_phash_against(ref, "image_features")
+
+    corpus = decoded("true")
+    ref = decoded("doc_id % 23 = 0")
+    kept = corpus.dedup_phash_against(ref, "image_features")
     return kept.df.select("doc_id", "image_width", "image_height")
 
 
@@ -4836,18 +4845,26 @@ def qa47_phash_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_index import phash_index_load
 
     ctx = _ctx(spark)
-    decoded = (
-        _t(ctx, sf_dir, "documents")
-        .map(
-            doc_id=F.col("doc_id"),
-            content=F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+
+    # filter BEFORE decoding (predicates cannot push through the Arrow
+    # decode stage — decode-then-filter re-decodes the full table per
+    # branch per action, measured pathological at 10×)
+    def decoded(pred: str):
+        return (
+            _t(ctx, sf_dir, "documents").filter(pred)
+            .map(
+                doc_id=F.col("doc_id"),
+                content=F.encode(
+                    F.coalesce(F.col("text"), F.lit("")), "UTF-8"
+                ),
+            )
+            .shuffle()
+            .decode_image(n_features=48)
         )
-        .shuffle()
-        .decode_image(n_features=48)
-    )
-    corpus = decoded.filter("doc_id % 5 > 1")
-    b1 = decoded.filter("doc_id % 5 = 0")
-    b2 = decoded.filter("doc_id % 5 = 1")
+
+    corpus = decoded("doc_id % 5 > 1")
+    b1 = decoded("doc_id % 5 = 0")
+    b2 = decoded("doc_id % 5 = 1")
     path = _tmp_index_path("renoir_phash_idx_", sf_dir)
     corpus.phash_index_build(path, id_col="doc_id", bits=48,
                              bucket_dirs=16)

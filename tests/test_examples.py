@@ -37,6 +37,7 @@ CASES = {
     "crawl_hygiene.py": [f"{SF}/documents.parquet"],
     "semantic_curation.py": [SF],
     "corpus_release.py": [SF],
+    "media_dedup.py": [SF],
 }
 
 
