@@ -139,8 +139,9 @@ def _decode_audio(data: bytes) -> dict:
 # honest stand-ins in a container without media libraries.
 # ------------------------------------------------------------------ #
 
-def _default_frame(data: bytes, idx: int) -> list:
-    return _md5_floats(data, _N_FEATURES, "frm%d" % int(idx))
+def _default_frame(data: bytes, idx: int,
+                   n_features: int = _N_FEATURES) -> list:
+    return _md5_floats(data, n_features, "frm%d" % int(idx))
 
 
 _CODEC_KEYS = {
@@ -309,15 +310,26 @@ def resize_image(stream, *, width: int, height: int, prefix: str = "image"):
 
 
 def sample_frames(stream, content_col: str = "content", *, num_frames: int = 4,
-                  out_col: str = "frame"):
+                  out_col: str = "frame", n_features: Optional[int] = None):
     """Video → one row per sampled frame (frame index + per-frame
     features). The explode factor is bounded by ``num_frames``; frame
-    decode itself is the stubbed step."""
+    decode itself is the stubbed step. ``n_features`` sizes the frame
+    feature grid when the codec supports it (the default does) — the
+    decode_image contract, needed for bandable per-frame phashes."""
     schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in stream.df.schema.fields
     ) + f", {out_col}_idx int, {out_col}_features array<float>"
 
     codec = get_codec("frame")  # captured at plan-build time
+    if n_features is not None:
+        import inspect
+
+        try:
+            if "n_features" in inspect.signature(codec).parameters:
+                inner, nf = codec, int(n_features)
+                codec = lambda data, i: inner(data, i, n_features=nf)
+        except (TypeError, ValueError):
+            pass
 
     def _batches(batches: Iterator) -> Iterator:
         import numpy as np
@@ -337,6 +349,150 @@ def sample_frames(stream, content_col: str = "content", *, num_frames: int = 4,
             yield rep
 
     return stream._new(stream.df.mapInPandas(_batches, schema))
+
+
+def dedup_video_phash(
+    stream,
+    id_col: str,
+    content_col: str = "content",
+    *,
+    num_frames: int = 4,
+    min_matching_frames: int = 3,
+    bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+):
+    """VIDEO near-duplicate dedup: sample ``num_frames`` frames per
+    item (the codec registry's frame decoder — deterministic fake here,
+    a real keyframe extractor in production), perceptual-hash each
+    frame, and call two items near-duplicates when ≥
+    ``min_matching_frames`` ALIGNED frames (same sampling index — the
+    two items ride the same sampling grid) land within Hamming distance
+    ``max_hamming``. Keeps the smallest id per duplicate set. The
+    majority vote is what makes this robust where a single whole-file
+    hash is not: a re-encode with a changed intro/outro still matches
+    on the interior frames.
+
+    Scale: the frame explode is bounded by ``num_frames``; candidates
+    come from band equality on (frame_idx, band) — the dedup_phash
+    machinery with the frame index fused into the bucket key, so only
+    aligned frames ever meet — verified by ``bit_count(xor)``, then ONE
+    (pair)-grouped count implements the vote. Never all-pairs; per-item
+    state is ``num_frames`` longs. Mirrored bit-exactly by
+    :func:`sql_dedup_video_phash` (suite qa48)."""
+    from .datapipe import phash_expr
+
+    assert bits % bands == 0 and bits <= 62
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+
+    frames = sample_frames(
+        stream, content_col, num_frames=num_frames, n_features=bits
+    ).df
+    sig = frames.select(
+        F.col(id_col).alias("__id"),
+        F.col("frame_idx").alias("__f"),
+        phash_expr(F.col("frame_features"), bits).alias("__ph"),
+    ).persist()
+    banded = sig.select(
+        "__id", "__f", "__ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bidx"),
+                        F.shiftright(F.col("__ph"), b * band_width)
+                        .bitwiseAND(F.lit(mask)).alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__f", "__ph",
+             F.col("__b.bidx").alias("bidx"),
+             F.col("__b.bval").alias("bval"))
+    a = banded.select("__f", "bidx", "bval",
+                      F.col("__id").alias("ida"), F.col("__ph").alias("pha"))
+    b = banded.select("__f", "bidx", "bval",
+                      F.col("__id").alias("idb"), F.col("__ph").alias("phb"))
+    # frame matches: aligned frames within the Hamming budget (distinct
+    # collapses multi-band hits per frame pair BEFORE the vote)
+    fmatch = (
+        a.join(b, ["__f", "bidx", "bval"])
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(F.bit_count(F.col("pha").bitwiseXOR(F.col("phb")))
+                <= max_hamming)
+        .select("ida", "idb", "__f")
+        .distinct()
+    )
+    dup_ids = (
+        fmatch.groupBy("ida", "idb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= F.lit(int(min_matching_frames)))
+        .select(F.col("idb").alias(id_col))
+        .distinct()
+    )
+    out = stream.df.join(dup_ids, id_col, "left_anti")
+    return stream._new(out)._retain(sig)
+
+
+def sql_dedup_video_phash(
+    table_expr: str,
+    id_col: str,
+    cols: str,
+    *,
+    frame_fs: "callable",
+    num_frames: int = 4,
+    min_matching_frames: int = 3,
+    bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`dedup_video_phash`. ``frame_fs(fidx, j)``
+    returns the SQL expression recomputing frame ``fidx``'s feature
+    ``j`` (the fake frame codec's md5 formula over a text-backed blob);
+    the rest mirrors the Spark pipeline: per-frame signature, aligned
+    band join, Hamming verify, ≥ ``min_matching_frames`` vote."""
+    bw = bits // bands
+    mask = (1 << bw) - 1
+
+    def sig_leg(fidx: int) -> str:
+        fs = ", ".join(f"({frame_fs(fidx, j)})::FLOAT" for j in range(bits))
+        total = "0.0::DOUBLE"
+        for j in range(bits):
+            total = f"({total} + fs[{j + 1}]::DOUBLE)"
+        bit_terms = " + ".join(
+            f"(CASE WHEN fs[{j + 1}]::DOUBLE >= mean THEN {1 << j}"
+            " ELSE 0 END)"
+            for j in range(bits)
+        )
+        return (
+            f"SELECT id, {fidx} AS f, ({bit_terms})::BIGINT AS ph FROM ("
+            f"SELECT id, fs, {total} / len(fs) AS mean FROM ("
+            f"SELECT {id_col} AS id, [{fs}] AS fs FROM {table_expr}))"
+        )
+
+    sigs = " UNION ALL ".join(sig_leg(i) for i in range(num_frames))
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, f, ph, {b} AS bidx, (ph >> {b * bw}) & {mask} AS bval"
+        " FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS ({sigs}), banded AS ({band_rows}),
+fmatch AS (
+  SELECT DISTINCT a.id AS ida, b.id AS idb, a.f
+  FROM banded a JOIN banded b
+    ON a.f = b.f AND a.bidx = b.bidx AND a.bval = b.bval AND a.id < b.id
+  WHERE bit_count(xor(a.ph, b.ph)) <= {max_hamming}
+), dups AS (
+  SELECT idb FROM (SELECT ida, idb, count(*) AS n FROM fmatch
+                   GROUP BY ida, idb)
+  WHERE n >= {int(min_matching_frames)}
+)
+SELECT {cols} FROM {table_expr}
+WHERE {id_col} NOT IN (SELECT idb FROM dups)
+"""
 
 
 def pack_binary(stream, path_col: str = "path", content_col: str = "content"):

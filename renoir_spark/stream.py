@@ -1612,6 +1612,14 @@ class Stream:
 
         return _di(self, content_col, out_col, **kw)
 
+    def dedup_video_phash(self, id_col: str,
+                          content_col: str = "content", **kw) -> "Stream":
+        """Video near-dup dedup: per-frame perceptual hashes with an
+        aligned-frame majority vote — multimodal.dedup_video_phash."""
+        from .multimodal import dedup_video_phash as _dv
+
+        return _dv(self, id_col, content_col, **kw)
+
     def pack_binary(self, path_col: str = "path",
                     content_col: str = "content") -> "Stream":
         """Small-file packing: (path, content, length) projection so

@@ -4902,6 +4902,44 @@ def _oracle_qa47() -> str:
 ORACLE_QA47 = _oracle_qa47()
 
 
+def qa48_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate dedup end-to-end: text bytes stand in for
+    video files, ``sample_frames`` decodes 4 frames per item (48-entry
+    grids via the deterministic fake frame codec), each frame gets a
+    perceptual hash, and two items are duplicates when ≥ 3 ALIGNED
+    frames land within Hamming distance 3 (the majority vote that
+    survives re-encodes with changed intros). The oracle recomputes
+    all 4 × 48 fake frame features AND the aligned-band vote in SQL."""
+    ctx = _ctx(spark)
+    vids = (
+        _t(ctx, sf_dir, "documents")
+        .map(
+            doc_id=F.col("doc_id"),
+            content=F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+        )
+        .shuffle()
+    )
+    kept = vids.dedup_video_phash("doc_id", "content")
+    return kept.df.select("doc_id")
+
+
+def _oracle_qa48() -> str:
+    from .multimodal import sql_dedup_video_phash
+
+    def frame_fs(fidx: int, j: int) -> str:
+        return (
+            f"('0x' || substr(md5('frm{fidx}:' || {j} || ':' || "
+            "md5(coalesce(text, ''))), 1, 8))::BIGINT / 4294967296.0"
+        )
+
+    return sql_dedup_video_phash(
+        "documents", "doc_id", "doc_id", frame_fs=frame_fs,
+    )
+
+
+ORACLE_QA48 = _oracle_qa48()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -5049,6 +5087,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa45_bigram_bucketed": qa45_bigram_bucketed,
     "qa46_phash_decontaminate": qa46_phash_decontaminate,
     "qa47_phash_index_incremental": qa47_phash_index_incremental,
+    "qa48_video_phash_dedup": qa48_video_phash_dedup,
 }
 
 ORACLE: Dict[str, str] = {
@@ -5200,4 +5239,5 @@ ORACLE: Dict[str, str] = {
     "qa45_bigram_bucketed": ORACLE_QA45,
     "qa46_phash_decontaminate": ORACLE_QA46,
     "qa47_phash_index_incremental": ORACLE_QA47,
+    "qa48_video_phash_dedup": ORACLE_QA48,
 }

@@ -145,6 +145,9 @@ SWEEP = [
     # round-8: the persisted phash index round trip — pruned posting
     # probes + clustered appends must survive any producer layout
     "qa47_phash_index_incremental",
+    # round-8: the aligned-frame majority vote — frame explode, band
+    # self-join and the pair-grouped count must agree under any layout
+    "qa48_video_phash_dedup",
 ]
 
 

@@ -191,6 +191,52 @@ def test_dedup_phash_against_reference_semantics(ctx):
 
 
 # ------------------------------------------------------------------ #
+# dedup_video_phash: the aligned-frame majority vote
+# ------------------------------------------------------------------ #
+
+def test_dedup_video_phash_majority_vote(ctx):
+    from renoir_spark import multimodal
+
+    P = [0.9, 0.1] * 4   # signature 10101010
+    Q = [0.1, 0.9] * 4   # signature 01010101 (hamming 8 from P)
+    frames = {
+        b"A": [P, P, P, P],
+        b"B": [P, P, P, Q],  # 3 aligned matches with A -> duplicate
+        b"C": [P, Q, Q, P],  # 2 with A, 1 with B, 2 with D -> kept
+        b"D": [Q, Q, Q, Q],  # 2 with C, 1 with B, 0 with A -> kept
+    }
+
+    def frame_codec(data, idx, n_features=8):
+        return frames[bytes(data)][idx][:n_features]
+
+    multimodal.register_codec("frame", frame_codec)
+    try:
+        vids = ctx.from_df(ctx.spark.createDataFrame(
+            [(1, bytearray(b"A")), (2, bytearray(b"B")),
+             (3, bytearray(b"C")), (4, bytearray(b"D"))],
+            "id long, content binary",
+        ))
+        kept = sorted(
+            r.id for r in vids.dedup_video_phash(
+                "id", bits=8, bands=4, max_hamming=1,
+                min_matching_frames=3,
+            ).df.collect()
+        )
+        assert kept == [1, 3, 4]
+        # lower the vote threshold: C collapses into A AND D into C
+        # (the greedy rule is transitive-blind, like dedup_simhash)
+        kept2 = sorted(
+            r.id for r in vids.dedup_video_phash(
+                "id", bits=8, bands=4, max_hamming=1,
+                min_matching_frames=2,
+            ).df.collect()
+        )
+        assert kept2 == [1]
+    finally:
+        multimodal.reset_codecs()
+
+
+# ------------------------------------------------------------------ #
 # PhashIndex: persisted media dedup (mechanics beyond the qa47 oracle)
 # ------------------------------------------------------------------ #
 
