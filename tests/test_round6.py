@@ -198,6 +198,8 @@ def test_streaming_leg_registry_complete():
         "s04_session_window_stream",
         "s05_minhash_dedup_stream",
         "s06_embedding_dedup_stream",
+        # round-8: the perceptual-hash media leg
+        "s07_phash_dedup_stream",
     }
     # scale_curve must dispatch from the registry, not a private copy
     src = open(os.path.join(os.path.dirname(os.path.dirname(
