@@ -190,6 +190,38 @@ def test_dedup_phash_against_reference_semantics(ctx):
     assert kept2 == [1, 3, 4, 5]
 
 
+def test_phash_index_probe_partition_pruned(ctx, tmp_path):
+    # the 100 TB probe contract, same as DedupIndex: a small batch's
+    # posting read must carry the batch's __bk set as a PARTITION
+    # filter (directory pruning), not a row filter over every file
+    lo, hi = 0.1, 0.9
+    corpus = ctx.from_df(ctx.spark.createDataFrame(
+        [(i, [hi if (i >> j) & 1 else lo for j in range(8)])
+         for i in range(16)],
+        "doc_id long, image_features array<float>",
+    ))
+    idx = corpus.phash_index_build(
+        str(tmp_path / "pruned"), features_col="image_features",
+        bits=8, bands=4, bucket_dirs=8,
+    )
+    batch = ctx.from_df(ctx.spark.createDataFrame(
+        [(100, [hi, lo, hi, lo, hi, lo, hi, lo])],
+        "doc_id long, image_features array<float>",
+    ))
+    plan = (
+        idx.match_batch(batch, max_hamming=1)
+        .df._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only parquet scan in a match_batch plan IS the postings read
+    # (the batch side is a LocalTableScan); pytest's deep tmp_path can
+    # truncate the Location string, so don't key on the path
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans, plan
+    for s in scans:
+        assert "PartitionFilters" in s
+        assert "__bk" in s.split("PartitionFilters")[1].split("]")[0]
+
+
 # ------------------------------------------------------------------ #
 # dedup_video_phash: the aligned-frame majority vote
 # ------------------------------------------------------------------ #
