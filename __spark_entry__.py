@@ -105,6 +105,17 @@ from renoir_spark import suite
 #      incoming q73/q74/q92) · q83 (cluster dedup: qa21) · qa30 (chunk
 #      dedup: incoming q85) · qa09 (selection: qa19) · q91 (agg ext:
 #      q97) · q98 (LM scoring: incoming qa41/qa45)
+#  Round-8b (same round, after the media-dedup layer landed): the three
+#  operators born AFTER the round-8 rotation window rotate straight in,
+#  per the round-7b birth-round convention; three continuously-hashed
+#  shapes out, every outgoing family keeping at least one driver row:
+#    q51_multimodal_decode → qa46_phash_decontaminate (the decode
+#      plumbing is driver-hashed INSIDE qa44/qa46/qa47/qa48's
+#      compositions — the decontamination broadcast shape gains a row)
+#    q94_longest_dup_span → qa47_phash_index_incremental (span dedup
+#      keeps the incoming q84; the persisted media index round trip in)
+#    qa06_ann_index_roundtrip → qa48_video_phash_dedup (persisted-index
+#      family keeps qa08/qa28; the frame-vote video dedup in)
 DRIVER_SET = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -129,10 +140,10 @@ DRIVER_SET = [
     "q57_logistic_regression",
     "qa21_dedup_cluster_exact",
     "q42_keyed_rich_map",
-    "q94_longest_dup_span",
+    "qa47_phash_index_incremental",
     "q62_nexmark_highest_bid",
     "q63_nexmark_new_users",
-    "q51_multimodal_decode",
+    "qa46_phash_decontaminate",
     "qa01_ann_ivf_sq8",
     "q61_nexmark_hot_items",
     "q66_nexmark_avg_category",
@@ -148,7 +159,7 @@ DRIVER_SET = [
     "qa18_url_blocklist",
     "q84_duplicate_spans",
     "q85_chunk_dedup",
-    "qa06_ann_index_roundtrip",
+    "qa48_video_phash_dedup",
     "q86_asof_join",
     "qa24_temperature_mix",
     "q95_running_sum",
