@@ -18,6 +18,8 @@
 """
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 
@@ -188,6 +190,40 @@ def test_dedup_phash_against_reference_semantics(ctx):
         .df.collect()
     )
     assert kept2 == [1, 3, 4, 5]
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    feats=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.floats(min_value=0.0, max_value=1.0,
+                          allow_nan=False, width=32),
+                min_size=8, max_size=8,
+            ),
+        ),
+        min_size=1, max_size=12,
+    ),
+    max_hamming=st.integers(min_value=0, max_value=3),
+)
+def test_dedup_phash_properties(ctx, feats, max_hamming):
+    """On ANY feature corpus: (1) output ⊆ input, (2) the smallest id
+    survives, (3) every NULL-featured row survives (no evidence), and
+    (4) the operator is idempotent — a deduped corpus has no remaining
+    in-budget pair, so a second pass drops nothing."""
+    rows = [(i, f) for i, f in enumerate(feats)]
+    s = ctx.from_df(ctx.spark.createDataFrame(
+        rows, "id long, image_features array<float>"
+    ))
+    once = s.dedup_phash("image_features", "id", max_hamming=max_hamming)
+    kept = sorted(r.id for r in once.df.collect())
+    assert set(kept) <= {i for i, _ in rows}
+    assert 0 in kept  # id 0 is the global minimum: nothing can drown it
+    assert all(i in kept for i, f in rows if f is None)
+    twice = once.dedup_phash("image_features", "id",
+                             max_hamming=max_hamming)
+    assert sorted(r.id for r in twice.df.collect()) == kept
 
 
 def test_phash_index_probe_partition_pruned(ctx, tmp_path):
