@@ -476,7 +476,11 @@ class PhashIndex:
         indexed items: (batch_id, corpus_id, hamming ≤ ``max_hamming``).
         Batch-internal duplicates are NOT reported — that is
         :func:`~renoir_spark.datapipe.dedup_phash` over the batch."""
-        sig = self._batch_sig(batch)
+        # persisted because TWO consumers read it: the __bk partition-
+        # key collect below AND the pair plan — unpersisted, each would
+        # recompute the batch's upstream lineage (typically an Arrow
+        # decode stage) — the DedupIndex.match_batch rationale
+        sig = self._batch_sig(batch).persist()
         bb = self._band_rows(sig)
         scan, bks = prune_partitions(
             self._postings_read(), "__bk", bb.select("__bk")
@@ -487,7 +491,7 @@ class PhashIndex:
                 f"batch_id {self.meta['id_type']}, "
                 f"corpus_id {self.meta['id_type']}, hamming int",
             )
-            return batch._new(empty)
+            return batch._new(empty)._retain(sig)
         pairs = (
             bb.join(scan.select("bidx", "bval", "id", "ph"),
                     ["bidx", "bval"])
@@ -502,7 +506,7 @@ class PhashIndex:
             )
             .distinct()  # a pair matching in several bands reports once
         )
-        return batch._new(pairs)
+        return batch._new(pairs)._retain(sig)
 
     def dedup_batch(self, batch, *, max_hamming: int = 3):
         """Rows of ``batch`` not within ``max_hamming`` of any indexed
@@ -513,7 +517,8 @@ class PhashIndex:
         dup_ids = pairs.df.select(
             F.col("batch_id").alias(id_col)
         ).distinct()
-        return batch._new(batch.df.join(dup_ids, id_col, "left_anti"))
+        out = batch.df.join(dup_ids, id_col, "left_anti")
+        return batch._new(out)._retain(*pairs._retained)
 
     def append(self, batch) -> None:
         """Ingest ``batch`` (SURVIVORS — the index does not re-verify
