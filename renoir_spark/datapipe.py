@@ -2233,6 +2233,142 @@ def dedup_embedding_ivf(
     )._retain(sig)
 
 
+def mine_contrastive_pairs(
+    stream,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    pos_threshold: float = 0.95,
+    neg_max_cos: float = 0.8,
+    neg_per_anchor: int = 3,
+    n_cells: Optional[int] = None,
+    target_cell_size: int = 200,
+):
+    """Contrastive TRAINING PAIRS from the corpus's own geometry — the
+    data an embedding-model trainer needs, mined with the SemDeDup
+    machinery instead of discarded by it: POSITIVES are in-cell pairs
+    with cosine ≥ ``pos_threshold`` (the near-duplicates dedup would
+    drop, relabeled as supervision), HARD NEGATIVES are, per anchor,
+    the ``neg_per_anchor`` highest-cosine in-cell pairs with cosine ≤
+    ``neg_max_cos`` — same Voronoi cell ⇒ close enough to be hard, and
+    provably below the duplicate band. Pairs between the two thresholds
+    are ambiguous and emitted as neither. Output:
+    ``(anchor_id, pair_id, cos, label ∈ {'pos','neg'})`` with
+    ``anchor_id < pair_id`` for positives and the anchor side of the
+    in-cell ordering for negatives (deterministic: rounded cosine desc,
+    id tie-break).
+
+    Scale: identical shape to :func:`dedup_embedding_ivf` — shuffle-free
+    Arrow cell assignment, ONE in-cell self-join (quadratic in cell
+    size, so ``n_cells`` rides the same ``target_cell_size`` auto-dial),
+    plus one per-anchor window over the (already cell-bounded) pair
+    relation. Never all-pairs. Beyond-reference (SimCLR/E5-style hard
+    negative mining, public knowledge), mirrored bit-exactly by
+    :func:`sql_mine_contrastive_pairs`."""
+    if n_cells is None:
+        n = stream.df.count()
+        n_cells = max(1, -(-n // target_cell_size))
+    units = _ivf_seed_units(stream.df, vec_col, id_col, n_cells)
+    id_t = dict(stream.df.dtypes)[id_col]
+    assigned = _ivf_assign(
+        stream.df.select(F.col(id_col).alias("__id"),
+                         F.col(vec_col).alias("cvec")),
+        units, id_schema=f"__id {id_t}",
+    )
+    sig = assigned.select(
+        "__id",
+        F.col("cvec").alias("__v"),
+        _norm2(F.col("cvec")).alias("__nrm"),
+        "__cell",
+    ).persist()
+    a = sig.select("__cell", F.col("__id").alias("ida"),
+                   F.col("__v").alias("va"), F.col("__nrm").alias("na"))
+    b = sig.select("__cell", F.col("__id").alias("idb"),
+                   F.col("__v").alias("vb"), F.col("__nrm").alias("nb"))
+    cos = F.when(
+        F.col("na") * F.col("nb") == F.lit(0.0), F.lit(0.0)
+    ).otherwise(
+        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    )
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn("__cos", cos)
+        .select("ida", "idb", "__cos")
+    )
+    pos = pairs.filter(F.col("__cos") >= F.lit(float(pos_threshold))).select(
+        F.col("ida").alias("anchor_id"), F.col("idb").alias("pair_id"),
+        F.col("__cos").alias("cos"), F.lit("pos").alias("label"),
+    )
+    negw = Window.partitionBy("ida").orderBy(
+        F.col("__cos").desc(), F.col("idb")
+    )
+    neg = (
+        pairs.filter(F.col("__cos") <= F.lit(float(neg_max_cos)))
+        .withColumn("__rk", F.row_number().over(negw))
+        .filter(F.col("__rk") <= F.lit(int(neg_per_anchor)))
+        .select(
+            F.col("ida").alias("anchor_id"), F.col("idb").alias("pair_id"),
+            F.col("__cos").alias("cos"), F.lit("neg").alias("label"),
+        )
+    )
+    return stream._new(pos.unionByName(neg))._retain(sig)
+
+
+def sql_mine_contrastive_pairs(
+    table_expr: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    pos_threshold: float = 0.95,
+    neg_max_cos: float = 0.8,
+    neg_per_anchor: int = 3,
+    n_cells="16",
+) -> str:
+    """DuckDB mirror of :func:`mine_contrastive_pairs` — the
+    sql_dedup_embedding_ivf cell/assignment CTEs, then the pos filter
+    and the per-anchor negative window with the same (cos desc, id)
+    determinism. ``n_cells`` may be an int or a SQL scalar-subquery
+    dial (the qa35 pattern), so the oracle can follow the
+    target_cell_size auto-dial instead of pinning a cell count."""
+    nrm_seed = SQL_UNIT_DIV.format(nrm=SQL_NORM.format(a=vec_col))
+    dot_cu = SQL_DOT.format(a="t.v", b="cells.u")
+    cos = SQL_COS.format(
+        dot=SQL_DOT.format(a="a.v", b="b.v"),
+        na=SQL_NORM.format(a="a.v"), nb=SQL_NORM.format(a="b.v"),
+    )
+    return f"""
+WITH cells AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell,
+         list_transform({vec_col}, x -> x::DOUBLE / {nrm_seed}) AS u
+  FROM (SELECT * FROM {table_expr} ORDER BY {id_col} LIMIT {n_cells})
+), c AS (
+  SELECT id, v, cell FROM (
+    SELECT t.id, t.v, cells.cell,
+           row_number() OVER (
+             PARTITION BY t.id
+             ORDER BY -round({dot_cu}, 9), cells.cell
+           ) AS rn
+    FROM (SELECT {id_col} AS id, {vec_col} AS v FROM {table_expr}) t, cells
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT a.id AS ida, b.id AS idb, {cos} AS c
+  FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
+), pos AS (
+  SELECT ida AS anchor_id, idb AS pair_id, c AS cos, 'pos' AS label
+  FROM pairs WHERE c >= {float(pos_threshold)}
+), neg AS (
+  SELECT ida AS anchor_id, idb AS pair_id, c AS cos, 'neg' AS label
+  FROM (
+    SELECT ida, idb, c,
+           row_number() OVER (PARTITION BY ida ORDER BY c DESC, idb) AS rk
+    FROM pairs WHERE c <= {float(neg_max_cos)}
+  ) WHERE rk <= {int(neg_per_anchor)}
+)
+SELECT * FROM pos UNION ALL SELECT * FROM neg
+"""
+
+
 def sql_dedup_embedding_ivf(
     table_expr: str,
     cols: str,

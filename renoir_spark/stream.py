@@ -1317,6 +1317,14 @@ class Stream:
 
         return _dei(self, **kw)
 
+    def mine_contrastive_pairs(self, **kw) -> "Stream":
+        """Contrastive training pairs from the corpus geometry:
+        positives = would-be SemDeDup drops, hard negatives = closest
+        same-cell non-duplicates. See datapipe.mine_contrastive_pairs."""
+        from .datapipe import mine_contrastive_pairs as _mcp
+
+        return _mcp(self, **kw)
+
     def text_stats(self, text_col: str) -> "Stream":
         """Token/char counts, ratios, fingerprint, quality score — pure
         expressions. See datapipe.text_stats."""

@@ -4940,6 +4940,39 @@ def _oracle_qa48() -> str:
 ORACLE_QA48 = _oracle_qa48()
 
 
+def qa49_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining over the embeddings table: positives are
+    the in-cell cosine-≥0.95 pairs SemDeDup would discard, hard
+    negatives the 2 highest-cosine same-cell pairs per anchor at ≤ 0.8
+    — the supervision an embedding-model trainer wants, mined from the
+    corpus's own Voronoi geometry in one cell-bounded self-join plus a
+    per-anchor window. Runs the DEFAULT target_cell_size auto-dial;
+    the oracle follows it via a scalar-subquery LIMIT (the qa35
+    pattern), so the suite form is the scale-safe form — no pinned
+    cell count anywhere."""
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings")
+    return emb.mine_contrastive_pairs(
+        pos_threshold=0.95, neg_max_cos=0.8, neg_per_anchor=2,
+    ).df  # DEFAULT target_cell_size dial — the oracle follows it
+
+
+def _oracle_qa49() -> str:
+    from .datapipe import sql_mine_contrastive_pairs
+
+    # the Spark side's max(1, ceil(n / 200)) auto-dial as a DuckDB
+    # scalar-subquery LIMIT (the qa35 pattern) — no pinned cell count
+    dial = ("(SELECT GREATEST(1, CAST(CEIL(count(*) / 200.0) AS BIGINT))"
+            " FROM embeddings)")
+    return sql_mine_contrastive_pairs(
+        "embeddings", pos_threshold=0.95, neg_max_cos=0.8,
+        neg_per_anchor=2, n_cells=dial,
+    )
+
+
+ORACLE_QA49 = _oracle_qa49()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -5088,6 +5121,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa46_phash_decontaminate": qa46_phash_decontaminate,
     "qa47_phash_index_incremental": qa47_phash_index_incremental,
     "qa48_video_phash_dedup": qa48_video_phash_dedup,
+    "qa49_contrastive_pairs": qa49_contrastive_pairs,
 }
 
 ORACLE: Dict[str, str] = {
@@ -5240,4 +5274,5 @@ ORACLE: Dict[str, str] = {
     "qa46_phash_decontaminate": ORACLE_QA46,
     "qa47_phash_index_incremental": ORACLE_QA47,
     "qa48_video_phash_dedup": ORACLE_QA48,
+    "qa49_contrastive_pairs": ORACLE_QA49,
 }

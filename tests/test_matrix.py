@@ -148,6 +148,10 @@ SWEEP = [
     # round-8: the aligned-frame majority vote — frame explode, band
     # self-join and the pair-grouped count must agree under any layout
     "qa48_video_phash_dedup",
+    # round-8: contrastive mining — Arrow cell assignment, the in-cell
+    # pair join and the per-anchor (cos desc, id) window must pick the
+    # identical positives and hard negatives under any layout
+    "qa49_contrastive_pairs",
 ]
 
 
