@@ -574,9 +574,14 @@ def _spool_media(spark, sf_dir: str) -> str:
             F.timestamp_seconds(F.col("doc_id") + 3600).alias("ts"),
             F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("content"),
         )
+        # the re-download arrives 1000 s after its original — INSIDE
+        # the leg's 3000 s watermark horizon BY CONSTRUCTION, so the
+        # Hamming-0 match is guaranteed no matter how the spool files
+        # split across triggers (a +500000 s offset only matched while
+        # every dup rode the same trigger as the base data)
         dups = docs.filter("doc_id % 4 = 0").select(
             (F.col("doc_id") + 500000).alias("doc_id"),
-            F.timestamp_seconds(F.col("doc_id") + 503600).alias("ts"),
+            F.timestamp_seconds(F.col("doc_id") + 4600).alias("ts"),
             F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("content"),
         )
         decoded = ctx.from_df(base.unionByName(dups)).decode_image(

@@ -1283,14 +1283,22 @@ def dedup_phash(
     left-to-right, so the signature is bit-identical cross-engine
     (sql_dedup_phash mirrors it).
 
-    ``bits=None`` (default) auto-dials to the codec's feature count
-    (one bounded first-row probe, floored to a multiple of ``bands``,
-    capped at 62) so the signature can never silently outrun the
-    features — bands past the feature count would be CONSTANT zero and
-    the self-join quadratic. The scale dial is the DECODE side:
-    ``decode_image(n_features=48)`` gives 12-bit bands; the default
-    8-feature codec gives 2-bit bands, fine for smoke tests and the
-    measured quadratic trap at corpus scale (docs/SCALING.md).
+    ``bits=None`` (default) auto-dials to the codec's feature count —
+    the MINIMUM non-empty width across the corpus (one tiny
+    min-aggregate job over the pruned size column), floored to a
+    multiple of ``bands``, capped at 62 — so the signature can never
+    silently outrun the features: bands past the feature count would
+    be CONSTANT zero and the self-join quadratic. Min (not first-row)
+    makes the dial safe under MIXED codec widths — a heterogeneous
+    corpus (8- and 48-feature media) bands everything inside the
+    narrowest codec's evidence instead of banding the narrow rows
+    against a constant-zero tail. A probed width smaller than
+    ``bands`` raises (constant-zero bands are exactly the trap the
+    dial exists to prevent); decode wider or lower ``bands``. The
+    scale dial is the DECODE side: ``decode_image(n_features=48)``
+    gives 12-bit bands; the default 8-feature codec gives 2-bit bands,
+    fine for smoke tests and the measured quadratic trap at corpus
+    scale (docs/SCALING.md).
 
     Reference parity: beyond-reference (renoir has no media dedup);
     the banding machinery cites dedup_simhash above.
@@ -1298,10 +1306,22 @@ def dedup_phash(
     if bits is None:
         probe = (
             stream.df.select(F.size(to_col(features_col)).alias("n"))
-            .filter(F.col("n") > 0).limit(1).collect()
+            .filter(F.col("n") > 0)
+            .agg(F.min("n").alias("n")).collect()
         )
-        n_feat = probe[0]["n"] if probe else bands
-        bits = max((min(int(n_feat), 62) // bands) * bands, bands)
+        n_feat = probe[0]["n"]
+        if n_feat is None:
+            bits = bands  # no decoded evidence anywhere: nothing bands
+        else:
+            n_feat = min(int(n_feat), 62)
+            if n_feat < bands:
+                raise ValueError(
+                    f"dedup_phash: narrowest codec emits {n_feat} "
+                    f"feature(s) < bands={bands}; constant-zero bands "
+                    "would make every row a candidate pair — decode "
+                    "more features or lower bands"
+                )
+            bits = (n_feat // bands) * bands
     assert bits % bands == 0, "bands must divide bits"
     assert bits <= 62, "signature must fit a signed 64-bit integer"
     band_width = bits // bands
@@ -1373,15 +1393,18 @@ def dedup_phash_against(
     NULL pin; NULL reference features contribute no signature.
 
     ``bits`` auto-dials to the corpus codec's feature count like
-    :func:`dedup_phash` (banding does not apply here — the reference
-    is broadcast, not joined)."""
+    :func:`dedup_phash` — the MINIMUM non-empty width, so mixed codec
+    widths hash inside the evidence every row actually has (banding
+    does not apply here — the reference is broadcast, not joined)."""
     rcol = ref_features_col or features_col
     if bits is None:
         probe = (
             stream.df.select(F.size(to_col(features_col)).alias("n"))
-            .filter(F.col("n") > 0).limit(1).collect()
+            .filter(F.col("n") > 0)
+            .agg(F.min("n").alias("n")).collect()
         )
-        bits = min(int(probe[0]["n"]), 62) if probe else 8
+        n_feat = probe[0]["n"]
+        bits = min(int(n_feat), 62) if n_feat is not None else 8
     refs = reference.df.select(
         phash_expr(to_col(rcol), bits).alias("__rph")
     ).where(F.col("__rph").isNotNull()).agg(

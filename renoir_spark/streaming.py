@@ -563,9 +563,22 @@ def dedup_phash_stream(
                 )
             ).alias("__b"),
         )
-        .select("__id", "__ts", "__ph",
-                F.col("__b.bidx").alias("bidx"),
-                F.col("__b.bval").alias("bval"))
+        .select(
+            "__id", "__ts",
+            # NULL signatures travel as an explicit flag + a 0
+            # placeholder: a nullable long column widens to float64 on
+            # the Arrow→pandas hop (exact only to 2^53), which would
+            # silently corrupt the low bits of every 54-62-bit
+            # signature sharing the state group's batch — false
+            # Hamming matches AND misses. Coalescing keeps the columns
+            # int64 end-to-end; flagged rows skip matching exactly as
+            # the NULL rows did.
+            F.col("__ph").isNull().alias("__ph_null"),
+            F.coalesce(F.col("__ph"), F.lit(0).cast("long")).alias("__ph"),
+            F.col("__b.bidx").alias("bidx"),
+            F.coalesce(F.col("__b.bval"), F.lit(0).cast("long"))
+            .alias("bval"),
+        )
         .withColumn(
             "__g", F.pmod(F.hash("bidx", "bval"), F.lit(state_groups))
         )
@@ -592,11 +605,11 @@ def dedup_phash_stream(
             if pdf is not None and len(pdf):
                 pdf = pdf.sort_values(["__ts", "__id"])
                 for rec in pdf.to_dict("records"):
-                    if pd.isna(rec["__ph"]):
-                        # no decoded evidence (NULL features — NaN after
-                        # pandas' nullable-long widening) — never a
-                        # duplicate, never drowns others (batch parity:
-                        # NULL band values join nothing)
+                    if rec["__ph_null"]:
+                        # no decoded evidence (NULL features, flagged
+                        # JVM-side) — never a duplicate, never drowns
+                        # others (batch parity: NULL band values join
+                        # nothing)
                         out.append(
                             (rec["__id"], rec["__ts"], int(rec["bidx"]),
                              False)

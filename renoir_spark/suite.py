@@ -4699,7 +4699,8 @@ def qa44_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fake codec (md5-derived features —
     multimodal._md5_floats), and ``dedup_phash`` drops images whose
     perceptual hash (bit j = feature_j ≥ mean) lands within Hamming
-    distance 1, keeping the smallest doc_id per near-dup set. The
+    distance 3 (the operator default — both sides run it), keeping
+    the smallest doc_id per near-dup set. The
     oracle recomputes the fake-codec features AND the whole banded
     Hamming pipeline in SQL. NULL text is coalesced to '' on both
     sides (a NULL blob has no bytes to decode)."""
