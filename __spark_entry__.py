@@ -116,24 +116,57 @@ from renoir_spark import suite
 #      keeps the incoming q84; the persisted media index round trip in)
 #    qa06_ann_index_roundtrip → qa48_video_phash_dedup (persisted-index
 #      family keeps qa08/qa28; the frame-vote video dedup in)
+#  Round-9 rotation (the r8 verdict's ask #1: the ENTIRE never-hashed
+#  set — all 15 suite queries that had never held a driver slot — in,
+#  closing never-hashed to ZERO; 15 continuously-or-recently-hashed
+#  shapes out, every outgoing family keeping ≥1 driver row and every
+#  rotated-out query staying bit-exact in tests/test_oracle.py):
+#    qa31_semantic_curation → qa49_contrastive_pairs (composed
+#      pipelines keep qa32; the round-8 newborn gets its row)
+#    qa39_hybrid_search → q77_tfidf_top_terms (retrieval keeps a row —
+#      the tf-idf relation qa39's BM25 leg builds on)
+#    qa37_corpus_overlap → q93_word_entropy (versioning keeps
+#      qa36/qa40/qa43; the text-quality entropy shape in)
+#    qa34_training_order → q76_pack_sequences (training order keeps
+#      the packing primitive INSIDE qa34's composition, now direct)
+#    qa45_bigram_bucketed → q72_repetition_stats (LM scoring keeps
+#      qa41; the repetition text-quality shape in)
+#    q63_nexmark_new_users → q58_json_props (NEXMark keeps
+#      q60/q61/q62 — 3 rows; the JSON scalar surface gets its first)
+#    q66_nexmark_avg_category → q59_promo_revenue (conditional-agg
+#      TPC-H Q14 shape gets its first row)
+#    q97_heavy_hitters → q54_kmv_distinct (sketch family keeps a row —
+#      the KMV distinct sketch itself)
+#    q67_nexmark_avg_seller → q70_pii_redact (regex/redaction prep in)
+#    q73_sample_fraction → qa03_sample_weighted_k_stratified (sampling
+#      keeps q92 + the per-stratum A-Res shape)
+#    q74_sample_stratified → qa15_token_shards (token-balanced shard
+#      planning gets its first row; stratified stays inside qa03)
+#    qa18_url_blocklist → qa14_domain_cap (URL family keeps a row —
+#      the per-domain cap)
+#    qa24_temperature_mix → q75_rebalance_mix (mixing keeps a row)
+#    q96_dedup_against_bloom → q79_contaminated_ngrams (decon keeps
+#      qa46 + the n-gram benchmark-overlap shape)
+#    q56_triangles → q53_transitive_closure (iteration keeps
+#      q55/q57/q89 + the iterate-to-fixpoint closure)
 DRIVER_SET = [
     "q01_pricing_summary",
     "q03_shipping_priority",
-    "qa31_semantic_curation",
-    "qa39_hybrid_search",
+    "qa49_contrastive_pairs",
+    "q77_tfidf_top_terms",
     "qa38_leakage_safe_split",
     "qa36_corpus_diff",
     "qa41_bigram_logprob",
     "qa32_semantic_ingest",
     "qa42_corpus_report",
-    "qa37_corpus_overlap",
+    "q93_word_entropy",
     "qa43_corpus_overlap_kmv",
     "qa27_diversity_sample",
     "qa19_token_budget",
     "qa28_ann_index_dedup",
     "qa44_dedup_phash",
-    "qa34_training_order",
-    "qa45_bigram_bucketed",
+    "q76_pack_sequences",
+    "q72_repetition_stats",
     "qa08_dedup_index_incremental",
     "q60_nexmark_currency",
     "qa17_ssjoin_exact",
@@ -142,31 +175,31 @@ DRIVER_SET = [
     "q42_keyed_rich_map",
     "qa47_phash_index_incremental",
     "q62_nexmark_highest_bid",
-    "q63_nexmark_new_users",
+    "q58_json_props",
     "qa46_phash_decontaminate",
     "qa01_ann_ivf_sq8",
     "q61_nexmark_hot_items",
-    "q66_nexmark_avg_category",
-    "q97_heavy_hitters",
+    "q59_promo_revenue",
+    "q54_kmv_distinct",
     "qa25_long_doc_windows",
     "qa10_nb_classifier",
-    "q67_nexmark_avg_seller",
-    "q73_sample_fraction",
-    "q74_sample_stratified",
+    "q70_pii_redact",
+    "qa03_sample_weighted_k_stratified",
+    "qa15_token_shards",
     "qa40_incremental_rebuild",
     "q92_sample_weighted",
     "q80_prep_pipeline",
-    "qa18_url_blocklist",
+    "qa14_domain_cap",
     "q84_duplicate_spans",
     "q85_chunk_dedup",
     "qa48_video_phash_dedup",
     "q86_asof_join",
-    "qa24_temperature_mix",
+    "q75_rebalance_mix",
     "q95_running_sum",
     "q89_sssp",
-    "q96_dedup_against_bloom",
+    "q79_contaminated_ngrams",
     "q55_rolling_top_words",
-    "q56_triangles",
+    "q53_transitive_closure",
 ]
 
 assert len(DRIVER_SET) == 50 and len(set(DRIVER_SET)) == 50

@@ -117,39 +117,41 @@ def test_driver_set_contract():
                 "token_budget",
                 "dedup_cluster_exact",
                 "long_doc_windows", "running_sum",
-                "dedup_against_bloom",
                 "diversity_sample",
                 "ann_index_dedup",
-                "url_blocklist",
-                "temperature_mix",
-                "semantic_curation", "semantic_ingest",
-                "training_order",
+                "semantic_ingest",
                 "ann_ivf_sq8",
                 "logistic_regression",
-                "heavy_hitters",
                 "corpus_diff", "corpus_overlap", "leakage_safe_split",
-                "hybrid_search", "incremental_rebuild",
-                # round-8 incoming tranche (r7 verdict ask #2): the two
-                # round-7 newborns, the three round-8 newborns, NEXMark
-                # beyond hot-items, the sampling family, span/chunk
-                # dedup, and the rolling-top-k / triangles workloads.
-                # Rotated-out shapes (qa26 qa33 qa12 qa07 q23 q82 qa35
-                # qa22 q99 q64 qa04 qa02 q83 qa30 qa09 q91 q98) stay
-                # bit-exact in tests/test_oracle.py; every family keeps
-                # a driver row (see __spark_entry__.py's rotation note)
+                "incremental_rebuild",
+                # round-8 tranche that stays (rotated-out shapes from
+                # every round remain bit-exact in tests/test_oracle.py;
+                # every family keeps a driver row — the full out→in
+                # ledger lives in __spark_entry__.py's rotation note)
                 "bigram_logprob", "corpus_report", "corpus_overlap_kmv",
-                "dedup_phash", "bigram_bucketed",
+                "dedup_phash",
                 "nexmark_currency", "nexmark_highest_bid",
-                "nexmark_new_users", "nexmark_avg_category",
-                "nexmark_avg_seller",
-                "sample_fraction", "sample_stratified", "sample_weighted",
+                "nexmark_hot_items",
+                "sample_weighted",
                 "duplicate_spans", "chunk_dedup",
-                "rolling_top_words", "triangles",
-                # round-8b: newborns hashed in their birth round (q51
-                # decode plumbing rides inside all four phash rows;
-                # q94/qa06 stay bit-exact in tests/test_oracle.py)
+                "rolling_top_words",
                 "phash_decontaminate", "phash_index_incremental",
-                "video_phash_dedup"):
+                "video_phash_dedup",
+                # round-9 incoming tranche (r8 verdict ask #1): the
+                # ENTIRE never-hashed set — never-hashed is now ZERO.
+                # OUT (family keeps): qa31 (composed: qa32) · qa39
+                # (retrieval: q77) · qa37 (versioning: qa36/qa40/qa43)
+                # · qa34 (order: q76/qa15) · qa45 (LM: qa41) ·
+                # q63/q66/q67 (NEXMark: q60/q61/q62) · q97 (sketch:
+                # q54) · q73/q74 (sampling: q92/qa03) · qa18 (URL:
+                # qa14) · qa24 (mixing: q75) · q96 (decon: q79/qa46) ·
+                # q56 (iteration: q53/q55/q57/q89)
+                "contrastive_pairs", "tfidf_top_terms", "word_entropy",
+                "pack_sequences", "repetition_stats", "json_props",
+                "promo_revenue", "kmv_distinct", "pii_redact",
+                "sample_weighted_k_stratified", "token_shards",
+                "domain_cap", "rebalance_mix", "contaminated_ngrams",
+                "transitive_closure"):
         assert fam in joined, fam
     # every suite query is still exposed (under d- or q-key), exactly once
     exposed = {k.split("_", 1)[1] if k.startswith("d") else k for k in qs}
