@@ -1259,6 +1259,7 @@ def dedup_phash(
     bits: Optional[int] = None,
     bands: int = 4,
     max_hamming: int = 3,
+    bucket_cap: Optional[int] = None,
 ):
     """Perceptual-hash near-duplicate dedup for DECODED media: bit j of
     the signature = (feature_j ≥ mean of the first ``bits`` features) —
@@ -1299,6 +1300,20 @@ def dedup_phash(
     gives 12-bit bands; the default 8-feature codec gives 2-bit bands,
     fine for smoke tests and the measured quadratic trap at corpus
     scale (docs/SCALING.md).
+
+    ``bucket_cap`` (default off) drops every band bucket holding more
+    than that many items BEFORE the self-join — the posting-list
+    df-cutoff :func:`similar_pairs_ngram` uses, found with a
+    map-side-combined count (skew-safe) and removed with a broadcast
+    anti-join (over-crowded buckets are by definition few). Contract:
+    a Hamming-≤``max_hamming`` pair is missed ONLY if every band the
+    two signatures share holds > ``bucket_cap`` items. On real
+    perceptual hashes near-dup pairs agree on near-unique band values
+    — an over-crowded bucket is a NON-discriminative band (the
+    constant-feature / uniform-noise regime, where the bucket's pairs
+    are ~all false candidates anyway), so the cap trades the
+    pathological quadratic term for a planted-recall-tested miss rule
+    (tests/test_round9.py; measured curve in docs/SCALING.md).
 
     Reference parity: beyond-reference (renoir has no media dedup);
     the banding machinery cites dedup_simhash above.
@@ -1349,6 +1364,17 @@ def dedup_phash(
         ).alias("__b"),
     ).select("__id", "__ph", F.col("__b.bidx").alias("bidx"),
              F.col("__b.bval").alias("bval"))
+
+    if bucket_cap is not None:
+        crowded = (
+            bands_df.groupBy("bidx", "bval")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > int(bucket_cap))
+            .select("bidx", "bval")
+        )
+        bands_df = bands_df.join(
+            F.broadcast(crowded), ["bidx", "bval"], "left_anti"
+        )
 
     a = bands_df.select("bidx", "bval", F.col("__id").alias("ida"),
                         F.col("__ph").alias("pha"))
@@ -2266,6 +2292,7 @@ def mine_contrastive_pairs(
     neg_per_anchor: int = 3,
     n_cells: Optional[int] = None,
     target_cell_size: int = 200,
+    cross_cell: int = 0,
 ):
     """Contrastive TRAINING PAIRS from the corpus's own geometry — the
     data an embedding-model trainer needs, mined with the SemDeDup
@@ -2287,7 +2314,23 @@ def mine_contrastive_pairs(
     plus one per-anchor window over the (already cell-bounded) pair
     relation. Never all-pairs. Beyond-reference (SimCLR/E5-style hard
     negative mining, public knowledge), mirrored bit-exactly by
-    :func:`sql_mine_contrastive_pairs`."""
+    :func:`sql_mine_contrastive_pairs`.
+
+    ``cross_cell=m`` (default off) additionally mines negatives across
+    CELL BOUNDARIES: each cell's ``m`` nearest other centroids (rounded
+    cosine desc, cell-index tiebreak — the nprobe adjacency rule) form
+    a broadcast (cell, adj) relation, and anchors meet the adjacent
+    cells' vectors through one more bounded equi-join — in-cell-only
+    mining structurally misses hard negatives that sit just ACROSS a
+    Voronoi boundary (the planted-geometry test in
+    tests/test_round9.py), which are often the hardest of all.
+    Candidate volume grows by the same factor ``m`` bounds (each anchor
+    sees ≤ m extra cells), never all-pairs; positives stay in-cell (a
+    boundary-straddling near-dup is the documented IVF recall trade,
+    same as :func:`dedup_embedding_ivf`). The adjacency itself is
+    numpy over the driver-resident centroid set — O(n_cells² · d),
+    the same class as one Lloyd refinement pass and 200× cheaper than
+    the N·n_cells assignment that already ran."""
     if n_cells is None:
         n = stream.df.count()
         n_cells = max(1, -(-n // target_cell_size))
@@ -2319,6 +2362,43 @@ def mine_contrastive_pairs(
         .withColumn("__cos", cos)
         .select("ida", "idb", "__cos")
     )
+    neg_pool = pairs
+    if cross_cell:
+        import numpy as np
+
+        U = np.array(units, dtype=np.float64)
+        # left-fold dot association (NOT matmul's pairwise sum) so the
+        # rounded adjacency ordering is bit-equal to the SQL mirror's
+        # list_reduce — the _ivf_dots_block contract
+        sims = np.round(_ivf_dots_block(U, U.T), 9)
+        n_u = len(units)
+        adj_rows = []
+        for i in range(n_u):
+            order = sorted(
+                (j for j in range(n_u) if j != i),
+                key=lambda j: (-sims[i, j], j),
+            )
+            adj_rows.extend((i, j) for j in order[: int(cross_cell)])
+        if adj_rows:
+            spark = stream.df.sparkSession
+            adj = spark.createDataFrame(adj_rows, "cell long, adj long")
+            xp = (
+                a.join(F.broadcast(adj), a["__cell"] == adj["cell"])
+                .join(
+                    b.withColumnRenamed("__cell", "__cellb"),
+                    F.col("__cellb") == adj["adj"],
+                )
+                .withColumn("__cos", cos)
+                .select(
+                    F.least("ida", "idb").alias("ida"),
+                    F.greatest("ida", "idb").alias("idb"),
+                    "__cos",
+                )
+                # both adjacency directions can produce the same pair;
+                # __cos is a function of the pair, so id-dedup suffices
+                .dropDuplicates(["ida", "idb"])
+            )
+            neg_pool = pairs.unionByName(xp)
     pos = pairs.filter(F.col("__cos") >= F.lit(float(pos_threshold))).select(
         F.col("ida").alias("anchor_id"), F.col("idb").alias("pair_id"),
         F.col("__cos").alias("cos"), F.lit("pos").alias("label"),
@@ -2327,7 +2407,7 @@ def mine_contrastive_pairs(
         F.col("__cos").desc(), F.col("idb")
     )
     neg = (
-        pairs.filter(F.col("__cos") <= F.lit(float(neg_max_cos)))
+        neg_pool.filter(F.col("__cos") <= F.lit(float(neg_max_cos)))
         .withColumn("__rk", F.row_number().over(negw))
         .filter(F.col("__rk") <= F.lit(int(neg_per_anchor)))
         .select(
@@ -2347,19 +2427,45 @@ def sql_mine_contrastive_pairs(
     neg_max_cos: float = 0.8,
     neg_per_anchor: int = 3,
     n_cells="16",
+    cross_cell: int = 0,
 ) -> str:
     """DuckDB mirror of :func:`mine_contrastive_pairs` — the
     sql_dedup_embedding_ivf cell/assignment CTEs, then the pos filter
     and the per-anchor negative window with the same (cos desc, id)
     determinism. ``n_cells`` may be an int or a SQL scalar-subquery
     dial (the qa35 pattern), so the oracle can follow the
-    target_cell_size auto-dial instead of pinning a cell count."""
+    target_cell_size auto-dial instead of pinning a cell count.
+    ``cross_cell`` mirrors the centroid-adjacency negative mining (the
+    same rounded-dot/cell-tiebreak adjacency rule, recomputed in SQL
+    over the cells CTE)."""
     nrm_seed = SQL_UNIT_DIV.format(nrm=SQL_NORM.format(a=vec_col))
     dot_cu = SQL_DOT.format(a="t.v", b="cells.u")
     cos = SQL_COS.format(
         dot=SQL_DOT.format(a="a.v", b="b.v"),
         na=SQL_NORM.format(a="a.v"), nb=SQL_NORM.format(a="b.v"),
     )
+    dot_ij = SQL_DOT.format(a="i.u", b="j.u")
+    xcte = ""
+    neg_src = "pairs"
+    if int(cross_cell) > 0:
+        xcte = f""", adjacent AS (
+  SELECT cell, adj FROM (
+    SELECT i.cell AS cell, j.cell AS adj,
+           row_number() OVER (
+             PARTITION BY i.cell ORDER BY -round({dot_ij}, 9), j.cell
+           ) AS rn
+    FROM cells i JOIN cells j ON i.cell <> j.cell
+  ) WHERE rn <= {int(cross_cell)}
+), xpairs AS (
+  SELECT DISTINCT least(a.id, b.id) AS ida,
+         greatest(a.id, b.id) AS idb, {cos} AS c
+  FROM c a
+  JOIN adjacent ON a.cell = adjacent.cell
+  JOIN c b ON b.cell = adjacent.adj
+), negpool AS (
+  SELECT * FROM pairs UNION ALL SELECT * FROM xpairs
+)"""
+        neg_src = "negpool"
     return f"""
 WITH cells AS (
   SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell,
@@ -2377,7 +2483,7 @@ WITH cells AS (
 ), pairs AS (
   SELECT a.id AS ida, b.id AS idb, {cos} AS c
   FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
-), pos AS (
+){xcte}, pos AS (
   SELECT ida AS anchor_id, idb AS pair_id, c AS cos, 'pos' AS label
   FROM pairs WHERE c >= {float(pos_threshold)}
 ), neg AS (
@@ -2385,7 +2491,7 @@ WITH cells AS (
   FROM (
     SELECT ida, idb, c,
            row_number() OVER (PARTITION BY ida ORDER BY c DESC, idb) AS rk
-    FROM pairs WHERE c <= {float(neg_max_cos)}
+    FROM {neg_src} WHERE c <= {float(neg_max_cos)}
   ) WHERE rk <= {int(neg_per_anchor)}
 )
 SELECT * FROM pos UNION ALL SELECT * FROM neg

@@ -361,6 +361,7 @@ def dedup_video_phash(
     bits: int = 48,
     bands: int = 4,
     max_hamming: int = 3,
+    bucket_cap: Optional[int] = None,
 ):
     """VIDEO near-duplicate dedup: sample ``num_frames`` frames per
     item (the codec registry's frame decoder — deterministic fake here,
@@ -378,7 +379,14 @@ def dedup_video_phash(
     machinery with the frame index fused into the bucket key, so only
     aligned frames ever meet — verified by ``bit_count(xor)``, then ONE
     (pair)-grouped count implements the vote. Never all-pairs; per-item
-    state is ``num_frames`` longs. Mirrored bit-exactly by
+    state is ``num_frames`` longs. ``bucket_cap`` drops every
+    (frame, band) bucket holding more than that many frames before the
+    self-join — :func:`~renoir_spark.datapipe.dedup_phash`'s df-cutoff
+    with the same miss contract PER FRAME (a frame match is missed
+    only if every shared band bucket is over-crowded), and the ≥
+    ``min_matching_frames`` vote sits above it, so a video pair
+    survives any ``num_frames − min_matching_frames`` missed frames on
+    top of that. Mirrored bit-exactly by
     :func:`sql_dedup_video_phash` (suite qa48)."""
     from .datapipe import phash_expr
 
@@ -411,6 +419,16 @@ def dedup_video_phash(
     ).select("__id", "__f", "__ph",
              F.col("__b.bidx").alias("bidx"),
              F.col("__b.bval").alias("bval"))
+    if bucket_cap is not None:
+        crowded = (
+            banded.groupBy("__f", "bidx", "bval")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > int(bucket_cap))
+            .select("__f", "bidx", "bval")
+        )
+        banded = banded.join(
+            F.broadcast(crowded), ["__f", "bidx", "bval"], "left_anti"
+        )
     a = banded.select("__f", "bidx", "bval",
                       F.col("__id").alias("ida"), F.col("__ph").alias("pha"))
     b = banded.select("__f", "bidx", "bval",

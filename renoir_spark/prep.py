@@ -3306,7 +3306,9 @@ FROM ranked WHERE rn = 1
 # --------------------------------------------------------------------- #
 
 def corpus_report(stream, id_col: str, text_col: str, *,
-                  exact_median: bool = True):
+                  exact_median: bool = True,
+                  features_col: Optional[str] = None,
+                  phash_bits: Optional[int] = None):
     """One-call dataset card: a ``(metric string, value double)`` frame
     with the numbers every corpus release ships — size (docs/tokens,
     mean and exact-median doc length), hygiene (exact-duplicate rate on
@@ -3329,7 +3331,17 @@ def corpus_report(stream, id_col: str, text_col: str, *,
     fixed-state ``percentile_approx`` GK sketch — the same dial as
     :func:`filter_by_score_quantile`'s ``exact=`` — for corpora whose
     length domain is unbounded; the DuckDB mirror covers the exact
-    default (sketch internals are engine-specific)."""
+    default (sketch internals are engine-specific).
+
+    ``features_col=`` extends the card to a MULTIMODAL corpus: two more
+    rows, ``media_decoded_rate`` (fraction of items with non-empty
+    decoded features) and ``phash_dup_rate`` (1 − distinct perceptual
+    signatures / decoded items — the Hamming-0 media analog of
+    ``exact_dup_rate``, same count-distinct-of-a-hash shape in the SAME
+    aggregate pass; banded near-dup rates stay
+    :func:`~renoir_spark.datapipe.dedup_phash`'s job — a self-join has
+    no place inside a two-scan report). ``phash_bits`` auto-dials to
+    the narrowest codec width like dedup_phash."""
     import functools as _ft
     import operator as _op
 
@@ -3339,27 +3351,47 @@ def corpus_report(stream, id_col: str, text_col: str, *,
     # schema — the gopher stage appends q_* columns, which would
     # collide if the caller's frame already carries them (e.g. a
     # curated output that kept q_tokens)
-    narrow = stream._new(
-        stream.df.select(to_col(id_col).alias(id_col),
-                         to_col(text_col).alias(text_col))
-    )
+    keep_cols = [to_col(id_col).alias(id_col),
+                 to_col(text_col).alias(text_col)]
+    if features_col is not None:
+        keep_cols.append(to_col(features_col).alias(features_col))
+    narrow = stream._new(stream.df.select(*keep_cols))
     g = quality_gopher(narrow, text_col).df
     pii_hit = _ft.reduce(
         _op.or_, [to_col(text_col).rlike(p) for p in PII_PATTERNS.values()]
     )
-    staged = g.select(
+    staged_cols = [
         F.col("q_tokens").alias("__n"),
         F.col("q_keep").cast("int").alias("__k"),
         F.sha2(norm_text(to_col(text_col)), 256).alias("__h"),
         pii_hit.cast("int").alias("__p"),
-    )
+    ]
+    if features_col is not None:
+        from .datapipe import phash_expr
+
+        if phash_bits is None:
+            probe = (
+                stream.df.select(F.size(to_col(features_col)).alias("n"))
+                .filter(F.col("n") > 0)
+                .agg(F.min("n").alias("n")).collect()
+            )
+            n_feat = probe[0]["n"]
+            phash_bits = min(int(n_feat), 62) if n_feat is not None else 8
+        has = (to_col(features_col).isNotNull()
+               & (F.size(to_col(features_col)) > 0))
+        staged_cols.append(has.cast("int").alias("__m"))
+        staged_cols.append(
+            F.when(has, phash_expr(to_col(features_col), phash_bits))
+            .alias("__ph")
+        )
+    staged = g.select(*staged_cols)
     p50 = (
         F.percentile("__n", F.lit(0.5))
         if exact_median
         # GK sketch: fixed state regardless of the length domain
         else F.percentile_approx("__n", F.lit(0.5)).cast("double")
     )
-    agg = staged.agg(
+    agg_cols = [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__n").alias("total_tokens"),
         F.round(F.avg("__n"), 6).alias("mean_doc_tokens"),
@@ -3370,17 +3402,29 @@ def corpus_report(stream, id_col: str, text_col: str, *,
         ).alias("exact_dup_rate"),
         F.round(F.avg("__k"), 6).alias("gopher_pass_rate"),
         F.round(F.avg("__p"), 6).alias("pii_doc_rate"),
-    )
+    ]
+    stack_rows = [
+        "'n_docs', cast(n_docs as double)",
+        "'total_tokens', cast(total_tokens as double)",
+        "'mean_doc_tokens', mean_doc_tokens",
+        "'p50_doc_tokens', cast(p50_doc_tokens as double)",
+        "'exact_dup_rate', exact_dup_rate",
+        "'gopher_pass_rate', gopher_pass_rate",
+        "'pii_doc_rate', pii_doc_rate",
+    ]
+    if features_col is not None:
+        agg_cols.append(
+            F.round(F.avg("__m"), 6).alias("media_decoded_rate"))
+        agg_cols.append(F.round(
+            F.lit(1) - F.countDistinct("__ph")
+            / F.nullif(F.count("__ph"), F.lit(0)), 6
+        ).alias("phash_dup_rate"))
+        stack_rows.append("'media_decoded_rate', media_decoded_rate")
+        stack_rows.append("'phash_dup_rate', phash_dup_rate")
+    agg = staged.agg(*agg_cols)
     scalars = agg.select(F.expr(
-        "stack(7,"
-        " 'n_docs', cast(n_docs as double),"
-        " 'total_tokens', cast(total_tokens as double),"
-        " 'mean_doc_tokens', mean_doc_tokens,"
-        " 'p50_doc_tokens', cast(p50_doc_tokens as double),"
-        " 'exact_dup_rate', exact_dup_rate,"
-        " 'gopher_pass_rate', gopher_pass_rate,"
-        " 'pii_doc_rate', pii_doc_rate"
-        ") as (metric, value)"
+        f"stack({len(stack_rows)}, " + ", ".join(stack_rows)
+        + ") as (metric, value)"
     ))
     from pyspark.sql.window import Window as _W
 
@@ -3397,7 +3441,13 @@ def corpus_report(stream, id_col: str, text_col: str, *,
     return stream._new(scalars.unionByName(langs))
 
 
-def sql_corpus_report(table_expr: str, id_col: str, text: str) -> str:
+def sql_corpus_report(table_expr: str, id_col: str, text: str, *,
+                      fs_exprs=None, phash_bits: int = 0) -> str:
+    """DuckDB mirror of :func:`corpus_report`. ``fs_exprs`` (a list of
+    SQL expressions recomputing the decoded feature array per row —
+    the ORACLE_QA44 fake-codec convention) plus ``phash_bits`` mirror
+    the ``features_col=`` extension: the same left-fold mean, the same
+    bit packing, the same count-distinct dup rate."""
     from .datapipe import sql_lang_id, sql_norm_text
 
     gopher = sql_quality_gopher(table_expr, text, f"{id_col}, {text}")
@@ -3406,6 +3456,37 @@ def sql_corpus_report(table_expr: str, id_col: str, text: str) -> str:
         for p in PII_PATTERNS.values()
     )
     lang = sql_lang_id(table_expr, text, id_col)
+    media_cte = ""
+    media_rows = ""
+    if fs_exprs is not None:
+        fs = ", ".join(f"({e})::FLOAT" for e in list(fs_exprs)[:phash_bits])
+        total = "0.0::DOUBLE"
+        for j in range(phash_bits):
+            total = f"({total} + fs[{j + 1}]::DOUBLE)"
+        bit_terms = " + ".join(
+            f"(CASE WHEN fs[{j + 1}]::DOUBLE >= mean THEN {1 << j}"
+            " ELSE 0 END)"
+            for j in range(phash_bits)
+        )
+        media_cte = f""", mstats AS (
+  SELECT round(avg(m), 6) AS media_decoded_rate,
+         round(1 - count(DISTINCT ph) / nullif(count(ph), 0), 6)
+           AS phash_dup_rate
+  FROM (
+    SELECT CASE WHEN len(fs) > 0 THEN 1 ELSE 0 END AS m,
+           CASE WHEN len(fs) > 0 THEN ({bit_terms})::BIGINT END AS ph
+    FROM (
+      SELECT fs, {total} / len(fs) AS mean
+      FROM (SELECT [{fs}] AS fs FROM {table_expr})
+    )
+  )
+)"""
+        media_rows = (
+            "\n  UNION ALL SELECT 'media_decoded_rate',"
+            " media_decoded_rate FROM mstats"
+            "\n  UNION ALL SELECT 'phash_dup_rate', phash_dup_rate"
+            " FROM mstats"
+        )
     return f"""
 WITH staged AS (
   SELECT q_tokens AS n, q_keep::INT AS k,
@@ -3426,7 +3507,7 @@ WITH staged AS (
   SELECT 'lang_share:' || pred_lang AS metric,
          round(count(*) / (SELECT count(*) FROM ({lang})), 6) AS value
   FROM ({lang}) GROUP BY pred_lang
-)
+){media_cte}
 SELECT metric, value FROM (
   SELECT 'n_docs' AS metric, n_docs::DOUBLE AS value FROM stats
   UNION ALL SELECT 'total_tokens', total_tokens::DOUBLE FROM stats
@@ -3435,6 +3516,6 @@ SELECT metric, value FROM (
   UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM stats
   UNION ALL SELECT 'gopher_pass_rate', gopher_pass_rate FROM stats
   UNION ALL SELECT 'pii_doc_rate', pii_doc_rate FROM stats
-  UNION ALL SELECT metric, value FROM lang_rows
+  UNION ALL SELECT metric, value FROM lang_rows{media_rows}
 )
 """

@@ -312,6 +312,22 @@ def _delay_us(delay: str) -> int:
     return total
 
 
+def _kmv_jaccard_ge(sa: set, sb: set, k: int, threshold: float) -> bool:
+    """Bottom-k (KMV) Jaccard test: with each side holding the k
+    smallest distinct hashes of ITS OWN set, the k smallest of the
+    union are exactly the k smallest of ``sa ∪ sb`` (any union-bottom-k
+    element is bottom-k of whichever side contains it), and the
+    fraction of them present in BOTH sides is the standard KMV Jaccard
+    estimate (Beyer et al.) — exact when |A ∪ B| ≤ k, ~1/√k error
+    otherwise. Two empty signatures never match (the exact path's
+    empty-union pin)."""
+    u = sorted(sa | sb)[:k]
+    if not u:
+        return False
+    inter = sum(1 for v in u if v in sa and v in sb)
+    return inter / len(u) >= threshold
+
+
 def dedup_minhash_stream(
     stream,
     text_col: str,
@@ -324,6 +340,7 @@ def dedup_minhash_stream(
     shingle_n: int = 3,
     threshold: float = 0.7,
     state_groups: int = 1024,
+    state_kmv: Optional[int] = None,
 ):
     """Streaming MinHash-LSH near-duplicate detection — the unbounded
     form of :func:`~renoir_spark.datapipe.dedup_minhash`'s greedy rule:
@@ -369,10 +386,25 @@ def dedup_minhash_stream(
     here (``bands`` copies) because verification needs them inside the
     state store — the batch operator's re-attach trick has no streaming
     analog. Verification work per row is |bucket| set intersections,
-    the same in-bucket cost as the batch equi-join. Reference parity:
-    renoir's keyed stateful map (src/operator/mod.rs:2740-2746) + the
-    watermark-frontier eviction contract
-    (src/operator/start/watermark_frontier.rs:7-60).
+    the same in-bucket cost as the batch equi-join.
+
+    ``state_kmv=k`` bounds the PER-DOC state: instead of the full
+    shingle set, state holds the doc's k smallest distinct shingle
+    hashes (a KMV signature, computed JVM-side so the Arrow transfer
+    shrinks too), and the verify becomes the bottom-k estimator
+    :func:`~renoir_spark.datapipe.corpus_overlap_kmv` uses — Jaccard ≈
+    |bottom_k(A∪B) ∩ A ∩ B| / |bottom_k(A∪B)| (Beyer et al., public
+    knowledge), EXACT whenever a doc has ≤ k distinct shingles (the
+    union's bottom-k is then the union) and within the standard
+    KMV error envelope (~1/√k) otherwise. At a 100 TB stream the
+    watermark horizon's DOC COUNT is what bounds state, and per-doc
+    bytes drop from the full shingle set (~20+ B/shingle, unbounded per
+    doc) to 8k bytes flat — the s05 shape's dominant state term
+    (docs/SCALING.md). Default off: exact shingle Jaccard.
+
+    Reference parity: renoir's keyed stateful map
+    (src/operator/mod.rs:2740-2746) + the watermark-frontier eviction
+    contract (src/operator/start/watermark_frontier.rs:7-60).
     """
     import pickle as _pickle
 
@@ -397,6 +429,25 @@ def dedup_minhash_stream(
         "__text",
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
     )
+    kmv_k = int(state_kmv) if state_kmv is not None else None
+    if kmv_k is not None:
+        if kmv_k < 1:
+            raise ValueError("state_kmv must be >= 1")
+        from .datapipe import md5_int31
+
+        # per-doc bottom-k shingle-hash signature, JVM-side: the state
+        # store AND the Arrow hop carry <= k ints per doc instead of
+        # the full shingle-string set (__sh stays the verify payload
+        # column either way — only its representation changes)
+        sig = sig.withColumn(
+            "__sh",
+            F.slice(
+                F.array_sort(F.array_distinct(
+                    F.transform(F.col("__sh"), lambda s: md5_int31(s))
+                )),
+                1, kmv_k,
+            ),
+        )
     buckets = (
         sig.select(
             "__id", "__ts", "__sh", F.explode("__bands").alias("__b")
@@ -438,7 +489,8 @@ def dedup_minhash_stream(
             if pdf is not None and len(pdf):
                 pdf = pdf.sort_values(["__ts", "__id"])
                 for rec in pdf.to_dict("records"):
-                    sh = set(rec["__sh"])
+                    sh = (set(map(int, rec["__sh"])) if kmv_k is not None
+                          else set(rec["__sh"]))
                     bk = (int(rec["bidx"]), int(rec["bhash"]))
                     entries = store.setdefault(bk, [])
                     ts_us = int(rec["__ts"].value // 1000)
@@ -452,12 +504,19 @@ def dedup_minhash_stream(
                     # so matching against it would drop BOTH copies'
                     # event-time winner. Degrades to keeping both
                     # (false negative), never to dropping the earlier.
-                    matched = any(
-                        (e[1], e[0]) < me
-                        and len(sh | e[2]) > 0
-                        and len(sh & e[2]) / len(sh | e[2]) >= threshold
-                        for e in entries
-                    )
+                    if kmv_k is not None:
+                        matched = any(
+                            (e[1], e[0]) < me
+                            and _kmv_jaccard_ge(sh, e[2], kmv_k, threshold)
+                            for e in entries
+                        )
+                    else:
+                        matched = any(
+                            (e[1], e[0]) < me
+                            and len(sh | e[2]) > 0
+                            and len(sh & e[2]) / len(sh | e[2]) >= threshold
+                            for e in entries
+                        )
                     out.append((rec["__id"], rec["__ts"], rec["bidx"], matched))
                     entries.append((rec["__id"], ts_us, sh))
         if store:

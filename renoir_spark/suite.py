@@ -4631,20 +4631,41 @@ ORACLE_QA41 = _oracle_qa41()
 def qa42_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-call dataset card over documents: size (docs / tokens /
     mean / exact-median length), hygiene (exact-dup rate on the
-    normalized content hash, Gopher pass rate, any-PII doc rate) and
-    the heuristic language mix, as (metric, value) rows — the numbers a
+    normalized content hash, Gopher pass rate, any-PII doc rate), the
+    heuristic language mix, AND — round 9, the media layer — the
+    decoded-evidence rate and the Hamming-0 perceptual-signature dup
+    rate (``features_col=``, the qa44 fake-codec decode feeding the
+    same one-aggregate pass), as (metric, value) rows — the numbers a
     corpus release ships, composed from the verified primitives and
     bit-exact against one mirrored SQL statement."""
     ctx = _ctx(spark)
-    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
-    return docs.corpus_report("doc_id", "text").df
+    docs = (
+        _t(ctx, sf_dir, "documents")
+        .map(
+            doc_id=F.col("doc_id"),
+            text=F.col("text"),
+            content=F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+        )
+        .shuffle()
+        .decode_image(n_features=48)
+    )
+    return docs.corpus_report(
+        "doc_id", "text", features_col="image_features"
+    ).df
 
 
 def _oracle_qa42() -> str:
     from .prep import sql_corpus_report
 
+    fs = [
+        "('0x' || substr(md5('img:' || "
+        f"{i} || ':' || md5(coalesce(text, ''))), 1, 8))::BIGINT"
+        " / 4294967296.0"
+        for i in range(48)
+    ]
     return sql_corpus_report(
-        "(SELECT doc_id, text FROM documents)", "doc_id", "text"
+        "(SELECT doc_id, text FROM documents)", "doc_id", "text",
+        fs_exprs=fs, phash_bits=48,
     )
 
 
@@ -4974,6 +4995,37 @@ def _oracle_qa49() -> str:
 ORACLE_QA49 = _oracle_qa49()
 
 
+def qa50_contrastive_cross_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qa49's contrastive mining with ``cross_cell=1`` — hard negatives
+    are additionally mined from each cell's nearest NEIGHBORING
+    centroid (rounded-cosine adjacency, one extra bounded equi-join):
+    in-cell-only mining structurally misses negatives that sit just
+    across a Voronoi boundary, often the hardest of all (planted
+    geometry pinned in tests/test_round9.py). Positives stay in-cell.
+    Same DEFAULT target_cell_size auto-dial as qa49; the oracle follows
+    both the dial and the adjacency rule in SQL."""
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings")
+    return emb.mine_contrastive_pairs(
+        pos_threshold=0.95, neg_max_cos=0.8, neg_per_anchor=2,
+        cross_cell=1,
+    ).df
+
+
+def _oracle_qa50() -> str:
+    from .datapipe import sql_mine_contrastive_pairs
+
+    dial = ("(SELECT GREATEST(1, CAST(CEIL(count(*) / 200.0) AS BIGINT))"
+            " FROM embeddings)")
+    return sql_mine_contrastive_pairs(
+        "embeddings", pos_threshold=0.95, neg_max_cos=0.8,
+        neg_per_anchor=2, n_cells=dial, cross_cell=1,
+    )
+
+
+ORACLE_QA50 = _oracle_qa50()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -5123,6 +5175,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa47_phash_index_incremental": qa47_phash_index_incremental,
     "qa48_video_phash_dedup": qa48_video_phash_dedup,
     "qa49_contrastive_pairs": qa49_contrastive_pairs,
+    "qa50_contrastive_cross_cell": qa50_contrastive_cross_cell,
 }
 
 ORACLE: Dict[str, str] = {
@@ -5276,4 +5329,5 @@ ORACLE: Dict[str, str] = {
     "qa47_phash_index_incremental": ORACLE_QA47,
     "qa48_video_phash_dedup": ORACLE_QA48,
     "qa49_contrastive_pairs": ORACLE_QA49,
+    "qa50_contrastive_cross_cell": ORACLE_QA50,
 }

@@ -145,3 +145,226 @@ def test_phash_against_auto_dial_uses_min_width(ctx):
         ref, "image_features", max_hamming=1
     )
     assert sorted(r.doc_id for r in kept.df.collect()) == [2, 3]
+
+
+# ------------------------------------------------------------------ #
+# bucket_cap: the df-cutoff for over-crowded band buckets (r8 verdict
+# ask #2 — the posting-cutoff trick similar_pairs_ngram uses)
+# ------------------------------------------------------------------ #
+
+def _feat48(hot):
+    # 48 features; bit j of the signature = (f_j >= mean). A few 0.9s
+    # in a sea of 0.1s keeps the mean between the two levels.
+    f = [0.1] * 48
+    for j in hot:
+        f[j] = 0.9
+    return f
+
+
+def test_phash_bucket_cap_keeps_planted_dups_drops_crowded_buckets(ctx):
+    # crowd: 12 rows sharing band 0 (bits 0-11 all zero) with disjoint
+    # hot triples upstairs — pairwise Hamming 6 > 3, so never dups. The
+    # planted pair (100, 101) is identical with hot bits spread over
+    # ALL FOUR bands, so each of its band values is unique in the
+    # corpus: every bucket it occupies has size 2 <= cap.
+    rows = [(i, _feat48([12 + 3 * i, 13 + 3 * i, 14 + 3 * i]))
+            for i in range(12)]
+    rows += [(100, _feat48([1, 13, 25, 37])), (101, _feat48([1, 13, 25, 37]))]
+    s = ctx.from_df(ctx.spark.createDataFrame(
+        rows, "doc_id long, image_features array<float>"
+    ))
+    capped = s.dedup_phash("image_features", "doc_id", bits=48, bucket_cap=4)
+    uncapped = s.dedup_phash("image_features", "doc_id", bits=48)
+    got = sorted(r.doc_id for r in capped.df.collect())
+    want = sorted(r.doc_id for r in uncapped.df.collect())
+    # identical output: the capped buckets held only non-dup pairs
+    assert got == want == list(range(12)) + [100]
+
+
+def test_phash_bucket_cap_miss_contract_boundary(ctx):
+    # cap=1 drops EVERY bucket of size >= 2 — no candidates survive, so
+    # even exact dups are kept: the documented miss rule at its limit
+    rows = [(1, _feat48([1, 13, 25, 37])), (2, _feat48([1, 13, 25, 37]))]
+    s = ctx.from_df(ctx.spark.createDataFrame(
+        rows, "doc_id long, image_features array<float>"
+    ))
+    kept = s.dedup_phash("image_features", "doc_id", bits=48, bucket_cap=1)
+    assert sorted(r.doc_id for r in kept.df.collect()) == [1, 2]
+
+
+def test_video_phash_bucket_cap(ctx):
+    # identical content -> identical frames -> every shared (frame,
+    # band) bucket has size 2 <= cap: the dup drops under cap=4; under
+    # cap=1 every size-2 bucket is gone and both survive
+    texts = [(i, f"distinct video number {i} " * 4) for i in range(30)]
+    texts += [(100, "the duplicated clip " * 8),
+              (101, "the duplicated clip " * 8)]
+    from pyspark.sql import functions as F
+    s = ctx.from_df(ctx.spark.createDataFrame(
+        texts, "doc_id long, text string"
+    )).map(doc_id=F.col("doc_id"),
+           content=F.encode(F.col("text"), "UTF-8"))
+    capped = s.dedup_video_phash("doc_id", "content", bucket_cap=4)
+    ids = {r.doc_id for r in capped.df.select("doc_id").collect()}
+    assert 100 in ids and 101 not in ids
+    off = s.dedup_video_phash("doc_id", "content", bucket_cap=1)
+    ids1 = {r.doc_id for r in off.df.select("doc_id").collect()}
+    assert {100, 101} <= ids1
+
+
+# ------------------------------------------------------------------ #
+# state_kmv: bounded per-doc streaming MinHash state (r8 verdict #4)
+# ------------------------------------------------------------------ #
+
+_KMV_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog in the park today"),
+    (1, "completely unrelated text about stars planets and galaxies far away"),
+    (2, "the quick brown fox jumps over the lazy dog in the park tonight"),
+    (3, "bananas apples oranges pears and grapes make a fine fruit salad"),
+    (4, "completely  unrelated text about stars planets and galaxies far away"),
+    (5, "bananas apples oranges pears and grapes make a fine fruit bowl"),
+]
+
+
+def _mh_kmv_survivors(ctx, pushes, *, state_kmv, threshold=0.5):
+    from renoir_spark.streaming import (
+        dedup_minhash_stream,
+        minhash_survivors,
+        run_to_completion,
+    )
+
+    ch = ctx.stream_channel("doc_id long, ts timestamp, text string")
+    for rows in pushes:
+        ch.push(rows)
+    s = ch.stream(max_files_per_trigger=1)
+    verdicts = dedup_minhash_stream(
+        s, "text", "doc_id", ts_col="ts", delay="1 hour",
+        num_hashes=12, bands=4, shingle_n=3, threshold=threshold,
+        state_kmv=state_kmv,
+    )
+    rows = run_to_completion(verdicts.df, output_mode="append")
+    bounded = ctx.from_df(ctx.spark.createDataFrame(rows, verdicts.df.schema))
+    out = minhash_survivors(bounded, "doc_id").collect_vec()
+    return {r.doc_id for r in out}
+
+
+def test_kmv_jaccard_ge_exact_when_union_fits():
+    from renoir_spark.streaming import _kmv_jaccard_ge
+
+    a, b = {1, 2, 3, 4}, {3, 4, 5, 6}
+    # |A∩B|/|A∪B| = 2/6; k=10 >= |A∪B| -> exact
+    assert _kmv_jaccard_ge(a, b, 10, 2 / 6)
+    assert not _kmv_jaccard_ge(a, b, 10, 2 / 6 + 1e-9)
+    # k=3: bottom-3 of the union = {1,2,3}; only 3 is shared -> 1/3
+    assert _kmv_jaccard_ge(a, b, 3, 1 / 3)
+    assert not _kmv_jaccard_ge(a, b, 3, 1 / 3 + 1e-9)
+    # empty signatures never match (the exact path's empty-union pin)
+    assert not _kmv_jaccard_ge(set(), set(), 5, 0.0)
+
+
+def test_streaming_minhash_state_kmv_parity_at_large_k(ctx):
+    # k >= every doc's distinct shingle count -> the estimator IS the
+    # exact Jaccard (over injective md5 hashes): survivors identical
+    # to the exact-state operator on the same pushes
+    t0 = _ts9(1000)
+    pushes = [
+        [(i, t0, txt) for i, txt in _KMV_DOCS[:3]],
+        [(i, t0, txt) for i, txt in _KMV_DOCS[3:]],
+    ]
+    kmv = _mh_kmv_survivors(ctx, pushes, state_kmv=10_000)
+    exact = _mh_kmv_survivors(ctx, pushes, state_kmv=None)
+    assert kmv == exact
+    # sanity: duplicates were actually dropped
+    assert kmv != {i for i, _ in _KMV_DOCS}
+
+
+def test_streaming_minhash_state_kmv_small_k_catches_exact_dups(ctx):
+    # identical content -> identical bottom-k signatures -> estimator
+    # 1.0 at ANY k; distinct docs stay apart; the dropped-doc-drowns
+    # greedy transitivity holds in kmv mode too
+    a = "one two three four five six seven eight nine ten eleven twelve"
+    b = "completely different words about other things entirely here now"
+    pushes = [
+        [(0, _ts9(1000), a)],
+        [(1, _ts9(1001), a)],   # dup of 0 -> dropped
+        [(2, _ts9(1002), b)],   # distinct -> kept
+        [(3, _ts9(1003), a)],   # dup of 1 (dropped) -> still drowned
+    ]
+    got = _mh_kmv_survivors(ctx, pushes, state_kmv=8)
+    assert got == {0, 2}
+
+
+def _ts9(s):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+# ------------------------------------------------------------------ #
+# mine_contrastive_pairs(cross_cell=): boundary negatives (r8 #6)
+# ------------------------------------------------------------------ #
+
+def test_contrastive_cross_cell_finds_planted_boundary_negative(ctx):
+    import math
+
+    # two Voronoi cells seeded by ids 0/1 (the order="id" rule); the
+    # anchor (id 2) sits at 40deg inside cell 0, the planted hard
+    # negative (id 3) at 78deg inside cell 1 — cos(38deg)=0.788 <= 0.8,
+    # the hardest negative in the corpus, and in-cell-only mining
+    # CANNOT see it (different cells)
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    rows = [(0, v(0)), (1, v(90)), (2, v(40)), (3, v(78))]
+    s = ctx.from_df(ctx.spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ))
+    def mined(cross):
+        out = s.mine_contrastive_pairs(
+            vec_col="embedding", id_col="vec_id",
+            pos_threshold=0.95, neg_max_cos=0.8, neg_per_anchor=3,
+            n_cells=2, cross_cell=cross,
+        ).df.collect()
+        return {(r.anchor_id, r.pair_id, r.label) for r in out}
+
+    incell = mined(0)
+    assert incell == {(0, 2, "neg"), (1, 3, "pos")}
+    crossed = mined(1)
+    # the planted boundary negative appears — and only negatives grew
+    assert (2, 3, "neg") in crossed
+    assert {x for x in crossed if x[2] == "pos"} == {(1, 3, "pos")}
+    assert incell < crossed
+
+
+# ------------------------------------------------------------------ #
+# corpus_report(features_col=): the media rows (r8 verdict #7)
+# ------------------------------------------------------------------ #
+
+def test_corpus_report_media_rows(ctx):
+    rows = [
+        (1, "some document text one", _HI_LO_8),
+        (2, "another document entirely", _HI_LO_8),   # same signature
+        (3, "third doc", _LO_HI_8),                   # distinct signature
+        (4, "no decoded evidence here", None),        # NULL features
+    ]
+    s = ctx.from_df(ctx.spark.createDataFrame(
+        rows, "doc_id long, text string, image_features array<float>"
+    ))
+    rep = dict(
+        (r.metric, r.value)
+        for r in s.corpus_report(
+            "doc_id", "text", features_col="image_features"
+        ).df.collect()
+    )
+    assert rep["media_decoded_rate"] == 0.75      # 3 of 4 decoded
+    assert rep["phash_dup_rate"] == 0.333333      # 2 distinct sigs of 3
+    assert rep["n_docs"] == 4.0
+    # without features_col the card is unchanged (no media rows)
+    base = dict(
+        (r.metric, r.value)
+        for r in s.corpus_report("doc_id", "text").df.collect()
+    )
+    assert "phash_dup_rate" not in base and "media_decoded_rate" not in base
+    assert {k: v for k, v in rep.items()
+            if k not in ("phash_dup_rate", "media_decoded_rate")} == base
