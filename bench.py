@@ -722,6 +722,24 @@ def _streaming_sessions(spark, sf_dir: str) -> tuple[int, float, dict]:
 # Shared streaming-leg registry: bench's per-round loop and
 # tools/scale_curve.py both dispatch from here, so a new leg can't be
 # added to one and silently missed by the other.
+def _streaming_highest_bid(spark, sf_dir: str) -> tuple[int, float, dict]:
+    """Streaming leg 8: NEXMark q7 (highest bid — per-window GLOBAL
+    argmax) over the events table as an unbounded source — the second
+    unbounded NEXMark entry. Where s01 measures chained stateful
+    aggregations (windowed count → per-window argmax), this measures
+    the single global-window two-phase ``max_by`` (partial per
+    partition, final in the window state) finalized by watermark
+    advancement in append mode. Streaming≡batch parity is pinned in
+    tests/test_nexmark.py::test_highest_bid_stream_equals_batch."""
+    from renoir_spark.nexmark import highest_bid
+
+    def build(ctx, spool):
+        s = ctx.from_df(_stream_source(spark, spool))
+        return highest_bid(s, size=86400.0, watermark="1 hour")
+
+    return _run_streaming_leg(spark, sf_dir, build)
+
+
 STREAMING_LEGS = {
     "s01_nexmark_hot_items_stream": _streaming_hot_items,
     "s02_stream_stream_join": _streaming_join,
@@ -730,6 +748,7 @@ STREAMING_LEGS = {
     "s05_minhash_dedup_stream": _streaming_minhash_dedup,
     "s06_embedding_dedup_stream": _streaming_embedding_dedup,
     "s07_phash_dedup_stream": _streaming_phash_dedup,
+    "s08_nexmark_highest_bid_stream": _streaming_highest_bid,
 }
 
 
