@@ -132,7 +132,7 @@ from renoir_spark import suite
 #    qa45_bigram_bucketed → q72_repetition_stats (LM scoring keeps
 #      qa41; the repetition text-quality shape in)
 #    q63_nexmark_new_users → q58_json_props (NEXMark keeps
-#      q60/q61/q62 — 3 rows; the JSON scalar surface gets its first)
+#      q61/q62 after 9b below; the JSON scalar surface gets its first)
 #    q66_nexmark_avg_category → q59_promo_revenue (conditional-agg
 #      TPC-H Q14 shape gets its first row)
 #    q97_heavy_hitters → q54_kmv_distinct (sketch family keeps a row —
@@ -149,6 +149,12 @@ from renoir_spark import suite
 #      qa46 + the n-gram benchmark-overlap shape)
 #    q56_triangles → q53_transitive_closure (iteration keeps
 #      q55/q57/q89 + the iterate-to-fixpoint closure)
+#  Round-9b (same round, after the cross-cell negative mining landed):
+#  the one operator-option query born AFTER the round-9 rotation window
+#  rotates straight in, per the birth-round convention:
+#    q60_nexmark_currency → qa50_contrastive_cross_cell (NEXMark keeps
+#      q61/q62 driver rows + the s01/s08 unbounded bench legs; the
+#      centroid-adjacency negative mining gains its birth-round row)
 DRIVER_SET = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -168,7 +174,7 @@ DRIVER_SET = [
     "q76_pack_sequences",
     "q72_repetition_stats",
     "qa08_dedup_index_incremental",
-    "q60_nexmark_currency",
+    "qa50_contrastive_cross_cell",
     "qa17_ssjoin_exact",
     "q57_logistic_regression",
     "qa21_dedup_cluster_exact",

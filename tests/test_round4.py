@@ -130,7 +130,7 @@ def test_driver_set_contract():
                 # ledger lives in __spark_entry__.py's rotation note)
                 "bigram_logprob", "corpus_report", "corpus_overlap_kmv",
                 "dedup_phash",
-                "nexmark_currency", "nexmark_highest_bid",
+                "nexmark_highest_bid",
                 "nexmark_hot_items",
                 "sample_weighted",
                 "duplicate_spans", "chunk_dedup",
@@ -142,11 +142,11 @@ def test_driver_set_contract():
                 # OUT (family keeps): qa31 (composed: qa32) · qa39
                 # (retrieval: q77) · qa37 (versioning: qa36/qa40/qa43)
                 # · qa34 (order: q76/qa15) · qa45 (LM: qa41) ·
-                # q63/q66/q67 (NEXMark: q60/q61/q62) · q97 (sketch:
+                # q63/q66/q67/q60-in-9b (NEXMark: q61/q62 + s01/s08) · q97 (sketch:
                 # q54) · q73/q74 (sampling: q92/qa03) · qa18 (URL:
                 # qa14) · qa24 (mixing: q75) · q96 (decon: q79/qa46) ·
                 # q56 (iteration: q53/q55/q57/q89)
-                "contrastive_pairs", "tfidf_top_terms", "word_entropy",
+                "contrastive_pairs", "contrastive_cross_cell", "tfidf_top_terms", "word_entropy",
                 "pack_sequences", "repetition_stats", "json_props",
                 "promo_revenue", "kmv_distinct", "pii_redact",
                 "sample_weighted_k_stratified", "token_shards",
