@@ -152,6 +152,12 @@ SWEEP = [
     # pair join and the per-anchor (cos desc, id) window must pick the
     # identical positives and hard negatives under any layout
     "qa49_contrastive_pairs",
+    # round-9: cross-cell mining adds the broadcast centroid-adjacency
+    # join — the adjacency is driver-built (layout-free by
+    # construction) but the pooled negative window now ranks rows from
+    # TWO joins, and the union's layout must not perturb the per-anchor
+    # (cos desc, id) pick
+    "qa50_contrastive_cross_cell",
 ]
 
 

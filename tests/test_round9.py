@@ -368,3 +368,33 @@ def test_corpus_report_media_rows(ctx):
     assert "phash_dup_rate" not in base and "media_decoded_rate" not in base
     assert {k: v for k, v in rep.items()
             if k not in ("phash_dup_rate", "media_decoded_rate")} == base
+
+
+def test_kmv_signature_composability_property():
+    # THE invariant that justifies storing only bottom-k per doc: the
+    # verdict computed from the two per-set bottom-k SIGNATURES equals
+    # the verdict computed from the FULL sets at the same k (any
+    # union-bottom-k element is bottom-k of whichever side holds it) —
+    # and at k >= |A ∪ B| it equals the exact Jaccard test.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from renoir_spark.streaming import _kmv_jaccard_ge
+
+    sets = st.sets(st.integers(min_value=0, max_value=60), max_size=25)
+
+    @settings(max_examples=200, deadline=None)
+    @given(a=sets, b=sets, k=st.integers(min_value=1, max_value=30),
+           thr=st.floats(min_value=0.0, max_value=1.0,
+                         allow_nan=False, allow_infinity=False))
+    def prop(a, b, k, thr):
+        sig_a = set(sorted(a)[:k])
+        sig_b = set(sorted(b)[:k])
+        assert (_kmv_jaccard_ge(sig_a, sig_b, k, thr)
+                == _kmv_jaccard_ge(a, b, k, thr))
+        if k >= len(a | b):
+            exact = (len(a | b) > 0
+                     and len(a & b) / len(a | b) >= thr)
+            assert _kmv_jaccard_ge(a, b, k, thr) == exact
+
+    prop()
