@@ -1318,9 +1318,21 @@ def dedup_phash(
     Reference parity: beyond-reference (renoir has no media dedup);
     the banding machinery cites dedup_simhash above.
     """
+    feats = stream.df.select(
+        F.col(id_col).alias("__id"), to_col(features_col).alias("__feat")
+    )
+    staged = None
     if bits is None:
+        # stage the (id, features) relation BEFORE probing: the input
+        # is typically a Python decode stage, and an unpersisted probe
+        # would re-run the whole decode just to read min(size) — a full
+        # extra codec pass at corpus scale. The cache is narrow
+        # (features only, ~0.2% of raw media bytes) and released as
+        # soon as the signature relation below materializes.
+        staged = feats.persist()
+        feats = staged
         probe = (
-            stream.df.select(F.size(to_col(features_col)).alias("n"))
+            feats.select(F.size("__feat").alias("n"))
             .filter(F.col("n") > 0)
             .agg(F.min("n").alias("n")).collect()
         )
@@ -1330,6 +1342,7 @@ def dedup_phash(
         else:
             n_feat = min(int(n_feat), 62)
             if n_feat < bands:
+                staged.unpersist()
                 raise ValueError(
                     f"dedup_phash: narrowest codec emits {n_feat} "
                     f"feature(s) < bands={bands}; constant-zero bands "
@@ -1341,9 +1354,9 @@ def dedup_phash(
     assert bits <= 62, "signature must fit a signed 64-bit integer"
     band_width = bits // bands
 
-    sig = stream.df.select(
-        F.col(id_col).alias("__id"),
-        phash_expr(to_col(features_col), bits).alias("__ph"),
+    sig = feats.select(
+        "__id",
+        phash_expr(F.col("__feat"), bits).alias("__ph"),
     ).persist()
 
     mask = (1 << band_width) - 1
@@ -1388,7 +1401,10 @@ def dedup_phash(
         .select(F.col("idb").alias(id_col))
         .distinct()
     )
-    return stream._new(stream.df.join(dup_ids, id_col, "left_anti"))._retain(sig)
+    out = stream._new(stream.df.join(dup_ids, id_col, "left_anti"))._retain(sig)
+    if staged is not None:
+        out._retain(staged)
+    return out
 
 
 def dedup_phash_against(
@@ -1421,7 +1437,14 @@ def dedup_phash_against(
     ``bits`` auto-dials to the corpus codec's feature count like
     :func:`dedup_phash` — the MINIMUM non-empty width, so mixed codec
     widths hash inside the evidence every row actually has (banding
-    does not apply here — the reference is broadcast, not joined)."""
+    does not apply here — the reference is broadcast, not joined).
+    The probe is one aggregate over the corpus features; when those
+    come from an expensive Python decode stage, pass ``bits``
+    explicitly (the caller set the decode width) and the operator
+    stays a single zero-shuffle pass — it deliberately does NOT cache
+    the corpus the way :func:`dedup_phash` stages its probe, because
+    decontamination's output is the full-width corpus relation and a
+    full-corpus cache is not a 100 TB shape."""
     rcol = ref_features_col or features_col
     if bits is None:
         probe = (
@@ -2363,7 +2386,9 @@ def mine_contrastive_pairs(
         .select("ida", "idb", "__cos")
     )
     neg_pool = pairs
-    if cross_cell:
+    # adjacency needs >= 2 cells (an empty corpus seeds zero; one cell
+    # has no neighbor) — numpy on an empty seed list would also break
+    if cross_cell and len(units) > 1:
         import numpy as np
 
         U = np.array(units, dtype=np.float64)

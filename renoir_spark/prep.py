@@ -3355,7 +3355,15 @@ def corpus_report(stream, id_col: str, text_col: str, *,
                  to_col(text_col).alias(text_col)]
     if features_col is not None:
         keep_cols.append(to_col(features_col).alias(features_col))
-    narrow = stream._new(stream.df.select(*keep_cols))
+    narrow_df = stream.df.select(*keep_cols)
+    if features_col is not None:
+        # the input is typically a Python decode stage; without a cache
+        # the report's two scans (the gopher-staged aggregate and the
+        # language pass) would each re-run the WHOLE codec, and a
+        # bits probe would add a third decode. One narrow cache
+        # (id, text, features) = decode once, released with the stream.
+        narrow_df = narrow_df.persist()
+    narrow = stream._new(narrow_df)
     g = quality_gopher(narrow, text_col).df
     pii_hit = _ft.reduce(
         _op.or_, [to_col(text_col).rlike(p) for p in PII_PATTERNS.values()]
@@ -3370,8 +3378,8 @@ def corpus_report(stream, id_col: str, text_col: str, *,
         from .datapipe import phash_expr
 
         if phash_bits is None:
-            probe = (
-                stream.df.select(F.size(to_col(features_col)).alias("n"))
+            probe = (  # reads the narrow cache — no extra decode pass
+                narrow_df.select(F.size(to_col(features_col)).alias("n"))
                 .filter(F.col("n") > 0)
                 .agg(F.min("n").alias("n")).collect()
             )
@@ -3438,7 +3446,10 @@ def corpus_report(stream, id_col: str, text_col: str, *,
             ).alias("value"),
         )
     )
-    return stream._new(scalars.unionByName(langs))
+    out = stream._new(scalars.unionByName(langs))
+    if features_col is not None:
+        out._retain(narrow_df)
+    return out
 
 
 def sql_corpus_report(table_expr: str, id_col: str, text: str, *,

@@ -4650,7 +4650,8 @@ def qa42_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .decode_image(n_features=48)
     )
     return docs.corpus_report(
-        "doc_id", "text", features_col="image_features"
+        "doc_id", "text", features_col="image_features",
+        phash_bits=48,  # the query controls the decode width — no probe
     ).df
 
 
