@@ -479,10 +479,15 @@ def _streaming_minhash_dedup(spark, sf_dir: str) -> tuple[int, float, dict]:
         )
         # state_groups sized to ~8x the leg's 8 state partitions (the
         # documented dial): measured 18 s per-bucket-key / 6.5 s at 1024
-        # groups / 4.4 s at 64 for the identical 20k-verdict drain
+        # groups / 4.4 s at 64 for the identical 20k-verdict drain.
+        # SPARK_GRAFT_S05_KMV=k measures the bounded-per-doc-state dial
+        # (round 9) on the same leg; default stays exact so the
+        # baseline is comparable round over round.
+        kmv = os.environ.get("SPARK_GRAFT_S05_KMV")
         return dedup_minhash_stream(
             ctx.from_df(src), "text", "doc_id", ts_col="ts",
             delay="600 seconds", threshold=0.7, state_groups=64,
+            state_kmv=int(kmv) if kmv else None,
         )
 
     return _run_streaming_leg(spark, sf_dir, build, spooler=_spool_documents)

@@ -57,7 +57,13 @@ def main(sf_dir: str) -> None:
     n0 = corpus.df.count()
 
     # 1. within-corpus near-dup dedup (48-bit signatures, 12-bit bands)
-    unique = corpus.dedup_phash("image_features", "doc_id")
+    # bucket_cap is the round-9 flood insurance: constant bands
+    # (letterbox black frames, codec defaults) form over-crowded,
+    # non-discriminative buckets — the df-cutoff drops them whole,
+    # with the documented miss rule (a pair is lost only if EVERY
+    # shared band bucket is over the cap)
+    unique = corpus.dedup_phash("image_features", "doc_id",
+                                bucket_cap=256)
     n1 = unique.df.count()
     print(f"corpus {n0} items → {n1} after perceptual-hash dedup")
 
@@ -90,6 +96,19 @@ def main(sf_dir: str) -> None:
         )
     idx.compact()
     print("index compacted:", idx.stats())
+
+    # 4. the release card, media rows included (round 9): decoded-
+    # evidence coverage and the Hamming-0 signature dup rate ride the
+    # same single aggregate pass as the text hygiene numbers
+    card = clean.map(
+        doc_id=F.col("doc_id"),
+        text=F.decode(F.col("content"), "UTF-8"),
+        image_features=F.col("image_features"),
+    ).corpus_report(
+        "doc_id", "text", features_col="image_features", phash_bits=48
+    )
+    for r in sorted(card.collect_vec(), key=lambda r: r.metric):
+        print(f"  card {r.metric} = {r.value}")
 
 
 if __name__ == "__main__":

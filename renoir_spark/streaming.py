@@ -550,6 +550,7 @@ def dedup_phash_stream(
     bands: int = 4,
     max_hamming: int = 3,
     state_groups: int = 1024,
+    bucket_cap: Optional[int] = None,
 ):
     """Streaming PERCEPTUAL-HASH near-duplicate detection for decoded
     media — the unbounded form of
@@ -582,7 +583,18 @@ def dedup_phash_stream(
     past the features are constant zero and every row becomes a
     candidate pair (the measured quadratic band trap, docs/SCALING.md);
     there is no auto-dial here because a streaming plan cannot probe a
-    first row."""
+    first row.
+
+    ``bucket_cap=n`` (default off) is the batch operator's df-cutoff
+    in streaming form: each band bucket's state keeps only its ``n``
+    MOST-RECENT entries by (event time, id) — a constant-band flood
+    (letterbox black frames, a codec-default band) otherwise grows one
+    bucket's state and per-row match cost without limit inside the
+    watermark horizon. Miss contract, mirrored from batch: an item's
+    duplicate verdict is lost only if in EVERY band the two share, the
+    earlier copy has been pushed out by ≥ ``n`` newer entries — and in
+    a flooded bucket the newest entries are near-certain matches for a
+    true duplicate anyway (planted test)."""
     import pickle as _pickle
 
     import pandas as pd
@@ -688,6 +700,13 @@ def dedup_phash_stream(
                         (rec["__id"], rec["__ts"], int(rec["bidx"]), matched)
                     )
                     entries.append((rec["__id"], ts_us, ph))
+                    if bucket_cap is not None and len(entries) > bucket_cap:
+                        # keep the bucket's most-recent `cap` entries
+                        # by (event time, id) — bounded state AND
+                        # bounded per-row match cost under a
+                        # constant-band flood (docstring miss contract)
+                        entries.sort(key=lambda e: (e[1], e[0]))
+                        del entries[: len(entries) - bucket_cap]
         if store:
             state.update((_pickle.dumps(store, _pickle.HIGHEST_PROTOCOL),))
             max_ts_ms = max(e[1] for es in store.values() for e in es) // 1000

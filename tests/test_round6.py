@@ -200,6 +200,8 @@ def test_streaming_leg_registry_complete():
         "s06_embedding_dedup_stream",
         # round-8: the perceptual-hash media leg
         "s07_phash_dedup_stream",
+        # round-9: the second unbounded NEXMark entry (highest bid)
+        "s08_nexmark_highest_bid_stream",
     }
     # scale_curve must dispatch from the registry, not a private copy
     src = open(os.path.join(os.path.dirname(os.path.dirname(

@@ -398,3 +398,47 @@ def test_kmv_signature_composability_property():
             assert _kmv_jaccard_ge(a, b, k, thr) == exact
 
     prop()
+
+
+# ------------------------------------------------------------------ #
+# dedup_phash_stream bucket_cap: bounded state under constant-band flood
+# ------------------------------------------------------------------ #
+
+def test_streaming_phash_bucket_cap_bounds_state_same_verdicts(ctx):
+    import datetime
+
+    from renoir_spark.streaming import dedup_phash_stream, run_to_completion
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def run(cap):
+        ch = ctx.stream_channel(
+            "id long, ts timestamp, features array<float>")
+        # a constant-signature flood: 300 identical items (the black-
+        # frame regime) in two micro-batches
+        rows = [(i, t0 + datetime.timedelta(seconds=i), _HI_LO_8)
+                for i in range(300)]
+        ch.push(rows[:150])
+        ch.push(rows[150:])
+        s = ch.stream(max_files_per_trigger=1)
+        telem = []
+        out = run_to_completion(
+            dedup_phash_stream(
+                s, "features", "id", ts_col="ts", delay="1 hour",
+                bits=8, bands=4, max_hamming=1, state_groups=1,
+                bucket_cap=cap,
+            ).df,
+            output_mode="append", telemetry=telem,
+        )
+        verdicts = {(r.id, r.bidx): r.matched for r in out}
+        peak = telem[0].get("state_bytes_peak", 0) if telem else 0
+        return verdicts, peak
+
+    v_cap, b_cap = run(8)
+    v_off, b_off = run(None)
+    # identical verdicts: in a flooded bucket the newest entries match
+    # a true duplicate just as well as the evicted ones did
+    assert v_cap == v_off
+    assert sum(1 for (i, b), m in v_cap.items() if b == 0 and m) == 299
+    # and the capped state is a fraction of the unbounded one
+    assert 0 < b_cap < b_off / 3
