@@ -404,6 +404,7 @@ def minhash_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    bucket_cap: Optional[int] = None,
 ):
     """Jaccard-verified MinHash-LSH near-duplicate PAIRS — the shared
     candidate machinery under :func:`dedup_minhash` (greedy keep) and
@@ -447,6 +448,23 @@ def minhash_pairs(
         "__id", F.explode("__bands").alias("__b")
     ).select("__id", F.col("__b.bidx").alias("bidx"), F.col("__b.bhash").alias("bhash"))
 
+    if bucket_cap is not None:
+        # the dedup_phash df-cutoff (full contract there): drop band
+        # buckets holding more than `cap` docs before the self-join.
+        # In fuzzy TEXT dedup an over-crowded bucket is a boilerplate
+        # flood — run dedup_exact first (byte-identical copies share
+        # EVERY bucket, so a cap would hide them from each other), then
+        # the cap bounds the near-identical residue's quadratic term.
+        crowded = (
+            buckets.groupBy("bidx", "bhash")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > int(bucket_cap))
+            .select("bidx", "bhash")
+        )
+        buckets = buckets.join(
+            F.broadcast(crowded), ["bidx", "bhash"], "left_anti"
+        )
+
     a = buckets.select(F.col("bidx"), F.col("bhash"), F.col("__id").alias("ida"))
     b = buckets.select(F.col("bidx"), F.col("bhash"), F.col("__id").alias("idb"))
     pair_ids = (
@@ -486,15 +504,17 @@ def dedup_minhash(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    bucket_cap: Optional[int] = None,
 ):
     """MinHash-LSH near-duplicate dedup — :func:`minhash_pairs` (banded,
-    bucket-join, never all-pairs; scale notes there) + greedy keep: drop
+    bucket-join, never all-pairs; scale notes there, incl. the
+    ``bucket_cap`` df-cutoff) + greedy keep: drop
     a doc iff some verified candidate with a SMALLER id has Jaccard ≥
     threshold (deterministic, clustering-free — for transitive
     cluster-level dedup see :func:`dedup_cluster_minhash`)."""
     pairs = minhash_pairs(
         stream, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, threshold=threshold,
+        shingle_n=shingle_n, threshold=threshold, bucket_cap=bucket_cap,
     )
     dup_ids = pairs.df.select(F.col("idb").alias(id_col)).distinct()
     out = stream.df.join(dup_ids, id_col, "left_anti")
@@ -511,6 +531,7 @@ def dedup_cluster_minhash(
     shingle_n: int = 3,
     threshold: float = 0.7,
     max_iter: int = 20,
+    bucket_cap: Optional[int] = None,
 ):
     """Cluster-level MinHash fuzzy dedup — the full production pipeline
     shape (MinHash → LSH bands → Jaccard-verified pairs → connected
@@ -536,7 +557,7 @@ def dedup_cluster_minhash(
     """
     pairs = minhash_pairs(
         stream, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, threshold=threshold,
+        shingle_n=shingle_n, threshold=threshold, bucket_cap=bucket_cap,
     )
     return _cluster_from_pairs(
         stream, pairs.df, id_col, max_iter=max_iter,
@@ -1094,6 +1115,7 @@ def dedup_simhash(
     bands: int = 4,
     max_hamming: int = 3,
     shingle_n: int = 3,
+    bucket_cap: Optional[int] = None,
 ):
     """SimHash near-duplicate dedup: each document gets a ``bits``-wide
     signature (bit j = sign of Σ_features ±1 by bit j of the feature
@@ -1166,6 +1188,18 @@ def dedup_simhash(
             )
         ).alias("__b"),
     ).select("__id", "__sim", F.col("__b.bidx").alias("bidx"), F.col("__b.bval").alias("bval"))
+
+    if bucket_cap is not None:
+        # the dedup_phash df-cutoff — full contract there
+        crowded = (
+            bands_df.groupBy("bidx", "bval")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > int(bucket_cap))
+            .select("bidx", "bval")
+        )
+        bands_df = bands_df.join(
+            F.broadcast(crowded), ["bidx", "bval"], "left_anti"
+        )
 
     a = bands_df.select("bidx", "bval", F.col("__id").alias("ida"), F.col("__sim").alias("sima"))
     b = bands_df.select("bidx", "bval", F.col("__id").alias("idb"), F.col("__sim").alias("simb"))
@@ -2156,6 +2190,7 @@ def dedup_embedding(
     threshold: float = 0.95,
     n_planes: int = 8,
     dim: int = 64,
+    bucket_cap: Optional[int] = None,
 ):
     """Embedding-cosine near-dup dedup: sign-LSH buckets → cosine within
     bucket → drop the larger id of any pair with cosine ≥ threshold.
@@ -2178,11 +2213,25 @@ def dedup_embedding(
         _norm2(F.col(vec_col)).alias("__nrm"),
         _bucket_expr(F.col(vec_col), planes).alias("__bkt"),
     ).persist()
-    a = sig.select(
+    if bucket_cap is not None:
+        # the dedup_phash df-cutoff — full contract there. A flooded
+        # sign-LSH bucket is a near-constant-direction cluster; the
+        # IVF variant (dedup_embedding_ivf) with the cell auto-dial is
+        # the better tool there, the cap is the bounded-cost insurance.
+        crowded = (
+            sig.groupBy("__bkt")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > int(bucket_cap))
+            .select("__bkt")
+        )
+        sig_b = sig.join(F.broadcast(crowded), ["__bkt"], "left_anti")
+    else:
+        sig_b = sig
+    a = sig_b.select(
         "__bkt", F.col("__id").alias("ida"),
         F.col("__v").alias("va"), F.col("__nrm").alias("na"),
     )
-    b = sig.select(
+    b = sig_b.select(
         "__bkt", F.col("__id").alias("idb"),
         F.col("__v").alias("vb"), F.col("__nrm").alias("nb"),
     )

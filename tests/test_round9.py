@@ -442,3 +442,51 @@ def test_streaming_phash_bucket_cap_bounds_state_same_verdicts(ctx):
     assert sum(1 for (i, b), m in v_cap.items() if b == 0 and m) == 299
     # and the capped state is a fraction of the unbounded one
     assert 0 < b_cap < b_off / 3
+
+
+# ------------------------------------------------------------------ #
+# bucket_cap across the banded-dedup family (minhash/simhash/embedding)
+# ------------------------------------------------------------------ #
+
+def test_bucket_cap_family_identity_and_boundary(ctx, sf_dir):
+    # a generous cap (no bucket exceeds it on this corpus) must leave
+    # every operator's output IDENTICAL to the uncapped form; cap=1
+    # drops every shared bucket and disables matching entirely
+    docs = ctx.stream_parquet(f"{sf_dir}/documents.parquet").map(
+        "doc_id", "text"
+    )
+    emb = ctx.stream_parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs = docs.df.count()
+    n_emb = emb.df.count()
+
+    def ids(s, col="doc_id"):
+        return sorted(r[col] for r in s.df.select(col).collect())
+
+    for op, kw in [
+        ("dedup_minhash", dict(args=("text", "doc_id"))),
+        ("dedup_simhash", dict(args=("text", "doc_id"))),
+    ]:
+        base = ids(getattr(docs, op)(*kw["args"]))
+        capped = ids(getattr(docs, op)(*kw["args"], bucket_cap=10_000))
+        assert capped == base, op
+        off = ids(getattr(docs, op)(*kw["args"], bucket_cap=1))
+        assert len(off) == n_docs, op
+        # sanity: the corpus actually contains near-dups to drop
+        assert len(base) < n_docs, op
+
+    # plant one exact duplicate vector (sf0.001 has no cosine-0.95
+    # near-dups of its own)
+    from pyspark.sql import functions as F
+    dup = emb.df.filter("vec_id = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    emb2 = ctx.from_df(emb.df.select("vec_id", "embedding").unionByName(dup))
+    base = ids(emb2.dedup_embedding(), "vec_id")
+    assert ids(emb2.dedup_embedding(bucket_cap=10_000), "vec_id") == base
+    assert len(ids(emb2.dedup_embedding(bucket_cap=1), "vec_id")) == n_emb + 1
+    assert len(base) == n_emb  # the planted copy dropped
+
+    # the cluster variant passes the cap through to the pair machinery
+    cl = docs.dedup_cluster_minhash("text", "doc_id")
+    cl_cap = docs.dedup_cluster_minhash("text", "doc_id", bucket_cap=10_000)
+    assert ids(cl) == ids(cl_cap)
