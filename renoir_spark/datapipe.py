@@ -2428,12 +2428,15 @@ def mine_contrastive_pairs(
     ).otherwise(
         F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     )
+    # persisted: the pos filter AND the negative pool both read the
+    # in-cell pair relation — unpersisted, the cell self-join (the
+    # operator's one real shuffle) would run twice per action
     pairs = (
         a.join(b, "__cell")
         .filter(F.col("ida") < F.col("idb"))
         .withColumn("__cos", cos)
         .select("ida", "idb", "__cos")
-    )
+    ).persist()
     neg_pool = pairs
     # adjacency needs >= 2 cells (an empty corpus seeds zero; one cell
     # has no neighbor) — numpy on an empty seed list would also break
@@ -2489,7 +2492,7 @@ def mine_contrastive_pairs(
             F.col("__cos").alias("cos"), F.lit("neg").alias("label"),
         )
     )
-    return stream._new(pos.unionByName(neg))._retain(sig)
+    return stream._new(pos.unionByName(neg))._retain(sig, pairs)
 
 
 def sql_mine_contrastive_pairs(
