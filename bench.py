@@ -579,11 +579,14 @@ def _spool_media(spark, sf_dir: str) -> str:
             F.timestamp_seconds(F.col("doc_id") + 3600).alias("ts"),
             F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("content"),
         )
-        # the re-download arrives 1000 s after its original — INSIDE
-        # the leg's 3000 s watermark horizon BY CONSTRUCTION, so the
-        # Hamming-0 match is guaranteed no matter how the spool files
-        # split across triggers (a +500000 s offset only matched while
-        # every dup rode the same trigger as the base data)
+        # the re-download arrives 1000 s after its original (ts below:
+        # +4600 vs the base's +3600) — INSIDE the leg's 3000 s
+        # watermark horizon BY CONSTRUCTION, so the Hamming-0 match is
+        # guaranteed no matter how the spool files split across
+        # triggers. (A PREVIOUS version offset the TIMESTAMP by
+        # +500000 s, which only matched while every dup rode the same
+        # trigger as its base row; the +500000 below offsets only the
+        # doc_id, to keep the duplicate's id distinct.)
         dups = docs.filter("doc_id % 4 = 0").select(
             (F.col("doc_id") + 500000).alias("doc_id"),
             F.timestamp_seconds(F.col("doc_id") + 4600).alias("ts"),

@@ -471,10 +471,19 @@ def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
     centroids are not re-derivable by the static SQL ``cells`` CTE, so
     suite-pinned builds keep ``refine=0``."""
     spark = stream.df.sparkSession
-    df = stream.df
-    dtypes = dict(df.dtypes)
+    df = stream.df.select(F.col(id_col), F.col(vec_col))
+    dtypes = dict(stream.df.dtypes)
+    staged = None
     if n_cells is None:
-        n_cells = auto_cells(df.count())
+        # decode-once (datapipe._staged_probe): the √N dial, the seed
+        # collect, the SQ8 stats pass and the codes write all read the
+        # same narrow (id, vec) relation; released before return —
+        # the build is eager, every consumer runs inside this call
+        from .datapipe import _staged_probe
+
+        staged, n = _staged_probe(df, lambda d: d.count())
+        df = staged
+        n_cells = auto_cells(n)
     units = _ivf_seed_units(df, vec_col, id_col, n_cells, order=seed_order)
     if refine:
         units = _lloyd_refine_units(
@@ -509,6 +518,8 @@ def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
         "id_col string, vec_col string, n_cells long, dim long, "
         "id_type string, vec_type string",
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    if staged is not None:
+        staged.unpersist()
     return AnnIndex(spark, path, meta, units)
 
 

@@ -148,6 +148,35 @@ def sql_word_shingles(expr: str, n: int = 3) -> str:
     )
 
 
+def _staged_probe(narrow, probe):
+    """Persist a NARROW relation, run a driver-side dial probe over it,
+    and return ``(staged, value)`` with the cache still held.
+
+    Every bits/width/√N auto-dial needs one bounded action (a count or
+    a min-width) over the operator's input BEFORE the plan is built —
+    and that input is often a Python decode stage (``decode_image`` /
+    ``mapInPandas``), where an unpersisted probe re-runs the WHOLE
+    codec just to read one scalar, and the operator body then runs it
+    all again (the "decode once" discipline, docs/SCALING.md qa42 row).
+    Staging the narrow relation first makes the probe AND the body
+    share one upstream pass. The cache is narrow by contract (the
+    caller selects only the columns the dial + body read) and must be
+    released by the caller — hand it to ``Stream._retain`` on success
+    (freed at stream teardown) — while THIS helper unpersists it if
+    the probe raises (executor failure or a dial validation error), so
+    no cache leaks on the error path. Shared by ``dedup_phash`` (width
+    dial), ``dedup_embedding_ivf`` / ``mine_contrastive_pairs``
+    (target_cell_size dial) and ``diversity_sample`` (√N dial).
+    """
+    staged = narrow.persist()
+    try:
+        value = probe(staged)
+    except BaseException:
+        staged.unpersist()
+        raise
+    return staged, value
+
+
 # --------------------------------------------------------------------- #
 # exact dedup
 # --------------------------------------------------------------------- #
@@ -1357,33 +1386,33 @@ def dedup_phash(
     )
     staged = None
     if bits is None:
-        # stage the (id, features) relation BEFORE probing: the input
-        # is typically a Python decode stage, and an unpersisted probe
-        # would re-run the whole decode just to read min(size) — a full
-        # extra codec pass at corpus scale. The cache is narrow
-        # (features only, ~0.2% of raw media bytes) and released as
-        # soon as the signature relation below materializes.
-        staged = feats.persist()
-        feats = staged
-        probe = (
-            feats.select(F.size("__feat").alias("n"))
-            .filter(F.col("n") > 0)
-            .agg(F.min("n").alias("n")).collect()
-        )
-        n_feat = probe[0]["n"]
-        if n_feat is None:
-            bits = bands  # no decoded evidence anywhere: nothing bands
-        else:
+        # stage the (id, features) relation BEFORE probing (the
+        # _staged_probe decode-once discipline): the cache is narrow
+        # (features only, ~0.2% of raw media bytes) and released at
+        # stream teardown via _retain below; _staged_probe releases it
+        # on any probe failure, width-check ValueError included.
+        def _width_dial(d):
+            row = (
+                d.select(F.size("__feat").alias("n"))
+                .filter(F.col("n") > 0)
+                .agg(F.min("n").alias("n")).collect()
+            )
+            n_feat = row[0]["n"]
+            if n_feat is None:
+                return None  # no decoded evidence anywhere
             n_feat = min(int(n_feat), 62)
             if n_feat < bands:
-                staged.unpersist()
                 raise ValueError(
                     f"dedup_phash: narrowest codec emits {n_feat} "
-                    f"feature(s) < bands={bands}; constant-zero bands "
-                    "would make every row a candidate pair — decode "
-                    "more features or lower bands"
+                    f"feature(s) < bands={bands}; constant-zero "
+                    "bands would make every row a candidate pair — "
+                    "decode more features or lower bands"
                 )
-            bits = (n_feat // bands) * bands
+            return n_feat
+
+        staged, n_feat = _staged_probe(feats, _width_dial)
+        feats = staged
+        bits = bands if n_feat is None else (n_feat // bands) * bands
     assert bits % bands == 0, "bands must divide bits"
     assert bits <= 62, "signature must fit a signed 64-bit integer"
     band_width = bits // bands
@@ -2109,12 +2138,19 @@ def diversity_sample(
     semantic width shrinking as the corpus grows. Pass an explicit int
     to pin (the qa27 oracle does, for determinism).
     """
-    df = stream.df
-    dtypes = dict(df.dtypes)
+    df = stream.df.select(F.col(id_col), F.col(vec_col))
+    dtypes = dict(stream.df.dtypes)
+    staged = None
     if n_cells is None:
-        n_cells = auto_cells(df.count())
+        # decode-once: the √N dial, the seed collect AND the
+        # assignment all read the same narrow relation (_staged_probe)
+        staged, n = _staged_probe(df, lambda d: d.count())
+        df = staged
+        n_cells = auto_cells(n)
     units = _ivf_seed_units(df, vec_col, id_col, n_cells)
     if not units:
+        if staged is not None:
+            staged.unpersist()
         return stream._new(
             df.sparkSession.createDataFrame(
                 [], f"{id_col} {dtypes[id_col]}, cell long"
@@ -2132,7 +2168,10 @@ def diversity_sample(
         .filter(F.col("__rn") <= F.lit(int(per_cell)))
         .select(F.col(id_col), F.col("__cell").alias("cell"))
     )
-    return stream._new(out)
+    res = stream._new(out)
+    if staged is not None:
+        res._retain(staged)
+    return res
 
 
 def sql_diversity_sample(
@@ -2313,13 +2352,18 @@ def dedup_embedding_ivf(
     DEFAULT ``n_cells=None`` derives it from ``target_cell_size``
     (one cheap count), so a default call stays linear at scale;
     oracle-mirroring callers pass an explicit n_cells."""
+    src = stream.df.select(F.col(id_col), F.col(vec_col))
+    staged = None
     if n_cells is None:
-        n = stream.df.count()
+        # decode-once: the count dial, the seed collect AND the
+        # assignment all read the same narrow relation (_staged_probe)
+        staged, n = _staged_probe(src, lambda d: d.count())
+        src = staged
         n_cells = max(1, -(-n // target_cell_size))
-    units = _ivf_seed_units(stream.df, vec_col, id_col, n_cells)
+    units = _ivf_seed_units(src, vec_col, id_col, n_cells)
     id_t = dict(stream.df.dtypes)[id_col]
     assigned = _ivf_assign(
-        stream.df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("cvec")),
+        src.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("cvec")),
         units, id_schema=f"__id {id_t}",
     )
     sig = assigned.select(
@@ -2349,9 +2393,12 @@ def dedup_embedding_ivf(
         .select(F.col("idb").alias(id_col))
         .distinct()
     )
-    return stream._new(
+    out = stream._new(
         stream.df.join(dup_ids, id_col, "left_anti")
     )._retain(sig)
+    if staged is not None:
+        out._retain(staged)
+    return out
 
 
 def mine_contrastive_pairs(
@@ -2403,14 +2450,19 @@ def mine_contrastive_pairs(
     numpy over the driver-resident centroid set — O(n_cells² · d),
     the same class as one Lloyd refinement pass and 200× cheaper than
     the N·n_cells assignment that already ran."""
+    src = stream.df.select(F.col(id_col), F.col(vec_col))
+    staged = None
     if n_cells is None:
-        n = stream.df.count()
+        # decode-once: the count dial, the seed collect AND the
+        # assignment all read the same narrow relation (_staged_probe)
+        staged, n = _staged_probe(src, lambda d: d.count())
+        src = staged
         n_cells = max(1, -(-n // target_cell_size))
-    units = _ivf_seed_units(stream.df, vec_col, id_col, n_cells)
+    units = _ivf_seed_units(src, vec_col, id_col, n_cells)
     id_t = dict(stream.df.dtypes)[id_col]
     assigned = _ivf_assign(
-        stream.df.select(F.col(id_col).alias("__id"),
-                         F.col(vec_col).alias("cvec")),
+        src.select(F.col(id_col).alias("__id"),
+                   F.col(vec_col).alias("cvec")),
         units, id_schema=f"__id {id_t}",
     )
     sig = assigned.select(
@@ -2492,7 +2544,10 @@ def mine_contrastive_pairs(
             F.col("__cos").alias("cos"), F.lit("neg").alias("label"),
         )
     )
-    return stream._new(pos.unionByName(neg))._retain(sig, pairs)
+    out = stream._new(pos.unionByName(neg))._retain(sig, pairs)
+    if staged is not None:
+        out._retain(staged)
+    return out
 
 
 def sql_mine_contrastive_pairs(

@@ -3458,8 +3458,21 @@ def sql_corpus_report(table_expr: str, id_col: str, text: str, *,
     SQL expressions recomputing the decoded feature array per row —
     the ORACLE_QA44 fake-codec convention) plus ``phash_bits`` mirror
     the ``features_col=`` extension: the same left-fold mean, the same
-    bit packing, the same count-distinct dup rate."""
+    bit packing, the same count-distinct dup rate. A row whose
+    ``fs_exprs`` all evaluate NULL counts as UNDECODED (m=0, ph NULL),
+    mirroring the Python side's ``isNotNull & size > 0`` guard — so a
+    fake codec may model decode failure by emitting all-NULL features.
+    Requires ``0 < phash_bits <= len(fs_exprs)``."""
     from .datapipe import sql_lang_id, sql_norm_text
+
+    if fs_exprs is not None:
+        if not 0 < phash_bits <= len(list(fs_exprs)):
+            raise ValueError(
+                f"sql_corpus_report: phash_bits={phash_bits} must be in "
+                f"(0, len(fs_exprs)={len(list(fs_exprs))}] — a larger "
+                "value would index past the fs list (silent NULL "
+                "propagation in DuckDB), zero would generate invalid SQL"
+            )
 
     gopher = sql_quality_gopher(table_expr, text, f"{id_col}, {text}")
     pii = " OR ".join(
@@ -3484,10 +3497,12 @@ def sql_corpus_report(table_expr: str, id_col: str, text: str, *,
          round(1 - count(DISTINCT ph) / nullif(count(ph), 0), 6)
            AS phash_dup_rate
   FROM (
-    SELECT CASE WHEN len(fs) > 0 THEN 1 ELSE 0 END AS m,
-           CASE WHEN len(fs) > 0 THEN ({bit_terms})::BIGINT END AS ph
+    SELECT dec AS m,
+           CASE WHEN dec = 1 THEN ({bit_terms})::BIGINT END AS ph
     FROM (
-      SELECT fs, {total} / len(fs) AS mean
+      SELECT fs, {total} / len(fs) AS mean,
+             CASE WHEN len(list_filter(fs, x -> x IS NOT NULL)) > 0
+                  THEN 1 ELSE 0 END AS dec
       FROM (SELECT [{fs}] AS fs FROM {table_expr})
     )
   )

@@ -394,9 +394,11 @@ def dedup_minhash_stream(
     shrinks too), and the verify becomes the bottom-k estimator
     :func:`~renoir_spark.datapipe.corpus_overlap_kmv` uses — Jaccard ≈
     |bottom_k(A∪B) ∩ A ∩ B| / |bottom_k(A∪B)| (Beyer et al., public
-    knowledge), EXACT whenever a doc has ≤ k distinct shingles (the
-    union's bottom-k is then the union) and within the standard
-    KMV error envelope (~1/√k) otherwise. At a 100 TB stream the
+    knowledge), EXACT whenever the two docs' combined distinct
+    shingles number ≤ k (the union's bottom-k is then the union
+    itself — two docs each under k can still unite to 2k, which is
+    estimated) and within the standard KMV error envelope (~1/√k)
+    otherwise. At a 100 TB stream the
     watermark horizon's DOC COUNT is what bounds state, and per-doc
     bytes drop from the full shingle set (~20+ B/shingle, unbounded per
     doc) to 8k bytes flat — the s05 shape's dominant state term
