@@ -120,12 +120,33 @@ class AnnIndex:
         # Explicit schema: no directory-listing inference (an index
         # built over an empty corpus has no data files), and the
         # partition column reads back long, not the discovered int.
-        codes, _ = prune_partitions(
+        codes, cells = prune_partitions(
             self.spark.read.schema(self._codes_schema())
             .parquet(f"{self.path}/codes"),
             "__cell",
             q.select("__cell"),
         )
+        # tombstoned ids must not occupy candidate/top-k slots (a
+        # post-top-k filter would silently under-return k) — anti-join
+        # the DELETED set out of the pruned scan. The tombstone read is
+        # pruned by the SAME probed cells: the literal cell list is
+        # reused when the codes prune collected one, else the same
+        # DPP semi-join shape.
+        tombs = self._tombstones_read()
+        if tombs is not None:
+            if cells is not None:
+                tombs = tombs.filter(F.col("__cell").isin(cells))
+            else:
+                tombs = tombs.join(
+                    F.broadcast(
+                        q.select("__cell").distinct()
+                        .filter(F.col("__cell") >= F.lit(-(1 << 63)))
+                    ),
+                    "__cell", "left_semi",
+                )
+            codes = codes.join(
+                tombs.select(id_col), id_col, "left_anti"
+            )
         grid = self.spark.read.schema(
             "__mins array<double>, __scales array<double>"
         ).parquet(f"{self.path}/grid")
@@ -185,6 +206,49 @@ class AnnIndex:
             id_type=self.meta["id_type"], n_cells=self.meta["n_cells"],
             mode="append", gen=1,
         )
+
+    # -------------------------------------------------------------- #
+    def _tombstones_read(self):
+        """Explicit-schema read of the tombstone relation (``None``
+        when no delete ever ran — indexes built before delete support
+        keep working)."""
+        from .dedup_index import _dir_exists
+
+        if not _dir_exists(self.spark, f"{self.path}/tombstones"):
+            return None
+        return self.spark.read.schema(
+            f"{self.meta['id_col']} {self.meta['id_type']}, __cell long"
+        ).parquet(f"{self.path}/tombstones")
+
+    def delete_batch(self, ids) -> None:
+        """TAKEDOWN support — remove vectors from the served index by
+        id (copyright/PII removal is an ingest-loop fact of life;
+        ``corpus_diff`` already computes removed ids). Deletion is a
+        TOMBSTONE, not a rewrite: one maintenance scan of the codes
+        recovers each deleted id's cell, and the (id, cell) rows land
+        hive-partitioned by cell — so every probe prunes the tombstone
+        read with the SAME probed-cell filter as the codes scan and
+        anti-joins it out (:meth:`query`). The physical rows disappear
+        at :meth:`compact` / :meth:`rebuild`, which fold tombstones in
+        and clear them; ``stats()["tombstones"]`` is the compaction
+        signal. Idempotent: re-deleting an id adds a duplicate
+        tombstone row (harmless for an anti-join, folded at compact).
+        ``ids`` — a Stream or DataFrame carrying the index's id
+        column; extra columns are ignored."""
+        df = ids.df if hasattr(ids, "df") else ids
+        id_col = self.meta["id_col"]
+        keys = df.select(F.col(id_col)).distinct()
+        codes = self.spark.read.schema(self._codes_schema()).parquet(
+            f"{self.path}/codes"
+        )
+        rows = codes.join(keys, id_col, "left_semi").select(
+            id_col, "__cell"
+        )
+        # takedown batches are small: one task, ≈one file per touched
+        # cell directory (the append file-discipline)
+        rows.repartition(1).write.mode("append").partitionBy(
+            "__cell"
+        ).parquet(f"{self.path}/tombstones")
 
     # -------------------------------------------------------------- #
     def match_batch(self, batch, *, threshold: float = 0.9,
@@ -247,9 +311,12 @@ class AnnIndex:
             f"{self.path}/codes"
         )
         n = codes.count()
+        tombs = self._tombstones_read()
         out = {
             "mode": "ivf_sq8",
-            "vectors": n,
+            "vectors": n,  # stored rows, tombstoned included — the
+            #               delta vs live rows is the compaction signal
+            "tombstones": 0 if tombs is None else tombs.count(),
             "cells": self.meta["n_cells"],
             "files": _count_files(self.spark, self.path, ("codes",)),
             "drift": {"build": None, "appended": None,
@@ -351,19 +418,36 @@ class AnnIndex:
         from .context import StreamContext
         from .util import free_local_checkpoint
 
+        from .dedup_index import _overwrite_empty
+
         id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
-        rows = (
+        live = (
             self.spark.read.schema(self._codes_schema())
             .parquet(f"{self.path}/codes")
             .select(id_col, vec_col)
-            .localCheckpoint(eager=True)
         )
+        # tombstones fold in: a rebuild re-derives everything from the
+        # LIVE rows only, and the cleared tombstone relation resets the
+        # per-probe anti-join cost (same contract as compact)
+        tombs = self._tombstones_read()
+        if tombs is not None:
+            live = live.join(
+                tombs.select(id_col).distinct(), id_col, "left_anti"
+            )
+        rows = live.localCheckpoint(eager=True)
         try:
-            return ann_index_build(
+            out = ann_index_build(
                 StreamContext(self.spark).from_df(rows), self.path,
                 vec_col=vec_col, id_col=id_col, n_cells=n_cells,
                 dim=self.meta["dim"], seed_order="hash", refine=refine,
             )
+            if tombs is not None:
+                _overwrite_empty(
+                    self.spark, f"{self.path}/tombstones",
+                    f"{id_col} {self.meta['id_type']}, __cell long",
+                    "__cell",
+                )
+            return out
         finally:
             free_local_checkpoint(rows)
 
@@ -373,13 +457,30 @@ class AnnIndex:
         nightly ingest loop accumulates files that tax each probe's
         listing/open path — periodic compaction restores the
         fresh-build layout without re-encoding anything (codes are
-        rewritten as stored; centroids/grid untouched)."""
-        from .dedup_index import _rewrite_clustered
+        rewritten as stored; centroids/grid untouched). TOMBSTONES are
+        folded in: deleted rows are dropped from the rewrite and the
+        tombstone relation is cleared, so the per-probe anti-join cost
+        resets to zero."""
+        from .dedup_index import (
+            _overwrite_empty,
+            _rewrite_clustered,
+        )
 
+        id_col = self.meta["id_col"]
+        tombs = self._tombstones_read()
         _rewrite_clustered(
             self.spark, f"{self.path}/codes", self._codes_schema(),
             "__cell", max(self.meta["n_cells"], 1),
+            minus=None if tombs is None
+            else tombs.select(id_col).distinct(),
+            minus_col=id_col,
         )
+        if tombs is not None:
+            _overwrite_empty(
+                self.spark, f"{self.path}/tombstones",
+                f"{id_col} {self.meta['id_type']}, __cell long",
+                "__cell",
+            )
 
     def _codes_schema(self) -> str:
         return (

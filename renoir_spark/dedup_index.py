@@ -162,9 +162,29 @@ class DedupIndex:
             # twice (the sig-persist rationale, one stage later)
             .persist()
         )
+        # takedowns: deleted corpus ids must stop matching IMMEDIATELY
+        # (before compaction folds them out) — anti-join the tombstone
+        # relation out of the candidate set. The tombstone read is
+        # pruned by the same candidate id-hash rule the shingle prune
+        # uses (the cand persist pays for both bounded collects).
+        tombs = _tombstones_read(self.spark, self.path,
+                                 self.meta["id_type"])
+        live = cand
+        if tombs is not None:
+            t_scan, _ = prune_partitions(
+                tombs, "__tk",
+                cand.select(
+                    (md5_int31(F.col("__cid").cast("string"))
+                     % F.lit(self.meta["bucket_dirs"])).alias("__tk")
+                ),
+            )
+            live = cand.join(
+                t_scan.select(F.col("id").alias("__cid")),
+                "__cid", "left_anti",
+            )
         shingle_scan, sks = prune_partitions(
             self._shingles_read(), "__sk",
-            cand.select(
+            live.select(
                 (md5_int31(F.col("__cid").cast("string"))
                  % F.lit(self.meta["bucket_dirs"])).alias("__sk")
             ),
@@ -187,7 +207,7 @@ class DedupIndex:
             F.size(F.array_intersect("sha", "shb")) / union_sz
         )
         pairs = (
-            cand.join(
+            live.join(
                 sig.select(F.col("__id").alias("__bid"),
                            F.col("__sh").alias("sha")),
                 "__bid",
@@ -248,21 +268,38 @@ class DedupIndex:
         ).parquet(f"{self.path}/shingles")
         sig.unpersist()
 
+    def delete_batch(self, ids) -> None:
+        """TAKEDOWN support — remove indexed docs by id (the ingest-
+        loop fact of life ``corpus_diff`` already computes removed ids
+        for). A TOMBSTONE append, not a rewrite: probes anti-join the
+        (id, __tk) relation out of their candidate set immediately
+        (:meth:`match_batch`), and :meth:`compact` folds tombstones
+        into the physical postings/shingles and clears them.
+        ``stats()["tombstones"]`` is the compaction signal. Idempotent;
+        ``ids`` is a Stream or DataFrame carrying the id column."""
+        df = ids.df if hasattr(ids, "df") else ids
+        _write_tombstones(self.spark, self.path, df,
+                          self.meta["id_col"], self.meta["bucket_dirs"])
+
     def stats(self) -> dict:
         """Diagnostic scan of the index: indexed doc count, posting
-        rows, and data-file count (the compaction signal). Full scans
-        of the (postings-sized, not corpus-sized) relations — an
-        explicit maintenance call, not a query-path cost."""
+        rows, pending tombstones, and data-file count (the compaction
+        signals). Full scans of the (postings-sized, not corpus-sized)
+        relations — an explicit maintenance call, not a query-path
+        cost."""
         sh = self.spark.read.schema(
             f"id {self.meta['id_type']}, sh array<string>, __sk long"
         ).parquet(f"{self.path}/shingles")
         bk = self.spark.read.schema(
             f"bidx int, bhash long, id {self.meta['id_type']}, __bk long"
         ).parquet(f"{self.path}/buckets")
+        tombs = _tombstones_read(self.spark, self.path,
+                                 self.meta["id_type"])
         return {
             "mode": "minhash",
             "docs": sh.count(),
             "postings": bk.count(),
+            "tombstones": 0 if tombs is None else tombs.count(),
             "files": _count_files(self.spark, self.path,
                                   ("buckets", "shingles")),
         }
@@ -276,18 +313,28 @@ class DedupIndex:
         rewritten through an in-memory pin (read fully, then
         overwritten; the relations are postings/shingles, far smaller
         than the corpus — at sizes where the pin is unwelcome, stage
-        via a temp path instead)."""
+        via a temp path instead). TOMBSTONES are folded in: deleted
+        docs drop out of both relations and the tombstone relation is
+        cleared, resetting the per-probe anti-join cost."""
         nd = self.meta["bucket_dirs"]
+        tombs = _tombstones_read(self.spark, self.path,
+                                 self.meta["id_type"])
+        minus = None if tombs is None else tombs.select("id").distinct()
         _rewrite_clustered(
             self.spark, f"{self.path}/buckets",
             f"bidx int, bhash long, id {self.meta['id_type']}, __bk long",
-            "__bk", nd,
+            "__bk", nd, minus=minus,
         )
         _rewrite_clustered(
             self.spark, f"{self.path}/shingles",
             f"id {self.meta['id_type']}, sh array<string>, __sk long",
-            "__sk", nd,
+            "__sk", nd, minus=minus,
         )
+        if tombs is not None:
+            _overwrite_empty(
+                self.spark, f"{self.path}/tombstones",
+                f"id {self.meta['id_type']}, __tk long", "__tk",
+            )
 
 
 class ExactDedupIndex:
@@ -335,6 +382,17 @@ class ExactDedupIndex:
                 f"corpus_id {self.meta['id_type']}, jac double",
             )
             return batch._new(empty)._retain(bk)
+        # takedowns: tombstoned ids stop matching immediately — the
+        # key scan is already partition-pruned to the batch's key
+        # buckets; the tombstone relation is takedown-sized (bounded
+        # by the compaction cadence that folds and clears it), so a
+        # plain anti-join is the whole cost
+        tombs = _tombstones_read(self.spark, self.path,
+                                 self.meta["id_type"])
+        if tombs is not None:
+            key_scan = key_scan.join(
+                tombs.select("id"), "id", "left_anti"
+            )
         pairs = (
             bk.join(
                 key_scan.select(
@@ -375,26 +433,45 @@ class ExactDedupIndex:
             f"{self.path}/keys"
         )
 
+    def delete_batch(self, ids) -> None:
+        """Tombstone delete by id — see :meth:`DedupIndex.delete_batch`
+        (same relation layout, same fold-at-compact contract)."""
+        df = ids.df if hasattr(ids, "df") else ids
+        _write_tombstones(self.spark, self.path, df,
+                          self.meta["id_col"], self.meta["bucket_dirs"])
+
     def stats(self) -> dict:
         """Diagnostic scan — see :meth:`DedupIndex.stats`."""
         n = self.spark.read.schema(
             f"id {self.meta['id_type']}, key string, __bk long"
         ).parquet(f"{self.path}/keys").count()
+        tombs = _tombstones_read(self.spark, self.path,
+                                 self.meta["id_type"])
         return {
             "mode": "exact",
             "docs": n,
             "postings": n,
+            "tombstones": 0 if tombs is None else tombs.count(),
             "files": _count_files(self.spark, self.path, ("keys",)),
         }
 
     def compact(self) -> None:
         """Rewrite the key relation clustered (≈ one file per
-        directory) — see :meth:`DedupIndex.compact`."""
+        directory), folding tombstones in and clearing them — see
+        :meth:`DedupIndex.compact`."""
+        tombs = _tombstones_read(self.spark, self.path,
+                                 self.meta["id_type"])
         _rewrite_clustered(
             self.spark, f"{self.path}/keys",
             f"id {self.meta['id_type']}, key string, __bk long",
             "__bk", self.meta["bucket_dirs"],
+            minus=None if tombs is None else tombs.select("id").distinct(),
         )
+        if tombs is not None:
+            _overwrite_empty(
+                self.spark, f"{self.path}/tombstones",
+                f"id {self.meta['id_type']}, __tk long", "__tk",
+            )
 
 
 class PhashIndex:
@@ -492,6 +569,14 @@ class PhashIndex:
                 f"corpus_id {self.meta['id_type']}, hamming int",
             )
             return batch._new(empty)._retain(sig)
+        # takedowns: tombstoned items stop matching immediately — the
+        # posting scan is already pruned to the batch's band buckets;
+        # the tombstone relation is takedown-sized (bounded by the
+        # compaction cadence), so a plain anti-join is the whole cost
+        tombs = _tombstones_read(self.spark, self.path,
+                                 self.meta["id_type"])
+        if tombs is not None:
+            scan = scan.join(tombs.select("id"), "id", "left_anti")
         pairs = (
             bb.join(scan.select("bidx", "bval", "id", "ph"),
                     ["bidx", "bval"])
@@ -532,22 +617,40 @@ class PhashIndex:
             "__bk"
         ).parquet(f"{self.path}/postings")
 
+    def delete_batch(self, ids) -> None:
+        """Tombstone delete by id — see :meth:`DedupIndex.delete_batch`
+        (same relation layout, same fold-at-compact contract)."""
+        df = ids.df if hasattr(ids, "df") else ids
+        _write_tombstones(self.spark, self.path, df,
+                          self.meta["id_col"], self.meta["bucket_dirs"])
+
     def stats(self) -> dict:
         pk = self._postings_read()
+        tombs = _tombstones_read(self.spark, self.path,
+                                 self.meta["id_type"])
         return {
             "mode": "phash",
             "items": pk.select("id").distinct().count(),
             "postings": pk.count(),
+            "tombstones": 0 if tombs is None else tombs.count(),
             "files": _count_files(self.spark, self.path, ("postings",)),
         }
 
     def compact(self) -> None:
+        tombs = _tombstones_read(self.spark, self.path,
+                                 self.meta["id_type"])
         _rewrite_clustered(
             self.spark, f"{self.path}/postings",
             f"bidx int, bval long, id {self.meta['id_type']}, ph long, "
             "__bk long",
             "__bk", self.meta["bucket_dirs"],
+            minus=None if tombs is None else tombs.select("id").distinct(),
         )
+        if tombs is not None:
+            _overwrite_empty(
+                self.spark, f"{self.path}/tombstones",
+                f"id {self.meta['id_type']}, __tk long", "__tk",
+            )
 
 
 def phash_index_build(stream, path: str, *,
@@ -684,17 +787,60 @@ def _count_files(spark, root: str, subs) -> int:
 
 
 def _rewrite_clustered(spark, path: str, schema: str, part_col: str,
-                       dirs: int) -> None:
+                       dirs: int, *, minus=None,
+                       minus_col: str = "id") -> None:
     """Read a hive data root fully, pin it via an EAGER localCheckpoint
     (the overwrite deletes the files being read — lazy lineage would
     read-after-delete, and a persist's lineage fallback would silently
     recompute from the deleted files; a checkpoint has no lineage, so
-    block loss fails loudly instead), then rewrite it clustered."""
-    rows = spark.read.schema(schema).parquet(path).localCheckpoint(eager=True)
+    block loss fails loudly instead), then rewrite it clustered.
+    ``minus`` (optional): a one-column relation of ``minus_col`` keys
+    anti-joined out before the rewrite — how compaction folds
+    tombstones into the physical layout."""
+    rows = spark.read.schema(schema).parquet(path)
+    if minus is not None:
+        rows = rows.join(minus, minus_col, "left_anti")
+    rows = rows.localCheckpoint(eager=True)
     rows.repartition(dirs, part_col).write.mode("overwrite").partitionBy(
         part_col
     ).parquet(path)
     free_local_checkpoint(rows)
+
+
+def _dir_exists(spark, path: str) -> bool:
+    """Hadoop-FS existence check (any supported filesystem, not just
+    local) — gates reads of relations an older index may not have."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def _tombstones_read(spark, path: str, id_type: str):
+    """Explicit-schema read of an index's tombstone relation
+    (``{path}/tombstones``: (id, __tk), hive-partitioned by
+    ``__tk = md5_int31(id) % bucket_dirs``). ``None`` when no delete
+    ever ran — indexes built before delete support keep working."""
+    if not _dir_exists(spark, f"{path}/tombstones"):
+        return None
+    return spark.read.schema(f"id {id_type}, __tk long").parquet(
+        f"{path}/tombstones"
+    )
+
+
+def _write_tombstones(spark, path: str, ids_df, id_col: str,
+                      bucket_dirs: int) -> None:
+    """Append delete requests as tombstone rows. Takedown batches are
+    small (copyright/PII removal lists): one task, ≈ one file per
+    touched directory — the same file discipline as append."""
+    rows = ids_df.select(F.col(id_col).alias("id")).distinct().select(
+        "id",
+        (md5_int31(F.col("id").cast("string"))
+         % F.lit(int(bucket_dirs))).alias("__tk"),
+    )
+    rows.repartition(1).write.mode("append").partitionBy("__tk").parquet(
+        f"{path}/tombstones"
+    )
 
 
 def dedup_index_load(spark, path: str):

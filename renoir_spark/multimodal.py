@@ -144,15 +144,31 @@ def _default_frame(data: bytes, idx: int,
     return _md5_floats(data, n_features, "frm%d" % int(idx))
 
 
+def _embed_text_fake(text: str, n_features: int = _N_FEATURES) -> list:
+    """Deterministic fake TEXT-TOWER encoder for the joint image-text
+    space (the CLIP stand-in). The fake "joint embedding space" maps
+    CONTENT to a point: it shares the ``"img"`` salt with the image
+    fake, so the caption whose bytes equal its image's content embeds
+    to the SAME vector (cosine 1.0 — aligned) while any other caption
+    lands at an unrelated md5 point (~chance cosine — misaligned).
+    That gives the alignment gate a real signal to test and a
+    SQL-mirrorable formula (the qa44 fake-codec convention: feature i
+    = md5('img:' || i || ':' || md5(caption))). A production CLIP
+    text tower swaps in via ``register_codec("text_embed", fn)``."""
+    return _md5_floats(text.encode("utf-8"), n_features, "img")
+
+
 _CODEC_KEYS = {
     "image": ("width", "height", "channels", "format", "features"),
     "audio": ("sample_rate", "n_samples", "duration_s", "features"),
     "frame": None,
+    "text_embed": None,
 }
 _DEFAULT_CODECS = {
     "image": _decode_image,
     "audio": _decode_audio,
     "frame": _default_frame,
+    "text_embed": _embed_text_fake,
 }
 _codecs = dict(_DEFAULT_CODECS)
 
@@ -349,6 +365,168 @@ def sample_frames(stream, content_col: str = "content", *, num_frames: int = 4,
             yield rep
 
     return stream._new(stream.df.mapInPandas(_batches, schema))
+
+
+# ------------------------------------------------------------------ #
+# Image-text alignment gate (the CLIP-score quality filter)
+# ------------------------------------------------------------------ #
+
+def embed_text(stream, text_col: str = "caption",
+               out_col: str = "text_embedding", *,
+               n_features: Optional[int] = None):
+    """Caption → joint-space embedding ``array<float>`` via the
+    ``"text_embed"`` registry codec (Arrow-batched mapInPandas — the
+    decode_image plumbing applied to the text tower; a production CLIP
+    text encoder swaps in with ``register_codec("text_embed", fn)``
+    and batches over the Arrow rows it is handed). NULL caption →
+    NULL embedding (no evidence to embed — the decode-stage NULL
+    convention). No shuffle; partitioning preserved."""
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in stream.df.schema.fields
+    ) + f", {out_col} array<float>"
+
+    codec = _bind_n_features(get_codec("text_embed"), n_features)
+
+    def _batches(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            pdf[out_col] = [
+                None if t is None else codec(str(t))
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return stream._new(stream.df.mapInPandas(_batches, schema))
+
+
+def align_score(stream, text_vec_col: str = "text_embedding",
+                media_vec_col: str = "image_features",
+                out_col: str = "align_cos"):
+    """Rounded cosine between the caption's joint-space embedding and
+    the media features — the CLIP-score column (Radford et al.,
+    public knowledge). Pure JVM expression (the shared zero-safe
+    ``datapipe._cosine``): stays in whole-stage codegen, no Python, no
+    shuffle. NULL on either side propagates NULL (no evidence — the
+    gate drops those rows, it does not score them 0). CONTRACT: both
+    vectors must have the same length (``zip_with`` pads a shorter
+    side with NULL, which NULLs the score — size ``embed_text``'s
+    ``n_features`` to the decode width)."""
+    from .datapipe import _cosine
+
+    return stream._new(
+        stream.df.withColumn(
+            out_col, _cosine(F.col(text_vec_col), F.col(media_vec_col))
+        )
+    )
+
+
+def align_filter(stream, *, text_col: str = "caption",
+                 features_col: str = "image_features",
+                 min_cos: Optional[float] = None,
+                 lo: Optional[float] = None, hi: Optional[float] = None,
+                 n_features: Optional[int] = None,
+                 score_col: str = "align_cos", exact: bool = True):
+    """The image-text alignment GATE — the LAION-style "does the
+    caption match the image" filter every multimodal corpus ships
+    through: embed the caption into the joint space
+    (:func:`embed_text`), score each pair with the CLIP-shape cosine
+    (:func:`align_score`), then keep rows by an absolute threshold
+    (``min_cos``) and/or the corpus-relative quantile band
+    (``lo``/``hi`` — :func:`renoir_spark.prep.filter_by_score_quantile`,
+    the CCNet middle-band move applied to alignment). NULL scores
+    (missing caption or undecoded media) are dropped by either form.
+
+    Scale: one Arrow pass for the text tower + codegen cosine +
+    map-side filter — ZERO data shuffles; the quantile form adds only
+    a 1-row aggregate broadcast (exact percentile, or the GK sketch
+    with ``exact=False`` at unbounded scale). ``n_features`` must
+    match the decode width (the :func:`align_score` contract).
+    The score column rides along in the output for downstream
+    curation/reporting.
+
+    Reference parity: beyond-reference (renoir has no multimodal
+    quality gate); composition follows the qa44 fake-codec pattern —
+    deterministic fakes here, ``register_codec("text_embed", ...)``
+    for a real CLIP tower, mirrored bit-exactly by
+    :func:`sql_align_filter`."""
+    if min_cos is None and lo is None:
+        raise ValueError(
+            "align_filter: pass min_cos and/or a (lo, hi) quantile band"
+        )
+    scored = align_score(
+        embed_text(stream, text_col, "__temb", n_features=n_features),
+        "__temb", features_col, score_col,
+    )
+    out = scored._new(scored.df.drop("__temb"))
+    out = out._new(out.df.filter(F.col(score_col).isNotNull()))
+    if min_cos is not None:
+        out = out._new(
+            out.df.filter(F.col(score_col) >= F.lit(float(min_cos)))
+        )
+    if lo is not None:
+        from .prep import filter_by_score_quantile
+
+        out = filter_by_score_quantile(
+            out, score_col, float(lo),
+            1.0 if hi is None else float(hi), exact=exact,
+        )
+    return out
+
+
+def sql_fake_features(content_expr: str, n: int, salt: str = "img") -> list:
+    """The qa44 fake-codec convention as a reusable list of SQL
+    expressions: feature i = first-4-bytes of
+    md5('{salt}:' || i || ':' || md5(content)) / 2^32 — exactly
+    :func:`_md5_floats` when the blob is the UTF-8 encoding of
+    ``content_expr`` (DuckDB's VARCHAR md5 of a string equals the
+    Python md5 of its UTF-8 bytes)."""
+    return [
+        f"('0x' || substr(md5('{salt}:' || {i} || ':' || "
+        f"md5({content_expr})), 1, 8))::BIGINT / 4294967296.0"
+        for i in range(n)
+    ]
+
+
+def sql_align_filter(table_expr: str, text_expr: str, caption_expr: str,
+                     cols: str, *, n_features: int,
+                     min_cos: Optional[float] = None,
+                     lo: Optional[float] = None,
+                     hi: Optional[float] = None) -> str:
+    """DuckDB mirror of :func:`align_filter` under the default fake
+    codecs: recompute both towers' md5 features (image from
+    ``text_expr`` — the suite's text-bytes-as-image-blob convention —
+    text from ``caption_expr``), the same zero-safe rounded cosine
+    (``SQL_COS``), the same threshold / quantile-band selection."""
+    from .datapipe import SQL_COS, SQL_NORM, SQL_DOT
+
+    img = ", ".join(f"({e})::FLOAT" for e in
+                    sql_fake_features(text_expr, n_features))
+    txt = ", ".join(f"({e})::FLOAT" for e in
+                    sql_fake_features(caption_expr, n_features))
+    cos = SQL_COS.format(
+        dot=SQL_DOT.format(a="iv", b="tv"),
+        na=SQL_NORM.format(a="iv"), nb=SQL_NORM.format(a="tv"),
+    )
+    preds = ["align_cos IS NOT NULL"]
+    if min_cos is not None:
+        preds.append(f"align_cos >= {float(min_cos)}")
+    base = f"""(
+  SELECT *, {cos} AS align_cos FROM (
+    SELECT *, [{img}] AS iv,
+           CASE WHEN ({caption_expr}) IS NOT NULL THEN [{txt}] END AS tv
+    FROM {table_expr}
+  )
+)"""
+    where = " AND ".join(preds)
+    if lo is None:
+        return f"SELECT {cols} FROM {base} t WHERE {where}"
+    hi_v = 1.0 if hi is None else float(hi)
+    kept = f"(SELECT * FROM {base} t WHERE {where})"
+    return f"""
+SELECT {cols} FROM {kept} t
+WHERE align_cos >= (SELECT quantile_cont(align_cos, {float(lo)}) FROM {kept})
+  AND align_cos <= (SELECT quantile_cont(align_cos, {hi_v}) FROM {kept})
+"""
 
 
 def dedup_video_phash(

@@ -1663,6 +1663,30 @@ class Stream:
 
         return _sf(self, content_col, num_frames=num_frames, out_col=out_col)
 
+    def embed_text(self, text_col: str = "caption",
+                   out_col: str = "text_embedding", **kw) -> "Stream":
+        """Caption → joint-space embedding via the text_embed registry
+        codec (CLIP text tower seam) — multimodal.embed_text."""
+        from .multimodal import embed_text as _et
+
+        return _et(self, text_col, out_col, **kw)
+
+    def align_score(self, text_vec_col: str = "text_embedding",
+                    media_vec_col: str = "image_features",
+                    out_col: str = "align_cos") -> "Stream":
+        """CLIP-score column: JVM cosine between caption embedding and
+        media features — multimodal.align_score."""
+        from .multimodal import align_score as _as
+
+        return _as(self, text_vec_col, media_vec_col, out_col)
+
+    def align_filter(self, **kw) -> "Stream":
+        """Image-text alignment gate (threshold and/or quantile band
+        on the CLIP-shape cosine) — multimodal.align_filter."""
+        from .multimodal import align_filter as _af
+
+        return _af(self, **kw)
+
     def ann_cosine(self, queries: "Stream", *, method: str = "brute", **kw) -> "Stream":
         """Cosine top-k similarity search over an embedding column:
         ``method='brute'`` (broadcast baseline), ``'lsh'`` (sign-plane

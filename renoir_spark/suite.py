@@ -5027,6 +5027,132 @@ def _oracle_qa50() -> str:
 ORACLE_QA50 = _oracle_qa50()
 
 
+def qa51_align_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text ALIGNMENT gate (the CLIP-score quality filter every
+    multimodal corpus ships through — LAION-style): text bytes stand
+    in for image blobs (the q51/qa44 convention), every third doc gets
+    a deliberately WRONG caption, ``embed_text`` runs the fake joint-
+    space text tower through the codec registry (the
+    ``register_codec("text_embed", ...)`` production seam), and
+    ``align_filter`` keeps pairs whose caption-to-image cosine clears
+    the absolute threshold. Under the fake joint space a matching
+    caption scores exactly 1.0 and a wrong one lands at its md5-chance
+    cosine, so the gate separates the planted thirds. One Arrow pass
+    per tower + codegen cosine + map-side filter — zero shuffles; the
+    oracle recomputes both towers' features and the same zero-safe
+    rounded cosine in SQL."""
+    ctx = _ctx(spark)
+    wrong = F.concat(F.lit("WRONG "), F.coalesce(F.col("text"), F.lit("")))
+    docs = (
+        _t(ctx, sf_dir, "documents")
+        .map(
+            doc_id=F.col("doc_id"),
+            caption=F.when(F.col("doc_id") % 3 != 0,
+                           F.coalesce(F.col("text"), F.lit("")))
+            .otherwise(wrong),
+            content=F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+        )
+        .shuffle()  # single-file scan → parallel decode
+        .decode_image(n_features=16)
+    )
+    kept = docs.align_filter(
+        text_col="caption", features_col="image_features",
+        min_cos=0.97, n_features=16,
+    )
+    return kept.df.select("doc_id", "align_cos")
+
+
+def _oracle_qa51() -> str:
+    from .multimodal import sql_align_filter
+
+    cap = ("CASE WHEN doc_id % 3 <> 0 THEN coalesce(text, '') "
+           "ELSE 'WRONG ' || coalesce(text, '') END")
+    return sql_align_filter(
+        "documents", "coalesce(text, '')", cap,
+        "doc_id, align_cos", n_features=16, min_cos=0.97,
+    )
+
+
+ORACLE_QA51 = _oracle_qa51()
+
+
+def qa52_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAKEDOWN round trip on the persisted ANN index: build over the
+    embeddings, ``delete_batch`` every 7th vector (the copyright/PII
+    removal loop — tombstones, not a rewrite), then query — deleted
+    vectors must vanish from every top-k result IMMEDIATELY (an
+    anti-join on the cell-pruned tombstone relation inside the probe,
+    so a deleted vector can never occupy a candidate slot) while
+    survivors keep their exact ranks. Centroids and the SQ8 grid stay
+    frozen at build values (deletion is not a retrain), which is
+    exactly what the oracle mirrors: seeds/stats from the FULL corpus,
+    candidates from the corpus minus the deleted set."""
+    from .ann_index import ann_index_load
+
+    ctx = _ctx(spark)
+    emb = _t(ctx, sf_dir, "embeddings")
+    path = _tmp_index_path("renoir_ann_tomb_", sf_dir)
+    emb.ann_index_build(path, n_cells=16)
+    idx = ann_index_load(spark, path)
+    idx.delete_batch(emb.filter("vec_id % 7 = 0"))
+    queries = emb.filter("vec_id < 6")
+    return idx.query(queries, k=3, nprobe=3, rerank=10).df
+
+
+def _oracle_qa52() -> str:
+    from .datapipe import sql_ann_cosine_ivf_sq8
+
+    return sql_ann_cosine_ivf_sq8(
+        "embeddings", "vec_id < 6", k=3, n_cells=16, nprobe=3,
+        rerank=10,
+        corpus_expr="(SELECT * FROM embeddings WHERE vec_id % 7 <> 0)",
+    )
+
+
+ORACLE_QA52 = _oracle_qa52()
+
+
+def qa53_dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown round trip on the persisted MinHash dedup index: build
+    over 4/5 of the documents, ``delete_batch`` the indexed docs with
+    ``doc_id % 3 = 0``, then dedup the held-out 1/5 — batch rows whose
+    ONLY near-duplicates were deleted must now SURVIVE (the takedown
+    un-suppresses them), rows matching a live doc still drop. Probes
+    anti-join the tombstone relation (pruned by the same candidate
+    id-hash rule as the shingle re-attach) before verification; the
+    oracle recomputes the whole chain against the corpus minus the
+    deleted set."""
+    from .dedup_index import dedup_index_load
+
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    path = _tmp_index_path("renoir_dedup_tomb_", sf_dir)
+    corpus.dedup_index_build(path, text_col="text", id_col="doc_id",
+                             bucket_dirs=16)
+    idx = dedup_index_load(spark, path)
+    idx.delete_batch(corpus.filter("doc_id % 3 = 0"))
+    return (
+        idx.dedup_batch(batch, threshold=0.7)
+        .df.select("doc_id", "lang", "n_chars")
+    )
+
+
+def _oracle_qa53() -> str:
+    from .dedup_index import sql_dedup_index_batch
+
+    return sql_dedup_index_batch(
+        "(SELECT * FROM documents"
+        " WHERE doc_id % 5 != 0 AND doc_id % 3 != 0)",
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
+        "text", "doc_id", "doc_id, lang, n_chars",
+    )
+
+
+ORACLE_QA53 = _oracle_qa53()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -5177,6 +5303,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa48_video_phash_dedup": qa48_video_phash_dedup,
     "qa49_contrastive_pairs": qa49_contrastive_pairs,
     "qa50_contrastive_cross_cell": qa50_contrastive_cross_cell,
+    "qa51_align_filter": qa51_align_filter,
+    "qa52_ann_index_delete": qa52_ann_index_delete,
+    "qa53_dedup_index_delete": qa53_dedup_index_delete,
 }
 
 ORACLE: Dict[str, str] = {
@@ -5331,4 +5460,7 @@ ORACLE: Dict[str, str] = {
     "qa48_video_phash_dedup": ORACLE_QA48,
     "qa49_contrastive_pairs": ORACLE_QA49,
     "qa50_contrastive_cross_cell": ORACLE_QA50,
+    "qa51_align_filter": ORACLE_QA51,
+    "qa52_ann_index_delete": ORACLE_QA52,
+    "qa53_dedup_index_delete": ORACLE_QA53,
 }

@@ -158,6 +158,15 @@ SWEEP = [
     # TWO joins, and the union's layout must not perturb the per-anchor
     # (cos desc, id) pick
     "qa50_contrastive_cross_cell",
+    # round-10: the alignment gate — both towers are per-row Arrow
+    # stages and the cosine is an element-wise expression, so the kept
+    # set and every score must be identical under any layout
+    "qa51_align_filter",
+    # round-10: tombstoned probes — the cell-pruned (ann) / id-hash-
+    # pruned (minhash) tombstone anti-join must remove the same ids
+    # from the candidate set under any producer layout
+    "qa52_ann_index_delete",
+    "qa53_dedup_index_delete",
 ]
 
 

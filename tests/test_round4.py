@@ -113,45 +113,42 @@ def test_driver_set_contract():
                 "dedup_cluster", "sssp",
                 "prep_pipeline",
                 "ann_index", "dedup_index_incremental",
-                "nb_classifier", "ssjoin_exact",
-                "token_budget",
+                "nb_classifier",
                 "dedup_cluster_exact",
-                "long_doc_windows", "running_sum",
+                "running_sum",
                 "diversity_sample",
-                "ann_index_dedup",
                 "semantic_ingest",
-                "ann_ivf_sq8",
-                "logistic_regression",
-                "corpus_diff", "corpus_overlap", "leakage_safe_split",
+                "corpus_diff", "leakage_safe_split",
                 "incremental_rebuild",
                 # round-8 tranche that stays (rotated-out shapes from
                 # every round remain bit-exact in tests/test_oracle.py;
                 # every family keeps a driver row — the full out→in
                 # ledger lives in __spark_entry__.py's rotation note)
-                "bigram_logprob", "corpus_report", "corpus_overlap_kmv",
-                "dedup_phash",
-                "nexmark_highest_bid",
+                "bigram_logprob", "corpus_report",
                 "nexmark_hot_items",
-                "sample_weighted",
                 "duplicate_spans", "chunk_dedup",
                 "rolling_top_words",
                 "phash_decontaminate", "phash_index_incremental",
                 "video_phash_dedup",
-                # round-9 incoming tranche (r8 verdict ask #1): the
-                # ENTIRE never-hashed set — never-hashed is now ZERO.
-                # OUT (family keeps): qa31 (composed: qa32) · qa39
-                # (retrieval: q77) · qa37 (versioning: qa36/qa40/qa43)
-                # · qa34 (order: q76/qa15) · qa45 (LM: qa41) ·
-                # q63/q66/q67/q60-in-9b (NEXMark: q61/q62 + s01/s08) · q97 (sketch:
-                # q54) · q73/q74 (sampling: q92/qa03) · qa18 (URL:
-                # qa14) · qa24 (mixing: q75) · q96 (decon: q79/qa46) ·
-                # q56 (iteration: q53/q55/q57/q89)
-                "contrastive_pairs", "contrastive_cross_cell", "tfidf_top_terms", "word_entropy",
-                "pack_sequences", "repetition_stats", "json_props",
-                "promo_revenue", "kmv_distinct", "pii_redact",
+                "contrastive_cross_cell", "tfidf_top_terms",
+                "json_props",
+                "kmv_distinct", "pii_redact",
                 "sample_weighted_k_stratified", "token_shards",
-                "domain_cap", "rebalance_mix", "contaminated_ngrams",
-                "transitive_closure"):
+                "domain_cap", "rebalance_mix",
+                "transitive_closure",
+                # round-10 incoming tranche (r9 verdict ask #1): the
+                # round-3-stale set led by the banded-dedup family
+                # (the bucket_cap change touched its shared machinery)
+                # plus the window/plumbing block and the three
+                # round-10 newborns — the full out→in ledger lives in
+                # __spark_entry__.py's rotation note
+                "group_by_sum", "left_join", "dedup_exact",
+                "dedup_minhash", "text_stats", "ann_brute",
+                "dedup_simhash", "dedup_embedding", "all_window",
+                "window_first_last", "window_to_vec", "map_memo",
+                "replication", "repartition_by", "reorder",
+                "align_filter", "ann_index_delete",
+                "dedup_index_delete"):
         assert fam in joined, fam
     # every suite query is still exposed (under d- or q-key), exactly once
     exposed = {k.split("_", 1)[1] if k.startswith("d") else k for k in qs}
