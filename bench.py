@@ -483,11 +483,16 @@ def _streaming_minhash_dedup(spark, sf_dir: str) -> tuple[int, float, dict]:
         # SPARK_GRAFT_S05_KMV=k measures the bounded-per-doc-state dial
         # (round 9) on the same leg; default stays exact so the
         # baseline is comparable round over round.
+        # SPARK_GRAFT_S05_BUCKET_CAP=n measures the per-bucket flood
+        # dial (round 10) on the same leg; both dials default off so
+        # the baseline stays comparable round over round.
         kmv = os.environ.get("SPARK_GRAFT_S05_KMV")
+        cap = os.environ.get("SPARK_GRAFT_S05_BUCKET_CAP")
         return dedup_minhash_stream(
             ctx.from_df(src), "text", "doc_id", ts_col="ts",
             delay="600 seconds", threshold=0.7, state_groups=64,
             state_kmv=int(kmv) if kmv else None,
+            bucket_cap=int(cap) if cap else None,
         )
 
     return _run_streaming_leg(spark, sf_dir, build, spooler=_spool_documents)

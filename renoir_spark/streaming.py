@@ -341,6 +341,7 @@ def dedup_minhash_stream(
     threshold: float = 0.7,
     state_groups: int = 1024,
     state_kmv: Optional[int] = None,
+    bucket_cap: Optional[int] = None,
 ):
     """Streaming MinHash-LSH near-duplicate detection — the unbounded
     form of :func:`~renoir_spark.datapipe.dedup_minhash`'s greedy rule:
@@ -403,6 +404,20 @@ def dedup_minhash_stream(
     bytes drop from the full shingle set (~20+ B/shingle, unbounded per
     doc) to 8k bytes flat — the s05 shape's dominant state term
     (docs/SCALING.md). Default off: exact shingle Jaccard.
+
+    ``bucket_cap=n`` (default off) bounds the PER-BUCKET entry list to
+    the ``n`` most-recent (event time, id) docs — the streaming form of
+    the batch family's df-cutoff (:func:`dedup_phash_stream` got the
+    same dial in round 9). A boilerplate shingle band (every doc
+    sharing a banner/license sentence) floods ONE bucket with the
+    whole horizon's docs: state grows with the stream AND every
+    arrival pays a full-bucket scan — the same per-bucket quadratic
+    the batch ``bucket_cap`` kills. Miss contract mirrors the batch
+    dial: a true near-dup pair is missed only if EVERY band the two
+    docs share was flooded past ``n`` between their arrivals — and an
+    over-crowded bucket is by definition a NON-discriminative band,
+    where ~all pairs are false candidates anyway (flood-parity test in
+    tests/test_round10.py; measured row in docs/SCALING.md).
 
     Reference parity: renoir's keyed stateful map
     (src/operator/mod.rs:2740-2746) + the watermark-frontier eviction
@@ -521,6 +536,13 @@ def dedup_minhash_stream(
                         )
                     out.append((rec["__id"], rec["__ts"], rec["bidx"], matched))
                     entries.append((rec["__id"], ts_us, sh))
+                    if bucket_cap is not None and len(entries) > bucket_cap:
+                        # keep the bucket's most-recent `cap` entries by
+                        # (event time, id) — bounded state AND bounded
+                        # per-row match cost under a boilerplate-band
+                        # flood (docstring miss contract)
+                        entries.sort(key=lambda e: (e[1], e[0]))
+                        del entries[: len(entries) - bucket_cap]
         if store:
             state.update((_pickle.dumps(store, _pickle.HIGHEST_PROTOCOL),))
             max_ts_ms = max(e[1] for es in store.values() for e in es) // 1000

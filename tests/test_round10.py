@@ -498,3 +498,47 @@ def test_ann_index_rebuild_folds_tombstones(ctx, tmp_path):
     got = {r.vec_id for r in
            idx2.query(emb.filter("vec_id = 20"), k=5).collect_vec()}
     assert got.isdisjoint({0, 1, 2, 3, 4})
+
+
+# ------------------------------------------------------------------ #
+# dedup_minhash_stream bucket_cap: bounded state under boilerplate flood
+# ------------------------------------------------------------------ #
+
+def test_streaming_minhash_bucket_cap_bounds_state_same_verdicts(ctx):
+    import datetime
+
+    from renoir_spark.streaming import dedup_minhash_stream, run_to_completion
+
+    t0 = datetime.datetime(2024, 1, 1)
+    boiler = "all rights reserved this page is copyright of example corp"
+
+    def run(cap):
+        ch = ctx.stream_channel("doc_id long, ts timestamp, text string")
+        # a boilerplate flood: 300 identical docs (every band floods its
+        # bucket — the worst case) across two micro-batches
+        rows = [(i, t0 + datetime.timedelta(seconds=i), boiler)
+                for i in range(300)]
+        ch.push(rows[:150])
+        ch.push(rows[150:])
+        s = ch.stream(max_files_per_trigger=1)
+        telem = []
+        out = run_to_completion(
+            dedup_minhash_stream(
+                s, "text", "doc_id", ts_col="ts", delay="1 hour",
+                threshold=0.7, state_groups=1, bucket_cap=cap,
+            ).df,
+            output_mode="append", telemetry=telem,
+        )
+        verdicts = {(r.doc_id, r.bidx): r.matched for r in out}
+        peak = telem[0].get("state_bytes_peak", 0) if telem else 0
+        return verdicts, peak
+
+    v_cap, b_cap = run(8)
+    v_off, b_off = run(None)
+    # identical verdicts: in a flooded bucket the newest entries match
+    # a true duplicate just as well as the evicted ones did
+    assert v_cap == v_off
+    # every doc after the first is matched in every band
+    assert sum(1 for (i, b), m in v_cap.items() if b == 0 and m) == 299
+    # and the capped state is a fraction of the unbounded one
+    assert 0 < b_cap < b_off / 3
