@@ -231,9 +231,14 @@ DRIVER_SET = [
     "q95_running_sum",
     "q89_sssp",
     "q27_dedup_exact",
-    "q55_rolling_top_words",
+    "qa54_phash_takedown_sync",
     "q53_transitive_closure",
 ]
+#  Round-10b (same round, after the composed takedown loop landed):
+#  qa54 rotates straight in so it gains its driver row in its birth
+#  round; q55 out (rolling-top-words stays oracle-verified in
+#  tests/test_oracle.py; windowed-text shapes keep q29/q80 + the
+#  window block q37-q39).
 
 assert len(DRIVER_SET) == 50 and len(set(DRIVER_SET)) == 50
 

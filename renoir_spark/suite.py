@@ -5153,6 +5153,71 @@ def _oracle_qa53() -> str:
 ORACLE_QA53 = _oracle_qa53()
 
 
+def qa54_phash_takedown_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED takedown loop the tombstone layer exists for, on
+    the media index: ``corpus_diff`` between the indexed snapshot and
+    its takedown edition computes the removed ids, ``delete_batch``
+    feeds them straight in (the diff relation IS the delete request —
+    extra columns ignored), and the next ``dedup_batch`` must behave
+    as if the index had been built on the takedown edition: batch
+    items whose only perceptual near-duplicates were removed
+    re-surface, everything else still drops, and no image is ever
+    re-decoded. The oracle recomputes the whole fake-codec banded
+    pipeline against the post-takedown corpus."""
+    from .dedup_index import phash_index_load
+
+    ctx = _ctx(spark)
+    docs = _t(ctx, sf_dir, "documents").map("doc_id", "text")
+
+    def decoded(stream):
+        return (
+            stream.map(
+                doc_id=F.col("doc_id"),
+                content=F.encode(
+                    F.coalesce(F.col("text"), F.lit("")), "UTF-8"
+                ),
+            )
+            .shuffle()
+            .decode_image(n_features=48)
+        )
+
+    v1 = docs.filter("doc_id % 5 > 1")          # the indexed snapshot
+    v2 = v1.filter("doc_id % 4 != 2")           # the takedown edition
+    batch = decoded(docs.filter("doc_id % 5 = 0"))
+    path = _tmp_index_path("renoir_phash_takedown_", sf_dir)
+    decoded(v1).phash_index_build(path, id_col="doc_id", bits=48,
+                                  bucket_dirs=16)
+    idx = phash_index_load(spark, path)
+    removed = v2.corpus_diff(v1, "doc_id", ["text"]).filter(
+        "status = 'removed'"
+    )
+    idx.delete_batch(removed)
+    return (
+        idx.dedup_batch(batch)
+        .df.select("doc_id", "image_width", "image_height")
+    )
+
+
+def _oracle_qa54() -> str:
+    from .dedup_index import sql_phash_index_batch
+
+    corpus = ("(SELECT doc_id, text FROM documents"
+              " WHERE doc_id % 5 > 1 AND doc_id % 4 != 2)")
+    batch = "(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)"
+    return sql_phash_index_batch(
+        corpus, batch, _QA47_FS, "doc_id",
+        "t.doc_id, "
+        "16 + ('0x' || substr(md5(coalesce(t.text, '')), 1, 2))::INT % 64"
+        " AS image_width, "
+        "16 + ('0x' || substr(md5(coalesce(t.text, '')), 3, 2))::INT % 64"
+        " AS image_height",
+        bits=48,
+    )
+
+
+ORACLE_QA54 = _oracle_qa54()
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_group_by_sum": q02_group_by_sum,
@@ -5306,6 +5371,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa51_align_filter": qa51_align_filter,
     "qa52_ann_index_delete": qa52_ann_index_delete,
     "qa53_dedup_index_delete": qa53_dedup_index_delete,
+    "qa54_phash_takedown_sync": qa54_phash_takedown_sync,
 }
 
 ORACLE: Dict[str, str] = {
@@ -5463,4 +5529,5 @@ ORACLE: Dict[str, str] = {
     "qa51_align_filter": ORACLE_QA51,
     "qa52_ann_index_delete": ORACLE_QA52,
     "qa53_dedup_index_delete": ORACLE_QA53,
+    "qa54_phash_takedown_sync": ORACLE_QA54,
 }

@@ -167,6 +167,10 @@ SWEEP = [
     # from the candidate set under any producer layout
     "qa52_ann_index_delete",
     "qa53_dedup_index_delete",
+    # round-10: the composed diff -> delete -> probe loop on the media
+    # index — diff status, tombstone write, and the banded probe must
+    # all be layout-independent
+    "qa54_phash_takedown_sync",
 ]
 
 

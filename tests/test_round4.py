@@ -127,7 +127,6 @@ def test_driver_set_contract():
                 "bigram_logprob", "corpus_report",
                 "nexmark_hot_items",
                 "duplicate_spans", "chunk_dedup",
-                "rolling_top_words",
                 "phash_decontaminate", "phash_index_incremental",
                 "video_phash_dedup",
                 "contrastive_cross_cell", "tfidf_top_terms",
@@ -148,7 +147,7 @@ def test_driver_set_contract():
                 "window_first_last", "window_to_vec", "map_memo",
                 "replication", "repartition_by", "reorder",
                 "align_filter", "ann_index_delete",
-                "dedup_index_delete"):
+                "dedup_index_delete", "phash_takedown_sync"):
         assert fam in joined, fam
     # every suite query is still exposed (under d- or q-key), exactly once
     exposed = {k.split("_", 1)[1] if k.startswith("d") else k for k in qs}
