@@ -69,7 +69,7 @@ from .datapipe import (
     _sq8_xhat,
     auto_cells,
 )
-from .util import prune_partitions
+from .util import prune_partitions, tiny_df
 
 
 class AnnIndex:
@@ -574,37 +574,50 @@ def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
     spark = stream.df.sparkSession
     df = stream.df.select(F.col(id_col), F.col(vec_col))
     dtypes = dict(stream.df.dtypes)
-    staged = None
-    if n_cells is None:
-        # decode-once (datapipe._staged_probe): the √N dial, the seed
-        # collect, the SQ8 stats pass and the codes write all read the
-        # same narrow (id, vec) relation; released before return —
-        # the build is eager, every consumer runs inside this call
-        from .datapipe import _staged_probe
+    # decode-once (datapipe._staged_probe), EVERY path: the optional √N
+    # dial, the seed collect, the SQ8 stats pass and the codes write
+    # all read the same narrow (id, vec) relation — unpersisted, a
+    # PINNED-cells build ran that upstream lineage three separate times
+    # (seed collect, stats collect, encode+write; four with the dial).
+    # Released before return — the build is eager, every consumer runs
+    # inside this call.
+    from .datapipe import _staged_probe
 
+    if n_cells is None:
         staged, n = _staged_probe(df, lambda d: d.count())
-        df = staged
         n_cells = auto_cells(n)
-    units = _ivf_seed_units(df, vec_col, id_col, n_cells, order=seed_order)
-    if refine:
-        units = _lloyd_refine_units(
-            df, units, vec_col, id_col, n_cells, iters=int(refine)
-        )
-    # run the stats aggregate ONCE and pin its 1-row result on the
-    # driver: the same row feeds both the encode broadcast and the
-    # grid/ write — without this the unpersisted aggregate would scan
-    # the corpus twice (once under enc.write, once for grid)
-    srow = _sq8_stats(df, vec_col, dim).collect()[0]
-    stats = spark.createDataFrame(
+    else:
+        staged = df.persist()
+    df = staged
+    try:
+        units = _ivf_seed_units(df, vec_col, id_col, n_cells,
+                                order=seed_order)
+        if refine:
+            units = _lloyd_refine_units(
+                df, units, vec_col, id_col, n_cells, iters=int(refine)
+            )
+        # run the stats aggregate ONCE and pin its 1-row result on the
+        # driver: the same row feeds both the encode broadcast and the
+        # grid/ write — without this the unpersisted aggregate would
+        # scan the corpus twice (once under enc.write, once for grid)
+        srow = _sq8_stats(df, vec_col, dim).collect()[0]
+    except BaseException:
+        staged.unpersist()  # no cache leak when a build action fails
+        raise
+    stats = tiny_df(
+        spark,
         [(srow["__mins"], srow["__scales"])],
         "__mins array<double>, __scales array<double>",
     )
 
     _write_codes(df, path, units, stats, id_col=id_col, vec_col=vec_col,
                  id_type=dtypes[id_col], n_cells=n_cells, mode="overwrite")
+    # metadata writes ride util.tiny_df: one partition, one task, one
+    # file (see its docstring for the measured per-core write tax)
     stats.write.mode("overwrite").parquet(f"{path}/grid")
-    spark.createDataFrame(
-        [(i, u) for i, u in enumerate(units)], "cell long, unit array<double>"
+    tiny_df(
+        spark, [(i, u) for i, u in enumerate(units)],
+        "cell long, unit array<double>",
     ).write.mode("overwrite").parquet(f"{path}/cells")
     meta = {
         "id_col": id_col,
@@ -614,13 +627,13 @@ def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
         "id_type": dtypes[id_col],
         "vec_type": dtypes[vec_col],
     }
-    spark.createDataFrame(
+    tiny_df(
+        spark,
         [(id_col, vec_col, n_cells, dim, dtypes[id_col], dtypes[vec_col])],
         "id_col string, vec_col string, n_cells long, dim long, "
         "id_type string, vec_type string",
     ).write.mode("overwrite").parquet(f"{path}/meta")
-    if staged is not None:
-        staged.unpersist()
+    staged.unpersist()
     return AnnIndex(spark, path, meta, units)
 
 

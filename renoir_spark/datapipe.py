@@ -177,6 +177,50 @@ def _staged_probe(narrow, probe):
     return staged, value
 
 
+def _spread_for_compute(df, *, min_factor: int = 1):
+    """Round-robin repartition a NARROW relation up to the session's
+    default parallelism before a compute-heavy per-row expression chain
+    — but only when the input carries fewer partitions than that.
+
+    A compute-heavy chain (normalize → shingle → per-shingle md5 →
+    minhash) runs at SCAN parallelism: over a corpus slice stored as a
+    handful of parquet files it executes as a handful of tasks no
+    matter how many cores are idle (measured: the sf0.1 corpus is one
+    file, so the whole signature chain of an index build ran as ONE
+    ~0.9 s task at 32 cores — and shows zero core-scaling). At corpus
+    scale a scan already carries ≥ parallelism partitions and this
+    helper adds NO exchange; when it does fire, the shuffle moves only
+    the narrow (id, text) projection and is deterministic under task
+    retries (sort-before-repartition, SPARK-23207)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * int(min_factor)
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic/Connect plans
+        return df
+    if nparts >= target:
+        return df
+    return df.repartition(target)
+
+
+def _cell_partitioned(df, key: str, n_cells: int):
+    """Hash-partition an in-cell candidate relation ON its cell key
+    before persisting. The downstream in-cell self-join then (a) needs
+    no further exchange — both sides read the cache's partitioning —
+    and (b) runs at a REAL width: left alone, AQE sizes the join by
+    shuffled bytes, but an in-cell join's work is quadratic in cell
+    population, not proportional to its input bytes, so the whole
+    quadratic verify collapsed onto one task (measured: the qa50
+    candidate join — ~2M in-cell pairs × 64-dim dots — ran as ONE
+    3.2 s task with 31 cores idle). Width = min(n_cells, configured
+    shuffle width): never more partitions than cells, never wider than
+    the session dial — both ends scale (cells grow as √N, the shuffle
+    width is the cluster's)."""
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                      "200"))
+    return df.repartition(max(1, min(int(n_cells), sp)), key)
+
+
 # --------------------------------------------------------------------- #
 # exact dedup
 # --------------------------------------------------------------------- #
@@ -464,11 +508,13 @@ def minhash_pairs(
     dedup shuffle.
     """
     # signature chain shared with the streaming operator — staging
-    # discipline documented on minhash_bands_expr
+    # discipline documented on minhash_bands_expr; input spread to core
+    # parallelism when the scan carries too few partitions (no-op at
+    # corpus scale — _spread_for_compute)
     sig = minhash_bands_expr(
-        stream.df.select(
+        _spread_for_compute(stream.df.select(
             F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
-        ),
+        )),
         "__text",
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
     ).select("__id", "__sh", "__bands").persist()
@@ -1167,8 +1213,13 @@ def dedup_simhash(
     band_width = bits // bands
 
     pows = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    # spread: the shingle→md5→bit-count chain is the heaviest per-row
+    # expression work in the module and otherwise runs at scan
+    # parallelism (no-op at corpus scale — _spread_for_compute)
     staged = (
-        stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        _spread_for_compute(stream.df.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        ))
         .withColumn("__norm", norm_text("__text"))
         .withColumn("__toks", F.split(F.col("__norm"), " "))
         .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), shingle_n))
@@ -1675,8 +1726,12 @@ def similar_pairs_ngram(
     ida < idb. Hash collisions are mirrored by the oracle (both engines
     hash with the identical md5-prefix map), so results stay bit-equal.
     """
+    # spread: per-shingle md5 runs pre-explode at scan parallelism
+    # otherwise (no-op at corpus scale — _spread_for_compute)
     staged = (
-        stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        _spread_for_compute(stream.df.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        ))
         .withColumn("__norm", norm_text("__text"))
         .withColumn("__toks", F.split(F.col("__norm"), " "))
         .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), shingle_n))
@@ -1806,8 +1861,12 @@ def similar_pairs_exact(
     cap to hide behind. Output: (ida, idb, jaccard), ida < idb.
     """
     t = float(threshold)
+    # spread: the per-shingle md5 chain runs pre-explode at scan
+    # parallelism otherwise (no-op at corpus scale)
     staged = (
-        stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        _spread_for_compute(stream.df.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        ))
         .withColumn("__norm", norm_text("__text"))
         .withColumn("__toks", F.split(F.col("__norm"), " "))
         .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), shingle_n))
@@ -1992,8 +2051,12 @@ def containment_pairs_exact(
     directions reported when both exceed the threshold.
     """
     t = float(threshold)
+    # spread: per-shingle md5 runs pre-explode at scan parallelism
+    # otherwise (no-op at corpus scale)
     staged = (
-        stream.df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        _spread_for_compute(stream.df.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        ))
         .withColumn("__norm", norm_text("__text"))
         .withColumn("__toks", F.split(F.col("__norm"), " "))
         .withColumn("__sh", shingles_from(F.col("__toks"), F.col("__norm"), shingle_n))
@@ -2140,14 +2203,24 @@ def diversity_sample(
     """
     df = stream.df.select(F.col(id_col), F.col(vec_col))
     dtypes = dict(stream.df.dtypes)
-    staged = None
+    # decode-once, EVERY path: the seed collect is a driver ACTION that
+    # executes the full upstream lineage before the assignment plan runs
+    # it again — behind a composed pipeline (qa32: the whole ANN
+    # dedup_batch plan) that doubles the expensive part of the query.
+    # Stage the narrow (id, vec) relation so the dial, the seed collect
+    # and the assignment share ONE upstream pass (the _staged_probe
+    # discipline, previously applied only to the n_cells=None dial).
     if n_cells is None:
-        # decode-once: the √N dial, the seed collect AND the
-        # assignment all read the same narrow relation (_staged_probe)
         staged, n = _staged_probe(df, lambda d: d.count())
-        df = staged
         n_cells = auto_cells(n)
-    units = _ivf_seed_units(df, vec_col, id_col, n_cells)
+    else:
+        staged = df.persist()
+    df = staged
+    try:
+        units = _ivf_seed_units(df, vec_col, id_col, n_cells)
+    except BaseException:
+        staged.unpersist()  # no cache leak when the seed action fails
+        raise
     if not units:
         if staged is not None:
             staged.unpersist()
@@ -2246,11 +2319,16 @@ def dedup_embedding(
     elements inside a ``transform`` lambda: the embedded norm aggregate
     would re-evaluate per element."""
     planes = lsh_planes(dim, n_planes)
-    sig = stream.df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        _norm2(F.col(vec_col)).alias("__nrm"),
-        _bucket_expr(F.col(vec_col), planes).alias("__bkt"),
+    # partitioned on the bucket key: the self-join below then needs no
+    # further exchange and keeps a real width (_cell_partitioned)
+    sig = _cell_partitioned(
+        stream.df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            _norm2(F.col(vec_col)).alias("__nrm"),
+            _bucket_expr(F.col(vec_col), planes).alias("__bkt"),
+        ),
+        "__bkt", 1 << n_planes,
     ).persist()
     if bucket_cap is not None:
         # the dedup_phash df-cutoff — full contract there. A flooded
@@ -2366,11 +2444,14 @@ def dedup_embedding_ivf(
         src.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("cvec")),
         units, id_schema=f"__id {id_t}",
     )
-    sig = assigned.select(
-        "__id",
-        F.col("cvec").alias("__v"),
-        _norm2(F.col("cvec")).alias("__nrm"),
-        "__cell",
+    sig = _cell_partitioned(
+        assigned.select(
+            "__id",
+            F.col("cvec").alias("__v"),
+            _norm2(F.col("cvec")).alias("__nrm"),
+            "__cell",
+        ),
+        "__cell", n_cells,
     ).persist()
     a = sig.select(
         "__cell", F.col("__id").alias("ida"),
@@ -2465,11 +2546,14 @@ def mine_contrastive_pairs(
                    F.col(vec_col).alias("cvec")),
         units, id_schema=f"__id {id_t}",
     )
-    sig = assigned.select(
-        "__id",
-        F.col("cvec").alias("__v"),
-        _norm2(F.col("cvec")).alias("__nrm"),
-        "__cell",
+    sig = _cell_partitioned(
+        assigned.select(
+            "__id",
+            F.col("cvec").alias("__v"),
+            _norm2(F.col("cvec")).alias("__nrm"),
+            "__cell",
+        ),
+        "__cell", n_cells,
     ).persist()
     a = sig.select("__cell", F.col("__id").alias("ida"),
                    F.col("__v").alias("va"), F.col("__nrm").alias("na"))
@@ -2509,8 +2593,10 @@ def mine_contrastive_pairs(
             )
             adj_rows.extend((i, j) for j in order[: int(cross_cell)])
         if adj_rows:
+            from .util import tiny_df
+
             spark = stream.df.sparkSession
-            adj = spark.createDataFrame(adj_rows, "cell long, adj long")
+            adj = tiny_df(spark, adj_rows, "cell long, adj long")
             xp = (
                 a.join(F.broadcast(adj), a["__cell"] == adj["cell"])
                 .join(

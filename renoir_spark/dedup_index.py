@@ -63,16 +63,21 @@ from .datapipe import (
     sql_md5_int31,
     sql_word_shingles,
 )
-from .util import free_local_checkpoint, prune_partitions
+from .util import free_local_checkpoint, prune_partitions, tiny_df
 
 
 def _batch_sig(batch, text_col: str, id_col: str, meta: dict):
     """Shared normalize → shingle → band chain for an incoming batch,
-    as (__id, __sh, __bands) with the index's parameters."""
+    as (__id, __sh, __bands) with the index's parameters. The narrow
+    (id, text) projection is spread to core parallelism first when the
+    scan carries too few partitions (single-task chain otherwise —
+    no-op at corpus scale, see datapipe._spread_for_compute)."""
+    from .datapipe import _spread_for_compute
+
     return minhash_bands_expr(
-        batch.df.select(
+        _spread_for_compute(batch.df.select(
             F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
-        ),
+        )),
         "__text",
         num_hashes=meta["num_hashes"],
         bands=meta["bands"],
@@ -92,6 +97,22 @@ def _bucket_rows(sig, meta: dict):
             F.col("__id"),
         )
     )
+
+
+def _sig_for_append(idx, batch, compute):
+    """Signature relation for an append: when ``batch`` carries the
+    ``_index_sig`` handshake of THIS index (it is the DIRECT result of
+    the index's :meth:`dedup_batch` — the documented ingest loop), the
+    survivors' sig rows are already derived from the persisted batch
+    sig minus the matched ids (both cached relations), so neither the
+    signature chain NOR any upstream decode feeding it re-runs — a
+    semi-join against ``batch.df`` would NOT achieve this, because the
+    decode stage is opaque and column pruning cannot reach through it.
+    Any other stream falls back to ``compute()`` (the full chain)."""
+    cached = getattr(batch, "_index_sig", None)
+    if cached is not None and cached[0] == idx.path:
+        return cached[1]
+    return compute()
 
 
 class DedupIndex:
@@ -145,7 +166,9 @@ class DedupIndex:
                 f"batch_id {self.meta['id_type']}, "
                 f"corpus_id {self.meta['id_type']}, jac double",
             )
-            return batch._new(empty)._retain(sig)
+            out = batch._new(empty)._retain(sig)
+            out._match_sig = sig
+            return out
         cand = (
             bb.join(
                 bucket_scan.select("bidx", "bhash", "id"),
@@ -221,7 +244,10 @@ class DedupIndex:
                 F.col("__j").alias("jac"),
             )
         )
-        return batch._new(pairs)._retain(sig, cand)
+        out = batch._new(pairs)._retain(sig, cand)
+        # internal channel for dedup_batch: the persisted batch sig
+        out._match_sig = sig
+        return out
 
     def dedup_batch(self, batch, *, threshold: float = 0.7):
         """Rows of ``batch`` that are NOT a near-duplicate (exact
@@ -233,19 +259,40 @@ class DedupIndex:
         dup_ids = pairs.df.select(
             F.col("batch_id").alias(id_col)
         ).distinct()
-        out = batch.df.join(dup_ids, id_col, "left_anti")
-        return batch._new(out)._retain(*pairs._retained)
+        out = pairs._new(batch.df.join(dup_ids, id_col, "left_anti"))
+        # survivors carry the batch-sig handshake: append() reuses the
+        # cached batch sig minus the matched ids (both cached) instead
+        # of re-running the chain — and any upstream decode — over the
+        # survivors (_sig_for_append)
+        out._index_sig = (
+            self.path,
+            pairs._match_sig.join(
+                dup_ids.select(F.col(id_col).alias("__id")),
+                "__id", "left_anti",
+            ),
+        )
+        return out
 
     def append(self, batch) -> None:
         """Ingest ``batch`` into the index: its postings and shingles
         land in the same hive layout (append mode), so subsequent
         :meth:`dedup_batch` calls see corpus + this increment with no
         rebuild. Caller contract: append SURVIVORS (post-dedup) — the
-        index does not re-verify what it ingests."""
+        index does not re-verify what it ingests.
+
+        When ``batch`` is the direct result of THIS index's
+        :meth:`dedup_batch` (the documented ingest loop), the
+        signature chain is NOT re-run: the survivors' sig rows come
+        from the already-persisted batch sig minus the matched ids —
+        one cache read instead of a second normalize → shingle →
+        minhash pass over the increment (:func:`_sig_for_append`)."""
         id_col = self.meta["id_col"]
         text_col = self.meta["text_col"]
         nd = self.meta["bucket_dirs"]
-        sig = _batch_sig(batch, text_col, id_col, self.meta).persist()
+        sig = _sig_for_append(
+            self, batch,
+            lambda: _batch_sig(batch, text_col, id_col, self.meta),
+        ).persist()
         # repartition ON the hive key before the partitioned write: an
         # unclustered write makes every task open a file in every
         # directory (measured 1,600+ tiny files at sf0.1 — a listing
@@ -568,7 +615,9 @@ class PhashIndex:
                 f"batch_id {self.meta['id_type']}, "
                 f"corpus_id {self.meta['id_type']}, hamming int",
             )
-            return batch._new(empty)._retain(sig)
+            out = batch._new(empty)._retain(sig)
+            out._match_sig = sig
+            return out
         # takedowns: tombstoned items stop matching immediately — the
         # posting scan is already pruned to the batch's band buckets;
         # the tombstone relation is takedown-sized (bounded by the
@@ -591,7 +640,11 @@ class PhashIndex:
             )
             .distinct()  # a pair matching in several bands reports once
         )
-        return batch._new(pairs)._retain(sig)
+        out = batch._new(pairs)._retain(sig)
+        # internal channel for dedup_batch (see _sig_for_append): the
+        # persisted sig holds the decoded evidence
+        out._match_sig = sig
+        return out
 
     def dedup_batch(self, batch, *, max_hamming: int = 3):
         """Rows of ``batch`` not within ``max_hamming`` of any indexed
@@ -602,15 +655,30 @@ class PhashIndex:
         dup_ids = pairs.df.select(
             F.col("batch_id").alias(id_col)
         ).distinct()
-        out = batch.df.join(dup_ids, id_col, "left_anti")
-        return batch._new(out)._retain(*pairs._retained)
+        out = pairs._new(batch.df.join(dup_ids, id_col, "left_anti"))
+        # survivors carry the cached-sig handshake — what makes "no
+        # image is ever re-decoded" true through the whole ingest loop
+        out._index_sig = (
+            self.path,
+            pairs._match_sig.join(
+                dup_ids.select(F.col(id_col).alias("__id")),
+                "__id", "left_anti",
+            ),
+        )
+        return out
 
     def append(self, batch) -> None:
         """Ingest ``batch`` (SURVIVORS — the index does not re-verify
         what it ingests) into the posting layout, clustered on the hive
-        key like every other index append."""
+        key like every other index append. A batch straight out of THIS
+        index's :meth:`dedup_batch` reuses the cached batch sig
+        (:func:`_sig_for_append`) — the increment's images are not
+        decoded a second time just to band their already-computed
+        hashes."""
         nd = self.meta["bucket_dirs"]
-        self._band_rows(self._batch_sig(batch)).select(
+        sig = _sig_for_append(self, batch,
+                              lambda: self._batch_sig(batch))
+        self._band_rows(sig).select(
             "bidx", "bval", F.col("__id").alias("id"),
             F.col("__ph").alias("ph"), "__bk",
         ).repartition(nd, "__bk").write.mode("append").partitionBy(
@@ -674,7 +742,8 @@ def phash_index_build(stream, path: str, *,
         "id_type": dtypes[id_col],
         "mode": "phash",
     }
-    spark.createDataFrame(
+    tiny_df(
+        spark,
         [(id_col, features_col, bits, bands, bucket_dirs,
           dtypes[id_col], "phash")],
         "id_col string, features_col string, bits long, bands long, "
@@ -733,7 +802,8 @@ def dedup_index_build(stream, path: str, *, text_col: str = "text",
         "id_type": dtypes[id_col],
         "mode": mode,
     }
-    spark.createDataFrame(
+    tiny_df(
+        spark,
         [(id_col, text_col, num_hashes, bands, shingle_n, bucket_dirs,
           dtypes[id_col], mode)],
         "id_col string, text_col string, num_hashes long, bands long, "
@@ -761,10 +831,14 @@ def dedup_index_build(stream, path: str, *, text_col: str = "text",
 
 def _overwrite_empty(spark, path: str, schema: str, part_col: str) -> None:
     """Reset a hive-partitioned data root to empty with the right
-    schema (idempotent rebuilds; explicit-schema reads keep working)."""
-    spark.createDataFrame([], schema).write.mode("overwrite").partitionBy(
-        part_col
-    ).parquet(path)
+    schema (idempotent rebuilds; explicit-schema reads keep working).
+    util.tiny_df: createDataFrame([]) parallelizes to
+    defaultParallelism empty Python partitions — one task per CORE per
+    reset (measured ~0.4 s each at 32 cores) for a write that carries
+    no rows; one source slice = one task."""
+    tiny_df(spark, [], schema).write.mode(
+        "overwrite"
+    ).partitionBy(part_col).parquet(path)
 
 
 def _count_files(spark, root: str, subs) -> int:

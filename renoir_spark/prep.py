@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from .datapipe import (
     MINHASH_P,
+    _spread_for_compute,
     md5_int31,
     norm_text,
     sql_md5_int31,
@@ -481,6 +482,11 @@ def unigram_logprob(stream, id_col: str, text_col: str, *,
     on both engines — the q93 discipline.
     """
     df = stream.df
+    # NO input spread here (unlike the md5-per-shingle chains):
+    # tokenization is a cheap split and both explodes feed map-side
+    # partial aggregates — measured WORSE with the round-10 spread
+    # (0.67 → 1.03 s at sf0.1): the added exchange of raw text costs
+    # more than the parallelism buys.
     base = df.select(to_col(id_col).alias("__id"),
                      tokens(text_col).alias("__toks"))
     occ = base.select(
@@ -575,6 +581,7 @@ def bigram_logprob(stream, id_col: str, text_col: str, *,
     the exact model.
     """
     df = stream.df
+    # no spread — see unigram_logprob (measured worse)
     base = df.select(to_col(id_col).alias("__id"),
                      tokens(text_col).alias("__toks"))
     if buckets is not None:
@@ -3009,14 +3016,32 @@ def dsir_weights(stream, target, text_col: str, id_col: str, *,
     no matter the corpus size.
     """
     tcol = target_text_col or text_col
-    raw_occ = _dsir_occ(stream.df, text_col, id_col,
+    # spread both sides to core parallelism when the scans carry too
+    # few partitions: the n-gram explode + per-gram md5 is the heavy
+    # per-row work and otherwise runs at scan width (no-op at scale)
+    raw_occ = _dsir_occ(_spread_for_compute(stream.df), text_col, id_col,
                         n_buckets=n_buckets, ngram=ngram)
     # the target side only feeds a bucket distribution — no id needed,
     # so an external reference corpus without id_col works as target
-    tgt_occ = _dsir_occ(target.df, tcol, None,
+    tgt_occ = _dsir_occ(_spread_for_compute(target.df), tcol, None,
                         n_buckets=n_buckets, ngram=ngram)
-    raw_ct = raw_occ.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
-    tgt_ct = tgt_occ.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    # ONE explode pass per side: the per-(doc, bucket) counts are the
+    # finest aggregate, so the bucket totals DERIVE from them (sum of
+    # counts ≡ count of occurrences) — unpersisted, the raw explode
+    # chain ran once under the model build and again under the per-doc
+    # scoring, and each tiny total re-ran its side's chain too. The
+    # persisted relations are bounded: (doc × distinct buckets) rows
+    # for cdb, ≤ n_buckets rows for tgt_ct.
+    cdb = (
+        raw_occ.groupBy("__id", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    raw_ct = cdb.groupBy("__b").agg(F.sum("__c").alias("__cr"))
+    tgt_ct = (
+        tgt_occ.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+        .persist()
+    )
     raw_n = raw_ct.agg(F.sum("__cr").alias("__nr"))
     tgt_n = tgt_ct.agg(
         F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt")
@@ -3036,7 +3061,6 @@ def dsir_weights(stream, target, text_col: str, id_col: str, *,
             ).alias("__lr"),
         )
     )
-    cdb = raw_occ.groupBy("__id", "__b").agg(F.count(F.lit(1)).alias("__c"))
     out = (
         # the model is ≤ n_buckets rows BY CONSTRUCTION — broadcast it
         # explicitly rather than relying on AQE's runtime conversion
@@ -3051,7 +3075,7 @@ def dsir_weights(stream, target, text_col: str, id_col: str, *,
             ).alias(alias),
         )
     )
-    return stream._new(out)
+    return stream._new(out)._retain(cdb, tgt_ct)
 
 
 def dsir_select(stream, target, text_col: str, id_col: str, k: int, *,
@@ -3085,7 +3109,7 @@ def dsir_select(stream, target, text_col: str, id_col: str, k: int, *,
         .limit(k)
         .drop("__k")
     )
-    return stream._new(out)
+    return stream._new(out)._retain(*w._retained)
 
 
 def _sql_dsir_occ(table_expr: str, text: str, id_col: str, *,
@@ -3193,8 +3217,16 @@ def nb_classify(stream, labeled, text_col: str, id_col: str,
         to_col(id_col).alias("__id"), to_col(label_col).alias("__cls")
     )
     occ_c = lab_occ.join(lab_ids, "__id")
-    ct = occ_c.groupBy("__cls", "__b").agg(F.count(F.lit(1)).alias("__ct"))
-    nc = occ_c.groupBy("__cls").agg(F.count(F.lit(1)).alias("__nc"))
+    # one labeled-side explode pass: the per-(class, bucket) counts are
+    # the finest aggregate — per-class totals DERIVE from them (sum of
+    # counts ≡ count of occurrences); ct is ≤ n_buckets × |classes|
+    # rows by construction, so the persist is bounded
+    ct = (
+        occ_c.groupBy("__cls", "__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+        .persist()
+    )
+    nc = ct.groupBy("__cls").agg(F.sum("__ct").alias("__nc"))
     docs_c = lab_ids.groupBy("__cls").agg(F.count(F.lit(1)).alias("__dc"))
     total = lab_ids.agg(F.count(F.lit(1)).alias("__dt"))
     classes = (
@@ -3248,7 +3280,7 @@ def nb_classify(stream, labeled, text_col: str, id_col: str,
             F.col("__s").alias(score_alias),
         )
     )
-    return stream._new(out)
+    return stream._new(out)._retain(ct)
 
 
 def sql_nb_classify(score_expr: str, labeled_expr: str, text: str,

@@ -116,6 +116,24 @@ def grouped_apply_sorted(df, keys, order_cols, fn, schema):
     return part.mapInPandas(_proc, schema)
 
 
+def tiny_df(spark, rows, schema):
+    """ONE-partition DataFrame for metadata-sized row lists (index
+    meta/grid/cells relations, empty hive-root resets).
+
+    Plain ``createDataFrame(list)`` parallelizes the rows across
+    ``defaultParallelism`` pickled Python partitions, so writing the
+    result launches one task per CORE (measured: 3 × ~0.45 s of
+    empty-task overhead per ANN index build at 32 cores, one file per
+    core in the directory) — and ``coalesce(1)`` is WORSE, not better:
+    the single task then computes those 32 Python partitions
+    SEQUENTIALLY, each paying a Python-worker round trip (measured
+    ~3.5 s per 1-row write). One slice at the source = one partition,
+    one Python round, one task, one file — at any core count."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 # -------------------------------------------------------------------- #
 # Partition-pruned probe reads (persisted dedup / ANN indexes)
 # -------------------------------------------------------------------- #
