@@ -215,7 +215,8 @@ def _bind_n_features(codec, n_features: Optional[int]):
 
 
 def decode_image(stream, content_col: str = "content", out_col: str = "image",
-                 *, n_features: Optional[int] = None):
+                 *, n_features: Optional[int] = None,
+                 columns: Optional[list] = None):
     """binary → ``struct<width, height, channels, format, features>`` via
     Arrow-batched mapInPandas. No shuffle; partitioning preserved.
 
@@ -223,23 +224,39 @@ def decode_image(stream, content_col: str = "content", out_col: str = "image",
     supports it (the default codecs do; a real pHash pipeline wants
     ≥ 48 so :func:`renoir_spark.datapipe.dedup_phash` gets a bandable
     signature — 8 features = 2-bit bands = the quadratic band trap at
-    corpus scale, measured in docs/SCALING.md)."""
+    corpus scale, measured in docs/SCALING.md).
+
+    ``columns`` (optional): the INPUT columns to keep in the output
+    (decoded fields are always appended). Default keeps every column —
+    but an Arrow stage is opaque, so a downstream select cannot stop
+    the media bytes from being serialized Python→JVM and back; callers
+    that only need ids + decoded evidence should pass the narrow list
+    (guide §4: control the columns crossing the boundary BOTH ways —
+    measured 0.50 → 0.39 s per decode pass at sf0.1 text-sized blobs;
+    the factor grows with real media sizes)."""
     fields = ", ".join(
         f"{out_col}_{f.split()[0]} {f.split(maxsplit=1)[1]}"
         for f in IMAGE_SCHEMA.split(", ")
     )
+    keep = (
+        [f for f in stream.df.schema.fields]
+        if columns is None
+        else [f for f in stream.df.schema.fields if f.name in set(columns)]
+    )
     schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in stream.df.schema.fields
+        f"`{f.name}` {f.dataType.simpleString()}" for f in keep
     ) + ", " + fields
+    out_names = [f.name for f in keep]
 
     codec = _bind_n_features(get_codec("image"), n_features)  # plan-build
 
     def _batches(batches: Iterator) -> Iterator:
         for pdf in batches:
             decoded = [codec(bytes(b)) for b in pdf[content_col]]
+            out = pdf[out_names].copy() if columns is not None else pdf
             for k in ("width", "height", "channels", "format", "features"):
-                pdf[f"{out_col}_{k}"] = [d[k] for d in decoded]
-            yield pdf
+                out[f"{out_col}_{k}"] = [d[k] for d in decoded]
+            yield out
 
     return stream._new(stream.df.mapInPandas(_batches, schema))
 

@@ -4647,7 +4647,7 @@ def qa42_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             content=F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
         )
         .shuffle()
-        .decode_image(n_features=48)
+        .decode_image(n_features=48, columns=["doc_id", "text"])
     )
     return docs.corpus_report(
         "doc_id", "text", features_col="image_features",
@@ -4734,8 +4734,10 @@ def qa44_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             content=F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
         )
         .shuffle()  # single-file scan → parallel decode
-        .decode_image(n_features=48)  # 12-bit bands (8 features = the
-        #                               measured quadratic band trap)
+        # columns=: only doc_id + decoded fields come back across the
+        # Arrow boundary (the blob bytes don't ride the return trip)
+        .decode_image(n_features=48, columns=["doc_id"])  # 12-bit bands
+        #                 (8 features = the measured quadratic band trap)
     )
     kept = decoded.dedup_phash("image_features", "doc_id")
     return kept.df.select("doc_id", "image_width", "image_height")
@@ -4813,7 +4815,7 @@ def qa46_phash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .shuffle()
-            .decode_image(n_features=48)
+            .decode_image(n_features=48, columns=["doc_id"])
         )
 
     corpus = decoded("true")
@@ -4882,7 +4884,7 @@ def qa47_phash_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .shuffle()
-            .decode_image(n_features=48)
+            .decode_image(n_features=48, columns=["doc_id"])
         )
 
     corpus = decoded("doc_id % 5 > 1")
@@ -5053,7 +5055,7 @@ def qa51_align_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             content=F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
         )
         .shuffle()  # single-file scan → parallel decode
-        .decode_image(n_features=16)
+        .decode_image(n_features=16, columns=["doc_id", "caption"])
     )
     kept = docs.align_filter(
         text_col="caption", features_col="image_features",
@@ -5178,7 +5180,7 @@ def qa54_phash_takedown_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .shuffle()
-            .decode_image(n_features=48)
+            .decode_image(n_features=48, columns=["doc_id"])
         )
 
     v1 = docs.filter("doc_id % 5 > 1")          # the indexed snapshot

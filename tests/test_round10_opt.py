@@ -116,6 +116,32 @@ def test_phash_append_after_dedup_does_not_redecode(ctx, tmp_path):
         multimodal.reset_codecs()
 
 
+def test_decode_image_columns_projection(ctx):
+    """decode_image(columns=...) keeps ONLY the listed input columns
+    plus every decoded field, and decodes identically to the default
+    all-columns form."""
+    df = ctx.spark.createDataFrame(
+        [(i, "x%d" % i, ("blob %d" % i).encode()) for i in range(8)],
+        "doc_id long, extra string, content binary",
+    )
+    full = ctx.from_df(df).decode_image(n_features=8)
+    slim = ctx.from_df(df).decode_image(n_features=8,
+                                        columns=["doc_id"])
+    assert set(slim.df.columns) == {
+        "doc_id", "image_width", "image_height", "image_channels",
+        "image_format", "image_features",
+    }
+    a = sorted(
+        (r["doc_id"], r["image_width"], tuple(r["image_features"]))
+        for r in full.df.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["image_width"], tuple(r["image_features"]))
+        for r in slim.df.collect()
+    )
+    assert a == b
+
+
 def test_dedup_append_handshake_equals_recompute(ctx, tmp_path):
     """Appending survivors via the cached-sig handshake must leave the
     index byte-equivalent (same posting/shingle ROWS) to appending a
