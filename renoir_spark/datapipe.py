@@ -3850,13 +3850,20 @@ def _sq8_candidates(enc, q, *, id_col: str, rerank: int, join):
     )
 
 
-def _exact_rerank_topk(stream, cand, *, vec_col: str, id_col: str, k: int):
+def _exact_rerank_topk(stream, cand, *, vec_col: str, id_col: str, k: int,
+                       corpus=None):
     """Exact fp32 re-score of a (qid, qvec, id) candidate list (broadcast
     into an id equi-join with the corpus) + final per-query top-k — the
-    closing stage of every rerank-style ANN method."""
+    closing stage of every rerank-style ANN method. ``corpus``: an
+    optional pre-staged (id, vec) relation to re-score against instead
+    of re-deriving it from ``stream.df`` (the SQ8 family persists ONE
+    narrow relation across its stats/encode/rerank passes)."""
     cos = _cosine(F.col("qvec"), F.col("cvec"))
+    base = (
+        corpus if corpus is not None else stream.df
+    ).select(F.col(id_col), F.col(vec_col).alias("cvec"))
     scored = (
-        stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+        base
         .join(F.broadcast(cand), id_col)
         .select("qid", id_col, cos.alias("cos"))
     )
@@ -3907,9 +3914,15 @@ def ann_cosine_sq8(
     corpus. Quantizing on a per-dimension grid keeps the codec
     data-parallel: no codebook training loop (contrast IVF/PQ), so a
     cold corpus encodes in a single pass."""
-    stats = _sq8_stats(stream.df, vec_col, dim)
+    # stage the narrow (id, vec) relation ONCE across the method's three
+    # corpus passes (stats aggregate, encode scan, fp32 rerank) — the
+    # ann_index_build / _staged_probe discipline; released at stream
+    # teardown via _retain. At production scale the persisted-codes
+    # artifact replaces the cache (docstring above).
+    narrow = stream.df.select(F.col(id_col), F.col(vec_col)).persist()
+    stats = _sq8_stats(narrow, vec_col, dim)
     enc = (
-        stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+        narrow.select(F.col(id_col), F.col(vec_col).alias("cvec"))
         .crossJoin(F.broadcast(stats))
         .select(
             id_col, "__mins", "__scales",
@@ -3924,7 +3937,9 @@ def ann_cosine_sq8(
         id_col=id_col, rerank=rerank,
         join=lambda c, bq: c.crossJoin(bq),
     )
-    return _exact_rerank_topk(stream, cand, vec_col=vec_col, id_col=id_col, k=k)
+    return _exact_rerank_topk(
+        stream, cand, vec_col=vec_col, id_col=id_col, k=k, corpus=narrow,
+    )._retain(narrow)
 
 
 def sql_ann_cosine_sq8(
@@ -4027,16 +4042,21 @@ def ann_cosine_ivf_sq8(
     broadcast id join. The persisted artifact at production scale is
     (id, cell, codes) — bucketed by cell it serves every query batch
     without re-encoding."""
-    units = _ivf_seed_units(stream.df, vec_col, id_col, n_cells)
+    # stage the narrow (id, vec) relation across the FOUR corpus passes
+    # (seed collect, stats aggregate, encode+assign scan, fp32 rerank) —
+    # the seed collect is a plan-build action, so it also warms the
+    # cache for the whole plan; released at stream teardown via _retain
+    narrow = stream.df.select(F.col(id_col), F.col(vec_col)).persist()
+    units = _ivf_seed_units(narrow, vec_col, id_col, n_cells)
     dtypes = dict(stream.df.dtypes)
     id_t = dtypes[id_col]
     qid_t = dict(queries.df.dtypes)[id_col]
     vec_t = dtypes[vec_col]
 
-    stats = _sq8_stats(stream.df, vec_col, dim)
+    stats = _sq8_stats(narrow, vec_col, dim)
     enc = (
         _ivf_assign(
-            stream.df.select(F.col(id_col), F.col(vec_col).alias("cvec")),
+            narrow.select(F.col(id_col), F.col(vec_col).alias("cvec")),
             units, id_schema=f"{id_col} {id_t}",
         )
         .crossJoin(F.broadcast(stats))
@@ -4057,7 +4077,9 @@ def ann_cosine_ivf_sq8(
         id_col=id_col, rerank=rerank,
         join=lambda c, bq: c.join(bq, "__cell"),
     )
-    return _exact_rerank_topk(stream, cand, vec_col=vec_col, id_col=id_col, k=k)
+    return _exact_rerank_topk(
+        stream, cand, vec_col=vec_col, id_col=id_col, k=k, corpus=narrow,
+    )._retain(narrow)
 
 
 def sql_ann_cosine_ivf_sq8(

@@ -343,15 +343,30 @@ def resize_image(stream, *, width: int, height: int, prefix: str = "image"):
 
 
 def sample_frames(stream, content_col: str = "content", *, num_frames: int = 4,
-                  out_col: str = "frame", n_features: Optional[int] = None):
+                  out_col: str = "frame", n_features: Optional[int] = None,
+                  columns: Optional[list] = None):
     """Video → one row per sampled frame (frame index + per-frame
     features). The explode factor is bounded by ``num_frames``; frame
     decode itself is the stubbed step. ``n_features`` sizes the frame
     feature grid when the codec supports it (the default does) — the
-    decode_image contract, needed for bandable per-frame phashes."""
+    decode_image contract, needed for bandable per-frame phashes.
+
+    ``columns`` (optional): the INPUT columns to keep in the output
+    (frame fields are always appended) — the :func:`decode_image`
+    projection contract. This is usually the LAST Python stage of a
+    media chain, so without it the video bytes are serialized
+    Python→JVM ``num_frames`` times on the return trip just to be
+    dropped by the next select (guide §4.1: control the columns
+    crossing the boundary BOTH ways)."""
+    keep = (
+        list(stream.df.schema.fields)
+        if columns is None
+        else [f for f in stream.df.schema.fields if f.name in set(columns)]
+    )
     schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in stream.df.schema.fields
+        f"`{f.name}` {f.dataType.simpleString()}" for f in keep
     ) + f", {out_col}_idx int, {out_col}_features array<float>"
+    out_names = [f.name for f in keep]
 
     codec = get_codec("frame")  # captured at plan-build time
     if n_features is not None:
@@ -374,12 +389,13 @@ def sample_frames(stream, content_col: str = "content", *, num_frames: int = 4,
             # ~python-object cost per cell; repeat is one vectorized copy)
             rep = pdf.loc[pdf.index.repeat(num_frames)].reset_index(drop=True)
             idxs = np.tile(np.arange(num_frames), len(pdf))
-            rep[f"{out_col}_idx"] = idxs.astype("int32")
-            rep[f"{out_col}_features"] = [
+            out = rep[out_names].copy() if columns is not None else rep
+            out[f"{out_col}_idx"] = idxs.astype("int32")
+            out[f"{out_col}_features"] = [
                 codec(bytes(b), int(i))
                 for b, i in zip(rep[content_col], idxs)
             ]
-            yield rep
+            yield out
 
     return stream._new(stream.df.mapInPandas(_batches, schema))
 
@@ -589,8 +605,13 @@ def dedup_video_phash(
     band_width = bits // bands
     mask = (1 << band_width) - 1
 
+    # columns=: the signature path reads only (id, frame) — without the
+    # projection the video bytes ride Python→JVM num_frames times just
+    # to be dropped by the very next select (the final keep-join below
+    # reads the ORIGINAL stream.df, not this branch)
     frames = sample_frames(
-        stream, content_col, num_frames=num_frames, n_features=bits
+        stream, content_col, num_frames=num_frames, n_features=bits,
+        columns=[id_col],
     ).df
     sig = frames.select(
         F.col(id_col).alias("__id"),

@@ -1657,11 +1657,13 @@ class Stream:
         return _ri(self, width=width, height=height, prefix=prefix)
 
     def sample_frames(self, content_col: str = "content", *, num_frames: int = 4,
-                      out_col: str = "frame") -> "Stream":
-        """Video frame sampling plumbing — multimodal.sample_frames."""
+                      out_col: str = "frame", **kw) -> "Stream":
+        """Video frame sampling plumbing — multimodal.sample_frames
+        (``columns=`` projects the input columns riding back out of the
+        Arrow stage, the decode_image contract)."""
         from .multimodal import sample_frames as _sf
 
-        return _sf(self, content_col, num_frames=num_frames, out_col=out_col)
+        return _sf(self, content_col, num_frames=num_frames, out_col=out_col, **kw)
 
     def embed_text(self, text_col: str = "caption",
                    out_col: str = "text_embedding", **kw) -> "Stream":

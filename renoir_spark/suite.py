@@ -1596,7 +1596,13 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one Arrow pass over the heavy binary column instead of two
         .shuffle()
         .decode_media()
-        .sample_frames(num_frames=2)
+        # columns=: last Python stage of the chain — the blob and the
+        # two unused feature arrays don't ride the return trip (the
+        # earlier decode_media pass must keep `content` for this stage)
+        .sample_frames(num_frames=2, columns=[
+            "doc_id", "image_width", "image_height",
+            "audio_sample_rate", "audio_n_samples", "audio_duration_s",
+        ])
         .map(
             "doc_id", "image_width", "image_height",
             "audio_sample_rate", "audio_n_samples", "frame_idx",

@@ -142,6 +142,50 @@ def test_decode_image_columns_projection(ctx):
     assert a == b
 
 
+def test_sample_frames_columns_projection(ctx):
+    """sample_frames(columns=...) keeps ONLY the listed input columns
+    plus the frame fields, and samples identically to the default
+    all-columns form."""
+    df = ctx.spark.createDataFrame(
+        [(i, "x%d" % i, ("vid %d" % i).encode()) for i in range(6)],
+        "doc_id long, extra string, content binary",
+    )
+    full = ctx.from_df(df).sample_frames(num_frames=3)
+    slim = ctx.from_df(df).sample_frames(num_frames=3, columns=["doc_id"])
+    assert set(slim.df.columns) == {"doc_id", "frame_idx", "frame_features"}
+    a = sorted(
+        (r["doc_id"], r["frame_idx"], tuple(r["frame_features"]))
+        for r in full.df.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["frame_idx"], tuple(r["frame_features"]))
+        for r in slim.df.collect()
+    )
+    assert a == b
+
+
+def test_sq8_staging_releases_cache_on_unpersist(ctx):
+    """The SQ8 family persists ONE narrow (id, vec) relation across its
+    stats/encode/rerank passes; unpersist() must release it (the _retain
+    contract), and results must match the DuckDB-mirrored shape of a
+    fresh call."""
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+            for i in range(40)]
+    emb = ctx.from_df(ctx.spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"))
+    qs = ctx.from_df(ctx.spark.createDataFrame(
+        rows[:3], "vec_id long, embedding array<double>"))
+    jsc = ctx.spark.sparkContext._jsc.sc()
+    n0 = jsc.getPersistentRDDs().size()
+    out = emb.ann_cosine(qs, method="sq8", k=2, rerank=6, dim=8)
+    got = sorted((r["qid"], r["rank"], r["vec_id"]) for r in out.df.collect())
+    assert len(got) == 6 and len(out._retained) == 1
+    assert jsc.getPersistentRDDs().size() == n0 + 1
+    out.unpersist()
+    assert out._retained == []
+    assert jsc.getPersistentRDDs().size() == n0
+
+
 def test_dedup_append_handshake_equals_recompute(ctx, tmp_path):
     """Appending survivors via the cached-sig handshake must leave the
     index byte-equivalent (same posting/shingle ROWS) to appending a
