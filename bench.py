@@ -1,26 +1,49 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the suite's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line, LAST on
+stdout (round-11 contract fix — the invoking harness captures a
+bounded output tail, and round 9's line grew past it once per-query
+shuffle telemetry rode along, so the captured tail began MID-JSON and
+the driver could not parse it):
 
     {"metric": "suite_total", "value": <sec>, "unit": "sec",
      "queries": {"q01_...": sec, ...}, "sf": 0.1,
      "regressions": [{"query": ..., "baseline": ..., "now": ...}]}
 
-Timing is per-query wall time of plan + execution (a count/collect
-action); session/JVM startup is excluded (one warmup action first).
+The full record — the contract fields PLUS the per-query
+shuffle-bytes telemetry, streaming state-store telemetry, and the
+canary reading — is persisted to ``bench_last.json`` next to this
+script (committed per round; the judge and the next round's gate read
+it from git). Timing methodology is UNCHANGED from rounds 1-10:
+per-query wall time of plan + execution (a count/collect action),
+session/JVM startup excluded (one warmup action first), n>=3 runs,
+per-query min.
 
 Per-query regression gate: every entry is compared against the
 COMMITTED bench_last.json (``git show HEAD:bench_last.json`` — the
 working-tree copy is this run's output, not the baseline) when the sf
-matches. A query is flagged when ``now > TOLERANCE × baseline +
-FLOOR_S`` — the multiplicative band absorbs machine variance (measured
-±10% between identical-code runs), the additive floor absorbs
-scheduler jitter on sub-second queries, and n≥3 runs (min) absorbs
-transient load. Flags are suppressed for queries listed in the
-committed ``bench_justifications.json`` ({query: reason} — add an entry
-in the SAME commit as an intentional plan change). Unjustified flags
-print to stderr, land in the JSON line, and fail the run (rc 1) unless
+matches. Two complementary gates:
+
+- PRIMARY: shuffle WRITE bytes (near-deterministic, host-independent —
+  a plan regression cannot hide its bytes) vs ``BYTES_TOLERANCE``.
+- SECONDARY: wall seconds, DRIFT-NORMALIZED — this container's
+  sustained throughput drifts up to ~40% across hours on identical
+  code (measured round 10: 169.8→236 s full-suite on byte-identical
+  plans), so raw wall bands cry wolf on untouched queries. A fixed
+  CANARY workload (JVM codegen leg + Python/Arrow leg, the two
+  resources that drift) is timed in the same run and its ratio to the
+  committed baseline's canary scales the allowed band: a query flags
+  only when ``now > TOLERANCE × baseline × drift + FLOOR_S`` where
+  ``drift = clamp(canary_now / canary_baseline, 1.0, DRIFT_CAP)``.
+  Drift never TIGHTENS the band (clamp at 1.0) and is capped so a
+  genuinely broken query cannot hide behind an extreme canary reading.
+
+A query is flagged when it regresses past its band. Flags are
+suppressed for queries listed in the committed
+``bench_justifications.json`` ({query: reason} — add an entry in the
+SAME commit as an intentional plan change). Unjustified flags print to
+stderr, land in the JSON line, and fail the run (rc 1) unless
 ``SPARK_GRAFT_BENCH_GATE=warn``.
 """
 
@@ -44,6 +67,47 @@ FLOOR_S = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR", "0.3"))
 BYTES_TOLERANCE = float(os.environ.get("SPARK_GRAFT_BENCH_BYTES_TOL", "1.5"))
 BYTES_FLOOR = int(os.environ.get("SPARK_GRAFT_BENCH_BYTES_FLOOR",
                                  str(1 << 20)))
+# canary-drift cap: the wall-time band stretches at most this much.
+# Round-10's measured worst host drift was ~1.4x full-suite (and ~3x on
+# single Python-heavy queries); 2.5 covers the suite-level drift while
+# still letting a genuine 4x plan regression through the stretched band.
+DRIFT_CAP = float(os.environ.get("SPARK_GRAFT_BENCH_DRIFT_CAP", "2.5"))
+
+
+def run_canary(spark) -> float:
+    """Fixed reference workload timed in-run to measure the HOST's
+    current sustained throughput (round-10 finding: this container
+    slows up to ~40% across hours on identical code, invisibly to the
+    guest). Two legs covering the two resources that drift: a JVM
+    whole-stage-codegen aggregate and a Python/Arrow worker pass
+    (Python-worker-heavy queries drift the most). Deterministic data,
+    no disk I/O; min of 2 passes damps one-off scheduler jitter. The
+    ratio of this reading between two runs normalizes the wall-time
+    regression band (see compare_to_baseline)."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        # JVM leg: hash + aggregate over a generated range (codegen
+        # CPU); pmod bounds the summand so ANSI mode cannot overflow
+        spark.range(8_000_000).select(
+            F.sum(F.pmod(F.xxhash64(F.col("id") % 1000, F.col("id")),
+                         F.lit(1_000_000)))
+        ).collect()
+        # Python/Arrow leg: a grouped pandas pass (worker + Arrow I/O)
+        (
+            spark.range(120_000)
+            .withColumn("g", F.col("id") % 64)
+            .groupBy("g")
+            .applyInPandas(
+                lambda pdf: pdf.assign(id=pdf["id"] * 2), "id long, g long"
+            )
+            .selectExpr("sum(id)")
+            .collect()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def shuffle_totals(spark) -> tuple[int, int]:
@@ -141,14 +205,33 @@ def load_committed_baseline(repo_dir: str):
         return None
 
 
+def drift_factor(canary_now: float | None, baseline,
+                 *, cap: float = DRIFT_CAP) -> float:
+    """Host-drift normalizer for the wall-time gate: the ratio of this
+    run's canary to the committed baseline's, clamped to [1.0, cap].
+    1.0 when either side is missing (old baselines without a canary
+    gate exactly as before), never below 1.0 (a faster host must not
+    TIGHTEN the band below its nominal tolerance), capped so a real
+    regression cannot hide behind an extreme canary reading."""
+    if not canary_now or not baseline:
+        return 1.0
+    base_c = baseline.get("canary_sec")
+    if not base_c or base_c <= 0:
+        return 1.0
+    return max(1.0, min(canary_now / base_c, cap))
+
+
 def compare_to_baseline(timings: dict, baseline, sf: float,
                         justifications: dict | None = None,
                         *, tolerance: float = TOLERANCE,
-                        floor: float = FLOOR_S) -> list:
+                        floor: float = FLOOR_S,
+                        drift: float = 1.0) -> list:
     """Flag queries that regressed vs the committed baseline. Only
     same-sf baselines are comparable; new queries (no baseline entry)
-    and justified entries never flag. Returns [{query, baseline, now,
-    ratio, justified?}] sorted worst-first."""
+    and justified entries never flag. ``drift`` (>= 1.0, from
+    :func:`drift_factor`) stretches the band when the canary says the
+    whole host is slower — see the module docstring. Returns [{query,
+    baseline, now, ratio, drift?, justified?}] sorted worst-first."""
     if not baseline or baseline.get("sf") != sf:
         return []
     just = justifications or {}
@@ -158,13 +241,15 @@ def compare_to_baseline(timings: dict, baseline, sf: float,
         old = base_q.get(name)
         if old is None or old <= 0:
             continue
-        if now > tolerance * old + floor:
+        if now > tolerance * old * drift + floor:
             entry = {
                 "query": name,
                 "baseline": old,
                 "now": now,
                 "ratio": round(now / old, 2),
             }
+            if drift != 1.0:
+                entry["drift"] = round(drift, 3)
             if name in just:
                 entry["justified"] = just[name]
             regs.append(entry)
@@ -217,6 +302,11 @@ def main() -> None:
         .count()
     )
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
+    # canary: fixed workload, same position in every run (right after
+    # warmup) so committed-vs-now readings compare like for like
+    canary_sec = run_canary(spark)
+    print(f"# canary: {canary_sec:.3f}s", file=sys.stderr)
 
     # two passes, report the per-query MIN: pass 1 pays whole-stage
     # codegen + Python worker spin-up + any transient host load; the min
@@ -288,7 +378,14 @@ def main() -> None:
             justifications = json.load(f)
     except (OSError, ValueError):
         justifications = {}
-    regressions = compare_to_baseline(timings, baseline, sf, justifications)
+    # PRIMARY gate: shuffle bytes (deterministic). SECONDARY: wall
+    # seconds with the canary-drift-stretched band (module docstring).
+    drift = drift_factor(canary_sec, baseline)
+    if drift != 1.0:
+        print(f"# drift: canary {baseline.get('canary_sec')}s -> "
+              f"{canary_sec}s, wall band x{drift:.3f}", file=sys.stderr)
+    regressions = compare_to_baseline(timings, baseline, sf,
+                                      justifications, drift=drift)
     regressions += compare_shuffle_to_baseline(
         shuffle_bytes, baseline, sf, justifications
     )
@@ -303,31 +400,36 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
+    contract = {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "regressions": regressions,
+    }
+    full = dict(contract)
+    full.update(
         {
-            "metric": "suite_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "regressions": regressions,
             "streaming_state": streaming_state,
             "shuffle_bytes": shuffle_bytes,
+            "canary_sec": canary_sec,
         }
     )
-    print(line)
-    # the harness that invokes this script captures only a short output
-    # tail, which truncates the per-query JSON once the suite is large —
-    # also persist the full line next to the script so round-over-round
-    # comparisons always have the complete numbers in-repo. Full-suite
-    # sf0.1 runs only: a partial or off-sf run must not clobber the
-    # regression baseline.
+    # The FULL record (telemetry included) goes to bench_last.json next
+    # to the script — the committed round-over-round baseline. Full-
+    # suite sf0.1 runs only: a partial or off-sf run must not clobber
+    # the regression baseline.
     if sf == 0.1 and not only:
         try:
             with open(os.path.join(repo_dir, "bench_last.json"), "w") as f:
-                f.write(line + "\n")
+                f.write(json.dumps(full) + "\n")
         except OSError:
             pass
+    # The COMPACT contract line is the LAST thing on stdout (the
+    # invoking harness captures a bounded output tail; shuffle/state
+    # telemetry lives in bench_last.json, not here — round-11 fix).
+    print(json.dumps(contract))
     if unjustified and os.environ.get("SPARK_GRAFT_BENCH_GATE", "fail") != "warn":
         print(
             f"# bench gate FAILED: {len(unjustified)} unjustified "

@@ -103,13 +103,20 @@ class AnnIndex:
                     "cos double, rank long",
                 )
             )
+        # persisted because TWO consumers execute it: the probed-cell
+        # partition collect below AND the final candidate/rerank plan —
+        # unpersisted, the batch's upstream lineage (often an opaque
+        # Arrow stage: the probe itself is mapInPandas, and composed
+        # callers feed decode/transform chains) runs TWICE per query
+        # call. Batch-sized, not corpus-sized; released at stream
+        # teardown via _retain (the DedupIndex.match_batch discipline).
         q = _ivf_probe(
             queries.df.select(
                 F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
             ),
             self.units, nprobe=nprobe,
             out_schema=f"qid {qdt[id_col]}, qvec {qdt[vec_col]}, __cell long",
-        )
+        ).persist()
         # The probed-cell set IS the index lookup: a bounded driver
         # collect (≤ PROBE_LITERAL_MAX + 1 ints) decides between a
         # LITERAL partition filter (small probes — the listing itself
@@ -167,7 +174,7 @@ class AnnIndex:
             enc.select(F.col(id_col), F.col("cvec").alias(vec_col))
         )
         return _exact_rerank_topk(corpus, cand, vec_col=vec_col,
-                                  id_col=id_col, k=k)
+                                  id_col=id_col, k=k)._retain(q)
 
     # -------------------------------------------------------------- #
     def append(self, stream) -> None:
@@ -261,13 +268,16 @@ class AnnIndex:
         can decide a dedup verdict, and rank 1 carries the maximum
         cosine."""
         id_col = self.meta["id_col"]
-        top = self.query(batch, k=1, nprobe=nprobe, rerank=rerank).df
-        pairs = top.filter(F.col("cos") >= F.lit(float(threshold))).select(
+        top = self.query(batch, k=1, nprobe=nprobe, rerank=rerank)
+        pairs = top.df.filter(
+            F.col("cos") >= F.lit(float(threshold))
+        ).select(
             F.col("qid").alias("batch_id"),
             F.col(id_col).alias("corpus_id"),
             "cos",
         )
-        return batch._new(pairs)
+        # carry the query's staged relations so teardown releases them
+        return batch._new(pairs)._retain(*top._retained)
 
     def dedup_batch(self, batch, *, threshold: float = 0.9,
                     nprobe: int = 4, rerank: int = 12):
@@ -277,10 +287,15 @@ class AnnIndex:
         it, then :meth:`append` the survivors. Same loop as
         :meth:`DedupIndex.dedup_batch`, in embedding space."""
         id_col = self.meta["id_col"]
-        dup = self.match_batch(
+        matched = self.match_batch(
             batch, threshold=threshold, nprobe=nprobe, rerank=rerank
-        ).df.select(F.col("batch_id").alias(id_col)).distinct()
-        return batch._new(batch.df.join(dup, id_col, "left_anti"))
+        )
+        dup = matched.df.select(
+            F.col("batch_id").alias(id_col)
+        ).distinct()
+        return batch._new(
+            batch.df.join(dup, id_col, "left_anti")
+        )._retain(*matched._retained)
 
     # -------------------------------------------------------------- #
     def stats(self, *, drift_sample: int = 1024) -> dict:
@@ -589,6 +604,11 @@ def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
     else:
         staged = df.persist()
     df = staged
+    # try/finally over the WHOLE build body (ADVICE round 10): a
+    # failure in the codes/grid/cells/meta writes (disk full,
+    # permissions) must not leak the staged relation for the life of
+    # the session any more than a seed/stats failure; unpersist is
+    # idempotent, so the success path needs no special casing.
     try:
         units = _ivf_seed_units(df, vec_col, id_col, n_cells,
                                 order=seed_order)
@@ -601,39 +621,40 @@ def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
         # grid/ write — without this the unpersisted aggregate would
         # scan the corpus twice (once under enc.write, once for grid)
         srow = _sq8_stats(df, vec_col, dim).collect()[0]
-    except BaseException:
-        staged.unpersist()  # no cache leak when a build action fails
-        raise
-    stats = tiny_df(
-        spark,
-        [(srow["__mins"], srow["__scales"])],
-        "__mins array<double>, __scales array<double>",
-    )
+        stats = tiny_df(
+            spark,
+            [(srow["__mins"], srow["__scales"])],
+            "__mins array<double>, __scales array<double>",
+        )
 
-    _write_codes(df, path, units, stats, id_col=id_col, vec_col=vec_col,
-                 id_type=dtypes[id_col], n_cells=n_cells, mode="overwrite")
-    # metadata writes ride util.tiny_df: one partition, one task, one
-    # file (see its docstring for the measured per-core write tax)
-    stats.write.mode("overwrite").parquet(f"{path}/grid")
-    tiny_df(
-        spark, [(i, u) for i, u in enumerate(units)],
-        "cell long, unit array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/cells")
-    meta = {
-        "id_col": id_col,
-        "vec_col": vec_col,
-        "n_cells": n_cells,
-        "dim": dim,
-        "id_type": dtypes[id_col],
-        "vec_type": dtypes[vec_col],
-    }
-    tiny_df(
-        spark,
-        [(id_col, vec_col, n_cells, dim, dtypes[id_col], dtypes[vec_col])],
-        "id_col string, vec_col string, n_cells long, dim long, "
-        "id_type string, vec_type string",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    staged.unpersist()
+        _write_codes(df, path, units, stats, id_col=id_col,
+                     vec_col=vec_col, id_type=dtypes[id_col],
+                     n_cells=n_cells, mode="overwrite")
+        # metadata writes ride util.tiny_df: one partition, one task,
+        # one file (see its docstring for the measured per-core write
+        # tax)
+        stats.write.mode("overwrite").parquet(f"{path}/grid")
+        tiny_df(
+            spark, [(i, u) for i, u in enumerate(units)],
+            "cell long, unit array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/cells")
+        meta = {
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "n_cells": n_cells,
+            "dim": dim,
+            "id_type": dtypes[id_col],
+            "vec_type": dtypes[vec_col],
+        }
+        tiny_df(
+            spark,
+            [(id_col, vec_col, n_cells, dim, dtypes[id_col],
+              dtypes[vec_col])],
+            "id_col string, vec_col string, n_cells long, dim long, "
+            "id_type string, vec_type string",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+    finally:
+        staged.unpersist()
     return AnnIndex(spark, path, meta, units)
 
 

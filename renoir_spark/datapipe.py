@@ -177,10 +177,39 @@ def _staged_probe(narrow, probe):
     return staged, value
 
 
+# Optimized-logical-plan node names that imply a PHYSICAL exchange (or
+# a blocking operator) somewhere below: converting such a Dataset to an
+# RDD under AQE materializes every upstream shuffle stage EAGERLY at
+# plan-build time, and those results are NOT reused by the later action
+# — the upstream pipeline would execute twice (ADVICE round 10). Scans,
+# projections, filters, generates and unions never shuffle, so the
+# cheap .rdd partition probe stays safe for them.
+_EXCHANGE_NODE_MARKERS = (
+    "Join", "Aggregate", "Window", "Sort", "Repartition",
+    "Deduplicate", "Intersect", "Except", "GlobalLimit", "CoGroup",
+    "FlatMapGroups", "MapGroups", "WithCTE",
+)
+
+
+def _plan_is_scan_shaped(df) -> bool:
+    """True when the optimized logical plan contains no node that plans
+    to a shuffle/blocking physical operator — i.e. ``df.rdd`` metadata
+    probes cannot trigger any upstream stage execution. String scan of
+    the plan tree (computed once per Dataset and cached by
+    QueryExecution, so the later action pays nothing extra); errs
+    toward False (skip the probe) on any doubt or API drift."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # pragma: no cover - Connect / API drift
+        return False
+    return not any(m in plan for m in _EXCHANGE_NODE_MARKERS)
+
+
 def _spread_for_compute(df, *, min_factor: int = 1):
     """Round-robin repartition a NARROW relation up to the session's
     default parallelism before a compute-heavy per-row expression chain
-    — but only when the input carries fewer partitions than that.
+    — but only when the input is a plain scan shape carrying fewer
+    partitions than that.
 
     A compute-heavy chain (normalize → shingle → per-shingle md5 →
     minhash) runs at SCAN parallelism: over a corpus slice stored as a
@@ -191,9 +220,17 @@ def _spread_for_compute(df, *, min_factor: int = 1):
     scale a scan already carries ≥ parallelism partitions and this
     helper adds NO exchange; when it does fire, the shuffle moves only
     the narrow (id, text) projection and is deterministic under task
-    retries (sort-before-repartition, SPARK-23207)."""
+    retries (sort-before-repartition, SPARK-23207).
+
+    Exchange-shaped inputs (joins/aggregates upstream) skip the probe
+    entirely: ``df.rdd`` under AQE would EXECUTE those upstream stages
+    at plan-build time without reusing the result (ADVICE round 10),
+    and their output width is the shuffle width — already sized by the
+    session dial — so the spread has nothing to fix there."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * int(min_factor)
+    if not _plan_is_scan_shaped(df):
+        return df
     try:
         nparts = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - exotic/Connect plans

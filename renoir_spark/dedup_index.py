@@ -99,6 +99,16 @@ def _bucket_rows(sig, meta: dict):
     )
 
 
+def _sig_token(idx) -> tuple:
+    """Identity of the signature-relevant index parameters: a handshake
+    minted under one (path, params) must not be ingested into an index
+    REBUILT at the same path with different parameters — the stale sig
+    rows would land in the new band structure and silently corrupt
+    postings (ADVICE round 10). The meta dict holds only scalars, so a
+    sorted item tuple is a stable, hashable token."""
+    return tuple(sorted(idx.meta.items()))
+
+
 def _sig_for_append(idx, batch, compute):
     """Signature relation for an append: when ``batch`` carries the
     ``_index_sig`` handshake of THIS index (it is the DIRECT result of
@@ -108,10 +118,14 @@ def _sig_for_append(idx, batch, compute):
     signature chain NOR any upstream decode feeding it re-runs — a
     semi-join against ``batch.df`` would NOT achieve this, because the
     decode stage is opaque and column pruning cannot reach through it.
-    Any other stream falls back to ``compute()`` (the full chain)."""
+    The handshake matches on path AND the signature-relevant meta
+    params (:func:`_sig_token`); any other stream — or a same-path
+    index rebuilt with different params — falls back to ``compute()``
+    (the full chain)."""
     cached = getattr(batch, "_index_sig", None)
-    if cached is not None and cached[0] == idx.path:
-        return cached[1]
+    if (cached is not None and cached[0] == idx.path
+            and cached[1] == _sig_token(idx)):
+        return cached[2]
     return compute()
 
 
@@ -266,6 +280,7 @@ class DedupIndex:
         # survivors (_sig_for_append)
         out._index_sig = (
             self.path,
+            _sig_token(self),
             pairs._match_sig.join(
                 dup_ids.select(F.col(id_col).alias("__id")),
                 "__id", "left_anti",
@@ -660,6 +675,7 @@ class PhashIndex:
         # image is ever re-decoded" true through the whole ingest loop
         out._index_sig = (
             self.path,
+            _sig_token(self),
             pairs._match_sig.join(
                 dup_ids.select(F.col(id_col).alias("__id")),
                 "__id", "left_anti",

@@ -214,6 +214,22 @@ def _bind_n_features(codec, n_features: Optional[int]):
     return lambda data: codec(data, n_features=n)
 
 
+def _check_columns(have, columns, op: str) -> None:
+    """Fail fast on a ``columns=`` name absent from the input schema:
+    the keep-list filters by membership, so a typo'd name would just
+    vanish from the output and resurface as a confusing
+    unresolved-column error in a select far downstream (ADVICE round
+    10)."""
+    if columns is None:
+        return
+    unknown = sorted(set(columns) - set(have))
+    if unknown:
+        raise ValueError(
+            f"{op}: columns= names not in the input schema: {unknown} "
+            f"(have: {sorted(have)})"
+        )
+
+
 def decode_image(stream, content_col: str = "content", out_col: str = "image",
                  *, n_features: Optional[int] = None,
                  columns: Optional[list] = None):
@@ -238,6 +254,7 @@ def decode_image(stream, content_col: str = "content", out_col: str = "image",
         f"{out_col}_{f.split()[0]} {f.split(maxsplit=1)[1]}"
         for f in IMAGE_SCHEMA.split(", ")
     )
+    _check_columns(stream.df.columns, columns, "decode_image")
     keep = (
         [f for f in stream.df.schema.fields]
         if columns is None
@@ -358,6 +375,7 @@ def sample_frames(stream, content_col: str = "content", *, num_frames: int = 4,
     Python→JVM ``num_frames`` times on the return trip just to be
     dropped by the next select (guide §4.1: control the columns
     crossing the boundary BOTH ways)."""
+    _check_columns(stream.df.columns, columns, "sample_frames")
     keep = (
         list(stream.df.schema.fields)
         if columns is None

@@ -138,3 +138,53 @@ def test_shuffle_gate_skips_evicted_and_new_entries():
         {"q_new": {"read": 9, "write": 9 << 30}}, base, 0.1) == []
     assert bench.compare_shuffle_to_baseline(
         {"q01": {"read": 9, "write": 9 << 30}}, base, 0.001) == []
+
+
+# ------------------------------------------------------------------ #
+# canary-drift normalization (round 11): the container's sustained
+# throughput drifts up to ~40% across hours on identical code (round-10
+# evidence), so the wall-time band is stretched by the in-run canary's
+# ratio to the committed baseline's — uniform host slowdown must not
+# flag, while a genuine plan regression still must.
+# ------------------------------------------------------------------ #
+
+def test_drift_factor_clamps_and_defaults():
+    base = {"canary_sec": 2.0}
+    # slower host stretches the band by the measured ratio
+    assert bench.drift_factor(3.0, base) == 1.5
+    # faster host never TIGHTENS below nominal
+    assert bench.drift_factor(1.0, base) == 1.0
+    # capped: an extreme canary cannot hide a real regression
+    assert bench.drift_factor(20.0, base, cap=2.5) == 2.5
+    # missing canary on either side (old baselines): exact old behavior
+    assert bench.drift_factor(None, base) == 1.0
+    assert bench.drift_factor(3.0, {"queries": {}}) == 1.0
+    assert bench.drift_factor(3.0, None) == 1.0
+
+
+def test_uniform_host_drift_does_not_flag():
+    # every query 1.8x slower AND the canary says the host is 1.8x
+    # slower: the round-10 false-alarm scenario — no flags
+    base = _base({"q01": 1.0, "q02": 2.0})
+    base["canary_sec"] = 2.0
+    drift = bench.drift_factor(3.6, base)  # 1.8
+    regs = bench.compare_to_baseline(
+        {"q01": 1.8, "q02": 3.6}, base, 0.1,
+        tolerance=1.5, floor=0.3, drift=drift,
+    )
+    assert regs == []
+
+
+def test_real_regression_still_trips_under_drift():
+    # host 1.8x slower, but one query is 6x slower: a real plan
+    # regression must still flag through the stretched band (and the
+    # flag is annotated with the drift that was applied)
+    base = _base({"q01": 1.0, "q02": 2.0})
+    base["canary_sec"] = 2.0
+    drift = bench.drift_factor(3.6, base)
+    regs = bench.compare_to_baseline(
+        {"q01": 6.0, "q02": 3.6}, base, 0.1,
+        tolerance=1.5, floor=0.3, drift=drift,
+    )
+    assert [e["query"] for e in regs] == ["q01"]
+    assert regs[0]["drift"] == 1.8 and "justified" not in regs[0]

@@ -31,9 +31,10 @@ def test_spread_for_compute_is_noop_when_already_wide(ctx):
     from renoir_spark.datapipe import _spread_for_compute
 
     target = ctx.spark.sparkContext.defaultParallelism
-    narrow = ctx.spark.range(1000).coalesce(1)
-    wide = ctx.spark.range(1000).repartition(target)
-    assert _spread_for_compute(narrow).rdd.getNumPartitions() == target
+    # a 1-split scan shape (the real call-site case: one parquet file)
+    narrow = ctx.spark.range(0, 1000, 1, 1)
+    wide = ctx.spark.range(0, 1000, 1, max(target, 2))
+    assert _spread_for_compute(narrow).rdd.getNumPartitions() >= target
     # already at/above parallelism: returned UNCHANGED (no new exchange)
     assert _spread_for_compute(wide) is wide
 
