@@ -69,7 +69,7 @@ from .datapipe import (
     _sq8_xhat,
     auto_cells,
 )
-from .util import prune_partitions, tiny_df
+from .util import prune_partitions, run_concurrent, tiny_df
 
 
 class AnnIndex:
@@ -627,17 +627,6 @@ def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
             "__mins array<double>, __scales array<double>",
         )
 
-        _write_codes(df, path, units, stats, id_col=id_col,
-                     vec_col=vec_col, id_type=dtypes[id_col],
-                     n_cells=n_cells, mode="overwrite")
-        # metadata writes ride util.tiny_df: one partition, one task,
-        # one file (see its docstring for the measured per-core write
-        # tax)
-        stats.write.mode("overwrite").parquet(f"{path}/grid")
-        tiny_df(
-            spark, [(i, u) for i, u in enumerate(units)],
-            "cell long, unit array<double>",
-        ).write.mode("overwrite").parquet(f"{path}/cells")
         meta = {
             "id_col": id_col,
             "vec_col": vec_col,
@@ -646,13 +635,29 @@ def ann_index_build(stream, path: str, *, vec_col: str = "embedding",
             "id_type": dtypes[id_col],
             "vec_type": dtypes[vec_col],
         }
-        tiny_df(
-            spark,
-            [(id_col, vec_col, n_cells, dim, dtypes[id_col],
-              dtypes[vec_col])],
-            "id_col string, vec_col string, n_cells long, dim long, "
-            "id_type string, vec_type string",
-        ).write.mode("overwrite").parquet(f"{path}/meta")
+        # the codes write and the grid/cells/meta metadata writes (one
+        # task, one file each — util.tiny_df) touch disjoint paths and
+        # share no ordering: overlapped (util.run_concurrent), the
+        # build pays the codes write's wall plus ~one commit latency
+        # instead of four stacked latencies (guide §2.6 — the tiny
+        # writes back-fill whatever the codes write leaves idle).
+        run_concurrent(
+            lambda: _write_codes(df, path, units, stats, id_col=id_col,
+                                 vec_col=vec_col, id_type=dtypes[id_col],
+                                 n_cells=n_cells, mode="overwrite"),
+            lambda: stats.write.mode("overwrite").parquet(f"{path}/grid"),
+            lambda: tiny_df(
+                spark, [(i, u) for i, u in enumerate(units)],
+                "cell long, unit array<double>",
+            ).write.mode("overwrite").parquet(f"{path}/cells"),
+            lambda: tiny_df(
+                spark,
+                [(id_col, vec_col, n_cells, dim, dtypes[id_col],
+                  dtypes[vec_col])],
+                "id_col string, vec_col string, n_cells long, dim long, "
+                "id_type string, vec_type string",
+            ).write.mode("overwrite").parquet(f"{path}/meta"),
+        )
     finally:
         staged.unpersist()
     return AnnIndex(spark, path, meta, units)

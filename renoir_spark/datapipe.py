@@ -730,6 +730,14 @@ def _cluster_from_pairs(stream, pairs_df, id_col: str, *, max_iter: int,
         .withColumn("comp", F.col("v"))
     ).key_by("v")
 
+    # Measured and REVERTED (round 11, guide §1 re-measure): folding
+    # TWO min-label hops into each round (fewer barriers, same monotone
+    # fixpoint) read 2.1x SLOWER at sf0.1 (q83 4.8→10.1 s, qa21
+    # 5.9→12.1 s; still 6.5/7.5 s with checkpoint_every=1) — the
+    # two-hop delta references the state 4x per round, so the logical
+    # plan grows ~4^rounds between checkpoints and Catalyst ANALYSIS
+    # dwarfs the barrier latency it was meant to save. The single-hop
+    # body with per-2-round checkpoints remains the measured optimum.
     def body(state, _it):
         cand_c = (
             state.df.join(edges, state.df["v"] == edges["src"])

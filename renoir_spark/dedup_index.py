@@ -63,7 +63,12 @@ from .datapipe import (
     sql_md5_int31,
     sql_word_shingles,
 )
-from .util import free_local_checkpoint, prune_partitions, tiny_df
+from .util import (
+    free_local_checkpoint,
+    prune_partitions,
+    run_concurrent,
+    tiny_df,
+)
 
 
 def _batch_sig(batch, text_col: str, id_col: str, meta: dict):
@@ -758,18 +763,22 @@ def phash_index_build(stream, path: str, *,
         "id_type": dtypes[id_col],
         "mode": "phash",
     }
-    tiny_df(
-        spark,
-        [(id_col, features_col, bits, bands, bucket_dirs,
-          dtypes[id_col], "phash")],
-        "id_col string, features_col string, bits long, bands long, "
-        "bucket_dirs long, id_type string, mode string",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
     idx = PhashIndex(spark, path, meta)
-    _overwrite_empty(
-        spark, f"{path}/postings",
-        f"bidx int, bval long, id {dtypes[id_col]}, ph long, __bk long",
-        "__bk")
+    # meta write and postings reset: disjoint paths, no ordering — one
+    # overlapped write latency instead of two (util.run_concurrent)
+    run_concurrent(
+        lambda: tiny_df(
+            spark,
+            [(id_col, features_col, bits, bands, bucket_dirs,
+              dtypes[id_col], "phash")],
+            "id_col string, features_col string, bits long, bands long, "
+            "bucket_dirs long, id_type string, mode string",
+        ).write.mode("overwrite").parquet(f"{path}/meta"),
+        lambda: _overwrite_empty(
+            spark, f"{path}/postings",
+            f"bidx int, bval long, id {dtypes[id_col]}, ph long, __bk long",
+            "__bk"),
+    )
     idx.append(stream)
     return idx
 
@@ -818,29 +827,40 @@ def dedup_index_build(stream, path: str, *, text_col: str = "text",
         "id_type": dtypes[id_col],
         "mode": mode,
     }
-    tiny_df(
-        spark,
-        [(id_col, text_col, num_hashes, bands, shingle_n, bucket_dirs,
-          dtypes[id_col], mode)],
-        "id_col string, text_col string, num_hashes long, bands long, "
-        "shingle_n long, bucket_dirs long, id_type string, mode string",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    # reset the data roots to empty (idempotent rebuilds), then the
-    # corpus ingest is just an append into the fresh layout
+    def _meta_write():
+        tiny_df(
+            spark,
+            [(id_col, text_col, num_hashes, bands, shingle_n, bucket_dirs,
+              dtypes[id_col], mode)],
+            "id_col string, text_col string, num_hashes long, bands long, "
+            "shingle_n long, bucket_dirs long, id_type string, mode string",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    # meta write + data-root resets (idempotent rebuilds) touch disjoint
+    # paths with no ordering dependency — overlapped, the build pays ONE
+    # write latency instead of two/three stacked (util.run_concurrent).
+    # The corpus ingest is then just an append into the fresh layout.
     if mode == "exact":
         idx = ExactDedupIndex(spark, path, meta)
-        _overwrite_empty(spark, f"{path}/keys",
-                         f"id {dtypes[id_col]}, key string, __bk long",
-                         "__bk")
+        run_concurrent(
+            _meta_write,
+            lambda: _overwrite_empty(
+                spark, f"{path}/keys",
+                f"id {dtypes[id_col]}, key string, __bk long", "__bk"),
+        )
     else:
         idx = DedupIndex(spark, path, meta)
-        _overwrite_empty(
-            spark, f"{path}/buckets",
-            f"bidx int, bhash long, id {dtypes[id_col]}, __bk long",
-            "__bk")
-        _overwrite_empty(spark, f"{path}/shingles",
-                         f"id {dtypes[id_col]}, sh array<string>, __sk long",
-                         "__sk")
+        run_concurrent(
+            _meta_write,
+            lambda: _overwrite_empty(
+                spark, f"{path}/buckets",
+                f"bidx int, bhash long, id {dtypes[id_col]}, __bk long",
+                "__bk"),
+            lambda: _overwrite_empty(
+                spark, f"{path}/shingles",
+                f"id {dtypes[id_col]}, sh array<string>, __sk long",
+                "__sk"),
+        )
     idx.append(stream)
     return idx
 

@@ -134,6 +134,34 @@ def tiny_df(spark, rows, schema):
     )
 
 
+def run_concurrent(*thunks) -> None:
+    """Run INDEPENDENT driver actions (writes to disjoint paths) on a
+    small thread pool and wait for all — guide §2.6: actions are only
+    sequential because driver code calls them sequentially. Used for
+    the 1-task metadata/reset writes of an index build: each is almost
+    pure commit latency (file create + rename), so running them
+    sequentially stacks that latency while the cluster idles — at ANY
+    scale, since the cost is per-write, not per-byte. Callers must
+    ensure the thunks share no path and no ordering dependency. The
+    first raised exception propagates after every thunk has settled
+    (no half-submitted pool teardown)."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except BaseException as e:  # noqa: BLE001 - resurfaced below
+                errs.append(e)
+        if errs:
+            raise errs[0]
+
+
 # -------------------------------------------------------------------- #
 # Partition-pruned probe reads (persisted dedup / ANN indexes)
 # -------------------------------------------------------------------- #
@@ -171,11 +199,26 @@ def prune_partitions(read_df, part_col: str, keys_df, *,
       plan. Returns ``None`` for the key list.
 
     NULL keys never name a partition on either path (SQL join/IN
-    semantics)."""
-    head = [
-        r[0] for r in keys_df.distinct().limit(literal_max + 1).collect()
-    ]
-    vals = sorted(int(k) for k in head if k is not None)
+    semantics).
+
+    The key collect is ONE aggregate job: ``collect_set`` with map-side
+    partial aggregation, sorted and sliced to ``literal_max + 1`` on
+    the 1-row result. A ``distinct().limit().collect()`` here ran as an
+    AQE executeTake — shuffle-stage job plus one-or-more incremental
+    take jobs — and the index round trips pay this collect 2-4 times
+    per increment, so the extra jobs were pure driver-floor tax
+    (measured round 11: ~50 ms planning gap per job). Driver safety is
+    unchanged: the aggregation state is bounded by the PARTITION-KEY
+    DOMAIN, which is the physical directory count of the index layout
+    (bucket_dirs / n_cells), not the data volume."""
+    row = keys_df.agg(
+        F.slice(
+            F.sort_array(F.collect_set(F.col(part_col))),
+            1, literal_max + 1,
+        ).alias("__ks")
+    ).collect()[0]
+    head = list(row["__ks"] or [])
+    vals = [int(k) for k in head]  # collect_set never emits NULL
     if len(head) <= literal_max:
         return read_df.filter(F.col(part_col).isin(vals)), vals
     build = keys_df.distinct().filter(
