@@ -12,6 +12,11 @@ import sys
 
 import pytest
 
+# Round-11 test-budget tier (see pytest.ini): this module is the
+# slow tier — excluded from the default (driver-budgeted) run,
+# executed with `pytest -m "" tests/` before every baseline refresh.
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EX = os.path.join(REPO, "examples")
 SF = "/root/testdata/sf0.001"

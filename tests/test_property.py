@@ -4,6 +4,11 @@ Python references, the reference crate's proptest-style strategy
 ~0.5 s each); shrinking still localizes failures to minimal inputs."""
 
 import pytest
+
+# Round-11 test-budget tier (see pytest.ini): this module is the
+# slow tier — excluded from the default (driver-budgeted) run,
+# executed with `pytest -m "" tests/` before every baseline refresh.
+pytestmark = pytest.mark.slow
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 

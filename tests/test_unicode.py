@@ -12,6 +12,11 @@ import struct
 
 import pytest
 
+# Round-11 test-budget tier (see pytest.ini): this module is the
+# slow tier — excluded from the default (driver-budgeted) run,
+# executed with `pytest -m "" tests/` before every baseline refresh.
+pytestmark = pytest.mark.slow
+
 from renoir_spark import suite
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
