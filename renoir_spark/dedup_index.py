@@ -206,31 +206,44 @@ class DedupIndex:
         )
         # takedowns: deleted corpus ids must stop matching IMMEDIATELY
         # (before compaction folds them out) — anti-join the tombstone
-        # relation out of the candidate set. The tombstone read is
-        # pruned by the same candidate id-hash rule the shingle prune
-        # uses (the cand persist pays for both bounded collects).
+        # relation out of the candidate set. The tombstone (__tk) and
+        # shingle (__sk) partition keys are the SAME id-hash expression
+        # over the candidate ids, so one bounded collect serves both
+        # scans: the shingle prune reuses the tombstone prune's literal
+        # key list (a superset of the post-anti-join live keys — a
+        # superset prune reads at most a few extra directories and
+        # never changes the join result), saving one collect job per
+        # takedown-aware probe.
         tombs = _tombstones_read(self.spark, self.path,
                                  self.meta["id_type"])
         live = cand
+        cand_keys = cand.select(
+            (md5_int31(F.col("__cid").cast("string"))
+             % F.lit(self.meta["bucket_dirs"])).alias("__k")
+        )
+        shared_ks = None
         if tombs is not None:
-            t_scan, _ = prune_partitions(
+            t_scan, shared_ks = prune_partitions(
                 tombs, "__tk",
-                cand.select(
-                    (md5_int31(F.col("__cid").cast("string"))
-                     % F.lit(self.meta["bucket_dirs"])).alias("__tk")
-                ),
+                cand_keys.select(F.col("__k").alias("__tk")),
             )
             live = cand.join(
                 t_scan.select(F.col("id").alias("__cid")),
                 "__cid", "left_anti",
             )
-        shingle_scan, sks = prune_partitions(
-            self._shingles_read(), "__sk",
-            live.select(
-                (md5_int31(F.col("__cid").cast("string"))
-                 % F.lit(self.meta["bucket_dirs"])).alias("__sk")
-            ),
-        )
+        if shared_ks is not None:
+            shingle_scan = self._shingles_read().filter(
+                F.col("__sk").isin(shared_ks)
+            )
+            sks = shared_ks
+        else:
+            shingle_scan, sks = prune_partitions(
+                self._shingles_read(), "__sk",
+                live.select(
+                    (md5_int31(F.col("__cid").cast("string"))
+                     % F.lit(self.meta["bucket_dirs"])).alias("__sk")
+                ),
+            )
         corpus_sh = (
             shingle_scan.select(
                 F.col("id").alias("__cid"), F.col("sh").alias("shb")
